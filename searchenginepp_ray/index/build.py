@@ -1,0 +1,495 @@
+"""Ray-Data-native inverted-index build pipeline.
+
+Three super-stages, exchanging data through partitioned Parquet (the
+disk-based shuffle also serves as the checkpoint boundary — a rerun skips
+any stage/partition whose manifest matches):
+
+1. **Tokenize** — ``Dataset`` of (file, row-group) shards →
+   ``map_batches(TokenizeShards)`` (stateless tasks; normalizer state is
+   process-cached) → per-doc rows ``(docid, docno, doclen, sha256, seg,
+   terms, tfs)`` written as Parquet partitioned by ``seg``
+   (segment = docid range, replacing the reference's 700 MB chunk cut,
+   reference src/builder.cpp:23, 304-330).
+2. **Global stats** — partial per-batch term df + ``groupby("term").sum``
+   (the partial/final pattern replacing the reference's k-way lexicon
+   merge, reference src/builder.cpp:127-170), plus ``sum(doclen)`` /
+   ``count()`` metadata (reference src/builder.cpp:177-181).
+3. **Assemble segments** — one task per segment reads its partition,
+   explodes to postings, sorts by (term, docid), VarByte/unary-encodes
+   whole columns in single numpy passes, computes sigmas + 15,000-posting
+   block-max skip pointers (reference src/builder.cpp:192-268), and
+   writes ``db_<seg>/terms.parquet`` + a lineage manifest.
+
+Skew note: posting lists are keyed by (term, segment); the segment (a
+bounded docid range) acts as the salt for hot terms — a term's postings
+in one group are capped at ``docs_per_segment`` and the per-segment
+sub-lists concatenate in docid order by construction. This is the
+salted-key split of SURVEY.md §7.4 with salt == segment id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import BuildConfig
+from ..normalizer.word_normalizer import term_frequencies
+from ..codecs import unary, varbyte
+from ..sources.parquet_corpus import ColumnSpec, CorpusShard, corpus_shards, read_shard
+from . import scorer as scorer_mod
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("docid", pa.uint64()),
+        ("docno", pa.string()),
+        ("doclen", pa.uint64()),
+        ("sha256", pa.string()),
+        ("seg", pa.int32()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.uint32())),
+    ]
+)
+
+
+class TokenizeShards:
+    """map_batches callable over shard-descriptor rows.
+
+    Stateless task-compatible: normalizer state (stem cache, compiled
+    regexes) lives at module level and is built once per worker process.
+    """
+
+    def __init__(self, spec: ColumnSpec, cfg: BuildConfig):
+        self.spec = spec
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_tables = []
+        for row in batch.to_pylist():
+            shard = CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
+            out_tables.append(self._tokenize_shard(shard))
+        return pa.concat_tables(out_tables) if out_tables else pa.table([], schema=DOCS_SCHEMA)
+
+    def _tokenize_shard(self, shard: CorpusShard) -> pa.Table:
+        cols = list(dict.fromkeys((*self.spec.docno_cols, self.spec.text_col)))
+        t = read_shard(shard, cols)
+        texts = t[self.spec.text_col].to_pylist()
+        docno_parts = [t[c].to_pylist() for c in self.spec.docno_cols]
+        fmt = self.spec.docno_format()
+        profile = self.cfg.profile
+        n = len(texts)
+
+        docids = np.arange(shard.base_docid, shard.base_docid + n, dtype=np.uint64)
+        segs = ((docids - 1) // self.cfg.docs_per_segment).astype(np.int32)
+        docnos, doclens, sha256s = [], np.empty(n, dtype=np.uint64), []
+        term_lists, tf_lists = [], []
+        for i in range(n):
+            text = texts[i]
+            docnos.append(fmt.format(*(p[i] for p in docno_parts)))
+            sha256s.append(hashlib.sha256(text.encode("utf8")).hexdigest())
+            tf = term_frequencies(text, profile)
+            # sorted term order: the lexicon is term-sorted everywhere in
+            # the reference (std::map, reference src/indexBuilder/IndexBuilder.hpp:41)
+            items = sorted(tf.items())
+            term_lists.append([k for k, _ in items])
+            tf_lists.append([v for _, v in items])
+            doclens[i] = sum(tf.values())
+
+        return pa.table(
+            {
+                "docid": docids,
+                "docno": pa.array(docnos, pa.string()),
+                "doclen": doclens,
+                "sha256": pa.array(sha256s, pa.string()),
+                "seg": segs,
+                "terms": pa.array(term_lists, pa.list_(pa.string())),
+                "tfs": pa.array(tf_lists, pa.list_(pa.uint32())),
+            },
+            schema=DOCS_SCHEMA,
+        )
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequency (terms are unique per doc)."""
+    flat = pc.list_flatten(batch["terms"])
+    vc = flat.value_counts()
+    return pa.table(
+        {"term": vc.field("values"), "df_part": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def _stage_marker(path: str, key: str) -> bool:
+    try:
+        return open(path).read() == key
+    except OSError:
+        return False
+
+
+def build_index(
+    corpus_paths: list[str] | str,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    spec: ColumnSpec | None = None,
+    *,
+    force: bool = False,
+) -> dict:
+    """Run the full build. Returns summary stats (docs, terms, postings…).
+
+    Resumable: each super-stage writes a marker keyed on the input shard
+    list + build params; a rerun with the same key skips the stage, and
+    segment assembly additionally skips per-segment on its manifest.
+    """
+    from ..sources.parquet_corpus import CODE_CORPUS
+
+    cfg = cfg or BuildConfig()
+    spec = spec or CODE_CORPUS
+    shards = corpus_shards(corpus_paths)
+    n_docs_total = sum(s.num_rows for s in shards)
+    lineage_key = hashlib.sha256(
+        json.dumps(
+            [[s.path, s.row_group, s.base_docid, s.num_rows] for s in shards]
+        ).encode()
+        + cfg.params_id.encode()
+    ).hexdigest()[:16]
+
+    docs_dir = os.path.join(out_dir, "docs")
+    global_dir = os.path.join(out_dir, "global")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- stage 1: tokenize → per-doc parquet partitioned by segment ----
+    marker1 = os.path.join(out_dir, "_docs_done")
+    if force or not _stage_marker(marker1, lineage_key):
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        shard_items = [
+            {"path": s.path, "row_group": s.row_group, "base_docid": s.base_docid, "num_rows": s.num_rows}
+            for s in shards
+        ]
+        ds = ray.data.from_items(shard_items, override_num_blocks=len(shard_items))
+        docs = ds.map_batches(
+            TokenizeShards(spec, cfg), batch_format="pyarrow", batch_size=None
+        )
+        docs.write_parquet(docs_dir, partition_cols=["seg"])
+        with open(marker1, "w") as f:
+            f.write(lineage_key)
+
+    # ---- stage 2: global stats (df + metadata) ----
+    marker2 = os.path.join(out_dir, "_global_done")
+    if force or not _stage_marker(marker2, lineage_key):
+        shutil.rmtree(global_dir, ignore_errors=True)
+        os.makedirs(global_dir)
+        docs_ds = ray.data.read_parquet(docs_dir, columns=["doclen", "terms"])
+        # partial df per batch, then a small groupby over partials (A2)
+        df_tbl = (
+            docs_ds.map_batches(_partial_df, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df_part", alias_name="df"))
+        )
+        df_pd = df_tbl.to_pandas().sort_values("term").reset_index(drop=True)
+
+        meta_ds = ray.data.read_parquet(docs_dir, columns=["doclen"])
+        sum_doclen = int(meta_ds.sum("doclen") or 0)
+        n_docs = int(meta_ds.count())
+        assert n_docs == n_docs_total, (n_docs, n_docs_total)
+
+        df_pd["idf"] = scorer_mod.idf(n_docs, df_pd["df"].to_numpy())
+        pq.write_table(pa.Table.from_pandas(df_pd, preserve_index=False),
+                       os.path.join(global_dir, "term_df.parquet"))
+        with open(os.path.join(global_dir, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "sum_doclen": sum_doclen,
+                    "avgdl": sum_doclen / max(n_docs, 1),
+                    "params_id": cfg.params_id,
+                    "profile_id": cfg.profile.profile_id,
+                    "lineage_key": lineage_key,
+                },
+                f,
+            )
+        with open(marker2, "w") as f:
+            f.write(lineage_key)
+
+    with open(os.path.join(global_dir, "metadata.json")) as f:
+        meta = json.load(f)
+
+    # ---- stage 3: assemble segments ----
+    seg_ids = sorted(
+        int(name.split("=")[1])
+        for name in os.listdir(docs_dir)
+        if name.startswith("seg=")
+    )
+    global_df_ref = ray.put(pq.read_table(os.path.join(global_dir, "term_df.parquet")))
+    assemble = AssembleSegment(
+        out_dir=out_dir,
+        docs_dir=docs_dir,
+        cfg=cfg,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        global_df_ref=global_df_ref,
+        lineage_key=lineage_key,
+        force=force,
+    )
+    seg_ds = ray.data.from_items(
+        [{"seg": s} for s in seg_ids], override_num_blocks=len(seg_ids)
+    )
+    manifests = seg_ds.map_batches(
+        assemble, batch_format="pyarrow", batch_size=None, num_cpus=1
+    ).take_all()
+
+    summary = {
+        "n_docs": meta["n_docs"],
+        "sum_doclen": meta["sum_doclen"],
+        "avgdl": meta["avgdl"],
+        "n_segments": len(seg_ids),
+        "n_terms_global": int(pq.read_metadata(os.path.join(global_dir, "term_df.parquet")).num_rows),
+        "n_postings": int(sum(m["n_postings"] for m in manifests)),
+        "out_dir": out_dir,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+class AssembleSegment:
+    """Builds one index segment per input row (an actor-pool stage: the
+    broadcast global-df table is fetched once per actor)."""
+
+    def __init__(self, out_dir, docs_dir, cfg, n_docs, avgdl, global_df_ref, lineage_key, force):
+        self.out_dir = out_dir
+        self.docs_dir = docs_dir
+        self.cfg = cfg
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.lineage_key = lineage_key
+        self.force = force
+        # broadcast: the ObjectRef travels in the pickled callable; each
+        # worker fetches the table once from its local object store
+        self.global_df_ref = global_df_ref
+        self._terms = None
+
+    def _ensure_global(self):
+        if self._terms is None:
+            gdf = ray.get(self.global_df_ref)
+            self._terms = np.asarray(gdf["term"].to_pylist(), dtype=object)
+            self._df = gdf["df"].to_numpy()
+            self._idf = gdf["idf"].to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure_global()
+        rows = [self._assemble(int(seg)) for seg in batch["seg"].to_pylist()]
+        return pa.Table.from_pylist(rows)
+
+    def _assemble(self, seg: int) -> dict:
+        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
+        manifest_path = os.path.join(seg_dir, "manifest.json")
+        if not self.force and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("lineage_key") == self.lineage_key:
+                return m  # checkpointed — skip
+
+        part_dir = os.path.join(self.docs_dir, f"seg={seg}")
+        files = sorted(
+            os.path.join(part_dir, f) for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        t = pads.dataset(files).to_table(columns=["docid", "doclen", "terms", "tfs"])
+        order = pc.sort_indices(t, sort_keys=[("docid", "ascending")])
+        t = t.take(order)
+
+        docid = t["docid"].to_numpy(zero_copy_only=False)
+        doclen = t["doclen"].to_numpy(zero_copy_only=False)
+        if len(docid) == 0 or int(pc.sum(pc.list_value_length(t["terms"])).as_py() or 0) == 0:
+            return self._write_empty(seg, files)
+        terms_col = t["terms"].combine_chunks()
+        tfs_col = t["tfs"].combine_chunks()
+        list_lens = np.asarray(pc.list_value_length(terms_col))
+        terms_flat = np.asarray(pc.list_flatten(terms_col).to_pylist(), dtype=object)
+        tfs_flat = np.asarray(pc.list_flatten(tfs_col))
+        docid_rep = np.repeat(docid, list_lens)
+        doclen_rep = np.repeat(doclen, list_lens)
+
+        # (term, docid) sort — docids are already increasing, terms are
+        # sorted within each doc, so a stable sort on term codes alone
+        # yields (term, docid) order (O2 in SURVEY §2.6)
+        uniq_terms, codes = np.unique(terms_flat, return_inverse=True)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        docid_s = docid_rep[order]
+        tf_s = tfs_flat[order].astype(np.int64)
+        dl_s = doclen_rep[order]
+
+        n_terms = len(uniq_terms)
+        df_local = np.bincount(codes_s, minlength=n_terms).astype(np.int64)
+        term_starts = np.concatenate(([0], np.cumsum(df_local)[:-1]))
+        term_ends = np.cumsum(df_local)
+
+        # global idf lookup (broadcast table; J2 baked in at build time)
+        gidx = np.searchsorted(self._terms, uniq_terms)
+        assert (self._terms[gidx] == uniq_terms).all(), "local lexicon ⊄ global"
+        idf_per_term = self._idf[gidx]
+        df_global = self._df[gidx]
+        idf_per_posting = idf_per_term[codes_s]
+
+        # ---- encode docids (VarByte, absolute docids like the reference;
+        # delta-gap noted as a variant in the manifest) ----
+        db_bytes, db_lens = varbyte.encode(docid_s)
+        byte_offs = np.concatenate(([0], np.cumsum(db_lens)))  # per posting
+        term_byte_offs = byte_offs[np.concatenate((term_starts, [len(docid_s)]))]
+
+        # ---- encode freqs (unary, byte-aligned per term) ----
+        bits_per_posting = tf_s
+        bit_cum = np.concatenate(([0], np.cumsum(bits_per_posting)))
+        term_bit_start = bit_cum[term_starts]
+        term_bits = bit_cum[term_ends] - term_bit_start
+        term_freq_bytes = (term_bits + 7) // 8
+        term_freq_byte_offs = np.concatenate(([0], np.cumsum(term_freq_bytes)))
+        total_freq_bits = int(term_freq_bytes.sum() * 8)
+        # per-posting start bit within the padded global stream
+        pad_base = (term_freq_byte_offs[:-1] * 8) - term_bit_start
+        posting_bit_start = bit_cum[:-1] + pad_base[codes_s]
+        # diff-trick to fill (tf-1) one-bits per posting
+        delta = np.zeros(total_freq_bits + 1, dtype=np.int32)
+        np.add.at(delta, posting_bit_start, 1)
+        np.add.at(delta, posting_bit_start + tf_s - 1, -1)
+        bits = (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
+        fq_bytes = np.packbits(bits, bitorder="little")
+
+        # ---- scores → sigmas + skip-pointer block maxima (Q7) ----
+        bm25 = scorer_mod.Bm25Scorer(self.cfg.bm25_k1, self.cfg.bm25_b)
+        tfidf = scorer_mod.TfidfScorer()
+        bm25_s = bm25.score(tf_s, idf_per_posting, dl_s, self.avgdl)
+        tfidf_s = tfidf.score(tf_s, idf_per_posting)
+
+        B = self.cfg.skip_block_size
+        # block starts: every B postings within each term
+        n_blocks_per_term = (df_local + B - 1) // B
+        block_term = np.repeat(np.arange(n_terms), n_blocks_per_term)
+        block_idx_in_term = np.concatenate(
+            [np.arange(k) for k in n_blocks_per_term]
+        ) if n_terms else np.zeros(0, dtype=np.int64)
+        block_starts = term_starts[block_term] + block_idx_in_term * B
+        block_ends = np.minimum(block_starts + B, term_ends[block_term])
+
+        bm25_ub = np.maximum.reduceat(bm25_s, block_starts) if len(block_starts) else np.zeros(0)
+        tfidf_ub = np.maximum.reduceat(tfidf_s, block_starts) if len(block_starts) else np.zeros(0)
+        # reduceat quirk: reduceat uses [start_i, start_{i+1}) ranges; since
+        # block starts are strictly increasing and blocks tile the posting
+        # array contiguously, ranges match [block_start, block_end).
+        last_docid = docid_s[block_ends - 1] if len(block_ends) else np.zeros(0, dtype=np.uint64)
+        # offsets relative to the term's stream starts (reference
+        # src/index/Index.template.hpp:210-219)
+        blk_docid_off = byte_offs[block_starts] - term_byte_offs[:-1][block_term]
+        # (byte_off << 3) | bit_off == the plain bit offset within the
+        # term's freq stream (reference src/codes/unary.hpp:18-22)
+        blk_freq_off = posting_bit_start[block_starts] - term_freq_byte_offs[block_term] * 8
+
+        # quantize exactly like the on-disk reference (types.hpp:120-131)
+        q = scorer_mod.quantize_scores
+        dq = scorer_mod.dequantize_scores
+        bm25_sigma = dq(q(np.maximum.reduceat(bm25_s, term_starts)))
+        tfidf_sigma = dq(q(np.maximum.reduceat(tfidf_s, term_starts)))
+        bm25_ub = dq(q(bm25_ub))
+        tfidf_ub = dq(q(tfidf_ub))
+
+        block_bounds = np.concatenate(
+            ([0], np.cumsum(n_blocks_per_term))
+        ).astype(np.int32)
+
+        def _binary_col(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                len(offsets) - 1,
+                [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(values)],
+            )
+
+        def _list_f64(values: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(block_bounds, pa.array(values, pa.float64()))
+
+        def _list_u64(values: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(block_bounds, pa.array(values.astype(np.uint64)))
+
+        terms_table = pa.table(
+            {
+                "term": pa.array(uniq_terms, pa.string()),
+                "df_local": pa.array(df_local, pa.uint64()),
+                "df_global": pa.array(df_global, pa.uint64()),
+                "idf": pa.array(idf_per_term, pa.float64()),
+                "docid_bytes": _binary_col(db_bytes, term_byte_offs),
+                "freq_bytes": _binary_col(fq_bytes, term_freq_byte_offs),
+                "bm25_sigma": pa.array(bm25_sigma, pa.float64()),
+                "tfidf_sigma": pa.array(tfidf_sigma, pa.float64()),
+                "skip_last_docid": _list_u64(last_docid),
+                "skip_bm25_ub": _list_f64(bm25_ub),
+                "skip_tfidf_ub": _list_f64(tfidf_ub),
+                "skip_docid_off": _list_u64(blk_docid_off),
+                "skip_freq_off": _list_u64(blk_freq_off),
+            }
+        )
+
+        os.makedirs(seg_dir, exist_ok=True)
+        tmp = os.path.join(seg_dir, "terms.parquet.tmp")
+        pq.write_table(terms_table, tmp)
+        os.replace(tmp, os.path.join(seg_dir, "terms.parquet"))
+
+        manifest = {
+            "seg": seg,
+            "base_docid": int(docid.min()) if len(docid) else 0,
+            "n_docs": int(len(docid)),
+            "n_terms": int(n_terms),
+            "n_postings": int(len(docid_s)),
+            "sum_doclen": int(doclen.sum()),
+            "doc_files": files,
+            "docid_encoding": "varbyte-absolute",
+            "freq_encoding": "unary-lsb",
+            "params_id": self.cfg.params_id,
+            "profile_id": self.cfg.profile.profile_id,
+            "lineage_key": self.lineage_key,
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+        return manifest
+
+    def _write_empty(self, seg: int, files: list[str]) -> dict:
+        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
+        os.makedirs(seg_dir, exist_ok=True)
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df_local": pa.array([], pa.uint64()),
+                "df_global": pa.array([], pa.uint64()),
+                "idf": pa.array([], pa.float64()),
+                "docid_bytes": pa.array([], pa.large_binary()),
+                "freq_bytes": pa.array([], pa.large_binary()),
+                "bm25_sigma": pa.array([], pa.float64()),
+                "tfidf_sigma": pa.array([], pa.float64()),
+                "skip_last_docid": pa.array([], pa.list_(pa.uint64())),
+                "skip_bm25_ub": pa.array([], pa.list_(pa.float64())),
+                "skip_tfidf_ub": pa.array([], pa.list_(pa.float64())),
+                "skip_docid_off": pa.array([], pa.list_(pa.uint64())),
+                "skip_freq_off": pa.array([], pa.list_(pa.uint64())),
+            }
+        )
+        pq.write_table(empty, os.path.join(seg_dir, "terms.parquet"))
+        manifest = {
+            "seg": seg, "base_docid": 0, "n_docs": 0, "n_terms": 0,
+            "n_postings": 0, "sum_doclen": 0, "doc_files": files,
+            "docid_encoding": "varbyte-absolute", "freq_encoding": "unary-lsb",
+            "params_id": self.cfg.params_id,
+            "profile_id": self.cfg.profile.profile_id,
+            "lineage_key": self.lineage_key,
+        }
+        with open(os.path.join(seg_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest

@@ -46,7 +46,14 @@ def fix_latin1_mojibake(text: str) -> str:
     try:
         return text.encode("latin1").decode("utf8")
     except UnicodeDecodeError:
-        return text.encode("latin1").decode("utf8", errors="surrogateescape")
+        # collapsed bytes aren't fully valid UTF-8: decode the invalid
+        # bytes as latin1 code points (documented deviation: the
+        # reference keeps them as raw bytes; any downstream string
+        # interpretation of such garbage is implementation-defined)
+        raw = text.encode("latin1").decode("utf8", errors="surrogateescape")
+        return "".join(
+            chr(ord(c) - 0xDC00) if 0xDC80 <= ord(c) <= 0xDCFF else c for c in raw
+        )
     except UnicodeEncodeError:
         # contains chars > U+00FF: not latin1-misdecoded after all
         return text

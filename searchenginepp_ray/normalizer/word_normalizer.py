@@ -48,7 +48,10 @@ def normalize_tokens(text: str, profile: NormalizerProfile) -> list[str]:
             token = lower(token)
             if not token or token in stops:
                 continue
-            blen = len(token) if token.isascii() else len(token.encode("utf8"))
+            # surrogateescape: mojibake-fixed docs may carry stray latin1
+            # bytes (the reference's byte-level collapse doesn't validate
+            # UTF-8 either); each escaped surrogate is one byte
+            blen = len(token) if token.isascii() else len(token.encode("utf8", "surrogateescape"))
             if blen > 240:
                 continue
             append(stem(token))

@@ -1,0 +1,157 @@
+"""End-to-end golden test: deterministic corpus → full Ray Data index build
+→ query engine vs the pure-Python scalar oracle (the test the reference
+lacks — SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from searchenginepp_ray.config import BuildConfig, FULL_PROFILE
+from searchenginepp_ray.index.build import build_index
+from searchenginepp_ray.index.engine import QueryEngine
+from searchenginepp_ray.sources.corpus_gen import write_corpus, docno_of
+from searchenginepp_ray.sources.parquet_corpus import CODE_CORPUS
+
+from .oracle import OracleIndex
+
+N_DOCS = 800
+K = 20
+
+QUERIES = [
+    "return if else",
+    "hash index query search",
+    "vector string buffer",
+    "the of and to",          # all stopwords → empty after normalization
+    "zzzunknownterm",         # unknown term
+    "merge merge merge sort",  # repeated terms dedup
+    "var_3 fn_7 match",
+    "naïve café",             # latin1-domain terms
+    "read write parse encode decode",
+    "static const int 42",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, N_DOCS, seed=42, rows_per_group=128)
+    cfg = BuildConfig(docs_per_segment=300)  # 3 segments over 800 docs
+    out_dir = str(tmp / "index")
+    summary = build_index(corpus_path, out_dir, cfg, CODE_CORPUS)
+
+    table = pq.read_table(corpus_path)
+    docs = [
+        (docno_of(r, p, c), t)
+        for r, p, c, t in zip(
+            table["repo"].to_pylist(), table["path"].to_pylist(),
+            table["commit"].to_pylist(), table["content"].to_pylist(),
+        )
+    ]
+    oracle = OracleIndex(docs, FULL_PROFILE)
+    engine = QueryEngine(out_dir, use_actors=False, cfg=cfg)
+    return summary, oracle, engine
+
+
+def _assert_same(got, want):
+    assert [g[0] for g in got] == [w[0] for w in want], (got[:5], want[:5])
+    assert [g[1] for g in got] == [w[1] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], rel=1e-12, abs=1e-12)
+
+
+def test_build_summary(built):
+    summary, oracle, _ = built
+    assert summary["n_docs"] == N_DOCS
+    assert summary["n_segments"] == 3
+    assert summary["sum_doclen"] == oracle.sum_doclen
+    assert summary["n_terms_global"] == len(oracle.postings)
+    assert summary["n_postings"] == sum(len(p) for p in oracle.postings.values())
+
+
+def test_daat_disjunctive_matches_oracle(built):
+    _, oracle, engine = built
+    for q in QUERIES:
+        terms = engine.normalize_query(q)
+        got = engine.search(terms, K, mode="daat")
+        want = oracle.query(terms, K, conj=False, scorer="bm25")
+        _assert_same(got, want)
+
+
+def test_daat_conjunctive_matches_oracle(built):
+    _, oracle, engine = built
+    for q in QUERIES:
+        terms = engine.normalize_query(q)
+        got = engine.search(terms, K, mode="daat_conj")
+        want = oracle.query(terms, K, conj=True, scorer="bm25")
+        _assert_same(got, want)
+
+
+def test_tfidf_matches_oracle(built):
+    _, oracle, engine = built
+    for q in QUERIES:
+        terms = engine.normalize_query(q)
+        got = engine.search(terms, K, mode="daat", scorer_name="tfidf")
+        want = oracle.query(terms, K, conj=False, scorer="tfidf")
+        _assert_same(got, want)
+
+
+def test_bmm_equals_daat(built):
+    """BMM is safe pruning — results must equal DAAT's (SURVEY §7.5.7) for
+    positive scores. Degenerate zero-score docs (a term with df == N has
+    idf 0, so its sigma quantizes to 0) are legitimately pruned by the
+    reference's pivot rule (upper_bounds[pivot] <= θ with θ=0,
+    reference src/index/Index.cpp:103) while DAAT keeps them — so the
+    comparison is over the positive-score prefix. Scores may differ only
+    by float addition order (sigma- vs term-order sums)."""
+    _, _, engine = built
+    compared = 0
+    for q in QUERIES:
+        terms = engine.normalize_query(q)
+        daat = [r for r in engine.search(terms, K, mode="daat") if r[2] > 0]
+        bmm = [r for r in engine.search(terms, K, mode="bmm") if r[2] > 0]
+        assert [r[0] for r in bmm] == [r[0] for r in daat]
+        for b, d in zip(bmm, daat):
+            assert b[2] == pytest.approx(d[2], rel=1e-9)
+        compared += len(daat)
+    assert compared > 20  # the comparison is not vacuous
+
+
+def test_sha256_invariant(built):
+    """Per-row content sha256 carried through the doc index unchanged."""
+    import hashlib
+    summary, _, engine = built
+    seg_dir = engine.seg_dirs[0]
+    import json, pyarrow.dataset as pads
+    with open(f"{seg_dir}/manifest.json") as f:
+        files = json.load(f)["doc_files"]
+    dt = pads.dataset(files).to_table(columns=["docid", "sha256"])
+    # recompute from the source corpus for a sample
+    from searchenginepp_ray.sources.corpus_gen import generate_corpus
+    corpus = generate_corpus(5, seed=42)
+    want = [hashlib.sha256(t.encode()).hexdigest() for t in corpus["content"].to_pylist()]
+    got = dict(zip(dt["docid"].to_pylist(), dt["sha256"].to_pylist()))
+    for i, w in enumerate(want):
+        assert got[i + 1] == w
+
+
+def test_resume_skips_built_segments(built, tmp_path_factory):
+    """Re-running build with identical inputs is a no-op (checkpointed)."""
+    summary, _, engine = built
+    import time
+    out_dir = summary["out_dir"]
+    t0 = time.time()
+    again = build_index(
+        engine_corpus_path(out_dir), out_dir, BuildConfig(docs_per_segment=300), CODE_CORPUS
+    )
+    assert again["n_postings"] == summary["n_postings"]
+    assert time.time() - t0 < 30
+
+
+def engine_corpus_path(out_dir: str) -> str:
+    import json, os
+    with open(f"{out_dir}/db_0/manifest.json") as f:
+        m = json.load(f)
+    # recover the original corpus path from stage-1 lineage is overkill
+    # here; the e2e fixture keeps corpus.parquet next to the index dir
+    return os.path.join(os.path.dirname(out_dir), "corpus.parquet")
