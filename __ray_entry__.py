@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full inverted-index build over the
+sf0.001 ``documents`` table with the reference's CI normalizer profile,
+then BM25 top-k through the segment-actor engine). ``queries()`` exposes
+every implemented operator from SURVEY.md §2 plus the training-data
+operators (dedup / similarity / text analysis / windows); each
+SQL-expressible one has a matching DuckDB oracle in ``oracle_sql()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,72 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from searchenginepp_ray.pipelines.search_docs import search_topk
+
+    # full reference profile (stemming+latin1): the non-SQL flagship; its
+    # correctness is pinned by the pytest oracle suite
+    return search_topk("/root/testdata/sf0.001", k=10, mode="daat",
+                       scorer="bm25", simple=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchenginepp_ray.pipelines import dedup, events, similarity, text_stats
+    from searchenginepp_ray.pipelines import search_docs
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- index-adjacent aggregates (SURVEY §2.5) ---
+        "doclen_stats": text_stats.doclen_stats,
+        "term_df": lambda sf: text_stats.term_df(sf),
+        "term_tf": lambda sf: text_stats.term_tf(sf),
+        "token_count": lambda sf: text_stats.token_count(sf),
+        # --- the engine itself, end-to-end (SURVEY §2.9) ---
+        "search_bm25_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="bm25"),
+        "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
+        "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
+        "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
+        "index_stats": lambda sf: search_docs.index_stats(sf),
+        "index_term_df": lambda sf: search_docs.index_term_df(sf),
+        # --- text analysis ---
+        "quality_score": lambda sf: text_stats.quality_score(sf),
+        "lang_id": lambda sf: text_stats.lang_id(sf),
+        "doc_fingerprint": lambda sf: text_stats.fingerprint(sf),
+        # --- dedup family ---
+        "exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
+        "simhash": lambda sf: dedup.simhash(sf),
+        # --- similarity search ---
+        "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
+        "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+        "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
+        # --- stream-shaped ---
+        "windowed_agg": lambda sf: events.windowed_agg(sf),
+        "sessionize": lambda sf: events.sessionize(sf),
+        "event_type_stats": lambda sf: events.event_type_stats(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchenginepp_ray.pipelines import oracle_sql as osql
+
+    return {
+        "doclen_stats": osql.doclen_stats_sql(),
+        "term_df": osql.term_df_sql(),
+        "term_tf": osql.term_tf_sql(),
+        "token_count": osql.token_count_sql(),
+        "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
+        "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
+        "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
+        "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
+        "index_stats": osql.index_stats_sql(),
+        "index_term_df": osql.term_df_sql(),
+        "quality_score": osql.quality_score_sql(),
+        "lang_id": osql.lang_id_sql(),
+        "exact_dedup": osql.exact_dedup_sql(),
+        "knn_brute_force": osql.knn_brute_force_sql(),
+        "embedding_norm_stats": osql.embedding_norm_stats_sql(),
+        "windowed_agg": osql.windowed_agg_sql(),
+        "sessionize": osql.sessionize_sql(),
+        "event_type_stats": osql.event_type_stats_sql(),
+        # rows-only (non-SQL-expressible): doc_fingerprint,
+        # minhash_dedup_pairs, simhash, knn_ivf
+    }

@@ -1,0 +1,251 @@
+"""DuckDB oracle SQL for every SQL-expressible pipeline.
+
+The tokenizer CTE is generated from the *same* punctuation tables the
+Python normalizer uses (SIMPLE profile: punctuation→space, lowercase,
+ASCII-whitespace split, drop empties), so Python and SQL tokenize
+identically. Aggregate column names match the Ray-side outputs exactly
+(the driver's compare requires it).
+"""
+
+from __future__ import annotations
+
+from ..config import BuildConfig
+from ..normalizer.punctuation import ALL_MARKS
+from .search_docs import DOC_QUERIES
+from .text_stats import QUALITY_STOPS
+
+
+def _regex_class() -> str:
+    """RE2 character class matching every punctuation mark + ASCII ws."""
+    specials = set("\\]^-[")
+    chars = []
+    for c in sorted(set(ALL_MARKS) | set(" \t\n\v\f\r")):
+        if c in specials:
+            chars.append("\\" + c)
+        elif c == "\t":
+            chars.append("\\t")
+        elif c == "\n":
+            chars.append("\\n")
+        elif c == "\r":
+            chars.append("\\r")
+        elif c == "\v":
+            chars.append("\\x0b")
+        elif c == "\f":
+            chars.append("\\x0c")
+        else:
+            chars.append(c)
+    return "[" + "".join(chars) + "]"
+
+
+def tok_cte() -> str:
+    """CTE ``toks(doc_id, term)`` — one row per token occurrence."""
+    cls = _regex_class().replace("'", "''")
+    return f"""
+toks AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '{cls}', ' ', 'g')),
+             ' +')) AS t(term)
+    WHERE t.term <> ''
+)"""
+
+
+def doclen_stats_sql() -> str:
+    return f"""WITH {tok_cte()}
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(*) FROM toks) AS sum_doclen,
+       (SELECT COUNT(*) FROM toks) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl"""
+
+
+def term_df_sql() -> str:
+    return f"""WITH {tok_cte()}
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term"""
+
+
+def term_tf_sql() -> str:
+    return f"""WITH {tok_cte()}
+SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY term"""
+
+
+def token_count_sql() -> str:
+    return f"""WITH {tok_cte()}
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.n_distinct, 0) AS BIGINT) AS n_distinct
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct
+    FROM toks GROUP BY doc_id
+) t USING (doc_id)"""
+
+
+def quality_score_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in QUALITY_STOPS)
+    return f"""WITH {tok_cte()},
+per AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           COUNT(DISTINCT term) AS n_dis,
+           SUM(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS n_stop,
+           SUM(length(term)) AS tot_len
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(p.n_dis * 1.0 / p.n_tok, 0.0), 6) AS distinct_ratio,
+       ROUND(COALESCE(p.n_stop * 1.0 / p.n_tok, 0.0), 6) AS stopword_ratio,
+       ROUND(COALESCE(p.tot_len * 1.0 / p.n_tok, 0.0), 6) AS mean_token_len
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+def lang_id_sql(threshold: float = 0.08) -> str:
+    stops = ", ".join(f"'{s}'" for s in QUALITY_STOPS)
+    return f"""WITH {tok_cte()},
+per AS (
+    SELECT doc_id,
+           SUM(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN COALESCE(p.ratio, 0.0) >= {threshold} THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+def exact_dedup_sql() -> str:
+    return """SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)"""
+
+
+def _query_values(cfg: BuildConfig | None = None) -> tuple[str, dict[int, list[str]]]:
+    """VALUES rows (query_id, term) from the *Python* normalizer, so query
+    tokenization can't diverge between the two systems."""
+    from ..config import SIMPLE_PROFILE
+    from ..normalizer.word_normalizer import normalize_tokens
+
+    per_q = {
+        qi: sorted(set(normalize_tokens(q, SIMPLE_PROFILE)))
+        for qi, q in enumerate(DOC_QUERIES)
+    }
+    rows = ", ".join(
+        f"({qi}, '{t}')" for qi, terms in per_q.items() for t in terms
+    )
+    return rows, per_q
+
+
+def _bm25_score_expr(k1: float, b: float) -> str:
+    # mirrors Bm25Scorer.score's operation order exactly:
+    # tf / (k1*((1-b) + b*dl/avgdl) + tf) * idf,  idf = log2(N/df)
+    return (
+        f"(tf.tf / ({k1}*((1-{b}) + ({b}*dl.dl)/stats.avgdl) + tf.tf))"
+        " * log2(stats.n_docs/df.df)"
+    )
+
+
+def _tfidf_score_expr() -> str:
+    return "(1 + log2(tf.tf)) * log2(stats.n_docs/df.df)"
+
+
+def search_topk_sql(scorer: str = "bm25", conj: bool = False, k: int = 10) -> str:
+    cfg = BuildConfig()
+    rows, per_q = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b) if scorer == "bm25" else _tfidf_score_expr()
+    conj_having = ""
+    if conj:
+        counts = " ".join(f"WHEN q.query_id = {qi} THEN {len(ts)}" for qi, ts in per_q.items())
+        conj_having = f"HAVING COUNT(DISTINCT q.term) = MAX(CASE {counts} END)"
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+    {conj_having}
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""
+
+
+def index_stats_sql() -> str:
+    return f"""WITH {tok_cte()}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS sum_doclen,
+       (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM toks) AS n_terms,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, term FROM toks)) AS n_postings"""
+
+
+def knn_brute_force_sql(n_queries: int = 5, k: int = 5) -> str:
+    return f"""WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+sims AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+    FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_norm_stats_sql() -> str:
+    return """SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum'))), 6) AS mean_norm
+FROM embeddings GROUP BY label"""
+
+
+def windowed_agg_sql(window_s: int = 3600) -> str:
+    return f"""SELECT event_type,
+       (epoch_us(ts) // 1000000 // {window_s}) * {window_s} AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events GROUP BY event_type, window_start"""
+
+
+def sessionize_sql(gap_s: int = 1800) -> str:
+    return f"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+o AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+s AS (SELECT user_id, t,
+             CASE WHEN pt IS NULL OR t - pt > {gap_s} THEN 1 ELSE 0 END AS ns
+      FROM o),
+g AS (SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+c AS (SELECT user_id, sid, COUNT(*) AS n FROM g GROUP BY user_id, sid)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM c GROUP BY user_id"""
+
+
+def event_type_stats_sql() -> str:
+    return """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS value_sum
+FROM events GROUP BY event_type"""

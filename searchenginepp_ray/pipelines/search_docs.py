@@ -1,0 +1,123 @@
+"""Flagship search pipeline over the ``documents`` table: build the full
+inverted index (Ray Data pipeline) and serve BM25/TF-IDF top-k through the
+segment engine.
+
+Two profiles:
+
+- SIMPLE (stemming/latin1 off) — every token survives, so document
+  frequency, doclen and the complete BM25/TF-IDF scoring are expressible
+  in ANSI SQL: the DuckDB oracle checks the *whole engine end-to-end*
+  (build → encode → decode → score → top-k).
+- FULL (reference CI profile) — checked by the pure-Python oracle in
+  pytest (stemming is not SQL-expressible).
+
+Indexes are cached under /tmp keyed by (sf_dir, profile, params) via the
+build pipeline's own checkpoint markers, so repeated ``queries()`` calls
+re-use the built index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+from ..config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
+from ..index.build import build_index
+from ..index.engine import QueryEngine
+from ..sources.parquet_corpus import DOCUMENTS_CORPUS
+
+#: fixed query set for the documents corpus (vocabulary from the driver's
+#: synthetic documents table)
+DOC_QUERIES = [
+    "table scan filter join",
+    "spark window agg",
+    "key value hash merge sort",
+    "customer query row",
+]
+
+_ENGINES: dict[tuple, QueryEngine] = {}
+
+
+def _cfg(simple: bool) -> BuildConfig:
+    return BuildConfig(
+        profile=SIMPLE_PROFILE if simple else FULL_PROFILE,
+        docs_per_segment=200,  # several segments even at sf0.001
+    )
+
+
+def _index_dir(sf_dir: str, cfg: BuildConfig) -> str:
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}:{cfg.params_id}".encode()).hexdigest()[:12]
+    return os.path.join("/tmp", "seppray_index_cache", key)
+
+
+def get_engine(sf_dir: str, simple: bool = True, scorer: str = "bm25") -> QueryEngine:
+    cfg = _cfg(simple)
+    key = (os.path.abspath(sf_dir), cfg.params_id, scorer)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        out_dir = _index_dir(sf_dir, cfg)
+        build_index(
+            f"{sf_dir}/documents.parquet", out_dir, cfg, DOCUMENTS_CORPUS
+        )
+        eng = QueryEngine(out_dir, scorer=scorer, use_actors=False, cfg=cfg)
+        _ENGINES[key] = eng
+    return eng
+
+
+def _to_frame(all_results) -> pd.DataFrame:
+    rows = []
+    for qi, results in enumerate(all_results):
+        for rank, (docid, docno, score) in enumerate(results, start=1):
+            rows.append(
+                {
+                    "query_id": qi,
+                    "rank": rank,
+                    "doc_id": int(docno),  # docno == str(doc_id) for this corpus
+                    "score": round(score, 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def search_topk(sf_dir: str, k: int = 10, mode: str = "daat",
+                scorer: str = "bm25", simple: bool = True) -> pd.DataFrame:
+    eng = get_engine(sf_dir, simple=simple, scorer=scorer)
+    return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
+
+
+def index_stats(sf_dir: str, simple: bool = True) -> pd.DataFrame:
+    """Global index invariants: n_docs, sum_doclen, distinct terms, total
+    postings — each SQL-checkable under the simple profile."""
+    import json
+
+    eng = get_engine(sf_dir, simple=simple)
+    out_dir = _index_dir(sf_dir, _cfg(simple))
+    with open(os.path.join(out_dir, "summary.json")) as f:
+        s = json.load(f)
+    return pd.DataFrame(
+        {
+            "n_docs": [s["n_docs"]],
+            "sum_doclen": [s["sum_doclen"]],
+            "n_terms": [s["n_terms_global"]],
+            "n_postings": [s["n_postings"]],
+        }
+    )
+
+
+def index_term_df(sf_dir: str, simple: bool = True) -> pd.DataFrame:
+    """Per-term document frequency read back *from the built segments*
+    (sums per-segment df_local) — checks the posting lists themselves."""
+    import pyarrow.parquet as pq
+
+    get_engine(sf_dir, simple=simple)
+    out_dir = _index_dir(sf_dir, _cfg(simple))
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("db_"):
+            t = pq.read_table(os.path.join(out_dir, d, "terms.parquet"),
+                              columns=["term", "df_local"])
+            frames.append(t.to_pandas())
+    df = pd.concat(frames).groupby("term", as_index=False)["df_local"].sum()
+    return df.rename(columns={"df_local": "df"}).astype({"df": "int64"})

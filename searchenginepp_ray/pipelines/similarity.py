@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+list<float>, label).
+
+- :func:`knn_brute_force` — exact top-k cosine: numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, fetched once per
+  worker), partial top-k per batch, final merge. No shuffle of the big
+  side; at 10^12 rows this is the streaming scan baseline.
+- :func:`knn_ivf` — IVF-bucketed variant: k-means-lite centroids
+  (deterministic seeded init, few Lloyd iterations on a sample), assign →
+  search only the ``nprobe`` closest buckets. The scale path: turns a
+  full scan into a 1/nlist fraction scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def embeddings_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()[:n_queries]
+    q = np.asarray(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    return ids, q
+
+
+def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5):
+    """Exact cosine top-k for the first ``n_queries`` vectors (queries
+    include themselves; cosine rounded to 6 dp for oracle comparability).
+
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(q)
+    q_ref = ray.put(qn)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        vec_ids = t["vec_id"].to_numpy()
+        sims = qn @ _normalize(m).T  # (n_queries, batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            # tie-safe partial top-k: keep ties at the boundary
+            thresh = np.partition(s, len(s) - kk)[len(s) - kk]
+            keep = np.flatnonzero(s >= thresh)
+            out_q.extend([int(q_ids[qi])] * len(keep))
+            out_n.extend(vec_ids[keep].tolist())
+            out_s.extend(s[keep].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = embeddings_ds(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
+
+    # final merge: tiny (n_queries × k × n_batches rows)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cosine"] = df["cosine"].round(6)
+        return df[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
+            nprobe: int = 4, sample_size: int = 2048, iters: int = 5):
+    """IVF top-k: bucket by nearest centroid, probe only nprobe buckets.
+
+    Approximate; recall measured against :func:`knn_brute_force` in tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.asarray(t["embedding"].to_pylist()[:sample_size], dtype=np.float64)
+    sample = _normalize(sample)
+    rng = np.random.Generator(np.random.PCG64(42))
+    cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):  # Lloyd on the sample
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    cents_ref = ray.put(cents)
+
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(q)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(row.tolist()) for row in probes]
+    q_ref = ray.put((qn, probe_sets))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        qn, probe_sets = ray.get(q_ref)
+        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        vec_ids = t["vec_id"].to_numpy()
+        bucket = (m @ cents.T).argmax(axis=1)
+        sims = qn @ m.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qn)):
+            mask = np.isin(bucket, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            ids = vec_ids[mask]
+            kk = min(k, len(s))
+            thresh = np.partition(s, len(s) - kk)[len(s) - kk]
+            keep = np.flatnonzero(s >= thresh)
+            out_q.extend([int(q_ids[qi])] * len(keep))
+            out_n.extend(ids[keep].tolist())
+            out_s.extend(s[keep].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = embeddings_ds(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cosine"] = df["cosine"].round(6)
+        return df[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Per-label mean L2 norm + count (vectorized per batch partials)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        return pa.table({"label": t["label"], "norm": pa.array(norms)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(per_batch, batch_format="pyarrow")
+    agg = ds.groupby("label").aggregate(
+        Sum("norm", alias_name="norm_sum"), Count(alias_name="n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_norm"] = (df["norm_sum"] / df["n"]).round(6)
+        return df[["label", "n", "mean_norm"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
