@@ -44,7 +44,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..config import BuildConfig
-from ..normalizer.word_normalizer import term_frequencies
+from ..normalizer.batch import tokenize_batch
 from ..codecs import unary, varbyte
 from ..sources.parquet_corpus import ColumnSpec, CorpusShard, corpus_shards, read_shard
 from . import scorer as scorer_mod
@@ -86,24 +86,16 @@ class TokenizeShards:
         texts = t[self.spec.text_col].to_pylist()
         docno_parts = [t[c].to_pylist() for c in self.spec.docno_cols]
         fmt = self.spec.docno_format()
-        profile = self.cfg.profile
         n = len(texts)
 
         docids = np.arange(shard.base_docid, shard.base_docid + n, dtype=np.uint64)
         segs = ((docids - 1) // self.cfg.docs_per_segment).astype(np.int32)
-        docnos, doclens, sha256s = [], np.empty(n, dtype=np.uint64), []
-        term_lists, tf_lists = [], []
-        for i in range(n):
-            text = texts[i]
-            docnos.append(fmt.format(*(p[i] for p in docno_parts)))
-            sha256s.append(hashlib.sha256(text.encode("utf8")).hexdigest())
-            tf = term_frequencies(text, profile)
-            # sorted term order: the lexicon is term-sorted everywhere in
-            # the reference (std::map, reference src/indexBuilder/IndexBuilder.hpp:41)
-            items = sorted(tf.items())
-            term_lists.append([k for k, _ in items])
-            tf_lists.append([v for _, v in items])
-            doclens[i] = sum(tf.values())
+        docnos = [fmt.format(*(p[i] for p in docno_parts)) for i in range(n)]
+        sha256s = [hashlib.sha256(x.encode("utf8")).hexdigest() for x in texts]
+        # vectorized tokenizer: per-doc term-sorted unique terms + tfs
+        # (the lexicon is term-sorted everywhere in the reference,
+        # std::map, reference src/indexBuilder/IndexBuilder.hpp:41)
+        doclens, terms_list, tfs_list = tokenize_batch(texts, self.cfg.profile)
 
         return pa.table(
             {
@@ -112,8 +104,8 @@ class TokenizeShards:
                 "doclen": doclens,
                 "sha256": pa.array(sha256s, pa.string()),
                 "seg": segs,
-                "terms": pa.array(term_lists, pa.list_(pa.string())),
-                "tfs": pa.array(tf_lists, pa.list_(pa.uint32())),
+                "terms": terms_list.cast(pa.list_(pa.string())),
+                "tfs": tfs_list.cast(pa.list_(pa.uint32())),
             },
             schema=DOCS_SCHEMA,
         )

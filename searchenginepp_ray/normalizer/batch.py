@@ -1,0 +1,166 @@
+"""Vectorized (Arrow/numpy) batch tokenizer — the build-time hot path.
+
+Semantics are identical to the scalar :func:`..word_normalizer.term_frequencies`
+applied per document (pinned by ``tests/test_normalizer.py::test_batch_matches_scalar``);
+the shape is batch-first so the per-*token* work runs in C:
+
+1. per-doc Python: mojibake check/fix (rare) + ONE ``str.translate`` that
+   applies punctuation→spaces and lowercasing in a single pass (their
+   domains are disjoint — asserted below);
+2. Arrow: split on ASCII whitespace, flatten, stopword/length filter,
+   dictionary-encode the surviving token stream;
+3. Python touches only the *vocabulary* (stemming unique tokens, memoized);
+4. numpy: collapse stem-equal tokens, count (doc, term) pairs, rebuild
+   per-doc term-sorted ``terms``/``tfs`` lists and doclens.
+
+Reference pipeline being reproduced: src/normalizer/WordNormalizer.cpp:30-85
+(punctuation src/normalizer/PunctuationRemover.cpp:17-33, latin1
+src/normalizer/utf8_utils.cpp:6-58, stopwords src/normalizer/stop_words.cpp,
+Snowball english stemmer src/normalizer/WordNormalizer.cpp:12-18).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import NormalizerProfile
+from .latin1 import _LOWER_TABLE, _ASCII_LOWER_TABLE, fix_latin1_mojibake, looks_like_mojibake
+from .porter2 import stem
+from .punctuation import _TRANSLATE_TABLE
+from .stop_words import STOP_WORDS
+
+# punctuation marks and uppercase letters are disjoint code-point sets, so
+# punctuation→spaces and lowercase compose into one translate table
+assert not (set(_TRANSLATE_TABLE) & set(_LOWER_TABLE))
+
+_STOPWORDS_ARR = pa.array(sorted(STOP_WORDS), pa.string())
+
+# ---- byte-level translate (the reference itself operates on UTF-8 bytes) ----
+# ASCII positions (punct-1B marks + \v\f\r → space, A-Z → a-z) are safe to
+# map with bytes.translate on UTF-8: continuation bytes are ≥ 0x80 and lead
+# bytes ≥ 0xC0, so no multi-byte sequence contains a mapped byte.  \v\f\r
+# join \n\t in mapping to ' ' (all C-locale whitespace ⇒ token boundaries
+# unchanged) so the later split is on a single literal space.
+import re as _re
+
+from .punctuation import PUN_1_BYTE, PUN_2_BYTE, PUN_3_BYTE
+
+
+def _ascii_tbl(lower_ascii_only: bool) -> bytes:
+    tbl = bytearray(range(256))
+    for c in PUN_1_BYTE:
+        tbl[ord(c)] = 0x20
+    for c in "\v\f\r":
+        tbl[ord(c)] = 0x20
+    for c in range(ord("A"), ord("Z") + 1):
+        tbl[c] = c + 0x20
+    return bytes(tbl)
+
+
+_TBL_BYTES = _ascii_tbl(True)  # ASCII part is identical for both profiles
+
+_RE_NONASCII = _re.compile(rb"[\x80-\xff]")
+_RE_PUN2 = _re.compile(b"|".join(_re.escape(c.encode("utf8")) for c in PUN_2_BYTE))
+_RE_PUN3 = _re.compile(b"|".join(_re.escape(c.encode("utf8")) for c in PUN_3_BYTE))
+# latin1 uppercase U+00C0-00DF = bytes C3 80-9F; +0x20 on the trailing byte
+# is the reference's lowercase arithmetic (src/normalizer/utf8_utils.cpp:40-58)
+_RE_LATIN1_UP = _re.compile(b"\xc3[\x80-\x9f]")
+
+
+def _lower_latin1_pair(m: "_re.Match[bytes]") -> bytes:
+    b = m.group(0)
+    return bytes((b[0], b[1] + 0x20))
+
+
+def _translate_blob(blob: bytes, latin1_case: bool) -> bytes:
+    blob = blob.translate(_TBL_BYTES)
+    if _RE_NONASCII.search(blob):
+        blob = _RE_PUN2.sub(b"  ", blob)
+        blob = _RE_PUN3.sub(b"   ", blob)
+        if latin1_case:
+            blob = _RE_LATIN1_UP.sub(_lower_latin1_pair, blob)
+    return blob
+
+
+def _prepare_texts(texts: list[str], profile: NormalizerProfile) -> list[str]:
+    if profile.fix_latin1:
+        texts = [
+            fix_latin1_mojibake(t) if looks_like_mojibake(t) else t for t in texts
+        ]
+    if any("\x00" in t for t in texts):  # NUL joiner unsafe → per-doc path
+        return [
+            _translate_blob(t.encode("utf8"), profile.latin1_case).decode("utf8")
+            for t in texts
+        ]
+    blob = "\x00".join(texts).encode("utf8")
+    return _translate_blob(blob, profile.latin1_case).decode("utf8").split("\x00")
+
+
+def tokenize_batch(texts: list[str], profile: NormalizerProfile):
+    """Tokenize a batch of documents.
+
+    Returns ``(doclens, term_lists, tf_lists)`` where ``doclens`` is an
+    ``np.uint64`` array and the lists are Arrow ``ListArray``s of per-doc
+    term-sorted unique terms and their frequencies — the same content as
+    ``sorted(term_frequencies(text).items())`` per doc.
+    """
+    n = len(texts)
+    arr = pa.array(_prepare_texts(texts, profile), pa.string())
+    # all C-locale whitespace was mapped to ' ' in the translate pass, so a
+    # literal split suffices; empties from runs of spaces are filtered below
+    toks = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64), np.asarray(pc.list_value_length(toks))
+    )
+
+    mask = pc.not_equal(pc.binary_length(flat), 0)
+    if profile.stemming:
+        mask = pc.and_(mask, pc.invert(pc.is_in(flat, value_set=_STOPWORDS_ARR)))
+        # byte-length cap (``token.size() > 240``, WordNormalizer.cpp:64);
+        # binary_length on utf8 is in bytes
+        mask = pc.and_(mask, pc.less_equal(pc.binary_length(flat), 240))
+    mask_np = np.asarray(mask)
+    flat = flat.filter(mask)
+    doc_idx = doc_idx[mask_np]
+
+    if len(flat) == 0:
+        empty_terms = pa.ListArray.from_arrays(
+            np.zeros(n + 1, dtype=np.int32), pa.array([], pa.string())
+        )
+        empty_tfs = pa.ListArray.from_arrays(
+            np.zeros(n + 1, dtype=np.int32), pa.array([], pa.uint32())
+        )
+        return np.zeros(n, dtype=np.uint64), empty_terms, empty_tfs
+
+    # dictionary-encode the surviving stream: Python only sees the vocab
+    de = flat.dictionary_encode()
+    codes = np.asarray(de.indices).astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+
+    if profile.stemming:
+        vocab = [stem(t) for t in vocab]
+    # collapse stem-equal tokens; np.unique on str objects sorts
+    # lexicographically == the reference's std::map term order
+    vocab_arr = np.asarray(vocab, dtype=object)
+    final_vocab, stem_code = np.unique(vocab_arr, return_inverse=True)
+    term_code = stem_code[codes]
+
+    # (doc, term) pair counts, sorted by (doc, term-code) == per-doc
+    # term-sorted order
+    n_terms = len(final_vocab)
+    key = doc_idx * n_terms + term_code
+    pair_key, tf = np.unique(key, return_counts=True)
+    pair_doc = pair_key // n_terms
+    pair_term = pair_key - pair_doc * n_terms
+
+    doclens = np.bincount(doc_idx, weights=None, minlength=n).astype(np.uint64)
+    pairs_per_doc = np.bincount(pair_doc, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(pairs_per_doc))).astype(np.int64)
+
+    term_values = pa.array(final_vocab[pair_term], pa.string())
+    terms_list = pa.LargeListArray.from_arrays(offsets, term_values)
+    tfs_list = pa.LargeListArray.from_arrays(offsets, pa.array(tf, pa.uint32()))
+    return doclens, terms_list, tfs_list

@@ -122,3 +122,34 @@ def test_term_frequencies_and_doclen():
     tf = term_frequencies("run running runs! the cat, a cat.", FULL_PROFILE)
     assert tf == {"run": 2, "cat": 2}
     assert sum(tf.values()) == 4  # doclen excludes stopwords
+
+
+def test_batch_tokenizer_matches_scalar():
+    """The vectorized batch tokenizer (normalizer/batch.py) must agree
+    with the scalar per-doc pipeline on every profile, including mojibake,
+    NUL bytes, multi-byte punctuation, latin1 case, and long tokens."""
+    from searchenginepp_ray.config import NormalizerProfile, SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.sources.corpus_gen import generate_corpus
+
+    texts = generate_corpus(200)["content"].to_pylist() + [
+        "AntonÃ­n DvorÃ¡k Ã©tude «quoted» ¿pregunta? ÀÉÎÕÛ — dash",
+        "nul\x00inside ÀBC \v\f\r tabs\tnewlines\n",
+        "x" * 300 + " short ÉCOLE École ×Ø Þ",
+        "",
+        "   ",
+        "MiXeD CaSe The THE tHe",
+    ]
+    profiles = [
+        FULL_PROFILE,
+        SIMPLE_PROFILE,
+        NormalizerProfile(stemming=True, fix_latin1=False, latin1_case=False),
+        NormalizerProfile(stemming=False, fix_latin1=True, latin1_case=True),
+    ]
+    for prof in profiles:
+        doclens, terms, tfs = tokenize_batch(texts, prof)
+        tl, fl = terms.to_pylist(), tfs.to_pylist()
+        for i, t in enumerate(texts):
+            exp = sorted(term_frequencies(t, prof).items())
+            assert list(zip(tl[i], fl[i])) == exp, (prof, i)
+            assert doclens[i] == sum(v for _, v in exp)
