@@ -58,7 +58,12 @@ class BuildConfig:
     """
 
     profile: NormalizerProfile = field(default_factory=lambda: FULL_PROFILE)
-    docs_per_segment: int = 100_000
+    # Sized so one segment's postings fit comfortably in a worker's heap
+    # during assembly (the analogue of the reference's 700 MB chunk
+    # budget). Pipelines/benches override per corpus: smaller segments =
+    # smaller per-task peak memory + finer scheduling, more per-task
+    # fixed cost.
+    docs_per_segment: int = 65_536
     skip_block_size: int = 15_000
     # BM25 constants, reference src/index/query_scorer.hpp:65
     bm25_k1: float = 0.82

@@ -67,18 +67,64 @@ class TokenizeShards:
 
     Stateless task-compatible: normalizer state (stem cache, compiled
     regexes) lives at module level and is built once per worker process.
+
+    When constructed with ``docs_dir`` the task writes its own partitioned
+    Parquet output (``seg=N/part-<shard>.parquet``, write-temp-then-rename
+    so retries are idempotent) and returns only tiny manifest rows — the
+    multi-hundred-MB tokenized blocks never transit the object store,
+    which is both the 100 TB-scale shape (each task streams to shared
+    storage) and much faster on plasma-constrained hosts.
     """
 
-    def __init__(self, spec: ColumnSpec, cfg: BuildConfig):
+    def __init__(self, spec: ColumnSpec, cfg: BuildConfig, docs_dir: str | None = None):
         self.spec = spec
         self.cfg = cfg
+        self.docs_dir = docs_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_tables = []
-        for row in batch.to_pylist():
-            shard = CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
-            out_tables.append(self._tokenize_shard(shard))
-        return pa.concat_tables(out_tables) if out_tables else pa.table([], schema=DOCS_SCHEMA)
+        shards = [
+            CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
+            for row in batch.to_pylist()
+        ]
+        if self.docs_dir is None:
+            out_tables = [self._tokenize_shard(s) for s in shards]
+            return pa.concat_tables(out_tables) if out_tables else pa.table([], schema=DOCS_SCHEMA)
+        rows = []
+        for s in shards:
+            rows.extend(self._tokenize_and_write(s))
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("seg", pa.int32()), ("file", pa.string()), ("n_docs", pa.int64())]
+            ),
+        )
+
+    def _tokenize_and_write(self, shard: CorpusShard) -> list[dict]:
+        t = self._tokenize_shard(shard)
+        out = []
+        # a shard spans at most a couple of docid-range segments
+        for seg in pc.unique(t["seg"]).to_pylist():
+            part = t.filter(pc.equal(t["seg"], seg)).drop_columns(["seg"])
+            seg_dir = os.path.join(self.docs_dir, f"seg={seg}")
+            os.makedirs(seg_dir, exist_ok=True)
+            name = f"part-{shard.base_docid:012d}-{shard.row_group:05d}.parquet"
+            final = os.path.join(seg_dir, name)
+            tmp = final + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, final)
+            out.append({"seg": int(seg), "file": final, "n_docs": part.num_rows})
+        # shard-local df/doclen partials (vocabulary-sized) written beside
+        # the docs: the global-stats stage aggregates these tiny files
+        # instead of re-reading the full tokenized table (A1/A2 partials)
+        pdir = os.path.join(self.docs_dir, "_partials")
+        os.makedirs(pdir, exist_ok=True)
+        pfinal = os.path.join(
+            pdir, f"part-{shard.base_docid:012d}-{shard.row_group:05d}.parquet"
+        )
+        ptmp = pfinal + ".tmp"
+        pq.write_table(_partial_df(t), ptmp)
+        os.replace(ptmp, pfinal)
+        return out
 
     def _tokenize_shard(self, shard: CorpusShard) -> pa.Table:
         cols = list(dict.fromkeys((*self.spec.docno_cols, self.spec.text_col)))
@@ -112,11 +158,21 @@ class TokenizeShards:
 
 
 def _partial_df(batch: pa.Table) -> pa.Table:
-    """Per-batch partial document frequency (terms are unique per doc)."""
+    """Per-batch partial document frequency (terms are unique per doc),
+    plus the batch's doclen sum spread on the first row (so the global
+    groupby yields Σdoclen for free without a second pass over the docs)."""
     flat = pc.list_flatten(batch["terms"])
     vc = flat.value_counts()
+    n = len(vc)
+    doclen_part = np.zeros(max(n, 0), dtype=np.int64)
+    if n:
+        doclen_part[0] = int(pc.sum(batch["doclen"]).as_py() or 0)
     return pa.table(
-        {"term": vc.field("values"), "df_part": vc.field("counts").cast(pa.int64())}
+        {
+            "term": vc.field("values"),
+            "df_part": vc.field("counts").cast(pa.int64()),
+            "doclen_part": pa.array(doclen_part, pa.int64()),
+        }
     )
 
 
@@ -125,6 +181,21 @@ def _stage_marker(path: str, key: str) -> bool:
         return open(path).read() == key
     except OSError:
         return False
+
+
+def _task_num_cpus() -> float:
+    """CPU slots per heavy build task.
+
+    Default 1 (one task per core — the right answer on real multi-node
+    clusters). ``SEPPRAY_TASK_CPUS`` overrides; on virtualized single
+    hosts whose memory-fault path degrades with many concurrently
+    allocating processes, a value like 4 caps the number of simultaneous
+    heavy tasks at ``cluster_cpus / 4`` while leaving semantics unchanged.
+    """
+    v = os.environ.get("SEPPRAY_TASK_CPUS")
+    if v:
+        return float(v)
+    return 1.0
 
 
 def build_index(
@@ -141,7 +212,12 @@ def build_index(
     list + build params; a rerun with the same key skips the stage, and
     segment assembly additionally skips per-segment on its manifest.
     """
+    import time as _time
+
     from ..sources.parquet_corpus import CODE_CORPUS
+
+    stage_secs: dict[str, float] = {}
+    _t0 = _time.perf_counter()
 
     cfg = cfg or BuildConfig()
     spec = spec or CODE_CORPUS
@@ -167,31 +243,40 @@ def build_index(
             for s in shards
         ]
         ds = ray.data.from_items(shard_items, override_num_blocks=len(shard_items))
-        docs = ds.map_batches(
-            TokenizeShards(spec, cfg), batch_format="pyarrow", batch_size=None
-        )
-        docs.write_parquet(docs_dir, partition_cols=["seg"])
+        # tasks write their own seg=N/part-*.parquet files; only tiny
+        # manifest rows come back through the object store
+        ds.map_batches(
+            TokenizeShards(spec, cfg, docs_dir=docs_dir),
+            batch_format="pyarrow", batch_size=None,
+            num_cpus=_task_num_cpus(),
+        ).materialize()
         with open(marker1, "w") as f:
             f.write(lineage_key)
+    stage_secs["tokenize"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     # ---- stage 2: global stats (df + metadata) ----
     marker2 = os.path.join(out_dir, "_global_done")
     if force or not _stage_marker(marker2, lineage_key):
         shutil.rmtree(global_dir, ignore_errors=True)
         os.makedirs(global_dir)
-        docs_ds = ray.data.read_parquet(docs_dir, columns=["doclen", "terms"])
-        # partial df per batch, then a small groupby over partials (A2)
+        # aggregate the vocabulary-sized per-shard partials the tokenize
+        # tasks wrote (the partial/final pattern, A2) — no re-read of the
+        # full tokenized table; repartition first so shuffle task count
+        # tracks CPUs, not input shard count
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
         df_tbl = (
-            docs_ds.map_batches(_partial_df, batch_format="pyarrow")
+            ray.data.read_parquet(os.path.join(docs_dir, "_partials"))
+            .repartition(max(2, min(n_cpus, 16)))
             .groupby("term")
-            .aggregate(Sum("df_part", alias_name="df"))
+            .aggregate(
+                Sum("df_part", alias_name="df"),
+                Sum("doclen_part", alias_name="doclen_sum"),
+            )
         )
         df_pd = df_tbl.to_pandas().sort_values("term").reset_index(drop=True)
-
-        meta_ds = ray.data.read_parquet(docs_dir, columns=["doclen"])
-        sum_doclen = int(meta_ds.sum("doclen") or 0)
-        n_docs = int(meta_ds.count())
-        assert n_docs == n_docs_total, (n_docs, n_docs_total)
+        sum_doclen = int(df_pd.pop("doclen_sum").sum())
+        n_docs = n_docs_total
 
         df_pd["idf"] = scorer_mod.idf(n_docs, df_pd["df"].to_numpy())
         pq.write_table(pa.Table.from_pandas(df_pd, preserve_index=False),
@@ -210,6 +295,8 @@ def build_index(
             )
         with open(marker2, "w") as f:
             f.write(lineage_key)
+    stage_secs["global_stats"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     with open(os.path.join(global_dir, "metadata.json")) as f:
         meta = json.load(f)
@@ -235,10 +322,12 @@ def build_index(
         [{"seg": s} for s in seg_ids], override_num_blocks=len(seg_ids)
     )
     manifests = seg_ds.map_batches(
-        assemble, batch_format="pyarrow", batch_size=None, num_cpus=1
+        assemble, batch_format="pyarrow", batch_size=None, num_cpus=_task_num_cpus()
     ).take_all()
+    stage_secs["assemble"] = _time.perf_counter() - _t0
 
     summary = {
+        "stage_secs": {k: round(v, 3) for k, v in stage_secs.items()},
         "n_docs": meta["n_docs"],
         "sum_doclen": meta["sum_doclen"],
         "avgdl": meta["avgdl"],
@@ -282,6 +371,8 @@ class AssembleSegment:
         return pa.Table.from_pylist(rows)
 
     def _assemble(self, seg: int) -> dict:
+        import time as _time
+
         seg_dir = os.path.join(self.out_dir, f"db_{seg}")
         manifest_path = os.path.join(seg_dir, "manifest.json")
         if not self.force and os.path.exists(manifest_path):
@@ -290,6 +381,8 @@ class AssembleSegment:
             if m.get("lineage_key") == self.lineage_key:
                 return m  # checkpointed — skip
 
+        _timings = {}
+        _t = _time.perf_counter()
         part_dir = os.path.join(self.docs_dir, f"seg={seg}")
         files = sorted(
             os.path.join(part_dir, f) for f in os.listdir(part_dir) if f.endswith(".parquet")
@@ -297,6 +390,8 @@ class AssembleSegment:
         t = pads.dataset(files).to_table(columns=["docid", "doclen", "terms", "tfs"])
         order = pc.sort_indices(t, sort_keys=[("docid", "ascending")])
         t = t.take(order)
+        _timings["read"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
 
         docid = t["docid"].to_numpy(zero_copy_only=False)
         doclen = t["doclen"].to_numpy(zero_copy_only=False)
@@ -305,20 +400,36 @@ class AssembleSegment:
         terms_col = t["terms"].combine_chunks()
         tfs_col = t["tfs"].combine_chunks()
         list_lens = np.asarray(pc.list_value_length(terms_col))
-        terms_flat = np.asarray(pc.list_flatten(terms_col).to_pylist(), dtype=object)
+        # dictionary-encode in Arrow so term comparisons happen in C once;
+        # np.unique over 10^6 Python strings would dominate the task
+        de = pc.dictionary_encode(pc.list_flatten(terms_col))
+        dict_arr = de.dictionary if hasattr(de, "dictionary") else de.combine_chunks().dictionary
         tfs_flat = np.asarray(pc.list_flatten(tfs_col))
         docid_rep = np.repeat(docid, list_lens)
         doclen_rep = np.repeat(doclen, list_lens)
+        _timings["flatten"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
 
         # (term, docid) sort — docids are already increasing, terms are
         # sorted within each doc, so a stable sort on term codes alone
-        # yields (term, docid) order (O2 in SURVEY §2.6)
-        uniq_terms, codes = np.unique(terms_flat, return_inverse=True)
+        # yields (term, docid) order (O2 in SURVEY §2.6).
+        # dictionary codes are keyed by first appearance, not sorted;
+        # remap through the sorted dictionary permutation.
+        dict_sort = np.asarray(pc.array_sort_indices(dict_arr))
+        rank = np.empty(len(dict_sort), dtype=np.int64)
+        rank[dict_sort] = np.arange(len(dict_sort))
+        raw_codes = np.asarray(
+            de.indices if hasattr(de, "indices") else de.combine_chunks().indices
+        ).astype(np.int64)
+        codes = rank[raw_codes]
+        uniq_terms = np.asarray(dict_arr.take(pa.array(dict_sort)).to_pylist(), dtype=object)
         order = np.argsort(codes, kind="stable")
         codes_s = codes[order]
         docid_s = docid_rep[order]
         tf_s = tfs_flat[order].astype(np.int64)
         dl_s = doclen_rep[order]
+        _timings["sort"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
 
         n_terms = len(uniq_terms)
         df_local = np.bincount(codes_s, minlength=n_terms).astype(np.int64)
@@ -428,12 +539,16 @@ class AssembleSegment:
             }
         )
 
+        _timings["encode"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
         os.makedirs(seg_dir, exist_ok=True)
         tmp = os.path.join(seg_dir, "terms.parquet.tmp")
         pq.write_table(terms_table, tmp)
         os.replace(tmp, os.path.join(seg_dir, "terms.parquet"))
+        _timings["write"] = _time.perf_counter() - _t
 
         manifest = {
+            "timings": {k: round(v, 3) for k, v in _timings.items()},
             "seg": seg,
             "base_docid": int(docid.min()) if len(docid) else 0,
             "n_docs": int(len(docid)),

@@ -115,3 +115,85 @@ def write_corpus(
 
 def docno_of(repo: str, path: str, commit: str) -> str:
     return f"{repo}:{path}@{commit}"
+
+
+# ---------------------------------------------------------------------------
+# Vectorized generator for large bench corpora (same shape, different rows
+# than the scalar generator; deterministic in (seed, chunk) only).
+# ---------------------------------------------------------------------------
+
+import pyarrow.compute as pc
+
+_FAST_VOCAB = VOCAB + _PUNCT  # punctuation marks as standalone "tokens"
+_FAST_W = np.concatenate([_ZIPF_W, np.full(len(_PUNCT), _ZIPF_W.mean() * 0.12)])
+_FAST_P = _FAST_W / _FAST_W.sum()
+_FAST_VOCAB_ARR = pa.array(_FAST_VOCAB, pa.string())
+
+
+def _fast_chunk(seed: int, chunk_id: int, i0: int, n: int) -> pa.Table:
+    rng = np.random.Generator(np.random.PCG64(seed * 7_000_003 + chunk_id))
+    idx = np.arange(i0, i0 + n)
+    n_tokens = rng.integers(40, 260, size=n)
+    offsets = np.concatenate(([0], np.cumsum(n_tokens))).astype(np.int64)
+    draws = rng.choice(len(_FAST_VOCAB), size=int(offsets[-1]), p=_FAST_P)
+    toks = _FAST_VOCAB_ARR.take(pa.array(draws, pa.int64()))
+    content = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, toks), " "
+    )
+    # ~0.5% mojibake docs, element-wise prepend (C pass, no row loop)
+    moji = idx % 211 == 0
+    snips = np.where(
+        moji, np.asarray(_MOJIBAKE_SNIPPETS, dtype=object)[idx % len(_MOJIBAKE_SNIPPETS)], ""
+    )
+    sep = np.where(moji, " ", "")
+    content = pc.binary_join_element_wise(
+        pa.array(snips, pa.string()), content, pa.array(sep, pa.string())
+    )
+    repos = [f"org{i % 97:04d}/proj{i % 41:03d}" for i in idx]
+    commits = [hashlib.sha1(f"{r}:{seed}".encode()).hexdigest() for r in repos]
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(
+                [f"src/mod{i % 13}/file_{i:06d}.{LANGS[i % len(LANGS)]}" for i in idx],
+                pa.string(),
+            ),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in idx], pa.string()),
+            "content": content,
+        }
+    )
+
+
+def write_corpus_fast(
+    out_path: str,
+    n_rows: int,
+    seed: int = 42,
+    rows_per_group: int = 4096,
+) -> str:
+    """Vectorized bulk corpus writer (one row group per chunk → shards for
+    the parallel reader). Cached: skipped if an identical corpus exists."""
+    marker = f"fast:{n_rows}:{seed}:{rows_per_group}:v1"
+    marker_path = out_path + ".gen"
+    if (
+        os.path.exists(out_path)
+        and os.path.exists(marker_path)
+        and open(marker_path).read() == marker
+    ):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    writer = None
+    try:
+        chunk_id = 0
+        for i0 in range(0, n_rows, rows_per_group):
+            t = _fast_chunk(seed, chunk_id, i0, min(rows_per_group, n_rows - i0))
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, t.schema)
+            writer.write_table(t, row_group_size=rows_per_group)
+            chunk_id += 1
+    finally:
+        if writer is not None:
+            writer.close()
+    with open(marker_path, "w") as f:
+        f.write(marker)
+    return out_path
