@@ -23,9 +23,15 @@ Scoring semantics are rank-identical to the reference:
   (strict ``>``, reference src/index/Index.hpp:60-77) and its final
   cross-segment sort leaves equal scores in unspecified order
   (src/engine.cpp:124); we document the deterministic choice.
-- BMM (Block-Max Maxscore, reference src/index/Index.cpp:15-133) with the
-  quantized sigma/block upper bounds; results must equal DAAT's (it is a
-  safe-up-to-θ pruning algorithm) and the tests assert exactly that.
+- ``mode="bmm"`` — vectorized Maxscore with sigma-ordered safe pruning
+  (:meth:`SegmentSearcher.query_maxscore`); results are exactly DAAT's
+  (the quantization-truncated sigmas get their one-quantum margin back,
+  so the bound is sound).
+- ``mode="bmm_ref"`` — the reference's per-posting Block-Max Maxscore
+  cursor loop (reference src/index/Index.cpp:15-133), including its
+  fixed-point-truncated upper bounds (types.hpp:120-131): like the
+  reference binary, it can deviate from DAAT when the kth-score boundary
+  falls inside a 0.01 quantization gap.
 """
 
 from __future__ import annotations
@@ -241,7 +247,11 @@ class SegmentSearcher:
                 heapq.heappush(heap, (score, -curr))
                 if len(heap) > k:
                     heapq.heappop(heap)
-                theta = heap[0][0]
+                # θ is only a valid pruning threshold once the heap is
+                # full — with fewer than k results every doc must still
+                # be examined (reference keeps θ=0 until size==k)
+                if len(heap) == k:
+                    theta = heap[0][0]
                 while pivot < len(lists) and upper_bounds[pivot] <= theta:
                     pivot += 1
             # drop exhausted lists, shifting the pivot when a list before
@@ -266,6 +276,82 @@ class SegmentSearcher:
             (d, self.docnos[d - self.base_docid].as_py(), s) for d, s in results
         ]
 
+    # ---------- vectorized Maxscore (fast path for Q4's semantics) ----------
+
+    def query_maxscore(self, qterms: list[str], k: int, scorer=None):
+        """Maxscore with sigma-ordered safe pruning, vectorized.
+
+        Same *semantics* as the reference's Block-Max Maxscore (a safe
+        pruning of the disjunctive top-k — reference src/index/Index.cpp:15-133):
+        lists are ranked by whole-list sigma; candidate docs are drawn from
+        lists in descending-sigma order, and the scan stops as soon as the
+        remaining lists' cumulative upper bound cannot beat θ — every
+        unscored doc then has score ≤ θ. Scoring of each candidate sums
+        contributions in lexicographic term order, so returned scores are
+        bit-identical to DAAT's (the selection is what's pruned, not the
+        arithmetic). Per-posting work is numpy ``searchsorted`` gathers
+        instead of the reference's cursor loop.
+        """
+        scorer = scorer or self.default_scorer
+        idxs = self._resolve_terms(qterms, conj=False)
+        if not idxs:
+            return []
+        use_bm25 = isinstance(scorer, Bm25Scorer)
+        sigmas = (self.bm25_sigma if use_bm25 else self.tfidf_sigma)[idxs]
+        order = np.argsort(sigmas, kind="stable")  # ascending sigma
+        # stored sigmas are fixed-point-TRUNCATED like the reference's
+        # (types.hpp: static_cast<uint64_t>(sigma*100)), i.e. up to one
+        # quantum BELOW the true list max; add the quantum back so the
+        # bound is safe and results stay exactly DAAT's. (The reference's
+        # own BMM prunes with the truncated value and can therefore
+        # deviate from its DAAT at quantization boundaries — mirrored
+        # faithfully by mode="bmm_ref".)
+        upper_bounds = np.cumsum(sigmas[order] + 0.01)
+
+        # decode + score each list once (lexicographic order = idxs order)
+        lex_lists = []
+        for i in idxs:
+            docids, tfs = self.postings(i)
+            local = (docids - self.base_docid).astype(np.int64)
+            s = scorer.score(tfs, self.idf[i], self.doclen[local], self.avgdl)
+            lex_lists.append((local, s))
+
+        theta = -np.inf
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        seen: np.ndarray | None = None
+        n_collected = 0
+        for rank in range(len(order) - 1, -1, -1):
+            # strict <: docs scoring exactly θ still get scored so the
+            # (score desc, docid asc) tie-break stays exact vs DAAT
+            if n_collected >= k and upper_bounds[rank] < theta:
+                break  # no unscored doc can beat θ — safe stop
+            cand = lex_lists[order[rank]][0]
+            if seen is not None:
+                cand = cand[
+                    seen[np.searchsorted(seen, cand).clip(0, len(seen) - 1)] != cand
+                ] if len(seen) else cand
+            if len(cand) == 0:
+                continue
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for local, s in lex_lists:  # lexicographic addition order
+                pos = np.searchsorted(local, cand)
+                pos_c = pos.clip(0, len(local) - 1)
+                m = local[pos_c] == cand
+                acc[m] += s[pos_c[m]]
+            cand_ids.append(cand)
+            cand_scores.append(acc)
+            n_collected += len(cand)
+            seen = np.concatenate(cand_ids)
+            seen.sort()
+            if n_collected >= k:
+                allsc = np.concatenate(cand_scores)
+                kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
+                theta = max(theta, kth)
+        if not cand_ids:
+            return []
+        return self._topk(np.concatenate(cand_ids), np.concatenate(cand_scores), k)
+
     # ---------- generic dispatch ----------
 
     def query(self, qterms: list[str], k: int, mode: str = "daat", scorer_name: str | None = None):
@@ -275,6 +361,8 @@ class SegmentSearcher:
         if mode == "daat_conj":
             return self.query_daat(qterms, k, conj=True, scorer=scorer)
         if mode == "bmm":
+            return self.query_maxscore(qterms, k, scorer=scorer)
+        if mode == "bmm_ref":
             return self.query_bmm(qterms, k, scorer=scorer)
         raise ValueError(f"unknown mode {mode!r}")
 

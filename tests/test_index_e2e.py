@@ -155,3 +155,48 @@ def engine_corpus_path(out_dir: str) -> str:
     # recover the original corpus path from stage-1 lineage is overkill
     # here; the e2e fixture keeps corpus.parquet next to the index dir
     return os.path.join(os.path.dirname(out_dir), "corpus.parquet")
+
+
+def test_maxscore_exactly_equals_daat_many_k(built):
+    """mode="bmm" (vectorized Maxscore with the one-quantum-safe bound)
+    must return bit-identical (docid, score) lists to DAAT for every k,
+    both scorers — the pruning may skip work, never change results."""
+    import random
+
+    _, _, engine = built
+    rng = random.Random(3)
+    vocab = ("return if else for hash index query search vector string "
+             "buffer merge sort static const int read write parse var_3 fn_7").split()
+    queries = [" ".join(rng.sample(vocab, rng.randint(1, 6))) for _ in range(40)]
+    for scorer_name in ("bm25", "tfidf"):
+        for k in (1, 3, 20, 200):
+            daat = engine.search_batch(queries, k=k, mode="daat", scorer_name=scorer_name)
+            bmm = engine.search_batch(queries, k=k, mode="bmm", scorer_name=scorer_name)
+            for a, b in zip(daat, bmm):
+                assert [(d, s) for d, _, s in a] == [(d, s) for d, _, s in b]
+
+
+def test_bmm_ref_scores_faithful(built):
+    """mode="bmm_ref" (the reference's cursor loop with truncated
+    fixed-point bounds) returns correct scores for every doc it returns;
+    its result set may deviate from DAAT's only at a 0.01 quantization
+    boundary (the reference binary has the same property)."""
+    import random
+
+    _, oracle, engine = built
+    rng = random.Random(4)
+    vocab = "return hash index query search merge sort static const int".split()
+    queries = [" ".join(rng.sample(vocab, rng.randint(1, 4))) for _ in range(20)]
+    for q, ref, daat in zip(
+        queries,
+        engine.search_batch(queries, k=K, mode="bmm_ref"),
+        engine.search_batch(queries, k=K, mode="daat"),
+    ):
+        daat_scores = {d: s for d, _, s in daat}
+        kth = daat[-1][2] if daat else 0.0
+        for d, _, s in ref:
+            if d in daat_scores:
+                assert s == pytest.approx(daat_scores[d], rel=1e-12)
+            else:
+                # only quantization-boundary substitutions allowed
+                assert abs(s - kth) <= 0.0100001, (q, d, s, kth)
