@@ -155,11 +155,31 @@ def minhash_dedup_pairs(
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
 
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in documents_ds(sf_dir).take_all()
-    }  # verification side-table; at scale this becomes a broadcast join
+    # verification side-table: only texts of candidate docs leave the
+    # distributed table (a semi-join pushed down as a vectorized filter);
+    # the broadcast is bounded by the LSH candidate count, never by the
+    # corpus size
+    pair_tbl = pairs.materialize()
+    cand_ids = set()
+    for b in pair_tbl.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    cand_arr = pa.array(sorted(cand_ids), pa.int64())
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=cand_arr))
+
+    docs = {}
+    for b in (
+        documents_ds(sf_dir)
+        .map_batches(keep_cands, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        docs.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     doc_ref = ray.put(docs)
+    pairs = pair_tbl
 
     def verify(t: pa.Table) -> pa.Table:
         d = ray.get(doc_ref)
