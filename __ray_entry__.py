@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchenginepp_ray.pipelines import dedup, events, similarity, text_stats
+    from searchenginepp_ray.pipelines import dedup, events, multimodal, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     return {
@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
         "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
+        # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
+        "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
+        "media_features": lambda sf: multimodal.media_features(sf),
+        "image_resize": lambda sf: multimodal.image_resize(sf),
         # --- stream-shaped ---
         "windowed_agg": lambda sf: events.windowed_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
@@ -81,9 +85,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": osql.exact_dedup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
+        "media_byte_stats": osql.media_byte_stats_sql(),
         "windowed_agg": osql.windowed_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         # rows-only (non-SQL-expressible): doc_fingerprint,
-        # minhash_dedup_pairs, simhash, knn_ivf
+        # minhash_dedup_pairs, simhash, knn_ivf, media_features, image_resize
     }

@@ -1,11 +1,18 @@
-"""Multi-segment query engine: scatter/gather over a SegmentSearcher pool.
+"""Multi-segment query engine: scatter/gather over a searcher pool.
 
 Mirrors the reference engine's lifecycle (reference src/engine.cpp:15-140):
-load global metadata once, one worker per segment, normalize the query
-with the *same* normalizer as the build, scatter to every segment, merge
-the per-segment top-k into a global top-k. Per-segment workers are Ray
-actors (one per segment, ``num_cpus`` configurable); a ``use_actors=False``
-mode runs them in-process for tests/tools.
+load global metadata once, per-segment workers, normalize the query with
+the *same* normalizer as the build, scatter to every segment, merge the
+per-segment top-k into a global top-k.
+
+Scale shape: the reference runs one thread per segment
+(src/engine.cpp:99-117) because it has ≤ a handful of segments; a 10^12-doc
+index has thousands of docid-range segments, so here a bounded pool of
+``num_workers`` Ray actors each *owns a contiguous shard of segments*
+(loaded once in ``__init__`` — ST3 in SURVEY §2.3). A query fans out as one
+remote call per actor (k results per segment merged inside the actor —
+gather traffic is k·num_workers, not k·num_segments). ``use_actors=False``
+runs the same code in-process for tests/tools.
 
 The cross-segment merge sorts by (score desc, docid asc) — deterministic
 where the reference's unstable sort is not (src/engine.cpp:124).
@@ -23,6 +30,23 @@ from ..normalizer.word_normalizer import normalize_tokens
 from .searcher import SegmentSearcher
 
 
+class SegmentGroupWorker:
+    """Holds several SegmentSearchers; merges their per-query top-k."""
+
+    def __init__(self, seg_dirs: list[str], **searcher_args):
+        self.searchers = [SegmentSearcher(d, **searcher_args) for d in seg_dirs]
+
+    def query_batch(self, toks_batch, k, mode, scorer_name):
+        out = []
+        for toks in toks_batch:
+            merged = []
+            for s in self.searchers:
+                merged.extend(s.query(toks, k, mode, scorer_name))
+            merged.sort(key=lambda r: (-r[2], r[0]))
+            out.append(merged[:k])
+        return out
+
+
 class QueryEngine:
     def __init__(
         self,
@@ -31,6 +55,7 @@ class QueryEngine:
         use_actors: bool = True,
         profile: NormalizerProfile | None = None,
         cfg: BuildConfig | None = None,
+        num_workers: int | None = None,
         num_cpus_per_actor: float = 1,
     ):
         cfg = cfg or BuildConfig()
@@ -54,14 +79,25 @@ class QueryEngine:
             b=cfg.bm25_b,
         )
         self.use_actors = use_actors
+        if num_workers is None:
+            if use_actors:
+                cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+                num_workers = max(1, min(len(self.seg_dirs), cpus))
+            else:
+                num_workers = 1
+        # round-robin keeps per-worker load balanced if segment sizes skew
+        shards: list[list[str]] = [[] for _ in range(num_workers)]
+        for i, d in enumerate(self.seg_dirs):
+            shards[i % num_workers].append(d)
+        shards = [s for s in shards if s]
         if use_actors:
-            actor_cls = ray.remote(SegmentSearcher)
+            actor_cls = ray.remote(SegmentGroupWorker)
             self.workers = [
-                actor_cls.options(num_cpus=num_cpus_per_actor).remote(d, **args)
-                for d in self.seg_dirs
+                actor_cls.options(num_cpus=num_cpus_per_actor).remote(s, **args)
+                for s in shards
             ]
         else:
-            self.workers = [SegmentSearcher(d, **args) for d in self.seg_dirs]
+            self.workers = [SegmentGroupWorker(s, **args) for s in shards]
 
     # ---------- query path ----------
 
@@ -76,22 +112,22 @@ class QueryEngine:
 
     def search_batch(self, queries, k: int = 10, mode: str = "daat",
                      scorer_name: str | None = None):
-        """Batch scatter/gather: one remote call per segment for the whole
+        """Batch scatter/gather: one remote call per worker for the whole
         batch (amortizes RPC), then a tiny driver-side merge per query
-        (k × n_segments rows)."""
+        (k × num_workers rows)."""
         toks = [
             self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
             for q in queries
         ]
         if self.use_actors:
-            per_seg = ray.get(
+            per_worker = ray.get(
                 [w.query_batch.remote(toks, k, mode, scorer_name) for w in self.workers]
             )
         else:
-            per_seg = [w.query_batch(toks, k, mode, scorer_name) for w in self.workers]
+            per_worker = [w.query_batch(toks, k, mode, scorer_name) for w in self.workers]
         out = []
         for qi in range(len(toks)):
-            merged = [r for seg in per_seg for r in seg[qi]]
+            merged = [r for w in per_worker for r in w[qi]]
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
         return out

@@ -249,3 +249,16 @@ def event_type_stats_sql() -> str:
     return """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 4) AS value_sum
 FROM events GROUP BY event_type"""
+
+
+def media_byte_stats_sql() -> str:
+    """Oracle for pipelines.multimodal.media_byte_stats: the media table
+    derives payload = UTF-8 text bytes, kind = doc_id % 3 cycling."""
+    return """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+               count(*) AS n_items,
+               sum(octet_length(encode(text))) AS total_bytes
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """

@@ -61,7 +61,10 @@ def get_engine(sf_dir: str, simple: bool = True, scorer: str = "bm25") -> QueryE
         build_index(
             f"{sf_dir}/documents.parquet", out_dir, cfg, DOCUMENTS_CORPUS
         )
-        eng = QueryEngine(out_dir, scorer=scorer, use_actors=False, cfg=cfg)
+        # production shape: bounded actor pool, each actor owns a shard of
+        # segments; tests exercise use_actors=False via QueryEngine directly
+        eng = QueryEngine(out_dir, scorer=scorer, use_actors=True,
+                          num_workers=4, cfg=cfg)
         _ENGINES[key] = eng
     return eng
 
