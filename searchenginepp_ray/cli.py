@@ -1,0 +1,114 @@
+"""Command-line entry points mirroring the reference binaries.
+
+- ``build`` ≙ the reference's ``builder`` (reference src/builder.cpp:270-374):
+  corpus Parquet in, partitioned index out.
+- ``query`` ≙ the reference's ``engine`` (reference src/engine.cpp:15-140,
+  option surface src/util/engine_options.cpp:8-60): reads ``qid\\ttext``
+  lines from stdin (or ``--query`` one-shots), prints TREC run lines.
+
+Usage::
+
+    python -m searchenginepp_ray build corpus.parquet -o /tmp/idx
+    echo -e "1\\thash merge sort" | python -m searchenginepp_ray query /tmp/idx -k 10 -a bmm
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from .config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
+    from .index.build import build_index
+    from .sources.parquet_corpus import CODE_CORPUS, DOCUMENTS_CORPUS
+
+    cfg = BuildConfig(
+        profile=SIMPLE_PROFILE if args.profile == "simple" else FULL_PROFILE,
+        docs_per_segment=args.docs_per_segment,
+    )
+    spec = DOCUMENTS_CORPUS if args.table == "documents" else CODE_CORPUS
+    summary = build_index(args.corpus, args.out, cfg, spec, force=args.force)
+    print(summary)
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from .config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
+    from .index.engine import QueryEngine
+
+    cfg = BuildConfig(
+        profile=SIMPLE_PROFILE if args.profile == "simple" else FULL_PROFILE,
+        docs_per_segment=args.docs_per_segment,
+    )
+    eng = QueryEngine(
+        args.index_dir, scorer=args.scorer, use_actors=not args.no_actors,
+        num_workers=args.workers, cfg=cfg,
+    )
+    if args.query:
+        pairs = [("1", args.query)]
+    else:
+        pairs = []
+        for line in sys.stdin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            qid, _, text = line.partition("\t")
+            pairs.append((qid, text))
+    results = eng.search_batch([t for _, t in pairs], k=args.k, mode=args.algorithm)
+    for (qid, _), res in zip(pairs, results):
+        for ln in eng.trec_lines(qid, res, run_name=args.run_name):
+            print(ln)
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="searchenginepp_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from a Parquet corpus")
+    b.add_argument("corpus", help="Parquet file/dir (repo,path,commit,lang,content)")
+    b.add_argument("-o", "--out", required=True)
+    b.add_argument("--docs-per-segment", type=int, default=65_536)
+    b.add_argument("--profile", choices=("full", "simple"), default="full")
+    b.add_argument("--table", choices=("code", "documents"), default="code")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--force", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="serve top-k queries over a built index")
+    q.add_argument("index_dir")
+    q.add_argument("-k", type=int, default=10)  # reference -k
+    q.add_argument("-a", "--algorithm", default="daat",
+                   choices=("daat", "daat_conj", "bmm", "bmm_ref"))  # reference -a/-b
+    q.add_argument("-s", "--scorer", default="bm25", choices=("bm25", "tfidf"))  # reference -s
+    q.add_argument("-t", "--workers", type=int, default=None)  # reference -t
+    q.add_argument("-r", "--run-name", default="seppray")  # reference -r
+    q.add_argument("--query", help="one-shot query text (else read qid\\ttext from stdin)")
+    q.add_argument("--profile", choices=("full", "simple"), default="full")
+    q.add_argument("--docs-per-segment", type=int, default=65_536)
+    q.add_argument("--no-actors", action="store_true")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -289,6 +289,14 @@ def build_index(
                     "avgdl": sum_doclen / max(n_docs, 1),
                     "params_id": cfg.params_id,
                     "profile_id": cfg.profile.profile_id,
+                    # flags spelled out so query-side tooling can adopt
+                    # the build profile without being told (the reference
+                    # pins these at compile time, CMakeLists.txt:29-32)
+                    "profile_flags": {
+                        "stemming": cfg.profile.stemming,
+                        "fix_latin1": cfg.profile.fix_latin1,
+                        "latin1_case": cfg.profile.latin1_case,
+                    },
                     "lineage_key": lineage_key,
                 },
                 f,

@@ -59,9 +59,13 @@ class QueryEngine:
         num_cpus_per_actor: float = 1,
     ):
         cfg = cfg or BuildConfig()
-        self.profile = profile or cfg.profile
         with open(os.path.join(index_dir, "global", "metadata.json")) as f:
             self.meta = json.load(f)
+        if profile is None and "profile_flags" in self.meta:
+            # adopt the build profile recorded in the index metadata
+            self.profile = NormalizerProfile(**self.meta["profile_flags"])
+        else:
+            self.profile = profile or cfg.profile
         if self.meta["profile_id"] != self.profile.profile_id:
             raise ValueError(
                 "normalizer profile mismatch: index was built with a different "
