@@ -237,21 +237,35 @@ def build_index(
     # ---- stage 1: tokenize → per-doc parquet partitioned by segment ----
     marker1 = os.path.join(out_dir, "_docs_done")
     if force or not _stage_marker(marker1, lineage_key):
-        shutil.rmtree(docs_dir, ignore_errors=True)
+        # crash-resume within the stage: an in-progress marker carries the
+        # lineage key; if it matches, completed shards (their partial file
+        # exists — written last, atomically) are skipped instead of wiping
+        # the whole stage. A key mismatch (different input/params) wipes.
+        wip = os.path.join(out_dir, "_docs_wip")
+        if force or not _stage_marker(wip, lineage_key):
+            shutil.rmtree(docs_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(wip, "w") as f:
+            f.write(lineage_key)
+        pdir = os.path.join(docs_dir, "_partials")
+        done = set(os.listdir(pdir)) if os.path.isdir(pdir) else set()
         shard_items = [
             {"path": s.path, "row_group": s.row_group, "base_docid": s.base_docid, "num_rows": s.num_rows}
             for s in shards
+            if f"part-{s.base_docid:012d}-{s.row_group:05d}.parquet" not in done
         ]
-        ds = ray.data.from_items(shard_items, override_num_blocks=len(shard_items))
-        # tasks write their own seg=N/part-*.parquet files; only tiny
-        # manifest rows come back through the object store
-        ds.map_batches(
-            TokenizeShards(spec, cfg, docs_dir=docs_dir),
-            batch_format="pyarrow", batch_size=None,
-            num_cpus=_task_num_cpus(),
-        ).materialize()
+        if shard_items:
+            ds = ray.data.from_items(shard_items, override_num_blocks=len(shard_items))
+            # tasks write their own seg=N/part-*.parquet files; only tiny
+            # manifest rows come back through the object store
+            ds.map_batches(
+                TokenizeShards(spec, cfg, docs_dir=docs_dir),
+                batch_format="pyarrow", batch_size=None,
+                num_cpus=_task_num_cpus(),
+            ).materialize()
         with open(marker1, "w") as f:
             f.write(lineage_key)
+        os.remove(wip)
     stage_secs["tokenize"] = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
 

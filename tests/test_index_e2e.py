@@ -200,3 +200,60 @@ def test_bmm_ref_scores_faithful(built):
             else:
                 # only quantization-boundary substitutions allowed
                 assert abs(s - kth) <= 0.0100001, (q, d, s, kth)
+
+
+def test_crash_resume_tokenize_stage(ray_session, tmp_path_factory):
+    """A build interrupted mid-tokenize resumes from completed shards:
+    only missing shards re-run, and the finished index is identical."""
+    import json
+    import os
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("resume")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 400, seed=7, rows_per_group=64)
+    cfg = BuildConfig(docs_per_segment=150)
+    full_dir = str(tmp / "full")
+    want = build_index(corpus_path, full_dir, cfg, CODE_CORPUS)
+
+    # simulate a crash: stage-1 half-finished (drop the done-marker, the
+    # last three shard partials and one seg part file), wip marker present
+    crash_dir = str(tmp / "crashed")
+    shutil.copytree(full_dir, crash_dir)
+    os.remove(os.path.join(crash_dir, "_docs_done"))
+    os.remove(os.path.join(crash_dir, "_global_done"))
+    shutil.rmtree(os.path.join(crash_dir, "global"))
+    for d in os.listdir(crash_dir):
+        if d.startswith("db_"):
+            shutil.rmtree(os.path.join(crash_dir, d))
+    pdir = os.path.join(crash_dir, "docs", "_partials")
+    victims = sorted(os.listdir(pdir))[-3:]
+    for v in victims:
+        os.remove(os.path.join(pdir, v))
+    with open(os.path.join(full_dir, "_docs_done")) as f:
+        key = f.read()
+    with open(os.path.join(crash_dir, "_docs_wip"), "w") as f:
+        f.write(key)
+
+    surviving = {
+        (d, f): os.path.getmtime(os.path.join(crash_dir, "docs", d, f))
+        for d in os.listdir(os.path.join(crash_dir, "docs"))
+        for f in os.listdir(os.path.join(crash_dir, "docs", d))
+    }
+    got = build_index(corpus_path, crash_dir, cfg, CODE_CORPUS)
+    assert got["n_docs"] == want["n_docs"]
+    assert got["n_postings"] == want["n_postings"]
+    assert got["n_terms_global"] == want["n_terms_global"]
+    # surviving shard outputs were reused, not rewritten
+    untouched = 0
+    for (d, f), mtime in surviving.items():
+        p = os.path.join(crash_dir, "docs", d, f)
+        if os.path.exists(p) and os.path.getmtime(p) == mtime and "_partials" in d:
+            untouched += 1
+    assert untouched >= len(surviving) // 4
+    # per-segment term tables byte-identical to the uninterrupted build
+    for d in sorted(os.listdir(full_dir)):
+        if d.startswith("db_"):
+            a = open(os.path.join(full_dir, d, "terms.parquet"), "rb").read()
+            b = open(os.path.join(crash_dir, d, "terms.parquet"), "rb").read()
+            assert a == b, f"segment {d} differs after crash-resume"
