@@ -195,6 +195,26 @@ def run_default() -> None:
     extras["code_build_mb_per_s"] = round(mb / wall, 2)
     extras["code_build_stages"] = summary["stage_secs"]
 
+    # 3b. query serving over the 600k-doc code index (actor pool)
+    import random
+
+    from searchenginepp_ray.config import BuildConfig, FULL_PROFILE
+    from searchenginepp_ray.index.engine import QueryEngine
+
+    cfg = BuildConfig(profile=FULL_PROFILE, docs_per_segment=BENCH_SEG_DOCS)
+    code_eng = QueryEngine("/tmp/bench_code_idx", use_actors=True,
+                           num_workers=min(8, cpus), cfg=cfg)
+    vocab = ("return if else for while hash index query search vector string "
+             "buffer merge sort static const int read write parse encode "
+             "decode split push append insert erase find map set array").split()
+    rng = random.Random(42)
+    code_queries = [" ".join(rng.sample(vocab, rng.randint(2, 5))) for _ in range(100)]
+    code_eng.search_batch(code_queries[:4], k=20)  # warm actors
+    timed("code_search_daat_100q", lambda: code_eng.search_batch(code_queries, k=20, mode="daat"))
+    timed("code_search_bmm_100q", lambda: code_eng.search_batch(code_queries, k=20, mode="bmm"))
+    extras["code_search_qps_daat"] = round(100 / timings["code_search_daat_100q"], 1)
+    extras["code_search_qps_bmm"] = round(100 / timings["code_search_bmm_100q"], 1)
+
     # 4. training-data pipelines over the sf dir
     timed("term_df", lambda: text_stats.term_df(sf_dir))
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))

@@ -104,6 +104,7 @@ def term_df(sf_dir: str):
     return (
         tokens_ds(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)  # vocabulary-sized partials: keep the shuffle tiny
         .groupby("term")
         .aggregate(Sum("df_part", alias_name="df"))
     )
@@ -121,6 +122,7 @@ def term_tf(sf_dir: str):
     return (
         tokens_ds(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)  # vocabulary-sized partials: keep the shuffle tiny
         .groupby("term")
         .aggregate(Sum("tf_part", alias_name="tf"))
     )
