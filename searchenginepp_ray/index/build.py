@@ -465,9 +465,20 @@ class AssembleSegment:
         df_global = self._df[gidx]
         idf_per_posting = idf_per_term[codes_s]
 
-        # ---- encode docids (VarByte, absolute docids like the reference;
-        # delta-gap noted as a variant in the manifest) ----
-        db_bytes, db_lens = varbyte.encode(docid_s)
+        # ---- encode docids: delta-gap + VarByte (the reference VarBytes
+        # absolute docids, src/indexBuilder/IndexBuilder.hpp:63-69; we gap
+        # within each term's list for ~2-4x smaller docid streams, with an
+        # ABSOLUTE restart at every skip-block boundary so block-skip
+        # resume never needs upstream state) ----
+        B = self.cfg.skip_block_size
+        gaps = np.empty_like(docid_s)
+        gaps[1:] = docid_s[1:] - docid_s[:-1]
+        gaps[0] = docid_s[0]
+        # restart points: term starts and every B-th posting within a term
+        in_term_pos = np.arange(len(docid_s)) - term_starts[codes_s]
+        restart = in_term_pos % B == 0
+        gaps[restart] = docid_s[restart]
+        db_bytes, db_lens = varbyte.encode(gaps)
         byte_offs = np.concatenate(([0], np.cumsum(db_lens)))  # per posting
         term_byte_offs = byte_offs[np.concatenate((term_starts, [len(docid_s)]))]
 
@@ -578,7 +589,7 @@ class AssembleSegment:
             "n_postings": int(len(docid_s)),
             "sum_doclen": int(doclen.sum()),
             "doc_files": files,
-            "docid_encoding": "varbyte-absolute",
+            "docid_encoding": "varbyte-dgap-blockrestart",
             "freq_encoding": "unary-lsb",
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
@@ -614,7 +625,7 @@ class AssembleSegment:
         manifest = {
             "seg": seg, "base_docid": 0, "n_docs": 0, "n_terms": 0,
             "n_postings": 0, "sum_doclen": 0, "doc_files": files,
-            "docid_encoding": "varbyte-absolute", "freq_encoding": "unary-lsb",
+            "docid_encoding": "varbyte-dgap-blockrestart", "freq_encoding": "unary-lsb",
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
             "lineage_key": self.lineage_key,

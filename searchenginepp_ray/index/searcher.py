@@ -88,6 +88,9 @@ class SegmentSearcher:
         self._skip_bm25 = skips["skip_bm25_ub"]
         self._skip_tfidf = skips["skip_tfidf_ub"]
         self.skip_block_size = 15_000
+        enc = self.manifest.get("docid_encoding", "varbyte-absolute")
+        self._docid_dgap = enc == "varbyte-dgap-blockrestart"
+        assert enc in ("varbyte-absolute", "varbyte-dgap-blockrestart"), enc
 
         # doc index (J3): docid-sorted doclen array + docno column
         files = self.manifest["doc_files"]
@@ -117,6 +120,17 @@ class SegmentSearcher:
             self._cache.move_to_end(ti)
             return hit
         docids = varbyte.decode(self._docid_vals[self._docid_offs[ti] : self._docid_offs[ti + 1]])
+        if self._docid_dgap:
+            # delta-gap with absolute restarts every skip-block: a grouped
+            # cumsum per block reconstructs absolute docids
+            n_ = len(docids)
+            B = self.skip_block_size
+            if n_ > 0:
+                c = np.cumsum(docids)
+                starts = np.arange(0, n_, B)
+                base = c[starts] - docids[starts]
+                counts = np.diff(np.concatenate((starts, [n_])))
+                docids = c - np.repeat(base, counts)
         n = len(docids)
         tfs = unary.decode(self._freq_vals[self._freq_offs[ti] : self._freq_offs[ti + 1]], n)
         self._cache[ti] = (docids, tfs)

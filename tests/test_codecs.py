@@ -106,3 +106,36 @@ def test_bit_offset_packing():
     # reference src/codes/unary.hpp:18-44
     assert unary.serialize_bit_offset(5, 3) == (5 << 3) | 3
     assert unary.deserialize_bit_offset((5 << 3) | 3) == (5, 3)
+
+
+# ---------- delta-gap segment encoding ----------
+
+from hypothesis import given as _given
+
+
+@_given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=400,
+             unique=True),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_dgap_blockrestart_roundtrip(docids, block):
+    """Delta-gap with absolute restarts every `block` postings (the
+    segment docid encoding) reconstructs exactly via grouped cumsum."""
+    import numpy as np
+
+    d = np.array(sorted(docids), dtype=np.uint64)
+    n = len(d)
+    gaps = np.empty_like(d)
+    gaps[1:] = d[1:] - d[:-1]
+    gaps[0] = d[0]
+    restart = np.arange(n) % block == 0
+    gaps[restart] = d[restart]
+    enc, _ = varbyte.encode(gaps)
+    dec = varbyte.decode(enc)
+    c = np.cumsum(dec)
+    starts = np.arange(0, n, block)
+    base = c[starts] - dec[starts]
+    counts = np.diff(np.concatenate((starts, [n])))
+    rec = c - np.repeat(base, counts)
+    assert rec.tolist() == d.tolist()
