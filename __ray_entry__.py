@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
         "index_stats": lambda sf: search_docs.index_stats(sf),
+        "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
         # --- text analysis ---
         "quality_score": lambda sf: text_stats.quality_score(sf),
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
         "index_stats": osql.index_stats_sql(),
+        "term_postings_global": osql.term_postings_global_sql(),
         "index_term_df": osql.term_df_sql(),
         "quality_score": osql.quality_score_sql(),
         "lang_id": osql.lang_id_sql(),

@@ -262,3 +262,13 @@ def media_byte_stats_sql() -> str:
         FROM documents
         GROUP BY 1 ORDER BY 1
     """
+
+
+def term_postings_global_sql() -> str:
+    """Oracle for index.term_index.term_postings_stats over the
+    simple-profile documents index: per-term global (df, tf)."""
+    return f"""WITH {tok_cte()}
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM toks GROUP BY term"""

@@ -124,3 +124,23 @@ def index_term_df(sf_dir: str, simple: bool = True) -> pd.DataFrame:
             frames.append(t.to_pandas())
     df = pd.concat(frames).groupby("term", as_index=False)["df_local"].sum()
     return df.rename(columns={"df_local": "df"}).astype({"df": "int64"})
+
+
+def term_postings_global(sf_dir: str) -> pd.DataFrame:
+    """Term-partitioned global posting lists via the explicit salted
+    groupby(term) shuffle (index.term_index) over the simple-profile
+    documents index; returns per-term (df, tf) read back from the packed
+    lists — the salted-shuffle invariants are asserted en route."""
+    from ..index.term_index import (
+        build_term_postings, term_postings_stats, verify_term_postings,
+    )
+
+    get_engine(sf_dir, simple=True)  # ensure the docs/ + global/ exist
+    idx_dir = _index_dir(sf_dir, _cfg(True))
+    out_dir = os.path.join(idx_dir, "term_postings")
+    if not os.path.isdir(out_dir):
+        build_term_postings(idx_dir, out_dir, num_partitions=4,
+                            hot_df=50, salt_range=100)
+    v = verify_term_postings(out_dir)
+    assert v["violations"] == 0, v
+    return term_postings_stats(out_dir)

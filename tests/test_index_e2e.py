@@ -257,3 +257,34 @@ def test_crash_resume_tokenize_stage(ray_session, tmp_path_factory):
             a = open(os.path.join(full_dir, d, "terms.parquet"), "rb").read()
             b = open(os.path.join(crash_dir, d, "terms.parquet"), "rb").read()
             assert a == b, f"segment {d} differs after crash-resume"
+
+
+def test_term_partitioned_salted_shuffle(built, tmp_path_factory):
+    """The explicit salted groupby(term) shuffle builds term-partitioned
+    global posting lists whose per-term df equals the doc-partitioned
+    index's, and whose salt sub-lists concatenate docid-sorted."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.index.term_index import (
+        build_term_postings, term_postings_stats, verify_term_postings,
+    )
+
+    summary, oracle, _ = built
+    out_dir = os.path.join(summary["out_dir"], "term_postings_test")
+    build_term_postings(summary["out_dir"], out_dir, num_partitions=4,
+                        hot_df=100, salt_range=97)
+    v = verify_term_postings(out_dir)
+    assert v["violations"] == 0, v
+    stats = term_postings_stats(out_dir)
+    # df parity with the global lexicon of the doc-partitioned build
+    gdf = pq.read_table(
+        os.path.join(summary["out_dir"], "global", "term_df.parquet"),
+        columns=["term", "df"],
+    ).to_pandas().sort_values("term").reset_index(drop=True)
+    assert stats["term"].tolist() == gdf["term"].tolist()
+    assert stats["df"].tolist() == gdf["df"].astype(int).tolist()
+    # salting actually happened: at least one hot term has >1 sub-list
+    t = pq.read_table(out_dir, columns=["term", "salt"]).to_pandas()
+    assert (t.groupby("term")["salt"].nunique() > 1).any()
