@@ -82,10 +82,7 @@ class TokenizeShards:
         self.docs_dir = docs_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shards = [
-            CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
-            for row in batch.to_pylist()
-        ]
+        shards = [_shard_from_item(row) for row in batch.to_pylist()]
         if self.docs_dir is None:
             out_tables = [self._tokenize_shard(s) for s in shards]
             return pa.concat_tables(out_tables) if out_tables else pa.table([], schema=DOCS_SCHEMA)
@@ -99,7 +96,7 @@ class TokenizeShards:
             ),
         )
 
-    def _tokenize_and_write(self, shard: CorpusShard) -> list[dict]:
+    def _tokenize_and_write(self, shard) -> list[dict]:
         t = self._tokenize_shard(shard)
         out = []
         # a shard spans at most a couple of docid-range segments
@@ -107,7 +104,7 @@ class TokenizeShards:
             part = t.filter(pc.equal(t["seg"], seg)).drop_columns(["seg"])
             seg_dir = os.path.join(self.docs_dir, f"seg={seg}")
             os.makedirs(seg_dir, exist_ok=True)
-            name = f"part-{shard.base_docid:012d}-{shard.row_group:05d}.parquet"
+            name = f"part-{shard.base_docid:012d}-{_shard_ordinal(shard):05d}.parquet"
             final = os.path.join(seg_dir, name)
             tmp = final + ".tmp"
             pq.write_table(part, tmp)
@@ -119,16 +116,16 @@ class TokenizeShards:
         pdir = os.path.join(self.docs_dir, "_partials")
         os.makedirs(pdir, exist_ok=True)
         pfinal = os.path.join(
-            pdir, f"part-{shard.base_docid:012d}-{shard.row_group:05d}.parquet"
+            pdir, f"part-{shard.base_docid:012d}-{_shard_ordinal(shard):05d}.parquet"
         )
         ptmp = pfinal + ".tmp"
         pq.write_table(_partial_df(t), ptmp)
         os.replace(ptmp, pfinal)
         return out
 
-    def _tokenize_shard(self, shard: CorpusShard) -> pa.Table:
+    def _tokenize_shard(self, shard) -> pa.Table:
         cols = list(dict.fromkeys((*self.spec.docno_cols, self.spec.text_col)))
-        t = read_shard(shard, cols)
+        t = _read_shard_any(shard, cols)
         texts = t[self.spec.text_col].to_pylist()
         docno_parts = [t[c].to_pylist() for c in self.spec.docno_cols]
         fmt = self.spec.docno_format()
@@ -176,6 +173,42 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     )
 
 
+def _shard_ordinal(shard) -> int:
+    """A per-file ordinal for output filenames (row-group index for
+    Parquet shards, 0 for byte-range TSV shards — base_docid already
+    makes the name unique)."""
+    return getattr(shard, "row_group", 0)
+
+
+def _shard_from_item(row: dict):
+    """Rebuild a shard dataclass from its Dataset item dict."""
+    if row.get("kind") == "tsv":
+        from ..sources.tsv_corpus import TsvShard
+
+        return TsvShard(row["path"], row["byte_start"], row["byte_end"],
+                        row["base_docid"], row["num_rows"])
+    return CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
+
+
+def _shard_to_item(shard) -> dict:
+    from ..sources.tsv_corpus import TsvShard
+
+    if isinstance(shard, TsvShard):
+        return {"kind": "tsv", "path": shard.path, "byte_start": shard.byte_start,
+                "byte_end": shard.byte_end, "base_docid": shard.base_docid,
+                "num_rows": shard.num_rows}
+    return {"kind": "parquet", "path": shard.path, "row_group": shard.row_group,
+            "base_docid": shard.base_docid, "num_rows": shard.num_rows}
+
+
+def _read_shard_any(shard, columns):
+    from ..sources.tsv_corpus import TsvShard, read_tsv_shard
+
+    if isinstance(shard, TsvShard):
+        return read_tsv_shard(shard)
+    return read_shard(shard, columns)
+
+
 def _stage_marker(path: str, key: str) -> bool:
     try:
         return open(path).read() == key
@@ -205,6 +238,7 @@ def build_index(
     spec: ColumnSpec | None = None,
     *,
     force: bool = False,
+    source_format: str = "parquet",
 ) -> dict:
     """Run the full build. Returns summary stats (docs, terms, postings…).
 
@@ -220,13 +254,17 @@ def build_index(
     _t0 = _time.perf_counter()
 
     cfg = cfg or BuildConfig()
-    spec = spec or CODE_CORPUS
-    shards = corpus_shards(corpus_paths)
+    if source_format == "tsv":
+        from ..sources.tsv_corpus import TSV_CORPUS, tsv_shards
+
+        spec = spec or TSV_CORPUS
+        shards = tsv_shards(corpus_paths)
+    else:
+        spec = spec or CODE_CORPUS
+        shards = corpus_shards(corpus_paths)
     n_docs_total = sum(s.num_rows for s in shards)
     lineage_key = hashlib.sha256(
-        json.dumps(
-            [[s.path, s.row_group, s.base_docid, s.num_rows] for s in shards]
-        ).encode()
+        json.dumps([sorted(_shard_to_item(s).items()) for s in shards]).encode()
         + cfg.params_id.encode()
     ).hexdigest()[:16]
 
@@ -250,9 +288,9 @@ def build_index(
         pdir = os.path.join(docs_dir, "_partials")
         done = set(os.listdir(pdir)) if os.path.isdir(pdir) else set()
         shard_items = [
-            {"path": s.path, "row_group": s.row_group, "base_docid": s.base_docid, "num_rows": s.num_rows}
+            _shard_to_item(s)
             for s in shards
-            if f"part-{s.base_docid:012d}-{s.row_group:05d}.parquet" not in done
+            if f"part-{s.base_docid:012d}-{_shard_ordinal(s):05d}.parquet" not in done
         ]
         if shard_items:
             ds = ray.data.from_items(shard_items, override_num_blocks=len(shard_items))

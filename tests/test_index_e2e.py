@@ -288,3 +288,45 @@ def test_term_partitioned_salted_shuffle(built, tmp_path_factory):
     # salting actually happened: at least one hot term has >1 sub-list
     t = pq.read_table(out_dir, columns=["term", "salt"]).to_pandas()
     assert (t.groupby("term")["salt"].nunique() > 1).any()
+
+
+def test_tsv_source_matches_parquet(ray_session, tmp_path_factory):
+    """Building from the reference's native TSV format produces the exact
+    same index (byte-identical segment term tables) as the Parquet path
+    over the same (docno, text) rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("tsv")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 300, seed=5, rows_per_group=64)
+    t = pq.read_table(corpus_path)
+    docnos = [
+        docno_of(r, p, c)
+        for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                           t["commit"].to_pylist())
+    ]
+    texts = [x.replace("\t", " ").replace("\n", " ") for x in t["content"].to_pylist()]
+    tsv_path = str(tmp / "corpus.tsv")
+    with open(tsv_path, "w", encoding="utf8") as f:
+        for d, x in zip(docnos, texts):
+            f.write(f"{d}\t{x}\n")
+    # the parquet build must see the same text (tabs/newlines were
+    # normalized above to make the TSV lossless)
+    clean = t.set_column(t.schema.get_field_index("content"), "content",
+                         __import__("pyarrow").array(texts))
+    clean_path = str(tmp / "clean.parquet")
+    pq.write_table(clean, clean_path, row_group_size=64)
+
+    cfg = BuildConfig(docs_per_segment=120)
+    a = build_index(clean_path, str(tmp / "idx_pq"), cfg, CODE_CORPUS)
+    b = build_index(tsv_path, str(tmp / "idx_tsv"), cfg, source_format="tsv")
+    assert a["n_docs"] == b["n_docs"] == 300
+    assert a["n_postings"] == b["n_postings"]
+    assert a["sum_doclen"] == b["sum_doclen"]
+    for d in sorted(os.listdir(str(tmp / "idx_pq"))):
+        if d.startswith("db_"):
+            pa_bytes = open(os.path.join(str(tmp / "idx_pq"), d, "terms.parquet"), "rb").read()
+            tsv_bytes = open(os.path.join(str(tmp / "idx_tsv"), d, "terms.parquet"), "rb").read()
+            assert pa_bytes == tsv_bytes, f"{d} differs between TSV and Parquet builds"
