@@ -405,7 +405,8 @@ class AssembleSegment:
     """Builds one index segment per input row (an actor-pool stage: the
     broadcast global-df table is fetched once per actor)."""
 
-    def __init__(self, out_dir, docs_dir, cfg, n_docs, avgdl, global_df_ref, lineage_key, force):
+    def __init__(self, out_dir, docs_dir, cfg, n_docs, avgdl, global_df_ref,
+                 lineage_key, force, seg_groups=None):
         self.out_dir = out_dir
         self.docs_dir = docs_dir
         self.cfg = cfg
@@ -413,6 +414,10 @@ class AssembleSegment:
         self.avgdl = avgdl
         self.lineage_key = lineage_key
         self.force = force
+        # seg_groups: merged-segment id -> list of source docs/seg=N ids
+        # (None = identity: segment seg reads seg=<seg>); used by the
+        # segment-merge/compaction phase
+        self.seg_groups = seg_groups
         # broadcast: the ObjectRef travels in the pickled callable; each
         # worker fetches the table once from its local object store
         self.global_df_ref = global_df_ref
@@ -443,9 +448,12 @@ class AssembleSegment:
 
         _timings = {}
         _t = _time.perf_counter()
-        part_dir = os.path.join(self.docs_dir, f"seg={seg}")
+        src_segs = self.seg_groups[seg] if self.seg_groups else [seg]
         files = sorted(
-            os.path.join(part_dir, f) for f in os.listdir(part_dir) if f.endswith(".parquet")
+            os.path.join(self.docs_dir, f"seg={s}", f)
+            for s in src_segs
+            for f in os.listdir(os.path.join(self.docs_dir, f"seg={s}"))
+            if f.endswith(".parquet")
         )
         t = pads.dataset(files).to_table(columns=["docid", "doclen", "terms", "tfs"])
         order = pc.sort_indices(t, sort_keys=[("docid", "ascending")])
@@ -671,3 +679,80 @@ class AssembleSegment:
         with open(os.path.join(seg_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         return manifest
+
+
+def merge_segments(
+    index_dir: str,
+    out_dir: str,
+    group_size: int = 32,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Segment merge/compaction: combine ``group_size`` adjacent
+    docid-range segments into one (the analog of the reference's
+    per-700MB-chunk segment granularity, reference src/builder.cpp:23).
+
+    Small segments are right for the *build* (bounded per-task memory,
+    fine-grained retries); serving wants fewer, larger segments (less
+    per-segment overhead per query). Because segments are docid ranges,
+    merging = re-assembling from the union of the source doc partitions —
+    posting lists concatenate docid-sorted by construction, and sigmas /
+    block-max skip pointers are recomputed for the merged lists. The
+    merged index shares the source's ``docs/`` and ``global/`` state.
+    """
+    import time as _time
+
+    cfg = cfg or BuildConfig()
+    t0 = _time.perf_counter()
+    docs_dir = os.path.join(index_dir, "docs")
+    with open(os.path.join(index_dir, "global", "metadata.json")) as f:
+        meta = json.load(f)
+    if meta["profile_id"] != cfg.profile.profile_id:
+        raise ValueError("profile mismatch between index and merge cfg")
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_global = os.path.join(out_dir, "global")
+    if not os.path.isdir(out_global):
+        shutil.copytree(os.path.join(index_dir, "global"), out_global)
+
+    src_segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(docs_dir) if d.startswith("seg=")
+    )
+    groups = {}
+    for s in src_segs:
+        groups.setdefault(s // group_size, []).append(s)
+
+    global_df_ref = ray.put(
+        pq.read_table(os.path.join(index_dir, "global", "term_df.parquet"))
+    )
+    assemble = AssembleSegment(
+        out_dir=out_dir,
+        docs_dir=docs_dir,
+        cfg=cfg,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        global_df_ref=global_df_ref,
+        lineage_key=meta["lineage_key"] + f":merged{group_size}",
+        force=False,
+        seg_groups=groups,
+    )
+    seg_ds = ray.data.from_items(
+        [{"seg": m} for m in sorted(groups)], override_num_blocks=len(groups)
+    )
+    manifests = seg_ds.map_batches(
+        assemble, batch_format="pyarrow", batch_size=None,
+        num_cpus=max(_task_num_cpus(), 2),
+    ).take_all()
+
+    summary = {
+        "n_docs": meta["n_docs"],
+        "sum_doclen": meta["sum_doclen"],
+        "avgdl": meta["avgdl"],
+        "n_segments": len(groups),
+        "group_size": group_size,
+        "n_postings": int(sum(m["n_postings"] for m in manifests)),
+        "merge_secs": round(_time.perf_counter() - t0, 3),
+        "out_dir": out_dir,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary

@@ -330,3 +330,30 @@ def test_tsv_source_matches_parquet(ray_session, tmp_path_factory):
             pa_bytes = open(os.path.join(str(tmp / "idx_pq"), d, "terms.parquet"), "rb").read()
             tsv_bytes = open(os.path.join(str(tmp / "idx_tsv"), d, "terms.parquet"), "rb").read()
             assert pa_bytes == tsv_bytes, f"{d} differs between TSV and Parquet builds"
+
+
+def test_merge_segments_identical_results(built, tmp_path_factory):
+    """A 32x (here 2x) segment merge/compaction serves bit-identical
+    (docid, score) top-k to the unmerged index — the merge only changes
+    physical layout (bigger posting lists, recomputed sigmas/skips)."""
+    import random
+
+    from searchenginepp_ray.index.build import merge_segments
+
+    summary, _, engine = built
+    merged_dir = str(tmp_path_factory.mktemp("merged") / "idx")
+    cfg = BuildConfig(docs_per_segment=300)
+    m = merge_segments(summary["out_dir"], merged_dir, group_size=2, cfg=cfg)
+    assert m["n_segments"] < summary["n_segments"]
+    assert m["n_postings"] == summary["n_postings"]
+    merged = QueryEngine(merged_dir, use_actors=False, cfg=cfg)
+
+    rng = random.Random(9)
+    vocab = ("return hash index query search merge sort static const int "
+             "vector string buffer read write").split()
+    queries = [" ".join(rng.sample(vocab, rng.randint(1, 5))) for _ in range(30)]
+    for mode in ("daat", "daat_conj", "bmm"):
+        a = engine.search_batch(queries, k=15, mode=mode)
+        b = merged.search_batch(queries, k=15, mode=mode)
+        for x, y in zip(a, b):
+            assert [(d, s) for d, _, s in x] == [(d, s) for d, _, s in y], mode
