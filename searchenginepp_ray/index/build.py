@@ -10,10 +10,12 @@ any stage/partition whose manifest matches):
    terms, tfs)`` written as Parquet partitioned by ``seg``
    (segment = docid range, replacing the reference's 700 MB chunk cut,
    reference src/builder.cpp:23, 304-330).
-2. **Global stats** — partial per-batch term df + ``groupby("term").sum``
+2. **Global stats** — the tokenize tasks already wrote vocabulary-sized
+   per-shard df/doclen partials; a tiny ``groupby("term").sum`` over them
    (the partial/final pattern replacing the reference's k-way lexicon
-   merge, reference src/builder.cpp:127-170), plus ``sum(doclen)`` /
-   ``count()`` metadata (reference src/builder.cpp:177-181).
+   merge, reference src/builder.cpp:127-170) yields the global lexicon +
+   collection metadata (reference src/builder.cpp:177-181) without
+   re-reading the tokenized table.
 3. **Assemble segments** — one task per segment reads its partition,
    explodes to postings, sorts by (term, docid), VarByte/unary-encodes
    whole columns in single numpy passes, computes sigmas + 15,000-posting
@@ -45,7 +47,7 @@ from ray.data.aggregate import Sum
 
 from ..config import BuildConfig
 from ..normalizer.batch import tokenize_batch
-from ..codecs import unary, varbyte
+from ..codecs import varbyte
 from ..sources.parquet_corpus import ColumnSpec, CorpusShard, corpus_shards, read_shard
 from . import scorer as scorer_mod
 

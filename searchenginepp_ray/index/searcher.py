@@ -69,6 +69,7 @@ class SegmentSearcher:
         k1: float = 0.82,
         b: float = 0.68,
         cache_terms: int = 8192,
+        prewarm_df: int | None = 5000,
     ):
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -110,6 +111,13 @@ class SegmentSearcher:
         self.default_scorer = make_scorer(scorer, k1, b)
         self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._cache_cap = cache_terms
+        if prewarm_df:
+            # eagerly decode hot-term posting lists at load (once per
+            # actor, parallel across the pool) so first queries don't pay
+            # the big decodes; cold terms stay lazy + LRU-cached
+            hot = np.flatnonzero(self.df_local >= prewarm_df)
+            for ti in hot[: cache_terms // 2]:
+                self.postings(int(ti))
 
     # ---------- posting access ----------
 
