@@ -357,3 +357,18 @@ def test_merge_segments_identical_results(built, tmp_path_factory):
         b = merged.search_batch(queries, k=15, mode=mode)
         for x, y in zip(a, b):
             assert [(d, s) for d, _, s in x] == [(d, s) for d, _, s in y], mode
+
+
+def test_trec_run_format(built):
+    """TREC run lines: `qid Q0 docno rank score run_name`
+    (reference src/engine.cpp:132-135)."""
+    _, _, engine = built
+    res = engine.search("hash index query", k=3)
+    lines = engine.trec_lines("q42", res, run_name="myrun")
+    assert len(lines) == 3
+    for rank, ln in enumerate(lines, start=1):
+        parts = ln.split(" ")
+        assert parts[0] == "q42" and parts[1] == "Q0"
+        assert int(parts[3]) == rank
+        float(parts[4])
+        assert parts[5] == "myrun"

@@ -1,0 +1,29 @@
+"""Similarity-search pipelines: brute-force exactness invariants and IVF
+recall vs the exact baseline."""
+
+import numpy as np
+
+from searchenginepp_ray.pipelines import similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_knn_brute_force_self_is_top1(ray_session):
+    df = similarity.knn_brute_force(SF, n_queries=5, k=5).to_pandas()
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g.iloc[0]["neighbor_id"] == qid  # cosine(self, self) = 1
+        assert abs(g.iloc[0]["cosine"] - 1.0) < 1e-6
+        assert (np.diff(g["cosine"].to_numpy()) <= 1e-12).all()  # descending
+
+
+def test_knn_ivf_recall_vs_exact(ray_session):
+    exact = similarity.knn_brute_force(SF, n_queries=5, k=5).to_pandas()
+    ivf = similarity.knn_ivf(SF).to_pandas()
+    # recall@5 of the bucketed variant vs the exact scan
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.6, recalls  # nprobe misses are allowed, collapse isn't
