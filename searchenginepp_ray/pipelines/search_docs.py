@@ -62,9 +62,12 @@ def get_engine(sf_dir: str, simple: bool = True, scorer: str = "bm25") -> QueryE
             f"{sf_dir}/documents.parquet", out_dir, cfg, DOCUMENTS_CORPUS
         )
         # production shape: bounded actor pool, each actor owns a shard of
-        # segments; tests exercise use_actors=False via QueryEngine directly
+        # segments; tests exercise use_actors=False via QueryEngine directly.
+        # Fractional num_cpus: serving actors are idle between queries and
+        # must not starve batch stages that run in the same session (an
+        # engine pinned to whole CPUs deadlocks later actor-pool stages)
         eng = QueryEngine(out_dir, scorer=scorer, use_actors=True,
-                          num_workers=4, cfg=cfg)
+                          num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
         _ENGINES[key] = eng
     return eng
 
