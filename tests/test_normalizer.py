@@ -153,3 +153,26 @@ def test_batch_tokenizer_matches_scalar():
             exp = sorted(term_frequencies(t, prof).items())
             assert list(zip(tl[i], fl[i])) == exp, (prof, i)
             assert doclens[i] == sum(v for _, v in exp)
+
+
+def test_batch_tokenizer_fuzz_unicode():
+    """Property: the vectorized batch tokenizer agrees with the scalar
+    pipeline on arbitrary unicode text (multi-byte chars, combining marks,
+    random punctuation), both profiles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=120), min_size=1, max_size=8))
+    def check(texts):
+        for prof in (FULL_PROFILE, SIMPLE_PROFILE):
+            doclens, terms, tfs = tokenize_batch(texts, prof)
+            tl, fl = terms.to_pylist(), tfs.to_pylist()
+            for i, t in enumerate(texts):
+                exp = sorted(term_frequencies(t, prof).items())
+                assert list(zip(tl[i], fl[i])) == exp
+                assert doclens[i] == sum(v for _, v in exp)
+
+    check()
