@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": lambda sf: text_stats.term_df(sf),
         "term_tf": lambda sf: text_stats.term_tf(sf),
         "token_count": lambda sf: text_stats.token_count(sf),
+        "bpe_token_count": lambda sf: text_stats.bpe_token_count(sf),
         # --- the engine itself, end-to-end (SURVEY §2.9) ---
         "search_bm25_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="bm25"),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
         "simhash": lambda sf: dedup.simhash(sf),
+        "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         # --- similarity search ---
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
@@ -75,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df": osql.term_df_sql(),
         "term_tf": osql.term_tf_sql(),
         "token_count": osql.token_count_sql(),
+        "bpe_token_count": osql.bpe_token_count_sql(),
         "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
@@ -85,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": osql.quality_score_sql(),
         "lang_id": osql.lang_id_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
+        "embedding_near_dup": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),

@@ -221,3 +221,41 @@ def ngram_jaccard_dedup(sf_dir: str, shingle: int = 3, threshold: float = 0.8):
     """Near-dup pairs by exact n-gram Jaccard over LSH candidates (the
     LSH narrows 10^24 pairs to a verifiable candidate set at scale)."""
     return minhash_dedup_pairs(sf_dir, shingle=shingle, jaccard_threshold=threshold)
+
+
+# ---------- embedding-cosine near-dup ----------
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Exact blocked scan: the (normalized) embedding matrix is broadcast
+    once (``ray.put``), each batch computes its block of the similarity
+    matrix with one matmul and emits only above-threshold pairs (doc_a <
+    doc_b). At 10^12 rows the same stage runs per LSH/IVF bucket instead
+    of all-pairs; the batch kernel is unchanged."""
+    import pyarrow.parquet as pq
+
+    from .similarity import _normalize, embeddings_ds
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = t["vec_id"].to_numpy()
+    m_all = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = b["vec_id"].to_numpy()
+        m = _normalize(np.asarray(b["embedding"].to_pylist(), dtype=np.float64))
+        sims = m @ m_all.T  # (batch, N)
+        rows_a, rows_b, coss = [], [], []
+        ii, jj = np.nonzero(sims >= threshold)
+        for i, j in zip(ii, jj):
+            a, bb = int(ids[i]), int(ids_all[j])
+            if a < bb:
+                rows_a.append(a); rows_b.append(bb)
+                coss.append(round(float(sims[i, j]), 6))
+        return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
+                         "vec_b": pa.array(rows_b, pa.int64()),
+                         "cosine": pa.array(coss, pa.float64())})
+
+    return embeddings_ds(sf_dir).map_batches(block, batch_format="pyarrow")

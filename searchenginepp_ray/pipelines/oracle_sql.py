@@ -272,3 +272,25 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS tf
 FROM toks GROUP BY term"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.45) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+    """
+
+
+def bpe_token_count_sql() -> str:
+    from .text_stats import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
+                                    m -> NOT regexp_matches(m, '^[ \t\n]+$'))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """

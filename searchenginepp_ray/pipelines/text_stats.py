@@ -193,3 +193,36 @@ def fingerprint(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out)})
 
     return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
+# ---------- BPE-ish token counting ----------
+
+#: "BPE-ish" pre-tokenizer pattern (GPT2-style shape, restricted to
+#: classes expressible identically in Python re and DuckDB RE2):
+#: optional-space letter runs / digit runs / symbol runs, else whitespace.
+BPE_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9 \t\n\v\f\r]+|[ \t\n\v\f\r]+"
+
+_BPE_RE = None
+
+
+def bpe_token_count(sf_dir: str):
+    """Per-doc subword-ish token count via the BPE pre-tokenizer regex
+    (whitespace-run matches excluded from the count, as BPE merges them
+    into following tokens)."""
+    import re
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        global _BPE_RE
+        if _BPE_RE is None:
+            _BPE_RE = re.compile(BPE_PATTERN)
+        ws = re.compile(r"[ \t\n\v\f\r]+$")
+        counts = np.array(
+            [
+                sum(1 for m in _BPE_RE.findall(x) if not ws.match(m))
+                for x in t["text"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(counts)})
+
+    return documents_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
