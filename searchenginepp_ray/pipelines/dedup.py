@@ -253,7 +253,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
             a, bb = int(ids[i]), int(ids_all[j])
             if a < bb:
                 rows_a.append(a); rows_b.append(bb)
-                coss.append(round(float(sims[i, j]), 6))
+                coss.append(round(float(sims[i, j]), 4))
         return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
                          "vec_b": pa.array(rows_b, pa.int64()),
                          "cosine": pa.array(coss, pa.float64())})
