@@ -253,9 +253,10 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
             a, bb = int(ids[i]), int(ids_all[j])
             if a < bb:
                 rows_a.append(a); rows_b.append(bb)
-                coss.append(round(float(sims[i, j]), 4))
+                # integer millicosine: exact cross-engine comparability
+                coss.append(int(round(float(sims[i, j]) * 1000)))
         return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
                          "vec_b": pa.array(rows_b, pa.int64()),
-                         "cosine": pa.array(coss, pa.float64())})
+                         "cosine_milli": pa.array(coss, pa.int64())})
 
     return embeddings_ds(sf_dir).map_batches(block, batch_format="pyarrow")

@@ -24,23 +24,34 @@ def windowed_agg(sf_dir: str, window_s: int = 3600):
     min/max value per (event_type, window_start). Assumes nothing about
     input order — the window key is computed per row."""
 
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: per-batch pre-aggregation shrinks the shuffle
+        # from one row per event to one row per (type, window) per batch
         epoch = df["ts"].astype("int64") // 1_000_000  # µs → s
         df = df[["event_type", "value"]].copy()
         df["window_start"] = (epoch // window_s) * window_s
-        return df
+        g = df.groupby(["event_type", "window_start"])["value"]
+        out = g.agg(["count", "sum", "min", "max"]).reset_index()
+        return out.rename(columns={"count": "n_part", "sum": "sum_part",
+                                   "min": "min_part", "max": "max_part"})
 
-    return (
+    agg = (
         events_ds(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(add_window, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas")
         .groupby(["event_type", "window_start"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="value_sum"),
-            Min("value", alias_name="value_min"),
-            Max("value", alias_name="value_max"),
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="value_sum"),
+            Min("min_part", alias_name="value_min"),
+            Max("max_part", alias_name="value_max"),
         )
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def sessionize(sf_dir: str, gap_s: int = 1800):
@@ -75,12 +86,17 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
 def event_type_stats(sf_dir: str):
     """Plain grouped aggregate: per event_type count + value stats
     (rounded for oracle comparability)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+        return g.rename(columns={"count": "n_part", "sum": "sum_part"})
+
     agg = (
         events_ds(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
         .groupby("event_type")
         .aggregate(
-            Count(alias_name="n"),
-            Sum("value", alias_name="value_sum"),
+            Sum("n_part", alias_name="n"),
+            Sum("sum_part", alias_name="value_sum"),
         )
     )
 

@@ -277,7 +277,8 @@ FROM toks GROUP BY term"""
 def embedding_near_dup_sql(threshold: float = 0.45) -> str:
     return f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+               CAST(round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                               AS DOUBLE) * 1000) AS BIGINT) AS cosine_milli
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
     """
