@@ -372,3 +372,20 @@ def test_trec_run_format(built):
         assert int(parts[3]) == rank
         float(parts[4])
         assert parts[5] == "myrun"
+
+
+def test_lineage_report_and_invariants(built):
+    """Per-partition lineage + metrics: every segment manifest is
+    consistent with the global metadata (the resume machinery's source of
+    truth), and the report frame exposes the build metrics."""
+    from searchenginepp_ray.state import index_report, verify_lineage
+
+    summary, _, _ = built
+    rep = index_report(summary["out_dir"])
+    assert len(rep) == summary["n_segments"]
+    assert int(rep["n_docs"].sum()) == summary["n_docs"]
+    assert int(rep["n_postings"].sum()) == summary["n_postings"]
+    assert (rep["docid_encoding"] == "varbyte-dgap-blockrestart").all()
+    assert rep["lineage_key"].nunique() == 1
+    v = verify_lineage(summary["out_dir"])
+    assert v["problems"] == [], v
