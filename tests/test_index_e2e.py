@@ -389,3 +389,30 @@ def test_lineage_report_and_invariants(built):
     assert rep["lineage_key"].nunique() == 1
     v = verify_lineage(summary["out_dir"])
     assert v["problems"] == [], v
+
+
+def test_planted_relevance_sanity(built):
+    """IR sanity: querying a document's rarest terms retrieves that
+    document at/near rank 1 (soft stand-in for the reference's
+    trec_eval effectiveness checks, which need MS MARCO)."""
+    summary, oracle, engine = built
+
+    # per-doc term sets recovered from the oracle's postings
+    doc_terms: dict[int, list[str]] = {}
+    for term, pl in oracle.postings.items():
+        for docid, _tf in pl:
+            doc_terms.setdefault(docid, []).append(term)
+
+    hits = 0
+    n = 40
+    for i in range(n):
+        docid = 1 + i * 19  # spread over the corpus
+        terms = doc_terms.get(docid)
+        if not terms:
+            n -= 1
+            continue
+        rare = sorted(terms, key=lambda t: (oracle.df[t], t))[:5]
+        res = engine.search(rare, k=3)
+        if any(d == docid for d, _, _ in res):
+            hits += 1
+    assert hits / max(n, 1) >= 0.85, (hits, n)
