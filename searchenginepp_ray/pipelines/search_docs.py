@@ -114,19 +114,27 @@ def index_stats(sf_dir: str, simple: bool = True) -> pd.DataFrame:
 
 def index_term_df(sf_dir: str, simple: bool = True) -> pd.DataFrame:
     """Per-term document frequency read back *from the built segments*
-    (sums per-segment df_local) — checks the posting lists themselves."""
-    import pyarrow.parquet as pq
+    (sums per-segment df_local) — checks the posting lists themselves.
+    Distributed: parallel column-pruned segment reads + a vocabulary-sized
+    groupby (no driver-side loop over segments)."""
+    import ray.data
+    from ray.data.aggregate import Sum
 
     get_engine(sf_dir, simple=simple)
     out_dir = _index_dir(sf_dir, _cfg(simple))
-    frames = []
-    for d in sorted(os.listdir(out_dir)):
-        if d.startswith("db_"):
-            t = pq.read_table(os.path.join(out_dir, d, "terms.parquet"),
-                              columns=["term", "df_local"])
-            frames.append(t.to_pandas())
-    df = pd.concat(frames).groupby("term", as_index=False)["df_local"].sum()
-    return df.rename(columns={"df_local": "df"}).astype({"df": "int64"})
+    files = [
+        os.path.join(out_dir, d, "terms.parquet")
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("db_")
+    ]
+    df = (
+        ray.data.read_parquet(files, columns=["term", "df_local"])
+        .repartition(4)  # vocabulary-sized rows: keep the shuffle tiny
+        .groupby("term")
+        .aggregate(Sum("df_local", alias_name="df"))
+        .to_pandas()
+    )
+    return df.astype({"df": "int64"}).sort_values("term").reset_index(drop=True)
 
 
 def term_postings_global(sf_dir: str) -> pd.DataFrame:
