@@ -83,11 +83,14 @@ class SegmentSearcher:
         self._docid_offs, self._docid_vals = _np_offsets(t["docid_bytes"])
         self._freq_offs, self._freq_vals = _np_offsets(t["freq_bytes"])
         skips = t.select(
-            ["skip_last_docid", "skip_bm25_ub", "skip_tfidf_ub"]
+            ["skip_last_docid", "skip_bm25_ub", "skip_tfidf_ub",
+             "skip_docid_off", "skip_freq_off"]
         ).combine_chunks()
         self._skip_last = skips["skip_last_docid"]
         self._skip_bm25 = skips["skip_bm25_ub"]
         self._skip_tfidf = skips["skip_tfidf_ub"]
+        self._skip_docid_off = skips["skip_docid_off"]
+        self._skip_freq_off = skips["skip_freq_off"]
         self.skip_block_size = 15_000
         enc = self.manifest.get("docid_encoding", "varbyte-absolute")
         self._docid_dgap = enc == "varbyte-dgap-blockrestart"
@@ -145,6 +148,40 @@ class SegmentSearcher:
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
         return docids, tfs
+
+    def decode_block(self, ti: int, block: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ONE skip block of term ``ti`` directly from the packed
+        streams using the stored skip offsets — the reference's ``nextGEQ``
+        block repositioning (src/index/Index.cpp:169-214): the docid
+        offset is a byte offset into the term's (delta-gap) docid stream,
+        whose block starts are absolute restarts, and the freq offset is a
+        bit offset into the term's unary stream (F7 packing). No upstream
+        state is needed."""
+        df = int(self.df_local[ti])
+        B = self.skip_block_size
+        n_blocks = (df + B - 1) // B
+        assert 0 <= block < n_blocks, (block, n_blocks)
+        n_in_block = min(B, df - block * B)
+
+        docid_off = int(self._skip_docid_off[ti][block].as_py())
+        next_off = (
+            int(self._skip_docid_off[ti][block + 1].as_py())
+            if block + 1 < n_blocks
+            else int(self._docid_offs[ti + 1] - self._docid_offs[ti])
+        )
+        base = int(self._docid_offs[ti])
+        gaps = varbyte.decode(self._docid_vals[base + docid_off : base + next_off])
+        assert len(gaps) == n_in_block
+        docids = np.cumsum(gaps) if self._docid_dgap else gaps
+
+        freq_bit = int(self._skip_freq_off[ti][block].as_py())
+        fbase = int(self._freq_offs[ti])
+        fend = int(self._freq_offs[ti + 1])
+        byte_off, bit_off = divmod(freq_bit, 8)
+        tfs = unary.decode(
+            self._freq_vals[fbase + byte_off : fend], n_in_block, start_bit=bit_off
+        )
+        return docids.astype(np.uint64), tfs
 
     def _resolve_terms(self, qterms: list[str], conj: bool):
         """Semi/anti-join of query terms vs the local lexicon (J1)."""

@@ -416,3 +416,36 @@ def test_planted_relevance_sanity(built):
         if any(d == docid for d, _, _ in res):
             hits += 1
     assert hits / max(n, 1) >= 0.85, (hits, n)
+
+
+def test_block_offset_decode_matches_full(built, tmp_path_factory):
+    """The stored skip offsets (docid byte offset into the delta-gap
+    stream, freq bit offset into the unary stream) support stateless
+    single-block decode that matches the corresponding slice of the full
+    posting list — the reference's nextGEQ block repositioning
+    (src/index/Index.cpp:169-214). Exercised across MANY blocks by
+    building a tiny-skip-block index."""
+    from searchenginepp_ray.index.searcher import SegmentSearcher
+    from searchenginepp_ray.sources.corpus_gen import write_corpus
+
+    tmp = tmp_path_factory.mktemp("blk")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 400, seed=11, rows_per_group=128)
+    cfg = BuildConfig(docs_per_segment=400, skip_block_size=37)
+    out_dir = str(tmp / "idx")
+    summary = build_index(corpus_path, out_dir, cfg, CODE_CORPUS)
+    s = SegmentSearcher(f"{out_dir}/db_0", n_docs_global=summary["n_docs"],
+                        avgdl=summary["avgdl"], prewarm_df=None)
+    s.skip_block_size = 37
+    checked_blocks = 0
+    for ti in range(len(s.terms)):
+        full_d, full_t = s.postings(ti)
+        df = int(s.df_local[ti])
+        n_blocks = (df + 36) // 37
+        for b in range(n_blocks):
+            d, t = s.decode_block(ti, b)
+            lo, hi = b * 37, min((b + 1) * 37, df)
+            assert d.tolist() == full_d[lo:hi].tolist(), (s.terms[ti], b)
+            assert t.tolist() == full_t[lo:hi].tolist(), (s.terms[ti], b)
+            checked_blocks += 1
+    assert checked_blocks > len(s.terms)  # multi-block lists exist
