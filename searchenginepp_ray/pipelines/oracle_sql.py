@@ -257,8 +257,8 @@ def media_byte_stats_sql() -> str:
     return """
         SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                ELSE 'video' END AS kind,
-               count(*) AS n_items,
-               sum(octet_length(encode(text))) AS total_bytes
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         FROM documents
         GROUP BY 1 ORDER BY 1
     """
@@ -291,7 +291,7 @@ def bpe_token_count_sql() -> str:
     return f"""
         SELECT doc_id,
                CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
-                                    m -> NOT regexp_matches(m, '^[ \t\n]+$'))) AS BIGINT)
+                                    m -> NOT regexp_matches(m, '^[ \t\n\x0b\x0c\r]+$'))) AS BIGINT)
                    AS n_bpe_tokens
         FROM documents
     """
