@@ -351,6 +351,16 @@ def build_index(
                         "fix_latin1": cfg.profile.fix_latin1,
                         "latin1_case": cfg.profile.latin1_case,
                     },
+                    # build constants baked into the on-disk encoding
+                    # (delta-gap restart period, sigma/UB scoring params):
+                    # readers and merge MUST use these, not their own
+                    # defaults
+                    "build_params": {
+                        "skip_block_size": cfg.skip_block_size,
+                        "bm25_k1": cfg.bm25_k1,
+                        "bm25_b": cfg.bm25_b,
+                        "docs_per_segment": cfg.docs_per_segment,
+                    },
                     "lineage_key": lineage_key,
                 },
                 f,
@@ -639,6 +649,7 @@ class AssembleSegment:
             "doc_files": files,
             "docid_encoding": "varbyte-dgap-blockrestart",
             "freq_encoding": "unary-lsb",
+            "skip_block_size": self.cfg.skip_block_size,
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
             "lineage_key": self.lineage_key,
@@ -674,6 +685,7 @@ class AssembleSegment:
             "seg": seg, "base_docid": 0, "n_docs": 0, "n_terms": 0,
             "n_postings": 0, "sum_doclen": 0, "doc_files": files,
             "docid_encoding": "varbyte-dgap-blockrestart", "freq_encoding": "unary-lsb",
+            "skip_block_size": self.cfg.skip_block_size,
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
             "lineage_key": self.lineage_key,
@@ -703,11 +715,34 @@ def merge_segments(
     """
     import time as _time
 
-    cfg = cfg or BuildConfig()
     t0 = _time.perf_counter()
     docs_dir = os.path.join(index_dir, "docs")
     with open(os.path.join(index_dir, "global", "metadata.json")) as f:
         meta = json.load(f)
+    # Derive the merge cfg from the params the index was BUILT with
+    # (recorded in global/metadata.json) — re-encoding restarts or
+    # recomputing sigmas with different constants would silently corrupt
+    # the merged index. An explicitly-passed cfg must agree.
+    bp = meta.get("build_params")
+    if bp is not None:
+        from ..config import NormalizerProfile as _NP
+
+        derived = BuildConfig(
+            profile=_NP(**meta["profile_flags"]),
+            docs_per_segment=bp["docs_per_segment"],
+            skip_block_size=bp["skip_block_size"],
+            bm25_k1=bp["bm25_k1"],
+            bm25_b=bp["bm25_b"],
+        )
+        if cfg is not None and cfg.params_id != derived.params_id:
+            raise ValueError(
+                "merge cfg disagrees with the index's recorded build params "
+                f"({cfg.params_id} != {derived.params_id}); pass cfg=None to "
+                "derive it from the index"
+            )
+        cfg = derived
+    else:
+        cfg = cfg or BuildConfig()
     if meta["profile_id"] != cfg.profile.profile_id:
         raise ValueError("profile mismatch between index and merge cfg")
 

@@ -58,19 +58,51 @@ class QueryEngine:
         num_workers: int | None = None,
         num_cpus_per_actor: float = 1,
     ):
+        cfg_supplied = cfg is not None
         cfg = cfg or BuildConfig()
         with open(os.path.join(index_dir, "global", "metadata.json")) as f:
             self.meta = json.load(f)
-        if profile is None and "profile_flags" in self.meta:
-            # adopt the build profile recorded in the index metadata
-            self.profile = NormalizerProfile(**self.meta["profile_flags"])
+        meta_profile = (
+            NormalizerProfile(**self.meta["profile_flags"])
+            if "profile_flags" in self.meta
+            else None
+        )
+        if profile is not None:
+            # explicit profile arg: honored, checked against the index below
+            self.profile = profile
+        elif meta_profile is not None:
+            # adopt the build profile recorded in the index metadata — but an
+            # explicitly-supplied cfg (e.g. the CLI's --profile flag) must
+            # agree rather than being silently overridden
+            if cfg_supplied and cfg.profile.profile_id != meta_profile.profile_id:
+                raise ValueError(
+                    "normalizer profile mismatch: the supplied cfg's profile "
+                    "differs from the profile this index was built with"
+                )
+            self.profile = meta_profile
         else:
-            self.profile = profile or cfg.profile
+            self.profile = cfg.profile
         if self.meta["profile_id"] != self.profile.profile_id:
             raise ValueError(
                 "normalizer profile mismatch: index was built with a different "
                 "profile than the query engine is configured with"
             )
+        # BM25 constants are baked into the index's sigmas / block-max UBs
+        # at build time — score with the recorded ones, and refuse a cfg
+        # that silently disagrees (pruning bounds would be wrong).
+        bp = self.meta.get("build_params")
+        if bp is not None:
+            if cfg_supplied and (
+                cfg.bm25_k1 != bp["bm25_k1"] or cfg.bm25_b != bp["bm25_b"]
+            ):
+                raise ValueError(
+                    "bm25 k1/b mismatch: the supplied cfg disagrees with the "
+                    "constants this index's sigmas/UBs were built with "
+                    f"(index: k1={bp['bm25_k1']} b={bp['bm25_b']})"
+                )
+            k1_eff, b_eff = bp["bm25_k1"], bp["bm25_b"]
+        else:
+            k1_eff, b_eff = cfg.bm25_k1, cfg.bm25_b
         self.seg_dirs = sorted(
             (os.path.join(index_dir, d) for d in os.listdir(index_dir) if d.startswith("db_")),
             key=lambda p: int(p.rsplit("_", 1)[1]),
@@ -79,8 +111,8 @@ class QueryEngine:
             n_docs_global=self.meta["n_docs"],
             avgdl=self.meta["avgdl"],
             scorer=scorer,
-            k1=cfg.bm25_k1,
-            b=cfg.bm25_b,
+            k1=k1_eff,
+            b=b_eff,
         )
         self.use_actors = use_actors
         if num_workers is None:

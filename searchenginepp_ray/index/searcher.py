@@ -91,10 +91,22 @@ class SegmentSearcher:
         self._skip_tfidf = skips["skip_tfidf_ub"]
         self._skip_docid_off = skips["skip_docid_off"]
         self._skip_freq_off = skips["skip_freq_off"]
-        self.skip_block_size = 15_000
-        enc = self.manifest.get("docid_encoding", "varbyte-absolute")
-        self._docid_dgap = enc == "varbyte-dgap-blockrestart"
-        assert enc in ("varbyte-absolute", "varbyte-dgap-blockrestart"), enc
+        # Only the dgap-blockrestart encoding exists on disk (pre-dgap
+        # indexes lack the skip_*_off columns selected above, so they can
+        # never reach this point anyway — the legacy branch was dead code).
+        enc = self.manifest.get("docid_encoding")
+        if enc != "varbyte-dgap-blockrestart":
+            raise ValueError(f"unsupported docid encoding {enc!r} in {seg_dir}")
+        # The delta-gap restart period is baked into the encoded docid
+        # streams — decoding with a different B silently corrupts docids
+        # from block 2 on, so it MUST come from the segment manifest.
+        if "skip_block_size" not in self.manifest:
+            raise ValueError(
+                f"segment manifest {seg_dir} records no skip_block_size; "
+                "rebuild the index (older builds always used the 15000 "
+                "default — add it to the manifest if a rebuild is impossible)"
+            )
+        self.skip_block_size = int(self.manifest["skip_block_size"])
 
         # doc index (J3): docid-sorted doclen array + docno column
         files = self.manifest["doc_files"]
@@ -131,17 +143,16 @@ class SegmentSearcher:
             self._cache.move_to_end(ti)
             return hit
         docids = varbyte.decode(self._docid_vals[self._docid_offs[ti] : self._docid_offs[ti + 1]])
-        if self._docid_dgap:
-            # delta-gap with absolute restarts every skip-block: a grouped
-            # cumsum per block reconstructs absolute docids
-            n_ = len(docids)
-            B = self.skip_block_size
-            if n_ > 0:
-                c = np.cumsum(docids)
-                starts = np.arange(0, n_, B)
-                base = c[starts] - docids[starts]
-                counts = np.diff(np.concatenate((starts, [n_])))
-                docids = c - np.repeat(base, counts)
+        # delta-gap with absolute restarts every skip-block: a grouped
+        # cumsum per block reconstructs absolute docids
+        n_ = len(docids)
+        B = self.skip_block_size
+        if n_ > 0:
+            c = np.cumsum(docids)
+            starts = np.arange(0, n_, B)
+            base = c[starts] - docids[starts]
+            counts = np.diff(np.concatenate((starts, [n_])))
+            docids = c - np.repeat(base, counts)
         n = len(docids)
         tfs = unary.decode(self._freq_vals[self._freq_offs[ti] : self._freq_offs[ti + 1]], n)
         self._cache[ti] = (docids, tfs)
@@ -172,7 +183,7 @@ class SegmentSearcher:
         base = int(self._docid_offs[ti])
         gaps = varbyte.decode(self._docid_vals[base + docid_off : base + next_off])
         assert len(gaps) == n_in_block
-        docids = np.cumsum(gaps) if self._docid_dgap else gaps
+        docids = np.cumsum(gaps)
 
         freq_bit = int(self._skip_freq_off[ti][block].as_py())
         fbase = int(self._freq_offs[ti])

@@ -436,7 +436,9 @@ def test_block_offset_decode_matches_full(built, tmp_path_factory):
     summary = build_index(corpus_path, out_dir, cfg, CODE_CORPUS)
     s = SegmentSearcher(f"{out_dir}/db_0", n_docs_global=summary["n_docs"],
                         avgdl=summary["avgdl"], prewarm_df=None)
-    s.skip_block_size = 37
+    # non-default restart period must be picked up from the segment
+    # manifest, not hard-coded (regression: searcher once assumed 15000)
+    assert s.skip_block_size == 37
     checked_blocks = 0
     for ti in range(len(s.terms)):
         full_d, full_t = s.postings(ti)
