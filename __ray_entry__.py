@@ -52,8 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
+        "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
         "simhash": lambda sf: dedup.simhash(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
+        "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(sf),
         # --- similarity search ---
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
@@ -87,7 +89,9 @@ def oracle_sql() -> dict[str, str]:
         "index_term_df": osql.term_df_sql(),
         "quality_score": osql.quality_score_sql(),
         "lang_id": osql.lang_id_sql(),
+        "doc_fingerprint": osql.doc_fingerprint_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
+        "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
@@ -95,6 +99,9 @@ def oracle_sql() -> dict[str, str]:
         "windowed_agg": osql.windowed_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
-        # rows-only (non-SQL-expressible): doc_fingerprint,
-        # minhash_dedup_pairs, simhash, knn_ivf, media_features, image_resize
+        # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
+        # jaccard variant; the exact-integer ngram_jaccard_dedup IS
+        # oracle-checked), simhash (internal 64-bit hash), knn_ivf +
+        # embedding_near_dup_lsh (approximate by design), media_features,
+        # image_resize (stubbed codec)
     }

@@ -38,6 +38,10 @@ def _tune_allocator() -> None:
         # one thread per process (override with SEPPRAY_ARROW_THREADS).
         _pa.set_cpu_count(int(_os.environ.get("SEPPRAY_ARROW_THREADS", "1")))
         _pa.set_io_thread_count(int(_os.environ.get("SEPPRAY_ARROW_IO_THREADS", "2")))
+        # polars (used for vectorized string hashing) defaults to one
+        # thread per core — same oversubscription problem as Arrow above.
+        # Must be set before polars is first imported.
+        _os.environ.setdefault("POLARS_MAX_THREADS", "1")
     except Exception:
         pass
 

@@ -4,13 +4,25 @@ a large-scale training-data pipeline needs:
 - exact: content-hash partition + per-group min (SQL-checkable via md5)
 - MinHash + LSH banding: shingle → minhash → band → bucket groupby →
   candidate pairs → Jaccard verify
-- SimHash: 64-bit sign-random-projection over token hashes
-- n-gram Jaccard: exact pairwise verification of LSH candidates
+- SimHash: 64-bit sign-random-projection over shingle hashes
+- n-gram Jaccard: exact pairwise verification of LSH candidates, emitted
+  as exact integer (|A∩B|, |A∪B|) so a DuckDB oracle can match it
+  bit-for-bit
+- embedding-cosine near-dup: exact block-pair self-join (no full-matrix
+  broadcast) + an LSH-bucketed approximate variant for the scale path
 
-All stages are vectorized ``map_batches`` over Arrow batches; the only
-shuffles are the bucket/hash groupbys, which is how these scale: at
-10^12 rows the groupby key space (band buckets / content hashes) is
-uniformly hash-distributed, so no hot keys.
+Hot-path rules (the 100 TB shape):
+
+* All shingle/minhash/simhash math is BATCH-vectorized: one Arrow
+  whitespace split per batch, one C-speed 64-bit string hash over the
+  flattened token array (polars xxhash, pandas siphash fallback), numpy
+  ``reduceat`` for the per-doc mins/votes. No per-row Python hashing.
+* The only all-to-all exchanges are (a) a coarse hash-partition groupby
+  on the LSH bucket key (``P`` partitions, processed vectorized — never
+  one Python call per bucket), (b) a pair-dedup aggregate, and (c) two
+  hash joins that attach candidate shingle sets to pairs. Nothing
+  text-sized is ever materialized on the driver: only candidate *ids*
+  (8 bytes/pair) are broadcast, bounded by the LSH candidate count.
 """
 
 from __future__ import annotations
@@ -18,7 +30,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -28,6 +39,7 @@ from .text_stats import documents_ds
 
 # deterministic 64-bit mix (splitmix64) for minhash permutations
 _MASK = (1 << 64) - 1
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -38,17 +50,184 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _token_hashes(text: str, shingle: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < shingle:
-        toks = toks + [""] * (shingle - len(toks))
-    shingles = {" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-         for s in shingles),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+def _splitmix64_inplace(x: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """In-place splitmix64 (same function as :func:`_splitmix64`) using a
+    caller-provided scratch buffer — avoids the ~6 large temporaries the
+    expression form allocates per call, which matters because this host
+    (and any memory-tight worker) pays heavily for fresh page faults."""
+    np.add(x, np.uint64(0x9E3779B97F4A7C15), out=x)
+    np.right_shift(x, np.uint64(30), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, np.uint64(0xBF58476D1CE4E5B9), out=x)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, np.uint64(0x94D049BB133111EB), out=x)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    return x
+
+
+#: Persistent per-process scratch buffers. On this class of host a fresh
+#: multi-MB allocation pays ~100 µs/page in first-touch faults — orders
+#: of magnitude more than the compute it serves — so every hot kernel
+#: reuses one grow-only buffer per role instead of allocating temporaries.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch_u64(name: str, shape: tuple[int, ...]) -> np.ndarray:
+    n = int(np.prod(shape))
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n + n // 4, 1024), dtype=np.uint64)
+        _SCRATCH[name] = buf
+    return buf[:n].reshape(shape)
+
+
+def _shuffle_width() -> int:
+    """Coarse hash-partition width — scales with the cluster, never a
+    hard-coded constant."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, 2 * cpus)
+
+
+# ---------- vectorized tokenize/hash kernels ----------
+
+def _hash_strings(arr) -> np.ndarray:
+    """C-speed deterministic 64-bit hash of every string in an Arrow
+    array (polars xxhash with a fixed seed; pandas siphash fallback).
+    One call per batch — the replacement for per-token Python blake2b."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        import polars as pl
+
+        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    except Exception:
+        import pandas as pd
+
+        return pd.util.hash_array(
+            np.asarray(arr.to_pylist(), dtype=object)
+        ).astype(np.uint64, copy=False)
+
+
+_EMPTY_HASH: np.uint64 | None = None
+
+
+def _empty_hash() -> np.uint64:
+    global _EMPTY_HASH
+    if _EMPTY_HASH is None:
+        _EMPTY_HASH = np.uint64(_hash_strings(pa.array([""]))[0])
+    return _EMPTY_HASH
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(c)`` for every c in counts (vectorized)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def _token_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, per-doc token counts) for a batch of texts —
+    Python ``str.split()`` semantics (split on whitespace runs, drop
+    empties), computed with Arrow kernels + one vectorized hash call."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64, copy=False)
+    flat = pc.list_flatten(toks)
+    h = _hash_strings(flat)
+    # after trim, '' tokens only arise from all-whitespace docs — drop
+    # them so counts match str.split()
+    lens = pc.binary_length(flat).to_numpy()
+    if len(lens) and (lens == 0).any():
+        keep = lens != 0
+        doc_idx = np.repeat(np.arange(n), counts)
+        counts = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+        h = h[keep]
+    return h, counts
+
+
+def _shingle_hash_batch(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle hashes, per-doc shingle counts).
+
+    A shingle hash combines ``shingle`` consecutive token hashes with a
+    splitmix fold — set-equivalent to hashing the joined shingle string
+    (modulo 2^-64 collisions) but needs no string materialization. Docs
+    shorter than ``shingle`` emit ONE padded shingle (empty-token-hash
+    padding), so every doc has >= 1 shingle."""
+    h, counts = _token_hash_batch(texts)
+    n = len(counts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    offsets = np.cumsum(counts) - counts
+    full = counts >= shingle
+    m = np.where(full, counts - shingle + 1, 0)
+    sh_counts = np.where(full, m, 1).astype(np.int64)
+    out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
+    out_offs = np.cumsum(sh_counts) - sh_counts
+
+    # position-sensitive fold: acc = sm((acc * GOLDEN) ^ h_next). A plain
+    # xor fold would make the first token pair commutative
+    # (sm(a^b) == sm(b^a)) and cancel repeated tokens (a^a == 0) — both
+    # observed as real shingle conflations on the test corpus.
+    if int(m.sum()) > 0:
+        rng = _ranges(m[full])
+        starts = np.repeat(offsets[full], m[full]) + rng
+        ns = len(starts)
+        acc = _scratch_u64("fold_acc", (ns,))
+        tmp = _scratch_u64("fold_tmp", (ns,))
+        nxt = _scratch_u64("fold_nxt", (ns,))
+        np.take(h, starts, out=acc)
+        _splitmix64_inplace(acc, tmp)
+        for j in range(1, shingle):
+            np.take(h, starts + j, out=nxt)
+            np.multiply(acc, _GOLDEN, out=acc)
+            np.bitwise_xor(acc, nxt, out=acc)
+            _splitmix64_inplace(acc, tmp)
+        dst = np.repeat(out_offs[full], m[full]) + rng
+        out[dst] = acc
+
+    short = np.flatnonzero(~full)
+    if len(short):
+        eh = _empty_hash()
+        for d in short:
+            th = h[offsets[d] : offsets[d] + counts[d]]
+            first = np.uint64(th[0]) if counts[d] > 0 else eh
+            acc = _splitmix64(np.array([first], dtype=np.uint64))[0]
+            for j in range(1, shingle):
+                nxt = np.uint64(th[j]) if j < counts[d] else eh
+                acc = _splitmix64(
+                    np.array([(acc * _GOLDEN) ^ nxt], dtype=np.uint64)
+                )[0]
+            out[out_offs[d]] = acc
+    return out, sh_counts
+
+
+def _distinct_per_doc(S: np.ndarray, sh_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct (sorted) shingle hashes: (flat values, counts)."""
+    n = len(sh_counts)
+    if len(S) == 0:
+        return S, np.zeros(n, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), sh_counts)
+    order = np.lexsort((S, doc_idx))
+    Ss, Ds = S[order], doc_idx[order]
+    first = np.empty(len(Ss), dtype=bool)
+    first[0] = True
+    first[1:] = (Ds[1:] != Ds[:-1]) | (Ss[1:] != Ss[:-1])
+    vals = Ss[first]
+    dcounts = np.bincount(Ds[first], minlength=n).astype(np.int64)
+    return vals, dcounts
 
 
 # ---------- exact dedup ----------
@@ -72,64 +251,271 @@ def exact_dedup(sf_dir: str):
 
 # ---------- MinHash + LSH ----------
 
+def _salts(num_perm: int) -> np.ndarray:
+    return _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * _GOLDEN)
+
+
+def _sig_matrix(
+    texts, num_perm: int, shingle: int, salts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sig_mat (num_perm, n), flat shingle hashes, per-doc counts) for a
+    batch — the shared minhash kernel (scratch-buffered, reduceat mins)."""
+    S, shc = _shingle_hash_batch(texts, shingle)
+    n = len(shc)
+    starts = np.cumsum(shc) - shc
+    sig_mat = np.empty((num_perm, n), dtype=np.uint64)
+    CH = 16  # permutations per chunk: bounds the (CH, n_shingles) scratch
+    buf = _scratch_u64("mh_buf", (CH, len(S)))
+    tmp = _scratch_u64("mh_tmp", (CH, len(S)))
+    for p0 in range(0, num_perm, CH):
+        chunk = salts[p0 : p0 + CH]
+        c = len(chunk)
+        np.bitwise_xor(S[None, :], chunk[:, None], out=buf[:c])
+        _splitmix64_inplace(buf[:c], tmp[:c])
+        sig_mat[p0 : p0 + c] = np.minimum.reduceat(buf[:c], starts, axis=1)
+    return sig_mat, S, shc
+
+
 def minhash_signatures(
     sf_dir: str, num_perm: int = 64, shingle: int = 3
 ) -> ray.data.Dataset:
-    """Per-doc minhash signature (num_perm u64 mins over salted hashes)."""
+    """Per-doc minhash signature (num_perm u64 mins over salted hashes).
 
-    salts = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    Fully vectorized: one ``reduceat`` min per permutation chunk over the
+    flattened shingle-hash array (duplicate shingles can stay — min is
+    idempotent, so no per-doc dedup pass is needed here)."""
+
+    salts = _salts(num_perm)
 
     def sig(t: pa.Table) -> pa.Table:
-        out = np.empty((len(t), num_perm), dtype=np.uint64)
-        for i, text in enumerate(t["text"].to_pylist()):
-            hs = _token_hashes(text, shingle)
-            # salted-xor + splitmix per permutation, vectorized over shingles
-            m = _splitmix64(hs[None, :] ^ salts[:, None]).min(axis=1)
-            out[i] = m
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "sig": pa.array([], pa.list_(pa.uint64(), num_perm))}
+            )
+        sig_mat, _, _ = _sig_matrix(t["text"], num_perm, shingle, salts)
+        flat = np.ascontiguousarray(sig_mat.T).reshape(-1)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sig": pa.array(list(out), pa.list_(pa.uint64(), num_perm)),
+                "sig": pa.FixedSizeListArray.from_arrays(pa.array(flat), num_perm),
             }
         )
 
     return documents_ds(sf_dir).map_batches(sig, batch_format="pyarrow")
 
 
-def minhash_lsh_candidates(
-    sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int = 3
-) -> ray.data.Dataset:
-    """LSH banding: (band_id, band_hash) buckets → candidate pairs.
-
-    Emits one row per (band, bucket) with >= 2 docs; pair expansion happens
-    in :func:`minhash_dedup_pairs`. The groupby key (band_id, band_hash)
-    is uniformly distributed — no skew at scale."""
+def _bands_table(t: pa.Table, num_perm: int, bands: int) -> pa.Table:
+    """(band_id, band_hash, doc_id) rows from a signatures batch."""
     rows_per_band = num_perm // bands
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {"band_id": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    sig_col = t["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+    doc_ids = np.repeat(t["doc_id"].to_numpy(), bands)
+    bh = np.empty(n * bands, dtype=np.uint64)
+    for b in range(bands):
+        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(rows_per_band):
+            acc = _splitmix64(acc ^ chunk[:, c])
+        bh[b::bands] = acc
+    return pa.table(
+        {"band_id": pa.array(band_ids), "band_hash": pa.array(bh),
+         "doc_id": pa.array(doc_ids)}
+    )
+
+
+def _banded(sf_dir: str, num_perm: int, bands: int, shingle: int, P: int):
+    """Band rows with a coarse ``_part`` column: the groupby key is the
+    P-way hash partition of band_hash — P tasks each process their whole
+    partition vectorized (never one Python call per bucket)."""
 
     def to_bands(t: pa.Table) -> pa.Table:
-        sigs = np.asarray(t["sig"].to_pylist(), dtype=np.uint64)  # (n, num_perm)
-        n = len(sigs)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        doc_ids = np.repeat(t["doc_id"].to_numpy(), bands)
-        bh = np.empty(n * bands, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
-            for c in range(rows_per_band):
-                acc = _splitmix64(acc ^ chunk[:, c])
-            bh[b::bands] = acc
-        return pa.table(
-            {"band_id": pa.array(band_ids), "band_hash": pa.array(bh),
-             "doc_id": pa.array(doc_ids)}
-        )
+        bt = _bands_table(t, num_perm, bands)
+        part = (bt["band_hash"].to_numpy() % np.uint64(P)).astype(np.int32)
+        return bt.append_column("_part", pa.array(part))
 
     return (
         minhash_signatures(sf_dir, num_perm, shingle)
         .map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(
-            lambda g: g if len(g) >= 2 else g.iloc[0:0],
-            batch_format="pandas",
+        .groupby("_part")
+    )
+
+
+def _dup_runs(band: np.ndarray, bh: np.ndarray, doc: np.ndarray):
+    """Sorted views + [start, end) of every (band, hash) run with >= 2
+    docs. The run scan is vectorized; only dup runs (rare) are yielded."""
+    order = np.lexsort((doc, bh, band))
+    band_s, bh_s, doc_s = band[order], bh[order], doc[order]
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+    run_starts = np.flatnonzero(change)
+    run_ends = np.append(run_starts[1:], len(order))
+    sel = (run_ends - run_starts) >= 2
+    return band_s, bh_s, doc_s, run_starts[sel], run_ends[sel]
+
+
+def minhash_lsh_candidates(
+    sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int = 3
+) -> ray.data.Dataset:
+    """LSH banding: rows of every (band, bucket) with >= 2 docs."""
+    P = _shuffle_width()
+
+    def buckets(t: pa.Table) -> pa.Table:
+        band = t["band_id"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        if len(band) == 0:
+            return pa.table(
+                {"band_id": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        band_s, bh_s, doc_s, starts, ends = _dup_runs(band, bh, doc)
+        keep = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"band_id": pa.array(band_s[keep]),
+             "band_hash": pa.array(bh_s[keep]),
+             "doc_id": pa.array(doc_s[keep])}
+        )
+
+    return _banded(sf_dir, num_perm, bands, shingle, P).map_groups(
+        buckets, batch_format="pyarrow"
+    )
+
+
+def _set_blob(S: np.ndarray, shc: np.ndarray) -> pa.LargeBinaryArray:
+    """Per-doc DISTINCT sorted shingle hashes packed as little-endian u64
+    bytes (one blob per doc — binary survives shuffles that typed lists
+    complicate, and slices back to a numpy set with ``frombuffer``)."""
+    vals, dcounts = _distinct_per_doc(S, shc)
+    byte_offsets = (np.concatenate(([0], np.cumsum(dcounts))) * 8).astype(np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(dcounts),
+        [None, pa.py_buffer(byte_offsets.tobytes()),
+         pa.py_buffer(vals.astype("<u8").tobytes())],
+    )
+
+
+def _verified_pairs(
+    sf_dir: str, num_perm: int, bands: int, shingle: int
+) -> ray.data.Dataset:
+    """Candidate pairs with exact shingle-set overlap: (doc_a, doc_b,
+    n_common, n_union) as exact integers.
+
+    Scale shape: each band row CARRIES its doc's packed shingle set, so
+    the single coarse-partition groupby colocates every LSH bucket with
+    the data its verification needs — pairs are expanded AND verified
+    inside the partition task, and one aggregate dedups across bands.
+    Two all-to-all exchanges total; no joins, no driver-side
+    materialization of anything (ids, texts, or sets). The trade: the
+    banding shuffle moves ``bands`` copies of each set (~bands × 8 B per
+    distinct shingle per doc); for corpora where that dominates, attach
+    sets by hash join against a (doc_id, set) table instead."""
+    P = _shuffle_width()
+    salts = _salts(num_perm)
+
+    def bands_with_sets(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"band_id": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.large_binary()),
+                 "_part": pa.array([], pa.int32())}
+            )
+        sig_mat, S, shc = _sig_matrix(t["text"], num_perm, shingle, salts)
+        blob = _set_blob(S, shc)
+        rows_per_band = num_perm // bands
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), bands)
+        bh = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig_mat[b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(rows_per_band):
+                acc = _splitmix64(acc ^ chunk[c])
+            bh[b::bands] = acc
+        sh = blob.take(pa.array(np.repeat(np.arange(n), bands)))
+        part = (bh % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"band_id": pa.array(band_ids), "band_hash": pa.array(bh),
+             "doc_id": pa.array(doc_ids), "sh": sh, "_part": pa.array(part)}
+        )
+
+    def expand_verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "n_common": pa.array([], pa.int64()),
+             "n_union": pa.array([], pa.int64())}
+        )
+        band = t["band_id"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        if len(band) == 0:
+            return empty
+        order = np.lexsort((doc, bh, band))
+        band_s, bh_s, doc_s = band[order], bh[order], doc[order]
+        change = np.empty(len(order), dtype=bool)
+        change[0] = True
+        change[1:] = (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+        run_starts = np.flatnonzero(change)
+        run_ends = np.append(run_starts[1:], len(order))
+        sel = (run_ends - run_starts) >= 2
+        run_starts, run_ends = run_starts[sel], run_ends[sel]
+        if not len(run_starts):
+            return empty
+        # pair row indices (into the sorted view); docs ascend within a
+        # run, so a < b by construction
+        ia_l, ib_l = [], []
+        for s, e in zip(run_starts, run_ends):  # dup runs only — rare
+            ia, ib = np.triu_indices(e - s, k=1)
+            ia_l.append(ia + s)
+            ib_l.append(ib + s)
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        a, b = doc_s[ia], doc_s[ib]
+        # in-partition pair dedup BEFORE the (costlier) set intersections
+        ab, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+        sh_py = t["sh"].to_pylist()
+        inter = np.empty(len(ab), dtype=np.int64)
+        union = np.empty(len(ab), dtype=np.int64)
+        for i, f in enumerate(first):
+            A = np.frombuffer(sh_py[order[ia[f]]], dtype="<u8")
+            B = np.frombuffer(sh_py[order[ib[f]]], dtype="<u8")
+            c = len(np.intersect1d(A, B, assume_unique=True))
+            inter[i] = c
+            union[i] = len(A) + len(B) - c
+        return pa.table(
+            {"doc_a": pa.array(ab[:, 0].astype(np.int64)),
+             "doc_b": pa.array(ab[:, 1].astype(np.int64)),
+             "n_common": pa.array(inter), "n_union": pa.array(union)}
+        )
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(bands_with_sets, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(expand_verify, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Min("n_common", alias_name="n_common"),
+            Min("n_union", alias_name="n_union"),
         )
     )
 
@@ -140,123 +526,260 @@ def minhash_dedup_pairs(
 ):
     """Candidate pairs (deduped across bands) verified by exact shingle
     Jaccard — returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    cands = minhash_lsh_candidates(sf_dir, num_perm, bands, shingle)
+    v = _verified_pairs(sf_dir, num_perm, bands, shingle)
 
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs],
-                             "doc_b": [p[1] for p in pairs]})
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["n_common"].to_numpy().astype(np.float64)
+        union = np.maximum(t["n_union"].to_numpy(), 1).astype(np.float64)
+        j = inter / union
+        keep = j >= jaccard_threshold
+        return pa.table(
+            {"doc_a": t["doc_a"].filter(pa.array(keep)),
+             "doc_b": t["doc_b"].filter(pa.array(keep)),
+             "jaccard": pa.array(np.round(j[keep], 6))}
+        )
 
-    pairs = (
-        cands.groupby(["band_id", "band_hash"])
-        .map_groups(expand, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    return v.map_batches(finish, batch_format="pyarrow")
 
-    # verification side-table: only texts of candidate docs leave the
-    # distributed table (a semi-join pushed down as a vectorized filter);
-    # the broadcast is bounded by the LSH candidate count, never by the
-    # corpus size
-    pair_tbl = pairs.materialize()
-    cand_ids = set()
-    for b in pair_tbl.select_columns(["doc_a", "doc_b"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    cand_arr = pa.array(sorted(cand_ids), pa.int64())
 
-    def keep_cands(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=cand_arr))
+def ngram_jaccard_dedup(
+    sf_dir: str, shingle: int = 3, thr_num: int = 4, thr_den: int = 5,
+    num_perm: int = 128, bands: int = 64,
+):
+    """Near-dup pairs by exact n-gram Jaccard >= thr_num/thr_den, emitted
+    as exact integers (doc_a, doc_b, n_common, n_union) — DuckDB-oracle
+    comparable with no float rounding anywhere.
 
-    docs = {}
-    for b in (
-        documents_ds(sf_dir)
-        .map_batches(keep_cands, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        docs.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    doc_ref = ray.put(docs)
-    pairs = pair_tbl
+    Candidates come from a high-recall LSH (2 rows/band × 64 bands: a
+    true pair at j=0.8 is missed with prob (1-j²)^64 ≈ 4e-29), then every
+    candidate is verified exactly, so the output equals the O(N²) oracle."""
+    v = _verified_pairs(sf_dir, num_perm, bands, shingle)
 
-    def verify(t: pa.Table) -> pa.Table:
-        d = ray.get(doc_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            ha = set(_token_hashes(d[a], shingle).tolist())
-            hb = set(_token_hashes(d[b], shingle).tolist())
-            j = len(ha & hb) / max(len(ha | hb), 1)
-            if j >= jaccard_threshold:
-                out_a.append(a); out_b.append(b); out_j.append(round(j, 6))
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["n_common"].to_numpy()
+        union = np.maximum(t["n_union"].to_numpy(), 1)
+        keep = inter * thr_den >= union * thr_num
+        return pa.table(
+            {"doc_a": t["doc_a"].filter(pa.array(keep)),
+             "doc_b": t["doc_b"].filter(pa.array(keep)),
+             "n_common": t["n_common"].filter(pa.array(keep)),
+             "n_union": pa.array(union[keep])}
+        )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return v.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------- SimHash ----------
 
 def simhash(sf_dir: str, shingle: int = 1):
-    """64-bit SimHash over token hashes (sign of summed bit contributions)."""
+    """64-bit SimHash (sign of summed bit votes over shingle hashes) —
+    vectorized: bit-expand the flattened hash array once, per-doc vote
+    sums via ``add.reduceat``."""
 
-    def per_doc(t: pa.Table) -> pa.Table:
-        out = np.empty(len(t), dtype=np.uint64)
-        for i, text in enumerate(t["text"].to_pylist()):
-            hs = _token_hashes(text, shingle)
-            if len(hs) == 0:
-                out[i] = 0
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out)})
+    def per_batch(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "simhash": pa.array([], pa.uint64())}
+            )
+        S, shc = _shingle_hash_batch(t["text"], shingle)
+        starts = np.cumsum(shc) - shc
+        ones = np.empty((n, 64), dtype=np.int64)
+        bits = _scratch_u64("sh_bits", (len(S), 16))
+        for b0 in range(0, 64, 16):  # 16 bit-planes at a time bounds the temp
+            np.right_shift(
+                S[:, None], np.arange(b0, b0 + 16, dtype=np.uint64)[None, :],
+                out=bits,
+            )
+            np.bitwise_and(bits, np.uint64(1), out=bits)
+            ones[:, b0 : b0 + 16] = np.add.reduceat(bits, starts, axis=0)
+        votes = 2 * ones - shc[:, None]
+        packed = np.packbits(
+            (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+        ).view(np.uint64).reshape(n)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(packed)})
 
-    return documents_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
-
-
-def ngram_jaccard_dedup(sf_dir: str, shingle: int = 3, threshold: float = 0.8):
-    """Near-dup pairs by exact n-gram Jaccard over LSH candidates (the
-    LSH narrows 10^24 pairs to a verifiable candidate set at scale)."""
-    return minhash_dedup_pairs(sf_dir, shingle=shingle, jaccard_threshold=threshold)
+    return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
 
 
 # ---------- embedding-cosine near-dup ----------
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
-    """Near-duplicate pairs by embedding cosine >= threshold.
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45, chunk: int = 2048):
+    """Exact near-duplicate pairs by embedding cosine >= threshold.
 
-    Exact blocked scan: the (normalized) embedding matrix is broadcast
-    once (``ray.put``), each batch computes its block of the similarity
-    matrix with one matmul and emits only above-threshold pairs (doc_a <
-    doc_b). At 10^12 rows the same stage runs per LSH/IVF bucket instead
-    of all-pairs; the batch kernel is unchanged."""
+    Block-pair self-join: the table is split into row-range chunks; one
+    task per chunk pair (i <= j) loads just its two chunks (pruned
+    parquet read, LRU-cached per actor) and emits its above-threshold
+    pairs from one matmul. Nothing is broadcast and no task ever holds
+    more than two chunks — the exact-O(N²) baseline in its scalable
+    shape. (For the sub-O(N²) approximate path see
+    :func:`embedding_near_dup_lsh`.)"""
     import pyarrow.parquet as pq
 
+    from .similarity import _normalize
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    n_chunks = max(1, (n_rows + chunk - 1) // chunk)
+    tasks = [
+        {"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+
+    class PairBlock:
+        def __init__(self):
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+            hit = self._cache.get(c)
+            if hit is not None:
+                return hit
+            t = pq.read_table(path, columns=["vec_id", "embedding"]).slice(
+                c * chunk, chunk
+            )
+            ids = t["vec_id"].to_numpy()
+            m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+            if len(self._cache) >= 4:  # bound per-actor memory
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[c] = (ids, m)
+            return ids, m
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_a, out_b, out_c = [], [], []
+            for ci, cj in zip(t["ci"].to_pylist(), t["cj"].to_pylist()):
+                ids_i, m_i = self._load(ci)
+                ids_j, m_j = self._load(cj)
+                sims = m_i @ m_j.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if ci == cj:  # diagonal block: upper triangle only
+                    tri = ii < jj
+                    ii, jj = ii[tri], jj[tri]
+                a = ids_i[ii]
+                b = ids_j[jj]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keep = lo < hi  # drops any self-id pair
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_c.append(
+                    np.round(sims[ii, jj][keep] * 1000).astype(np.int64)
+                )
+            if not out_a:
+                return pa.table(
+                    {"vec_a": pa.array([], pa.int64()),
+                     "vec_b": pa.array([], pa.int64()),
+                     "cosine_milli": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"vec_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                 "vec_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                 # integer millicosine: exact cross-engine comparability
+                 "cosine_milli": pa.array(np.concatenate(out_c))}
+            )
+
+    return ray.data.from_items(tasks).map_batches(
+        PairBlock, batch_size=4, concurrency=(1, 8), batch_format="pyarrow",
+        num_cpus=1,
+    )
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 8, n_tables: int = 12,
+):
+    """Approximate near-dup pairs via sign-random-projection LSH: each
+    vector lands in ``n_tables`` buckets (one per hyperplane table); the
+    exact cosine kernel runs per bucket — sub-O(N²), the 100 TB path.
+    Recall for cosine c is 1-(1-(1-acos(c)/π)^n_planes)^n_tables (≈ 0.99
+    at c = 0.9 with these defaults); pairs below ~0.5 cosine may be
+    missed — this is the documented approximation trade."""
     from .similarity import _normalize, embeddings_ds
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = t["vec_id"].to_numpy()
-    m_all = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-    ref = ray.put((ids_all, m_all))
+    # deterministic hyperplanes, sized to the embedding dim read lazily
+    rng = np.random.Generator(np.random.PCG64(7))
 
-    def block(b: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
-        ids = b["vec_id"].to_numpy()
-        m = _normalize(np.asarray(b["embedding"].to_pylist(), dtype=np.float64))
-        sims = m @ m_all.T  # (batch, N)
-        rows_a, rows_b, coss = [], [], []
-        ii, jj = np.nonzero(sims >= threshold)
-        for i, j in zip(ii, jj):
-            a, bb = int(ids[i]), int(ids_all[j])
-            if a < bb:
-                rows_a.append(a); rows_b.append(bb)
-                # integer millicosine: exact cross-engine comparability
-                coss.append(int(round(float(sims[i, j]) * 1000)))
-        return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
-                         "vec_b": pa.array(rows_b, pa.int64()),
-                         "cosine_milli": pa.array(coss, pa.int64())})
+    P = _shuffle_width()
+    planes_ref: dict[str, object] = {}
 
-    return embeddings_ds(sf_dir).map_batches(block, batch_format="pyarrow")
+    def to_buckets(t: pa.Table) -> pa.Table:
+        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        dim = m.shape[1]
+        if "planes" not in planes_ref:
+            r = np.random.Generator(np.random.PCG64(7))
+            planes_ref["planes"] = r.standard_normal((n_tables, n_planes, dim))
+        planes = planes_ref["planes"]
+        ids = t["vec_id"].to_numpy()
+        n = len(ids)
+        outs = {"table_id": [], "bucket": [], "vec_id": [], "emb": []}
+        emb = t["embedding"]
+        for ti in range(n_tables):
+            signs = (m @ planes[ti].T) > 0  # (n, n_planes)
+            bucket = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            outs["table_id"].append(np.full(n, ti, dtype=np.int32))
+            outs["bucket"].append(bucket.astype(np.int64))
+            outs["vec_id"].append(ids)
+            outs["emb"].append(emb)
+        tbl = pa.table(
+            {"table_id": pa.array(np.concatenate(outs["table_id"])),
+             "bucket": pa.array(np.concatenate(outs["bucket"])),
+             "vec_id": pa.array(np.concatenate(outs["vec_id"])),
+             "embedding": pa.concat_arrays(
+                 [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                  for c in outs["emb"]]
+             )}
+        )
+        part = (
+            (tbl["bucket"].to_numpy() * np.int64(n_tables)
+             + tbl["table_id"].to_numpy().astype(np.int64)) % np.int64(P)
+        ).astype(np.int32)
+        return tbl.append_column("_part", pa.array(part))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cosine_milli": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        tid = t["table_id"].to_numpy()
+        bkt = t["bucket"].to_numpy()
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        order = np.lexsort((ids, bkt, tid))
+        tid, bkt, ids, m = tid[order], bkt[order], ids[order], m[order]
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = (tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ids))
+        sel = (ends - starts) >= 2
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            mm = m[s:e]
+            sims = mm @ mm.T
+            ia, ib = np.triu_indices(e - s, k=1)
+            ok = sims[ia, ib] >= threshold
+            a, b = ids[s:e][ia[ok]], ids[s:e][ib[ok]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.round(sims[ia[ok], ib[ok]] * 1000).astype(np.int64))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        abc = np.unique(np.stack([a, b, c], axis=1), axis=0)
+        return pa.table(
+            {"vec_a": pa.array(abc[:, 0]), "vec_b": pa.array(abc[:, 1]),
+             "cosine_milli": pa.array(abc[:, 2])}
+        )
+
+    return (
+        embeddings_ds(sf_dir)
+        .map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Min("cosine_milli", alias_name="cosine_milli"))
+    )

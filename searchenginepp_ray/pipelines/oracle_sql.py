@@ -264,6 +264,63 @@ def media_byte_stats_sql() -> str:
     """
 
 
+def doc_fingerprint_sql(window: int = 4) -> str:
+    """Oracle for pipelines.text_stats.fingerprint: min 16-hex-char md5
+    prefix over all ``window``-token grams of the normalized token list
+    (whole-doc gram when shorter; md5('') for empty docs)."""
+    cls = _regex_class().replace("'", "''")
+    w = window
+    return f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '{cls}', ' ', 'g')), ' +'),
+               x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       min(substr(md5(coalesce(array_to_string(toks[i : i + {w - 1}], ' '), '')),
+                  1, 16)) AS fingerprint
+FROM tl, unnest(range(1, greatest(len(toks) - {w} + 1, 1) + 1)) AS r(i)
+GROUP BY doc_id
+"""
+
+
+def ngram_jaccard_sql(shingle: int = 3, thr_num: int = 4, thr_den: int = 5) -> str:
+    """Oracle for pipelines.dedup.ngram_jaccard_dedup: EXACT O(N²)
+    token-shingle Jaccard over raw whitespace tokens (str.split()
+    semantics), emitted as exact integers — the Ray side must find the
+    identical pair set through its LSH + verify path."""
+    k = shingle
+    pad_empty = "'" + " " * (k - 1) + "'"
+    return f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\x0b\x0c]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE
+            WHEN len(toks) = 0 THEN [{pad_empty}]
+            WHEN len(toks) < {k} THEN
+                [array_to_string(toks, ' ') || repeat(' ', {k} - len(toks))]
+            ELSE list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+                     i -> array_to_string(toks[i : i + {k - 1}], ' ')))
+        END AS s
+    FROM tl
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+           AS n_union
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * {thr_den}
+      >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * {thr_num}
+"""
+
+
 def term_postings_global_sql() -> str:
     """Oracle for index.term_index.term_postings_stats over the
     simple-profile documents index: per-term global (df, tf)."""

@@ -11,6 +11,8 @@ token-for-token.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -27,13 +29,16 @@ QUALITY_STOPS = (
     "with", "as", "this", "that", "at", "by", "an", "be", "or", "are",
 )
 
-FNV_OFFSET = 0xCBF29CE484222325
-FNV_PRIME = 0x100000001B3
-MASK64 = (1 << 64) - 1
-
-
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _partials_width() -> int:
+    """Pre-aggregation repartition width for vocabulary-sized partials:
+    track cluster CPUs (like index/build.py's global-stats stage), never
+    a hard-coded constant."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cpus, 16))
 
 
 def _tokenize_batch(batch: pa.Table) -> pa.Table:
@@ -104,7 +109,7 @@ def term_df(sf_dir: str):
     return (
         tokens_ds(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .repartition(4)  # vocabulary-sized partials: keep the shuffle tiny
+        .repartition(_partials_width())  # vocabulary-sized partials
         .groupby("term")
         .aggregate(Sum("df_part", alias_name="df"))
     )
@@ -122,7 +127,7 @@ def term_tf(sf_dir: str):
     return (
         tokens_ds(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .repartition(4)  # vocabulary-sized partials: keep the shuffle tiny
+        .repartition(_partials_width())  # vocabulary-sized partials
         .groupby("term")
         .aggregate(Sum("tf_part", alias_name="tf"))
     )
@@ -176,20 +181,29 @@ def lang_id(sf_dir: str, threshold: float = 0.08):
 
 # ---------- document fingerprinting ----------
 
-def fingerprint(sf_dir: str):
-    """Order-sensitive 64-bit FNV-1a rolling fingerprint over the token
-    stream (whole-document fingerprint; non-SQL-expressible → rows-only
-    oracle check)."""
+def fingerprint(sf_dir: str, window: int = 4):
+    """Winnowing-style document fingerprint: the minimum (lexicographic)
+    16-hex-char md5 prefix over all ``window``-token grams of the
+    normalized token stream — order-sensitive (any token reorder inside a
+    window changes its gram) and robust to small edits (only windows
+    touching the edit change, and only the global min matters).
+
+    md5 keeps the digest computable by the DuckDB oracle; the per-gram
+    digest runs in C (hashlib), not a per-byte Python loop. Docs shorter
+    than ``window`` contribute their single whole-doc gram; empty docs
+    hash the empty string."""
+    _md5 = hashlib.md5
 
     def per_doc(t: pa.Table) -> pa.Table:
-        out = np.empty(len(t), dtype=np.uint64)
-        for i, toks in enumerate(t["tokens"].to_pylist()):
-            h = FNV_OFFSET
-            for w in toks:
-                for b in w.encode():
-                    h = ((h ^ b) * FNV_PRIME) & MASK64
-                h = ((h ^ 0x20) * FNV_PRIME) & MASK64
-            out[i] = h
+        out = []
+        w = window
+        for toks in t["tokens"].to_pylist():
+            n = len(toks)
+            if n <= w:
+                grams = (" ".join(toks),)
+            else:
+                grams = (" ".join(toks[i : i + w]) for i in range(n - w + 1))
+            out.append(min(_md5(g.encode()).hexdigest()[:16] for g in grams))
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out)})
 
     return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")

@@ -1,0 +1,132 @@
+"""Dedup-family operators: vectorized kernel parity with scalar
+references, LSH/verify end-to-end exactness, and the embedding near-dup
+block-pair join vs a brute-force numpy oracle."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from searchenginepp_ray.pipelines import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_hash_batch_matches_str_split():
+    texts = ["hello world foo", "  lead and trail  ", "", "   ", "one",
+             "a b a b a", "tab\tand\nnewline", "x" * 300]
+    _, counts = dedup._token_hash_batch(pa.array(texts))
+    assert counts.tolist() == [len(t.split()) for t in texts]
+
+
+def test_shingle_fold_is_order_sensitive():
+    """Regression: a plain xor fold conflated 'a b a'/'b a a' (first pair
+    commutes) and 'x x y'/'z z y' (repeats cancel)."""
+    pairs = [("spark window spark", "window spark spark"),
+             ("data data big", "group group big"),
+             ("a b c", "c b a")]
+    for t1, t2 in pairs:
+        s1, _ = dedup._shingle_hash_batch(pa.array([t1]), 3)
+        s2, _ = dedup._shingle_hash_batch(pa.array([t2]), 3)
+        assert s1[0] != s2[0], (t1, t2)
+    # and identical shingles still hash identically
+    s1, _ = dedup._shingle_hash_batch(pa.array(["a b c"]), 3)
+    s2, _ = dedup._shingle_hash_batch(pa.array(["a  b\tc"]), 3)
+    assert s1[0] == s2[0]
+
+
+def test_shingle_counts_and_short_doc_padding():
+    texts = ["a b c d", "a b", "", "one two three"]
+    S, shc = dedup._shingle_hash_batch(pa.array(texts), 3)
+    assert shc.tolist() == [2, 1, 1, 1]
+    assert len(S) == 5
+
+
+def test_minhash_signature_invariants(ray_session):
+    ds = dedup.minhash_signatures(SF).take(20)
+    assert all(len(r["sig"]) == 64 for r in ds)
+    # identical texts → identical signatures
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the same doc text here"] * 2)})
+    sig_mat, _, _ = dedup._sig_matrix(t["text"], 64, 3, dedup._salts(64))
+    assert (sig_mat[:, 0] == sig_mat[:, 1]).all()
+
+
+def _scalar_jaccard(a: str, b: str, k: int = 3) -> tuple[int, int]:
+    def sh(text):
+        toks = text.split()
+        if len(toks) < k:
+            return {" ".join(toks + [""] * (k - len(toks)))}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B), len(A | B)
+
+
+def test_ngram_jaccard_matches_scalar_oracle(ray_session):
+    got = dedup.ngram_jaccard_dedup(SF).to_pandas()
+    assert len(got) > 0
+    texts = dict(
+        zip(*(pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pydict().values()))
+    )
+    for _, r in got.iterrows():
+        i, u = _scalar_jaccard(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert (i, u) == (r["n_common"], r["n_union"]), (r["doc_a"], r["doc_b"])
+        assert 5 * i >= 4 * u
+    # no duplicate pairs, canonical order
+    assert (got["doc_a"] < got["doc_b"]).all()
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_minhash_pairs_find_planted_near_dups(ray_session):
+    pairs = dedup.minhash_dedup_pairs(SF).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["jaccard"] >= 0.8).all()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_simhash_near_dups_have_small_hamming(ray_session):
+    pairs = dedup.minhash_dedup_pairs(SF).to_pandas()
+    sh = dedup.simhash(SF).to_pandas().set_index("doc_id")["simhash"]
+    rng = np.random.default_rng(0)
+    dup_d = [
+        bin(int(sh[a]) ^ int(sh[b])).count("1")
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    ]
+    ids = sh.index.to_numpy()
+    rand_d = []
+    for _ in range(200):
+        a, b = rng.choice(ids, 2, replace=False)
+        rand_d.append(bin(int(sh[a]) ^ int(sh[b])).count("1"))
+    assert np.mean(dup_d) < np.mean(rand_d) / 2
+
+
+def test_embedding_near_dup_matches_bruteforce(ray_session):
+    got = dedup.embedding_near_dup(SF, chunk=150).to_pandas()  # >1 chunk pair
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = m @ m.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
+    want = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])),
+         int(round(sims[i, j] * 1000)))
+        for i, j in zip(ii, jj)
+    )
+    have = sorted(zip(got["vec_a"], got["vec_b"], got["cosine_milli"]))
+    assert [tuple(map(int, h)) for h in have] == want
+
+
+def test_exact_dedup_groups(ray_session):
+    df = dedup.exact_dedup(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    md5s = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        md5s.setdefault(hashlib.md5(x.encode()).hexdigest(), []).append(d)
+    assert len(df) == len(md5s)
+    got = {r["text_md5"]: (r["keep_doc_id"], r["n_dups"]) for _, r in df.iterrows()}
+    for h, docs in md5s.items():
+        assert got[h] == (min(docs), len(docs))
