@@ -32,6 +32,10 @@ class TfidfScorer:
     name = "tfidf"
     needs_doc_metadata = False
 
+    @property
+    def cache_key(self) -> tuple:
+        return ("tfidf",)
+
     def score(self, tf, term_idf, dl=None, avgdl=None):
         tf = np.asarray(tf, dtype=np.float64)
         return np.where(tf == 0, 0.0, (1.0 + np.log2(np.maximum(tf, 1))) * term_idf)
@@ -49,6 +53,10 @@ class Bm25Scorer:
     def __init__(self, k1: float = BM25_K1, b: float = BM25_B):
         self.k1 = k1
         self.b = b
+
+    @property
+    def cache_key(self) -> tuple:
+        return ("bm25", self.k1, self.b)
 
     def score(self, tf, term_idf, dl, avgdl):
         tf = np.asarray(tf, dtype=np.float64)

@@ -42,6 +42,7 @@ import os
 from collections import OrderedDict
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -57,6 +58,75 @@ def _np_offsets(binary_arr) -> tuple[np.ndarray, np.ndarray]:
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
     values = np.frombuffer(bufs[2], dtype=np.uint8)
     return offsets, values
+
+
+class _RefCursor:
+    """Lazy posting cursor for the reference-faithful BMM loop: decodes
+    ONE skip block at a time from the stored skip offsets (the
+    reference's mmap'd cursor repositioning, src/index/Index.cpp:169-214
+    + src/util/memory.cpp:9-61) and scores the block on decode. A
+    non-essential list whose blocks are never probed is never decoded."""
+
+    __slots__ = ("s", "ti", "scorer", "df", "pos", "sigma", "ubs",
+                 "_blk", "_d", "_sc", "_start")
+
+    def __init__(self, searcher, ti: int, scorer, ubs: np.ndarray, sigma: float):
+        self.s = searcher
+        self.ti = ti
+        self.scorer = scorer
+        self.df = int(searcher.df_local[ti])
+        self.pos = 0
+        self.sigma = sigma
+        self.ubs = ubs
+        self._blk = -1
+        self._d = None
+        self._sc = None
+        self._start = 0
+
+    def _load(self, b: int) -> None:
+        if b != self._blk:
+            s = self.s
+            d, tf = s.block(self.ti, b)
+            local = (d.astype(np.int64) - s.base_docid)
+            self._sc = self.scorer.score(tf, s.idf[self.ti], s.doclen[local], s.avgdl)
+            self._d = d
+            self._blk = b
+            self._start = b * s.skip_block_size
+
+    def exhausted(self) -> bool:
+        return self.pos >= self.df
+
+    def docid(self) -> int:
+        b = self.pos // self.s.skip_block_size
+        self._load(b)
+        return int(self._d[self.pos - self._start])
+
+    def score(self) -> float:
+        b = self.pos // self.s.skip_block_size
+        self._load(b)
+        return float(self._sc[self.pos - self._start])
+
+    def block_ub(self) -> float:
+        return float(self.ubs[min(self.pos // self.s.skip_block_size,
+                                  len(self.ubs) - 1)])
+
+    def next_geq(self, target: int) -> None:
+        """Advance (never backward) to the first posting >= target: block
+        jump through the last-docid skip array, then an in-block binary
+        search — whole-list decode never happens."""
+        s = self.s
+        sl = s._skip_last_v[s._skip_offs[self.ti] : s._skip_offs[self.ti + 1]]
+        b = int(np.searchsorted(sl, target, side="left"))
+        cur_b = self.pos // s.skip_block_size
+        if b < cur_b:
+            b = cur_b
+        if b >= len(sl):
+            self.pos = self.df
+            return
+        self._load(b)
+        p = self._start + int(np.searchsorted(self._d, target, side="left"))
+        if p > self.pos:
+            self.pos = p
 
 
 class SegmentSearcher:
@@ -86,11 +156,19 @@ class SegmentSearcher:
             ["skip_last_docid", "skip_bm25_ub", "skip_tfidf_ub",
              "skip_docid_off", "skip_freq_off"]
         ).combine_chunks()
-        self._skip_last = skips["skip_last_docid"]
-        self._skip_bm25 = skips["skip_bm25_ub"]
-        self._skip_tfidf = skips["skip_tfidf_ub"]
-        self._skip_docid_off = skips["skip_docid_off"]
-        self._skip_freq_off = skips["skip_freq_off"]
+
+        # flatten the per-term skip lists to (values, offsets) numpy pairs
+        # once at load — the query paths index them per block with no
+        # per-query Arrow -> Python conversion
+        def _flat(col):
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return arr.values.to_numpy(zero_copy_only=False), np.asarray(arr.offsets)
+
+        self._skip_last_v, self._skip_offs = _flat(skips["skip_last_docid"])
+        self._skip_bm25_v, _ = _flat(skips["skip_bm25_ub"])
+        self._skip_tfidf_v, _ = _flat(skips["skip_tfidf_ub"])
+        self._skip_docid_off_v, _ = _flat(skips["skip_docid_off"])
+        self._skip_freq_off_v, _ = _flat(skips["skip_freq_off"])
         # Only the dgap-blockrestart encoding exists on disk (pre-dgap
         # indexes lack the skip_*_off columns selected above, so they can
         # never reach this point anyway — the legacy branch was dead code).
@@ -126,6 +204,22 @@ class SegmentSearcher:
         self.default_scorer = make_scorer(scorer, k1, b)
         self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._cache_cap = cache_terms
+        # single-block decode cache for the lazy query paths + decode
+        # accounting (``decoded_postings`` lets tests assert that lazy
+        # traversal touches a strict subset of the postings)
+        self._blk_cache: OrderedDict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self._blk_cache_cap = 4096
+        # full score arrays per (term, scorer-params): a pure function of
+        # the immutable index, so safe to cache — repeated query terms
+        # become pure gathers/scatter-adds instead of re-scoring
+        self._score_cache: OrderedDict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
+        # densified per-term score vectors (segment-length), byte-capped:
+        # candidate scoring becomes one fancy-index instead of a binary
+        # search per candidate. At huge segments the cap holds few terms
+        # and _score_at falls back to searchsorted/blocks.
+        self._dense_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._dense_cap_bytes = 256 << 20
+        self.decoded_postings = 0
         if prewarm_df:
             # eagerly decode hot-term posting lists at load (once per
             # actor, parallel across the pool) so first queries don't pay
@@ -155,10 +249,35 @@ class SegmentSearcher:
             docids = c - np.repeat(base, counts)
         n = len(docids)
         tfs = unary.decode(self._freq_vals[self._freq_offs[ti] : self._freq_offs[ti + 1]], n)
+        self.decoded_postings += n
         self._cache[ti] = (docids, tfs)
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
         return docids, tfs
+
+    def n_blocks(self, ti: int) -> int:
+        B = self.skip_block_size
+        return (int(self.df_local[ti]) + B - 1) // B
+
+    def block_of(self, ti: int, docid: int) -> int:
+        """Index of the skip block that may contain ``docid`` (global id):
+        the first block whose last docid >= docid — the reference's skip-
+        pointer jump (src/index/Index.cpp:169-189)."""
+        sl = self._skip_last_v[self._skip_offs[ti] : self._skip_offs[ti + 1]]
+        return int(np.searchsorted(sl, docid, side="left"))
+
+    def block(self, ti: int, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        """LRU-cached :meth:`decode_block`."""
+        key = (ti, blk)
+        hit = self._blk_cache.get(key)
+        if hit is not None:
+            self._blk_cache.move_to_end(key)
+            return hit
+        out = self.decode_block(ti, blk)
+        self._blk_cache[key] = out
+        if len(self._blk_cache) > self._blk_cache_cap:
+            self._blk_cache.popitem(last=False)
+        return out
 
     def decode_block(self, ti: int, block: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode ONE skip block of term ``ti`` directly from the packed
@@ -174,9 +293,10 @@ class SegmentSearcher:
         assert 0 <= block < n_blocks, (block, n_blocks)
         n_in_block = min(B, df - block * B)
 
-        docid_off = int(self._skip_docid_off[ti][block].as_py())
+        so = self._skip_offs[ti]
+        docid_off = int(self._skip_docid_off_v[so + block])
         next_off = (
-            int(self._skip_docid_off[ti][block + 1].as_py())
+            int(self._skip_docid_off_v[so + block + 1])
             if block + 1 < n_blocks
             else int(self._docid_offs[ti + 1] - self._docid_offs[ti])
         )
@@ -185,14 +305,48 @@ class SegmentSearcher:
         assert len(gaps) == n_in_block
         docids = np.cumsum(gaps)
 
-        freq_bit = int(self._skip_freq_off[ti][block].as_py())
+        freq_bit = int(self._skip_freq_off_v[so + block])
         fbase = int(self._freq_offs[ti])
         fend = int(self._freq_offs[ti + 1])
         byte_off, bit_off = divmod(freq_bit, 8)
         tfs = unary.decode(
             self._freq_vals[fbase + byte_off : fend], n_in_block, start_bit=bit_off
         )
+        self.decoded_postings += n_in_block
         return docids.astype(np.uint64), tfs
+
+    def scored_postings(
+        self, ti: int, scorer
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, local ids, scores) for the FULL list of term ``ti``,
+        LRU-cached per (term, scorer params)."""
+        key = (ti,) + scorer.cache_key
+        hit = self._score_cache.get(key)
+        if hit is not None:
+            self._score_cache.move_to_end(key)
+            return hit
+        docids, tfs = self.postings(ti)
+        local = (docids - self.base_docid).astype(np.int64)
+        s = scorer.score(tfs, self.idf[ti], self.doclen[local], self.avgdl)
+        out = (docids, local, s)
+        self._score_cache[key] = out
+        if len(self._score_cache) > self._cache_cap:
+            self._score_cache.popitem(last=False)
+        return out
+
+    def _densify(self, skey: tuple, local: np.ndarray, s: np.ndarray):
+        """Segment-length dense score vector for a scored list, or None
+        when the byte cap says this segment is too big to densify."""
+        entry_bytes = self.n_docs_seg * 8
+        max_entries = self._dense_cap_bytes // max(entry_bytes, 1)
+        if max_entries == 0:
+            return None
+        dense = np.zeros(self.n_docs_seg, dtype=np.float64)
+        dense[local] = s
+        self._dense_cache[skey] = dense
+        while len(self._dense_cache) > max_entries:
+            self._dense_cache.popitem(last=False)
+        return dense
 
     def _resolve_terms(self, qterms: list[str], conj: bool):
         """Semi/anti-join of query terms vs the local lexicon (J1)."""
@@ -217,9 +371,7 @@ class SegmentSearcher:
         cnt = np.zeros(self.n_docs_seg, dtype=np.int32)
         touched = []
         for i in idxs:
-            docids, tfs = self.postings(i)
-            local = (docids - self.base_docid).astype(np.int64)
-            s = scorer.score(tfs, self.idf[i], self.doclen[local], self.avgdl)
+            _, local, s = self.scored_postings(i, scorer)
             acc[local] += s
             cnt[local] += 1
             touched.append(local)
@@ -267,51 +419,44 @@ class SegmentSearcher:
         use_bm25 = isinstance(scorer, Bm25Scorer)
         sigmas = (self.bm25_sigma if use_bm25 else self.tfidf_sigma)[idxs]
         order = np.argsort(sigmas, kind="stable")
-        lists = []
-        for j in order:
-            i = idxs[j]
-            docids, tfs = self.postings(i)
-            local = (docids - self.base_docid).astype(np.int64)
-            s = scorer.score(tfs, self.idf[i], self.doclen[local], self.avgdl)
-            ub_col = self._skip_bm25 if use_bm25 else self._skip_tfidf
-            block_ubs = np.asarray(ub_col[i].as_py(), dtype=np.float64)
-            lists.append({"docids": docids, "scores": s, "pos": 0,
-                          "sigma": float(sigmas[j]), "block_ubs": block_ubs})
+        ub_vals = self._skip_bm25_v if use_bm25 else self._skip_tfidf_v
+        lists = [
+            _RefCursor(
+                self, idxs[j], scorer,
+                ub_vals[self._skip_offs[idxs[j]] : self._skip_offs[idxs[j] + 1]],
+                float(sigmas[j]),
+            )
+            for j in order
+        ]
 
-        upper_bounds = np.cumsum([pl["sigma"] for pl in lists])
+        upper_bounds = np.cumsum([c.sigma for c in lists])
         heap: list[tuple[float, int]] = []  # min-heap of (score, -docid)
         theta = 0.0
         pivot = 0
-        curr = min(int(pl["docids"][0]) for pl in lists)
-        B = self.skip_block_size
+        curr = min(c.docid() for c in lists)
 
         while lists and pivot < len(lists):
             score = 0.0
             nxt = np.iinfo(np.int64).max
             # essential lists
-            for pl in lists[pivot:]:
-                d = pl["docids"]
-                p = pl["pos"]
-                if p < len(d) and int(d[p]) == curr:
-                    score += float(pl["scores"][p])
-                    pl["pos"] = p = p + 1
-                if p < len(d):
-                    nxt = min(nxt, int(d[p]))
-            # non-essential lists, right to left, while UBs can beat θ
+            for c in lists[pivot:]:
+                if not c.exhausted() and c.docid() == curr:
+                    score += c.score()
+                    c.pos += 1
+                if not c.exhausted():
+                    nxt = min(nxt, c.docid())
+            # non-essential lists, right to left, while UBs can beat θ —
+            # their blocks decode ONLY here, and only while the bound says
+            # the probe can still matter
             if pivot != 0 and score + upper_bounds[pivot - 1] > theta:
-                bub = np.cumsum([pl["block_ubs"][min(pl["pos"] // B, len(pl["block_ubs"]) - 1)]
-                                 for pl in lists[:pivot]])
+                bub = np.cumsum([c.block_ub() for c in lists[:pivot]])
                 for i in range(pivot - 1, -1, -1):
                     if score + bub[i] <= theta:
                         break
-                    pl = lists[i]
-                    d = pl["docids"]
-                    # nextGEQ via searchsorted (galloping ≙ block skip)
-                    p = int(np.searchsorted(d, curr, side="left"))
-                    if p > pl["pos"]:
-                        pl["pos"] = p
-                    if pl["pos"] < len(d) and int(d[pl["pos"]]) == curr:
-                        score += float(pl["scores"][pl["pos"]])
+                    c = lists[i]
+                    c.next_geq(curr)
+                    if not c.exhausted() and c.docid() == curr:
+                        score += c.score()
             # heap insert (strict >, reference Index.hpp:60-77)
             if len(heap) < k or score > heap[0][0]:
                 heapq.heappush(heap, (score, -curr))
@@ -329,12 +474,12 @@ class SegmentSearcher:
             # the reference, upper_bounds is *not* rebuilt — stale bounds
             # are only larger, so pruning stays safe)
             kept = []
-            for pl in lists:
-                if pl["pos"] >= len(pl["docids"]):
+            for c in lists:
+                if c.exhausted():
                     if pivot > len(kept):
                         pivot -= 1
                 else:
-                    kept.append(pl)
+                    kept.append(c)
             lists = kept
             if nxt == np.iinfo(np.int64).max:
                 break
@@ -378,14 +523,12 @@ class SegmentSearcher:
         # faithfully by mode="bmm_ref".)
         upper_bounds = np.cumsum(sigmas[order] + 0.01)
 
-        # decode + score each list once (lexicographic order = idxs order)
-        lex_lists = []
-        for i in idxs:
-            docids, tfs = self.postings(i)
-            local = (docids - self.base_docid).astype(np.int64)
-            s = scorer.score(tfs, self.idf[i], self.doclen[local], self.avgdl)
-            lex_lists.append((local, s))
-
+        # LAZY traversal: only candidate-GENERATOR lists (descending sigma
+        # until the bound check stops the scan) are fully decoded; every
+        # other list is probed block-at-a-time at candidate positions via
+        # the stored skip offsets (:meth:`_score_at`) — the reference's
+        # never-decode-the-whole-list mmap shape
+        # (src/index/Index.cpp:169-214).
         theta = -np.inf
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
@@ -396,19 +539,18 @@ class SegmentSearcher:
             # (score desc, docid asc) tie-break stays exact vs DAAT
             if n_collected >= k and upper_bounds[rank] < theta:
                 break  # no unscored doc can beat θ — safe stop
-            cand = lex_lists[order[rank]][0]
+            docids = self._all_docids(idxs[order[rank]])
+            cand = (docids.astype(np.int64) - self.base_docid)
             if seen is not None:
                 cand = cand[
                     seen[np.searchsorted(seen, cand).clip(0, len(seen) - 1)] != cand
                 ] if len(seen) else cand
             if len(cand) == 0:
                 continue
+            cand_glob = (cand + self.base_docid).astype(np.uint64)
             acc = np.zeros(len(cand), dtype=np.float64)
-            for local, s in lex_lists:  # lexicographic addition order
-                pos = np.searchsorted(local, cand)
-                pos_c = pos.clip(0, len(local) - 1)
-                m = local[pos_c] == cand
-                acc[m] += s[pos_c[m]]
+            for i in idxs:  # lexicographic addition order
+                acc += self._score_at(i, cand_glob, scorer)
             cand_ids.append(cand)
             cand_scores.append(acc)
             n_collected += len(cand)
@@ -421,6 +563,84 @@ class SegmentSearcher:
         if not cand_ids:
             return []
         return self._topk(np.concatenate(cand_ids), np.concatenate(cand_scores), k)
+
+    def _all_docids(self, ti: int) -> np.ndarray:
+        """All docids of term ``ti`` — from the full-decode LRU when hot,
+        else assembled block-by-block through the block LRU (so a
+        following :meth:`_score_at` probe of the same blocks is a cache
+        hit, not a second decode)."""
+        hit = self._cache.get(ti)
+        if hit is not None:
+            self._cache.move_to_end(ti)
+            return hit[0]
+        nb = self.n_blocks(ti)
+        if nb == 0:
+            return np.empty(0, dtype=np.uint64)
+        if nb == 1:
+            return self.block(ti, 0)[0]
+        return np.concatenate([self.block(ti, b)[0] for b in range(nb)])
+
+    def _score_at(self, ti: int, cand_glob: np.ndarray, scorer) -> np.ndarray:
+        """Score contributions of term ``ti`` at the given (sorted,
+        global) candidate docids — 0 where the term doesn't match.
+
+        Uses the full-decode LRU when the list is already hot; otherwise
+        decodes ONLY the skip blocks that contain candidates (block lookup
+        through the per-term last-docid skip array). Per-posting
+        arithmetic is the identical vectorized scorer call either way, so
+        scores are bit-equal to the eager path."""
+        out = np.zeros(len(cand_glob), dtype=np.float64)
+        skey = (ti,) + scorer.cache_key
+        dense = self._dense_cache.get(skey)
+        if dense is not None:  # one fancy-index, zeros where absent
+            self._dense_cache.move_to_end(skey)
+            return dense[(cand_glob.astype(np.int64) - self.base_docid)]
+        shit = self._score_cache.get(skey)
+        if shit is not None:  # fully scored already: gather (and densify)
+            self._score_cache.move_to_end(skey)
+            docids, local, s = shit
+            if len(docids) == 0:
+                return out
+            dense = self._densify(skey, local, s)
+            if dense is not None:
+                return dense[(cand_glob.astype(np.int64) - self.base_docid)]
+            pos = np.searchsorted(docids, cand_glob).clip(0, len(docids) - 1)
+            m = docids[pos] == cand_glob
+            out[m] = s[pos[m]]
+            return out
+        hit = self._cache.get(ti)
+        if hit is not None:
+            self._cache.move_to_end(ti)
+            docids, tfs = hit
+            if len(docids) == 0:
+                return out
+            pos = np.searchsorted(docids, cand_glob).clip(0, len(docids) - 1)
+            m = docids[pos] == cand_glob
+            if m.any():
+                sel = pos[m]
+                local = (docids[sel] - self.base_docid).astype(np.int64)
+                out[m] = scorer.score(
+                    tfs[sel], self.idf[ti], self.doclen[local], self.avgdl
+                )
+            return out
+        nb = self.n_blocks(ti)
+        if nb == 0:
+            return out
+        sl = self._skip_last_v[self._skip_offs[ti] : self._skip_offs[ti + 1]]
+        blks = np.searchsorted(sl, cand_glob, side="left")
+        for b in np.unique(blks[blks < nb]):
+            d, tf = self.block(ti, int(b))
+            sel_idx = np.flatnonzero(blks == b)
+            pos = np.searchsorted(d, cand_glob[sel_idx]).clip(0, len(d) - 1)
+            m = d[pos] == cand_glob[sel_idx]
+            if m.any():
+                mi = sel_idx[m]
+                pp = pos[m]
+                local = (d[pp] - self.base_docid).astype(np.int64)
+                out[mi] = scorer.score(
+                    tf[pp], self.idf[ti], self.doclen[local], self.avgdl
+                )
+        return out
 
     # ---------- generic dispatch ----------
 

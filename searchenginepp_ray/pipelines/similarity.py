@@ -30,12 +30,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
-def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+def _head_table(path: str, n: int, columns: list[str]) -> pa.Table:
+    """First ``n`` rows only — a bounded driver-side read (streams record
+    batches and stops; never loads the whole column)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()[:n_queries]
-    q = np.asarray(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    pf = pq.ParquetFile(path)
+    batches, got = [], 0
+    for b in pf.iter_batches(batch_size=min(max(n, 1), 4096), columns=columns):
+        batches.append(b)
+        got += len(b)
+        if got >= n:
+            break
+    t = pa.Table.from_batches(batches)
+    pf.close()
+    return t.slice(0, n)
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _head_table(f"{sf_dir}/embeddings.parquet", n_queries, ["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     return ids, q
 
 
@@ -79,16 +94,12 @@ def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5):
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
-            nprobe: int = 4, sample_size: int = 2048, iters: int = 5):
-    """IVF top-k: bucket by nearest centroid, probe only nprobe buckets.
-
-    Approximate; recall measured against :func:`knn_brute_force` in tests."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    sample = np.asarray(t["embedding"].to_pylist()[:sample_size], dtype=np.float64)
-    sample = _normalize(sample)
+def _train_centroids(sf_dir: str, nlist: int, sample_size: int,
+                     iters: int) -> np.ndarray:
+    """Deterministic k-means-lite centroids from a BOUNDED sample (first
+    ``sample_size`` rows streamed, never the full column)."""
+    t = _head_table(f"{sf_dir}/embeddings.parquet", sample_size, ["embedding"])
+    sample = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
     rng = np.random.Generator(np.random.PCG64(42))
     cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
     for _ in range(iters):  # Lloyd on the sample
@@ -98,7 +109,61 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
+    return cents
+
+
+def ivf_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
+              iters: int = 5) -> tuple[str, np.ndarray]:
+    """Build (or reuse) the IVF index: embeddings written as Parquet
+    PARTITIONED BY nearest-centroid bucket, so probing prunes *reads* —
+    a query touches only its ``nprobe`` bucket directories, not the full
+    table. Idempotent per (corpus, params) cache key."""
+    import hashlib
+    import json
+    import os
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:ivf:{nlist}:{sample_size}:{iters}:v1".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/seppray_ivf_cache", key)
+    marker = os.path.join(out, "_done.json")
+    cents_path = os.path.join(out, "centroids.npy")
+    if os.path.exists(marker):
+        return out, np.load(cents_path)
+
+    cents = _train_centroids(sf_dir, nlist, sample_size, iters)
     cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        bucket = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    embeddings_ds(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out, "data"), partition_cols=["bucket"]
+    )
+    np.save(cents_path, cents)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"nlist": int(nlist)}, f)
+    os.replace(marker + ".tmp", marker)
+    return out, cents
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
+            nprobe: int = 4, sample_size: int = 2048, iters: int = 5):
+    """IVF top-k over the bucket-partitioned layout: only the union of the
+    queries' ``nprobe`` probed bucket directories is scanned (pruned
+    parquet read), then each batch scores only the queries probing its
+    bucket. Approximate; recall measured against :func:`knn_brute_force`
+    in tests."""
+    import os
+
+    index_dir, cents = ivf_build(sf_dir, nlist, sample_size, iters)
 
     q_ids, q = _query_matrix(sf_dir, n_queries)
     qn = _normalize(q)
@@ -106,19 +171,34 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
     probe_sets = [set(row.tolist()) for row in probes]
     q_ref = ray.put((qn, probe_sets))
 
+    # pruned read: list only probed bucket dirs (the 1/nlist fraction scan)
+    union = sorted(set(probes.reshape(-1).tolist()))
+    parts = []
+    for b in union:
+        d = os.path.join(index_dir, "data", f"bucket={b}")
+        if os.path.isdir(d):
+            parts.append(
+                ray.data.read_parquet(d, columns=["vec_id", "embedding"])
+                .map_batches(
+                    lambda t, _b=b: t.append_column(
+                        "bucket", pa.array(np.full(len(t), _b, dtype=np.int32))
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
     def partial_topk(t: pa.Table) -> pa.Table:
-        cents = ray.get(cents_ref)
         qn, probe_sets = ray.get(q_ref)
         m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
         vec_ids = t["vec_id"].to_numpy()
-        bucket = (m @ cents.T).argmax(axis=1)
-        sims = qn @ m.T
+        bucket = t["bucket"].to_numpy()
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qn)):
             mask = np.isin(bucket, list(probe_sets[qi]))
             if not mask.any():
                 continue
-            s = sims[qi][mask]
+            s = m[mask] @ qn[qi]
             ids = vec_ids[mask]
             kk = min(k, len(s))
             thresh = np.partition(s, len(s) - kk)[len(s) - kk]
@@ -130,7 +210,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "cosine": pa.array(out_s, pa.float64())})
 
-    partials = embeddings_ds(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)

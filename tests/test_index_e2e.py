@@ -202,6 +202,47 @@ def test_bmm_ref_scores_faithful(built):
                 assert abs(s - kth) <= 0.0100001, (q, d, s, kth)
 
 
+def test_lazy_bmm_decodes_fewer_postings(ray_session, tmp_path_factory):
+    """The lazy BMM paths must touch strictly fewer postings than a full
+    decode of every query list (the reference never decodes whole lists —
+    src/index/Index.cpp:169-214), while returning results identical to
+    DAAT (mode="bmm") / faithful (mode="bmm_ref"). Needs multi-block
+    lists, so the index is built with a tiny skip_block_size."""
+    from searchenginepp_ray.index.searcher import SegmentSearcher
+    from searchenginepp_ray.sources.corpus_gen import write_corpus
+
+    tmp = tmp_path_factory.mktemp("lazy")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 800, seed=5, rows_per_group=128)
+    cfg = BuildConfig(docs_per_segment=800, skip_block_size=17)
+    out_dir = str(tmp / "idx")
+    summary = build_index(corpus_path, out_dir, cfg, CODE_CORPUS)
+    engine = QueryEngine(out_dir, use_actors=False, cfg=cfg)
+
+    queries = ["hash index merge sort", "return if else for int",
+               "query search vector string buffer"]
+    for mode in ("bmm", "bmm_ref"):
+        s = SegmentSearcher(
+            f"{out_dir}/db_0", n_docs_global=summary["n_docs"],
+            avgdl=summary["avgdl"], prewarm_df=None,
+        )
+        full_cost = 0
+        for q in queries:
+            toks = engine.normalize_query(q)
+            idxs = s._resolve_terms(toks, conj=False)
+            full_cost += int(s.df_local[idxs].sum())
+        results = {}
+        for q in queries:
+            results[q] = s.query(engine.normalize_query(q), k=3, mode=mode)
+        assert 0 < s.decoded_postings < full_cost, (mode, s.decoded_postings, full_cost)
+        if mode == "bmm":  # lazy pruning must not change results vs DAAT
+            for q in queries:
+                daat = s.query(engine.normalize_query(q), k=3, mode="daat")
+                assert [(d, sc) for d, _, sc in results[q]] == [
+                    (d, sc) for d, _, sc in daat
+                ]
+
+
 def test_crash_resume_tokenize_stage(ray_session, tmp_path_factory):
     """A build interrupted mid-tokenize resumes from completed shards:
     only missing shards re-run, and the finished index is identical."""
