@@ -16,7 +16,13 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/events.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_read_blocks(path, target_rows=20_000),
+    )
 
 
 def windowed_agg(sf_dir: str, window_s: int = 3600):

@@ -60,8 +60,12 @@ def media_ds(sf_dir: str) -> ray.data.Dataset:
             schema=MEDIA_SCHEMA,
         )
 
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_read_blocks(path),
     ).map_batches(to_media, batch_format="pyarrow")
 
 

@@ -21,8 +21,11 @@ import ray.data
 
 
 def embeddings_ds(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(path, columns=["vec_id", "embedding"],
+                                 override_num_blocks=_read_blocks(path))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

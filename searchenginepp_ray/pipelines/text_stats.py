@@ -30,7 +30,23 @@ QUALITY_STOPS = (
 )
 
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=list(columns), override_num_blocks=_read_blocks(path)
+    )
+
+
+def _read_blocks(path: str, target_rows: int = 2000) -> int:
+    """Read parallelism with a ~target_rows/block floor: Ray's default
+    splits small files into per-CPU micro-blocks, and a fleet of
+    100-row tasks pays per-task fixed costs (worker spin-up, scratch
+    warm-up) far exceeding the work. Caps at 2×CPUs for big inputs —
+    i.e. natural parallelism is preserved at scale."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(2 * cpus, n // target_rows + 1))
 
 
 def _partials_width() -> int:
