@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
         "simhash": lambda sf: dedup.simhash(sf),
+        "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(sf),
         # --- similarity search ---

@@ -81,6 +81,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """``eval`` ≙ the trec_eval step of the reference workflow
+    (reference README.md:122-127): score a TREC run file against qrels."""
+    import json
+
+    from .functions import effectiveness as eff
+
+    with open(args.run) as f:
+        run = eff.parse_run(f)
+    with open(args.qrels) as f:
+        qrels = eff.parse_qrels(f)
+    res = eff.evaluate_run(run, qrels, k=args.k)
+    out = res["summary"] if not args.per_query else res
+    print(json.dumps(out, indent=2, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchenginepp_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +128,13 @@ def main(argv=None) -> int:
     q.add_argument("--no-actors", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
+    e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")
+    e.add_argument("qrels", help="qrels file (qid 0 docno rel)")
+    e.add_argument("-k", type=int, default=10)
+    e.add_argument("--per-query", action="store_true")
+    e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -603,6 +603,121 @@ def simhash(sf_dir: str, shingle: int = 1):
     return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
 
 
+def simhash_near_dup_pairs(
+    sf_dir: str, shingle: int = 1, max_hamming: int = 3,
+):
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Scale shape (the classic Manku/Jain/Sarma trick): split the 64-bit
+    simhash into ``max_hamming + 1`` bands — a pair within the Hamming
+    budget must agree exactly on at least one band (pigeonhole), so
+    banding is a LOSSLESS blocking key. One coarse-partition groupby per
+    the band key, vectorized in-partition pair expansion + exact XOR
+    popcount verify, one aggregate to dedup across bands."""
+    P = _shuffle_width()
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"band_id": pa.array([], pa.int32()),
+                 "band_key": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.uint64()),
+                 "_part": pa.array([], pa.int32())}
+            )
+        S, shc = _shingle_hash_batch(t["text"], shingle)
+        starts = np.cumsum(shc) - shc
+        ones = np.empty((n, 64), dtype=np.int64)
+        bits = _scratch_u64("sh_bits", (len(S), 16))
+        for b0 in range(0, 64, 16):
+            np.right_shift(
+                S[:, None], np.arange(b0, b0 + 16, dtype=np.uint64)[None, :],
+                out=bits,
+            )
+            np.bitwise_and(bits, np.uint64(1), out=bits)
+            ones[:, b0 : b0 + 16] = np.add.reduceat(bits, starts, axis=0)
+        votes = 2 * ones - shc[:, None]
+        sim = np.packbits(
+            (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+        ).view(np.uint64).reshape(n)
+        doc = t["doc_id"].to_numpy()
+        outs = []
+        for b in range(n_bands):
+            lo = b * band_bits
+            width = band_bits if b < n_bands - 1 else 64 - lo
+            key = (sim >> np.uint64(lo)) & np.uint64((1 << width) - 1)
+            outs.append((np.full(n, b, dtype=np.int32), key, doc, sim))
+        band_id = np.concatenate([o[0] for o in outs])
+        band_key = np.concatenate([o[1] for o in outs])
+        doc_ids = np.concatenate([o[2] for o in outs])
+        sims = np.concatenate([o[3] for o in outs])
+        part = (
+            (_splitmix64(band_key ^ (band_id.astype(np.uint64) * _GOLDEN)))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {"band_id": pa.array(band_id), "band_key": pa.array(band_key),
+             "doc_id": pa.array(doc_ids), "sh": pa.array(sims),
+             "_part": pa.array(part)}
+        )
+
+    def expand_verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        band = t["band_id"].to_numpy()
+        key = t["band_key"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        sim = t["sh"].to_numpy()
+        order = np.lexsort((doc, key, band))
+        band_s, key_s, doc_s, sim_s = band[order], key[order], doc[order], sim[order]
+        change = np.empty(len(order), dtype=bool)
+        change[0] = True
+        change[1:] = (band_s[1:] != band_s[:-1]) | (key_s[1:] != key_s[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(order))
+        sel = (ends - starts) >= 2
+        out_a, out_b, out_h = [], [], []
+        popcount = np.bitwise_count if hasattr(np, "bitwise_count") else None
+        for s, e in zip(starts[sel], ends[sel]):
+            ia, ib = np.triu_indices(e - s, k=1)
+            x = sim_s[s:e][ia] ^ sim_s[s:e][ib]
+            if popcount is not None:
+                h = popcount(x).astype(np.int64)
+            else:
+                h = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            ok = h <= max_hamming
+            out_a.append(doc_s[s:e][ia[ok]])
+            out_b.append(doc_s[s:e][ib[ok]])
+            out_h.append(h[ok])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a).astype(np.int64)
+        b = np.concatenate(out_b).astype(np.int64)
+        h = np.concatenate(out_h)
+        abh = np.unique(np.stack([a, b, h], axis=1), axis=0)
+        return pa.table(
+            {"doc_a": pa.array(abh[:, 0]), "doc_b": pa.array(abh[:, 1]),
+             "hamming": pa.array(abh[:, 2])}
+        )
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(to_bands, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(expand_verify, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
 # ---------- embedding-cosine near-dup ----------
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.45, chunk: int = 2048):

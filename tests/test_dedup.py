@@ -103,6 +103,26 @@ def test_simhash_near_dups_have_small_hamming(ray_session):
     assert np.mean(dup_d) < np.mean(rand_d) / 2
 
 
+def test_simhash_near_dup_pairs_lossless_blocking(ray_session):
+    """The Hamming-band blocking must find EXACTLY the pairs a brute
+    force O(N²) popcount scan finds at the same threshold (pigeonhole:
+    hamming <= 3 forces agreement on one of 4 bands)."""
+    got = dedup.simhash_near_dup_pairs(SF, max_hamming=3).to_pandas()
+    sh = dedup.simhash(SF).to_pandas()
+    ids = sh["doc_id"].to_numpy()
+    vals = sh["simhash"].to_numpy().astype(np.uint64)
+    want = []
+    for i in range(len(ids)):
+        x = vals[i] ^ vals[i + 1 :]
+        h = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero(h <= 3):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            want.append((min(a, b), max(a, b), int(h[j])))
+    have = sorted(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+    assert [tuple(map(int, r)) for r in have] == sorted(want)
+    assert len(want) > 0  # planted dups exist
+
+
 def test_embedding_near_dup_matches_bruteforce(ray_session):
     got = dedup.embedding_near_dup(SF, chunk=150).to_pandas()  # >1 chunk pair
     t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
