@@ -119,7 +119,8 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)  # reference -k
     q.add_argument("-a", "--algorithm", default="daat",
                    choices=("daat", "daat_conj", "bmm", "bmm_ref"))  # reference -a/-b
-    q.add_argument("-s", "--scorer", default="bm25", choices=("bm25", "tfidf"))  # reference -s
+    q.add_argument("-s", "--scorer", default="bm25",
+                   choices=("bm25", "tfidf", "tfidf_fast"))  # reference -s (+F4 flag)
     q.add_argument("-t", "--workers", type=int, default=None)  # reference -t
     q.add_argument("-r", "--run-name", default="seppray")  # reference -r
     q.add_argument("--query", help="one-shot query text (else read qid\\ttext from stdin)")

@@ -16,6 +16,9 @@ from ..index import scorer as _scorer
 SCORERS = {
     "bm25": lambda k1=0.82, b=0.68: _scorer.Bm25Scorer(k1, b),
     "tfidf": lambda **_: _scorer.TfidfScorer(),
+    # F4: the reference's USE_FAST_LOG integer-log TFIDF (off by default
+    # in its build; here a selectable scorer)
+    "tfidf_fast": lambda **_: _scorer.TfidfFastLogScorer(),
 }
 
 

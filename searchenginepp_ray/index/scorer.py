@@ -78,7 +78,37 @@ def dequantize_scores(q: np.ndarray) -> np.ndarray:
     return np.asarray(q, dtype=np.float64) / FIXED_POINT_FACTOR
 
 
-SCORERS = {"bm25": Bm25Scorer, "tfidf": TfidfScorer}
+class TfidfFastLogScorer:
+    """TFIDF with the reference's ``USE_FAST_LOG`` integer log (F4):
+    score = (1 + floor(log2(tf))) * idf — the de-Bruijn/MSB ``log2_64``
+    of reference src/index/query_scorer.cpp:7-30,53 (compile-flag, off in
+    the default build; provided for full §2.8 parity). The vectorized
+    equivalent of the MSB trick is the exact float exponent
+    (``frexp`` exponent − 1), bit-exact for any uint tf < 2^53.
+
+    Safe with the stored (standard-log) sigmas/block UBs: floor(log2 tf)
+    ≤ log2 tf, so standard bounds over-estimate and pruning stays sound.
+    """
+
+    name = "tfidf_fast"
+    needs_doc_metadata = False
+    block_ub_col = "skip_tfidf_ub"
+
+    @property
+    def cache_key(self) -> tuple:
+        return ("tfidf_fast",)
+
+    def score(self, tf, term_idf, dl=None, avgdl=None):
+        tf = np.asarray(tf, dtype=np.float64)
+        _, exp = np.frexp(np.maximum(tf, 1))
+        return np.where(tf == 0, 0.0, exp.astype(np.float64) * term_idf)
+
+    def sigma_of(self, seg_term_row):
+        return seg_term_row["tfidf_sigma"]
+
+
+SCORERS = {"bm25": Bm25Scorer, "tfidf": TfidfScorer,
+           "tfidf_fast": TfidfFastLogScorer}
 
 
 def make_scorer(name: str, k1: float = BM25_K1, b: float = BM25_B):
@@ -86,4 +116,6 @@ def make_scorer(name: str, k1: float = BM25_K1, b: float = BM25_B):
         return Bm25Scorer(k1, b)
     if name == "tfidf":
         return TfidfScorer()
+    if name == "tfidf_fast":
+        return TfidfFastLogScorer()
     raise ValueError(f"unknown scorer {name!r}")

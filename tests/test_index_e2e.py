@@ -176,6 +176,28 @@ def test_maxscore_exactly_equals_daat_many_k(built):
                 assert [(d, s) for d, _, s in a] == [(d, s) for d, _, s in b]
 
 
+def test_tfidf_fast_log_scorer(built):
+    """F4: the USE_FAST_LOG integer-log TFIDF — (1 + floor(log2 tf)) * idf
+    (reference src/index/query_scorer.cpp:7-30,53) — exact floor
+    semantics, and Maxscore pruning (standard-log bounds) stays exact."""
+    import numpy as np
+
+    from searchenginepp_ray.index.scorer import TfidfFastLogScorer
+
+    s = TfidfFastLogScorer()
+    tf = np.array([0, 1, 2, 3, 7, 8, 1023, 1024])
+    got = s.score(tf, 2.0)
+    want = np.array([0, 1, 2, 2, 3, 4, 10, 11], dtype=np.float64) * 2.0
+    assert got.tolist() == want.tolist()
+
+    _, _, engine = built
+    for q in ["hash index merge sort", "return if else"]:
+        daat = engine.search(q, k=10, mode="daat", scorer_name="tfidf_fast")
+        bmm = engine.search(q, k=10, mode="bmm", scorer_name="tfidf_fast")
+        assert [(d, sc) for d, _, sc in daat] == [(d, sc) for d, _, sc in bmm]
+        assert len(daat) > 0
+
+
 def test_bmm_ref_scores_faithful(built):
     """mode="bmm_ref" (the reference's cursor loop with truncated
     fixed-point bounds) returns correct scores for every doc it returns;
