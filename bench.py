@@ -273,6 +273,9 @@ def run_default() -> None:
         import shutil
 
         shutil.rmtree(merged_dir, ignore_errors=True)
+        # single-worker merge: this host's fault path serializes globally,
+        # so one worker's heap warm-up is the whole cost (BASELINE.md)
+        os.environ.setdefault("SEPPRAY_MERGE_TASK_CPUS", str(cpus))
         timed("code_merge_segments", lambda: merge_segments(
             "/tmp/bench_code_idx", merged_dir, group_size=32, cfg=None))
 

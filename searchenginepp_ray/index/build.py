@@ -511,6 +511,21 @@ class AssembleSegment:
         _timings["sort"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
 
+        return self._encode_write(
+            seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
+            dl_s, _timings,
+        )
+
+    def _encode_write(self, seg, files, docid, doclen, uniq_terms, codes_s,
+                      docid_s, tf_s, dl_s, _timings) -> dict:
+        """Shared encode tail: (term-code, docid)-sorted posting arrays →
+        encoded segment on disk. Used by both the raw-docs build path and
+        the segment-merge path."""
+        import time as _time
+
+        _t = _time.perf_counter()
+        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
+        manifest_path = os.path.join(seg_dir, "manifest.json")
         n_terms = len(uniq_terms)
         df_local = np.bincount(codes_s, minlength=n_terms).astype(np.int64)
         term_starts = np.concatenate(([0], np.cumsum(df_local)[:-1]))
@@ -695,6 +710,157 @@ class AssembleSegment:
         return manifest
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(c)`` for every c in counts (vectorized)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def read_segment_postings(seg_dir: str) -> dict:
+    """Fully-decoded posting data of a built segment, vectorized:
+    whole-column delta-gap VarByte docid decode (one pass over the
+    concatenated streams) and whole-column unary freq decode (bit-unpack
+    once; each term's values end at its first ``df`` zero-bits, so the
+    phantom padding never parses as data).
+
+    This is the read side of the k-way segment merge: because segments
+    are disjoint increasing docid ranges, per-term posting lists
+    CONCATENATE in (term, docid) order — no per-posting sort exists in
+    the merge at all (S5, the reference's k-way lexicon merge
+    src/builder.cpp:127-170 re-expressed over column batches)."""
+    from .searcher import _np_offsets
+
+    with open(os.path.join(seg_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    B = int(manifest["skip_block_size"])
+    t = pq.read_table(
+        os.path.join(seg_dir, "terms.parquet"),
+        columns=["term", "df_local", "docid_bytes", "freq_bytes"],
+    )
+    terms = t["term"].combine_chunks()
+    df = t["df_local"].to_numpy().astype(np.int64)
+    P = int(df.sum())
+    if P == 0:
+        return {"terms": terms, "df": df,
+                "docids": np.empty(0, dtype=np.uint64),
+                "tfs": np.empty(0, dtype=np.int64)}
+
+    d_offs, d_vals = _np_offsets(t["docid_bytes"])
+    gaps = varbyte.decode(d_vals[d_offs[0] : d_offs[-1]])
+    assert len(gaps) == P, (len(gaps), P)
+    term_starts = np.concatenate(([0], np.cumsum(df)[:-1]))
+    codes = np.repeat(np.arange(len(df)), df)
+    in_term = np.arange(P) - term_starts[codes]
+    ridx = np.flatnonzero(in_term % B == 0)
+    c = np.cumsum(gaps)
+    base = c[ridx] - gaps[ridx]
+    counts = np.diff(np.append(ridx, P))
+    docids = (c - np.repeat(base, counts)).astype(np.uint64)
+
+    f_offs, f_vals = _np_offsets(t["freq_bytes"])
+    bits = np.unpackbits(f_vals[f_offs[0] : f_offs[-1]], bitorder="little")
+    zpos = np.flatnonzero(bits == 0)
+    rs_bits = (f_offs[:-1] - f_offs[0]).astype(np.int64) * 8
+    z0 = np.searchsorted(zpos, rs_bits)
+    ends = zpos[np.repeat(z0, df) + _ranges(df)]
+    starts = np.empty(P, dtype=np.int64)
+    starts[1:] = ends[:-1] + 1
+    starts[0] = rs_bits[0]
+    nz = df > 0
+    starts[term_starts[nz]] = rs_bits[nz]  # term streams are byte-aligned
+    tfs = (ends - starts + 1).astype(np.int64)
+    return {"terms": terms, "df": df, "docids": docids, "tfs": tfs}
+
+
+class MergeAssemble(AssembleSegment):
+    """Segment-merge assembly: reads the SOURCE SEGMENTS (not raw docs),
+    concatenates their decoded posting lists per term — already (term,
+    docid)-sorted by construction — and reuses the shared encode tail.
+    Replaces the raw-path merge, which re-flattened every document and
+    re-sorted every posting."""
+
+    def __init__(self, src_index_dir: str, **kwargs):
+        super().__init__(**kwargs)
+        self.src_index_dir = src_index_dir
+
+    def _assemble(self, seg: int) -> dict:
+        import time as _time
+
+        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
+        manifest_path = os.path.join(seg_dir, "manifest.json")
+        if not self.force and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("lineage_key") == self.lineage_key:
+                return m  # checkpointed — skip
+
+        _timings = {}
+        _t = _time.perf_counter()
+        src_segs = self.seg_groups[seg] if self.seg_groups else [seg]
+        src_dirs = [os.path.join(self.src_index_dir, f"db_{s}") for s in src_segs]
+        files_set: set[str] = set()
+        for d in src_dirs:
+            with open(os.path.join(d, "manifest.json")) as f:
+                files_set.update(json.load(f)["doc_files"])
+        files = sorted(files_set)
+        dt = pads.dataset(files).to_table(columns=["docid", "doclen"])
+        dt = dt.take(pc.sort_indices(dt, sort_keys=[("docid", "ascending")]))
+        docid = dt["docid"].to_numpy(zero_copy_only=False)
+        doclen = dt["doclen"].to_numpy(zero_copy_only=False)
+
+        parts = [read_segment_postings(d) for d in src_dirs]
+        _timings["read"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
+
+        if len(docid) == 0 or sum(len(p["docids"]) for p in parts) == 0:
+            return self._write_empty(seg, files)
+
+        # term union: dictionary-encode the concatenated per-segment term
+        # columns (row count = Σ per-seg vocab, not Σ postings)
+        term_col = pa.concat_arrays([p["terms"] for p in parts])
+        de = pc.dictionary_encode(term_col)
+        dict_arr = de.dictionary if hasattr(de, "dictionary") else de.combine_chunks().dictionary
+        dict_sort = np.asarray(pc.array_sort_indices(dict_arr))
+        rank = np.empty(len(dict_sort), dtype=np.int64)
+        rank[dict_sort] = np.arange(len(dict_sort))
+        raw_codes = np.asarray(
+            de.indices if hasattr(de, "indices") else de.combine_chunks().indices
+        ).astype(np.int64)
+        row_codes = rank[raw_codes]
+        uniq_terms = np.asarray(dict_arr.take(pa.array(dict_sort)).to_pylist(), dtype=object)
+
+        # concatenated decoded flats + per-(seg, term) row starts
+        docids_flat = np.concatenate([p["docids"] for p in parts])
+        tfs_flat = np.concatenate([p["tfs"] for p in parts])
+        lens = np.concatenate([p["df"] for p in parts])
+        row_starts = np.cumsum(lens) - lens
+
+        # rows are seg-major; a STABLE sort by term code keeps segment
+        # (= docid) order within each term — no per-posting sort
+        row_order = np.argsort(row_codes, kind="stable")
+        lens_o = lens[row_order]
+        gather = np.repeat(row_starts[row_order], lens_o) + _ranges(lens_o)
+        docid_s = docids_flat[gather]
+        tf_s = tfs_flat[gather]
+        codes_s = np.repeat(row_codes[row_order], lens_o)
+
+        base0 = int(docid[0])
+        assert int(docid[-1]) - base0 == len(docid) - 1, "docids must be dense"
+        dl_s = doclen[(docid_s.astype(np.int64) - base0)]
+        _timings["kway"] = _time.perf_counter() - _t
+
+        return self._encode_write(
+            seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
+            dl_s, _timings,
+        )
+
+
 def merge_segments(
     index_dir: str,
     out_dir: str,
@@ -761,7 +927,8 @@ def merge_segments(
     global_df_ref = ray.put(
         pq.read_table(os.path.join(index_dir, "global", "term_df.parquet"))
     )
-    assemble = AssembleSegment(
+    assemble = MergeAssemble(
+        src_index_dir=index_dir,
         out_dir=out_dir,
         docs_dir=docs_dir,
         cfg=cfg,
@@ -775,9 +942,20 @@ def merge_segments(
     seg_ds = ray.data.from_items(
         [{"seg": m} for m in sorted(groups)], override_num_blocks=len(groups)
     )
+    # Merge tasks have large working sets (a whole merged segment's
+    # postings). On hosts whose page-fault path serializes globally (this
+    # sandbox: ~100 µs/page however many workers fault), total warm-up
+    # cost = n_workers × working set — so FEWER workers merge FASTER
+    # (measured 600k ×32: 8 workers 150 s, 3 workers 180 s, 1 worker
+    # 96 s). Default keeps the scalable parallel shape (real clusters
+    # fault cheaply); set SEPPRAY_MERGE_TASK_CPUS=<cpus> to serialize on
+    # fault-bound hosts (bench.py does).
+    merge_cpus = int(os.environ.get(
+        "SEPPRAY_MERGE_TASK_CPUS", max(_task_num_cpus(), 2)
+    ))
     manifests = seg_ds.map_batches(
         assemble, batch_format="pyarrow", batch_size=None,
-        num_cpus=max(_task_num_cpus(), 2),
+        num_cpus=merge_cpus,
     ).take_all()
 
     summary = {
