@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": lambda sf: multimodal.image_resize(sf),
         # --- stream-shaped ---
         "windowed_agg": lambda sf: events.windowed_agg(sf),
+        "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
     }
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "windowed_agg": osql.windowed_agg_sql(),
+        "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float

@@ -316,17 +316,15 @@ def build_index(
         os.makedirs(global_dir)
         # aggregate the vocabulary-sized per-shard partials the tokenize
         # tasks wrote (the partial/final pattern, A2) — no re-read of the
-        # full tokenized table; repartition first so shuffle task count
-        # tracks CPUs, not input shard count
-        n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        df_tbl = (
-            ray.data.read_parquet(os.path.join(docs_dir, "_partials"))
-            .repartition(max(2, min(n_cpus, 16)))
-            .groupby("term")
-            .aggregate(
-                Sum("df_part", alias_name="df"),
-                Sum("doclen_part", alias_name="doclen_sum"),
-            )
+        # full tokenized table. Hash-partitioned vectorized aggregation:
+        # Ray's native .aggregate() pays ~1 ms of Python per GROUP, which
+        # a real vocabulary (10^6-10^7 terms) cannot afford.
+        from ..pipelines.agg import hash_groupby_sum  # no import cycle
+
+        df_tbl = hash_groupby_sum(
+            ray.data.read_parquet(os.path.join(docs_dir, "_partials")),
+            ["term"],
+            {"df": ("df_part", "sum"), "doclen_sum": ("doclen_part", "sum")},
         )
         df_pd = df_tbl.to_pandas().sort_values("term").reset_index(drop=True)
         sum_doclen = int(df_pd.pop("doclen_sum").sum())

@@ -33,7 +33,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from .text_stats import documents_ds
 
@@ -237,15 +236,16 @@ def exact_dedup(sf_dir: str):
 
     Hash-partitioned groupby; the per-batch md5 is the map side."""
 
+    from .agg import hash_groupby_sum
+
     def add_hash(t: pa.Table) -> pa.Table:
         h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h)})
 
-    return (
-        documents_ds(sf_dir)
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    return hash_groupby_sum(
+        documents_ds(sf_dir).map_batches(add_hash, batch_format="pyarrow"),
+        ["text_md5"],
+        {"keep_doc_id": ("doc_id", "min"), "n_dups": ("doc_id", "count")},
     )
 
 
@@ -507,16 +507,15 @@ def _verified_pairs(
              "n_common": pa.array(inter), "n_union": pa.array(union)}
         )
 
-    return (
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
         documents_ds(sf_dir)
         .map_batches(bands_with_sets, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(expand_verify, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Min("n_common", alias_name="n_common"),
-            Min("n_union", alias_name="n_union"),
-        )
+        .map_groups(expand_verify, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        {"n_common": ("n_common", "min"), "n_union": ("n_union", "min")},
     )
 
 
@@ -708,13 +707,15 @@ def simhash_near_dup_pairs(
              "hamming": pa.array(abh[:, 2])}
         )
 
-    return (
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
         documents_ds(sf_dir)
         .map_batches(to_bands, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(expand_verify, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_groups(expand_verify, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        {"hamming": ("hamming", "min")},
     )
 
 
@@ -890,11 +891,13 @@ def embedding_near_dup_lsh(
              "cosine_milli": pa.array(abc[:, 2])}
         )
 
-    return (
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
         embeddings_ds(sf_dir)
         .map_batches(to_buckets, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Min("cosine_milli", alias_name="cosine_milli"))
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["vec_a", "vec_b"],
+        {"cosine_milli": ("cosine_milli", "min")},
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Sum
 
 
 def events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -41,23 +41,59 @@ def windowed_agg(sf_dir: str, window_s: int = 3600):
         return out.rename(columns={"count": "n_part", "sum": "sum_part",
                                    "min": "min_part", "max": "max_part"})
 
-    agg = (
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
         events_ds(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("n_part", alias_name="n_events"),
-            Sum("sum_part", alias_name="value_sum"),
-            Min("min_part", alias_name="value_min"),
-            Max("max_part", alias_name="value_max"),
-        )
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("n_part", "sum"), "value_sum": ("sum_part", "sum"),
+         "value_min": ("min_part", "min"), "value_max": ("max_part", "max")},
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_events"] = df["n_events"].astype("int64")
-        return df
 
-    return agg.map_batches(finish, batch_format="pandas")
+def sliding_window_agg(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
+    """SLIDING-window aggregate per event_type: each event lands in every
+    window of length ``window_s`` whose start is a multiple of
+    ``slide_s`` and covers it (window_s/slide_s windows per event).
+    Expansion + pre-aggregation happen map-side per batch, so the shuffle
+    carries (type, window) partials, not the expanded events."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        k_hi = epoch // slide_s
+        k_lo = (epoch - window_s) // slide_s + 1
+        counts = (k_hi - k_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        ends = np.cumsum(counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        k = np.repeat(k_lo, counts) + offs
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy().repeat(counts),
+                "window_start": k * slide_s,
+                "value": df["value"].to_numpy().repeat(counts),
+            }
+        )
+        g = out.groupby(["event_type", "window_start"])["value"]
+        res = g.agg(["count", "sum"]).reset_index()
+        return res.rename(columns={"count": "n_part", "sum": "sum_part"})
+
+    from .agg import hash_groupby_apply
+
+    def agg_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start"], as_index=False,
+                       sort=False).agg(
+            n_events=("n_part", "sum"), value_sum=("sum_part", "sum"))
+        g["value_sum"] = g["value_sum"].round(4)
+        return g
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start"], agg_fn,
+    )
 
 
 def sessionize(sf_dir: str, gap_s: int = 1800):

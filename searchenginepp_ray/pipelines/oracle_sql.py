@@ -227,6 +227,20 @@ def windowed_agg_sql(window_s: int = 3600) -> str:
 FROM events GROUP BY event_type, window_start"""
 
 
+def sliding_window_agg_sql(window_s: int = 3600, slide_s: int = 900) -> str:
+    """Oracle for pipelines.events.sliding_window_agg: expand each event
+    into every covering window start (a multiple of slide_s)."""
+    return f"""
+SELECT event_type,
+       CAST(k * {slide_s} AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM (SELECT event_type, value, epoch_us(ts) // 1000000 AS e FROM events),
+     unnest(range((e - {window_s}) // {slide_s} + 1, e // {slide_s} + 1)) AS r(k)
+GROUP BY 1, 2
+"""
+
+
 def sessionize_sql(gap_s: int = 1800) -> str:
     return f"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
 o AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),

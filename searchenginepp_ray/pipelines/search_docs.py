@@ -127,13 +127,12 @@ def index_term_df(sf_dir: str, simple: bool = True) -> pd.DataFrame:
         for d in sorted(os.listdir(out_dir))
         if d.startswith("db_")
     ]
-    df = (
-        ray.data.read_parquet(files, columns=["term", "df_local"])
-        .repartition(4)  # vocabulary-sized rows: keep the shuffle tiny
-        .groupby("term")
-        .aggregate(Sum("df_local", alias_name="df"))
-        .to_pandas()
-    )
+    from .agg import hash_groupby_sum
+
+    df = hash_groupby_sum(
+        ray.data.read_parquet(files, columns=["term", "df_local"]),
+        ["term"], {"df": ("df_local", "sum")},
+    ).to_pandas()
     return df.astype({"df": "int64"}).sort_values("term").reset_index(drop=True)
 
 

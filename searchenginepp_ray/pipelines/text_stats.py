@@ -17,8 +17,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
-
 from ..config import SIMPLE_PROFILE
 from ..normalizer.word_normalizer import normalize_tokens
 
@@ -47,14 +45,6 @@ def _read_blocks(path: str, target_rows: int = 2000) -> int:
     n = pq.ParquetFile(path).metadata.num_rows
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(1, min(2 * cpus, n // target_rows + 1))
-
-
-def _partials_width() -> int:
-    """Pre-aggregation repartition width for vocabulary-sized partials:
-    track cluster CPUs (like index/build.py's global-stats stage), never
-    a hard-coded constant."""
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, min(cpus, 16))
 
 
 def _tokenize_batch(batch: pa.Table) -> pa.Table:
@@ -122,12 +112,11 @@ def term_df(sf_dir: str):
         return pa.table({"term": vc.field("values"),
                          "df_part": vc.field("counts").cast(pa.int64())})
 
-    return (
-        tokens_ds(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
-        .repartition(_partials_width())  # vocabulary-sized partials
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"))
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
+        tokens_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["term"], {"df": ("df_part", "sum")},
     )
 
 
@@ -140,12 +129,11 @@ def term_tf(sf_dir: str):
         return pa.table({"term": vc.field("values"),
                          "tf_part": vc.field("counts").cast(pa.int64())})
 
-    return (
-        tokens_ds(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
-        .repartition(_partials_width())  # vocabulary-sized partials
-        .groupby("term")
-        .aggregate(Sum("tf_part", alias_name="tf"))
+    from .agg import hash_groupby_sum
+
+    return hash_groupby_sum(
+        tokens_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["term"], {"tf": ("tf_part", "sum")},
     )
 
 
