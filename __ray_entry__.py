@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchenginepp_ray.pipelines import dedup, events, multimodal, similarity, text_stats
+    from searchenginepp_ray.pipelines import clean, dedup, events, multimodal, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     return {
@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": lambda sf: text_stats.fingerprint(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "corpus_clean": lambda sf: clean.corpus_clean(sf),
+        "corpus_clean_neardup": lambda sf: clean.corpus_clean_neardup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
         "simhash": lambda sf: dedup.simhash(sf),
@@ -93,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": osql.lang_id_sql(),
         "doc_fingerprint": osql.doc_fingerprint_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
+        "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),

@@ -112,6 +112,32 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)"""
 
 
+def corpus_clean_sql(
+    min_tokens: int = 5, min_distinct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
+) -> str:
+    """Oracle for pipelines.clean.corpus_clean: quality + language floors,
+    then the min doc_id of each exact-content group among the passers."""
+    stops = ", ".join(f"'{s}'" for s in QUALITY_STOPS)
+    return f"""WITH {tok_cte()},
+per AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           COUNT(DISTINCT term) AS n_dis,
+           SUM(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS n_stop
+    FROM toks GROUP BY doc_id
+),
+pass AS (
+    SELECT d.doc_id, md5(d.text) AS h
+    FROM documents d JOIN per p USING (doc_id)
+    WHERE p.n_tok >= {min_tokens}
+      AND p.n_dis * 1.0 / p.n_tok >= {min_distinct_ratio}
+      AND p.n_stop * 1.0 / p.n_tok <= {max_stopword_ratio}
+      AND p.n_stop * 1.0 / p.n_tok >= {lang_threshold}
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM pass GROUP BY h"""
+
+
 def exact_dedup_sql() -> str:
     return """SELECT md5(text) AS text_md5,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

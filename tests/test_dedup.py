@@ -140,6 +140,37 @@ def test_embedding_near_dup_matches_bruteforce(ray_session):
     assert [tuple(map(int, h)) for h in have] == want
 
 
+def test_corpus_clean_neardup_removes_noncanonical(ray_session):
+    """The near-dup clean keeps exactly one (the min-id) member of every
+    connected near-dup component that survives the quality pass."""
+    from searchenginepp_ray.pipelines.clean import corpus_clean, corpus_clean_neardup
+
+    clean = set(corpus_clean(SF).to_pandas()["doc_id"])
+    nd = set(corpus_clean_neardup(SF).to_pandas()["doc_id"])
+    assert nd <= clean
+    pairs = dedup.minhash_dedup_pairs(SF).to_pandas()
+    # union-find reference
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    comps = {}
+    for x in set(pairs["doc_a"]) | set(pairs["doc_b"]):
+        comps.setdefault(find(int(x)), set()).add(int(x))
+    removed = clean - nd
+    expect_removed = {x for root, mem in comps.items() for x in mem
+                      if x != min(mem)} & clean
+    assert removed == expect_removed
+    assert len(comps) > 0  # planted dups exercised the path
+
+
 def test_exact_dedup_groups(ray_session):
     df = dedup.exact_dedup(SF).to_pandas()
     t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
