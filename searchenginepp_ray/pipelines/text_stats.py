@@ -57,6 +57,32 @@ def _tokenize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def term_counts_ds(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, doclen, terms, tfs) — per-doc unique sorted terms +
+    frequencies through the BUILD's vectorized batch tokenizer
+    (normalizer/batch.py: one translate + Arrow split/filter/dictionary
+    pass per batch; no per-row Python). Counting-style consumers
+    (token_count, quality, lang-id, term df/tf) want exactly this shape;
+    only order-sensitive ops (fingerprint, BPE) need the raw stream of
+    :func:`tokens_ds`."""
+    from ..normalizer.batch import tokenize_batch
+
+    def tok(t: pa.Table) -> pa.Table:
+        doclens, terms_list, tfs_list = tokenize_batch(
+            t["text"].to_pylist(), SIMPLE_PROFILE
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "doclen": pa.array(doclens.astype(np.int64)),
+                "terms": terms_list,
+                "tfs": tfs_list,
+            }
+        )
+
+    return documents_ds(sf_dir).map_batches(tok, batch_format="pyarrow")
+
+
 def tokens_ds(sf_dir: str) -> ray.data.Dataset:
     return documents_ds(sf_dir).map_batches(_tokenize_batch, batch_format="pyarrow")
 
@@ -84,16 +110,13 @@ def doclen_stats(sf_dir: str):
 def token_count(sf_dir: str):
     """Per-document token count (doclen) + distinct-term count."""
     def per_doc(t: pa.Table) -> pa.Table:
-        toks = t["tokens"]
-        n_tokens = pc.list_value_length(toks).cast(pa.int64())
-        n_distinct = pa.array(
-            [len(set(x)) for x in toks.to_pylist()], pa.int64()
-        )
         return pa.table(
-            {"doc_id": t["doc_id"], "n_tokens": n_tokens, "n_distinct": n_distinct}
+            {"doc_id": t["doc_id"],
+             "n_tokens": t["doclen"],
+             "n_distinct": pc.list_value_length(t["terms"]).cast(pa.int64())}
         )
 
-    return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+    return term_counts_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
 # ---------- per-term aggregates (A1/A2) ----------
@@ -104,18 +127,14 @@ def term_df(sf_dir: str):
     reference's k-way lexicon merge (reference src/builder.cpp:127-170)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pa.array([sorted(set(x)) for x in t["tokens"].to_pylist()],
-                     pa.list_(pa.string()))
-        )
-        vc = flat.value_counts()
+        vc = pc.list_flatten(t["terms"]).value_counts()
         return pa.table({"term": vc.field("values"),
                          "df_part": vc.field("counts").cast(pa.int64())})
 
     from .agg import hash_groupby_sum
 
     return hash_groupby_sum(
-        tokens_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        term_counts_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
         ["term"], {"df": ("df_part", "sum")},
     )
 
@@ -124,15 +143,18 @@ def term_tf(sf_dir: str):
     """Per-term total collection frequency."""
 
     def partial(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(t["tokens"])
-        vc = flat.value_counts()
-        return pa.table({"term": vc.field("values"),
-                         "tf_part": vc.field("counts").cast(pa.int64())})
+        g = (
+            pa.table({"term": pc.list_flatten(t["terms"]),
+                      "tf": pc.list_flatten(t["tfs"]).cast(pa.int64())})
+            .group_by("term")
+            .aggregate([("tf", "sum")])
+        )
+        return g.rename_columns(["term", "tf_part"])
 
     from .agg import hash_groupby_sum
 
     return hash_groupby_sum(
-        tokens_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        term_counts_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
         ["term"], {"tf": ("tf_part", "sum")},
     )
 
@@ -143,13 +165,24 @@ def quality_score(sf_dir: str):
     """Per-doc quality features: token count, distinct ratio, stopword
     ratio, mean token length (rounded to 6 dp for oracle comparability)."""
 
+    stops_arr = pa.array(QUALITY_STOPS, pa.string())
+
     def per_doc(t: pa.Table) -> pa.Table:
-        rows = t["tokens"].to_pylist()
-        n_tok = np.array([len(x) for x in rows], dtype=np.int64)
-        n_dis = np.array([len(set(x)) for x in rows], dtype=np.int64)
-        stops = set(QUALITY_STOPS)
-        n_stop = np.array([sum(1 for w in x if w in stops) for x in rows], dtype=np.int64)
-        tot_len = np.array([sum(len(w) for w in x) for x in rows], dtype=np.int64)
+        n = len(t)
+        n_tok = t["doclen"].to_numpy()
+        terms = t["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        n_dis = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+        flat_terms = pc.list_flatten(terms)
+        flat_tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n), n_dis)
+        is_stop = np.asarray(pc.is_in(flat_terms, value_set=stops_arr))
+        n_stop = np.bincount(doc_idx, weights=is_stop * flat_tfs,
+                             minlength=n).astype(np.int64)
+        lens = np.asarray(pc.utf8_length(flat_terms)).astype(np.int64)
+        tot_len = np.bincount(doc_idx, weights=lens * flat_tfs,
+                              minlength=n).astype(np.int64)
         safe = np.maximum(n_tok, 1)
         return pa.table(
             {
@@ -161,18 +194,27 @@ def quality_score(sf_dir: str):
             }
         )
 
-    return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+    return term_counts_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str, threshold: float = 0.08):
     """Heuristic language ID: stopword-hit ratio >= threshold ⇒ 'en'."""
 
+    stops_arr = pa.array(QUALITY_STOPS, pa.string())
+
     def per_doc(t: pa.Table) -> pa.Table:
-        rows = t["tokens"].to_pylist()
-        stops = set(QUALITY_STOPS)
-        ratio = np.array(
-            [sum(1 for w in x if w in stops) / max(len(x), 1) for x in rows]
-        )
+        n = len(t)
+        n_tok = t["doclen"].to_numpy()
+        terms = t["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        n_dis = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n), n_dis)
+        is_stop = np.asarray(pc.is_in(pc.list_flatten(terms), value_set=stops_arr))
+        flat_tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        n_stop = np.bincount(doc_idx, weights=is_stop * flat_tfs,
+                             minlength=n)
+        ratio = n_stop / np.maximum(n_tok, 1)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -180,7 +222,7 @@ def lang_id(sf_dir: str, threshold: float = 0.08):
             }
         )
 
-    return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+    return term_counts_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
 # ---------- document fingerprinting ----------
