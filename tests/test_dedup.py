@@ -43,6 +43,35 @@ def test_shingle_counts_and_short_doc_padding():
     assert len(S) == 5
 
 
+def test_shingle_hash_batch_property():
+    """Hypothesis: for arbitrary texts, per-doc DISTINCT shingle-hash
+    counts equal distinct string-shingle counts, and equal texts map to
+    equal shingle multisets (order-sensitive, whitespace-insensitive)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                     min_size=0, max_size=30)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(w) for w in docs]
+        S, shc = dedup._shingle_hash_batch(pa.array(texts), 3)
+        vals, dcounts = dedup._distinct_per_doc(S, shc)
+        for i, toks in enumerate(docs):
+            if len(toks) >= 3:
+                strs = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+                assert dcounts[i] == len(strs), (i, toks)
+            else:
+                assert dcounts[i] == 1  # single padded shingle
+        # identical texts -> identical hash sets
+        S2, shc2 = dedup._shingle_hash_batch(pa.array(texts), 3)
+        assert (S == S2).all() and (shc == shc2).all()
+
+    check()
+
+
 def test_minhash_signature_invariants(ray_session):
     ds = dedup.minhash_signatures(SF).take(20)
     assert all(len(r["sig"]) == 64 for r in ds)
