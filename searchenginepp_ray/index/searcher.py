@@ -219,6 +219,10 @@ class SegmentSearcher:
         # and _score_at falls back to searchsorted/blocks.
         self._dense_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
         self._dense_cap_bytes = 256 << 20
+        #: below this segment size mode="bmm" dispatches to the plain
+        #: accumulator (identical results, cheaper plan); tests pin it to
+        #: 0 to force the Maxscore path on tiny fixtures
+        self.maxscore_min_docs = 16_384
         self.decoded_postings = 0
         if prewarm_df:
             # eagerly decode hot-term posting lists at load (once per
@@ -651,6 +655,13 @@ class SegmentSearcher:
         if mode == "daat_conj":
             return self.query_daat(qterms, k, conj=True, scorer=scorer)
         if mode == "bmm":
+            # cost-based dispatch: Maxscore's pruning cannot pay on tiny
+            # segments (every list is a block or two), while its per-rank
+            # machinery costs ~10-15% over a straight accumulator — and
+            # the two are bit-identical by construction (tested across k
+            # and scorers), so picking the cheaper plan is free
+            if self.n_docs_seg < self.maxscore_min_docs:
+                return self.query_daat(qterms, k, conj=False, scorer=scorer)
             return self.query_maxscore(qterms, k, scorer=scorer)
         if mode == "bmm_ref":
             return self.query_bmm(qterms, k, scorer=scorer)

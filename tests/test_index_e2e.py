@@ -50,6 +50,11 @@ def built(ray_session, tmp_path_factory):
     ]
     oracle = OracleIndex(docs, FULL_PROFILE)
     engine = QueryEngine(out_dir, use_actors=False, cfg=cfg)
+    # fixtures use tiny segments; force the real Maxscore path so
+    # mode="bmm" tests exercise it rather than the small-segment fallback
+    for w in engine.workers:
+        for s in w.searchers:
+            s.maxscore_min_docs = 0
     return summary, oracle, engine
 
 
@@ -248,6 +253,7 @@ def test_lazy_bmm_decodes_fewer_postings(ray_session, tmp_path_factory):
             f"{out_dir}/db_0", n_docs_global=summary["n_docs"],
             avgdl=summary["avgdl"], prewarm_df=None,
         )
+        s.maxscore_min_docs = 0  # force the lazy Maxscore path
         full_cost = 0
         for q in queries:
             toks = engine.normalize_query(q)
