@@ -428,6 +428,33 @@ def test_merge_segments_identical_results(built, tmp_path_factory):
             assert [(d, s) for d, _, s in x] == [(d, s) for d, _, s in y], mode
 
 
+def test_merge_resume_skips_finished_segments(built, tmp_path_factory):
+    """Compaction is resumable per merged segment: deleting one segment's
+    output and re-running merge_segments rebuilds ONLY that segment
+    (checkpointed siblings untouched), and the result is byte-identical."""
+    import os
+    import shutil
+
+    from searchenginepp_ray.index.build import merge_segments
+
+    summary, _, _ = built
+    merged_dir = str(tmp_path_factory.mktemp("mresume") / "idx")
+    cfg = BuildConfig(docs_per_segment=300)
+    merge_segments(summary["out_dir"], merged_dir, group_size=2, cfg=cfg)
+    segs = sorted(d for d in os.listdir(merged_dir) if d.startswith("db_"))
+    assert len(segs) >= 2
+    keep_bytes = open(os.path.join(merged_dir, segs[0], "terms.parquet"), "rb").read()
+    keep_mtime = os.path.getmtime(os.path.join(merged_dir, segs[0], "terms.parquet"))
+    victim_bytes = open(os.path.join(merged_dir, segs[1], "terms.parquet"), "rb").read()
+    shutil.rmtree(os.path.join(merged_dir, segs[1]))
+
+    merge_segments(summary["out_dir"], merged_dir, group_size=2, cfg=cfg)
+    # sibling untouched (checkpoint hit), victim rebuilt identically
+    assert os.path.getmtime(os.path.join(merged_dir, segs[0], "terms.parquet")) == keep_mtime
+    assert open(os.path.join(merged_dir, segs[0], "terms.parquet"), "rb").read() == keep_bytes
+    assert open(os.path.join(merged_dir, segs[1], "terms.parquet"), "rb").read() == victim_bytes
+
+
 def test_trec_run_format(built):
     """TREC run lines: `qid Q0 docno rank score run_name`
     (reference src/engine.cpp:132-135)."""
