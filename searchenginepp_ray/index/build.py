@@ -43,7 +43,6 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import BuildConfig
 from ..normalizer.batch import tokenize_batch

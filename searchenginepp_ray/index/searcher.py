@@ -48,7 +48,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..codecs import unary, varbyte
-from .scorer import Bm25Scorer, TfidfScorer, make_scorer
+from .scorer import Bm25Scorer, make_scorer
 
 
 def _np_offsets(binary_arr) -> tuple[np.ndarray, np.ndarray]:

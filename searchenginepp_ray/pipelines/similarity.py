@@ -226,7 +226,6 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
 
 def embedding_norm_stats(sf_dir: str):
     """Per-label mean L2 norm + count (vectorized per batch partials)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
     def per_batch(t: pa.Table) -> pa.Table:
