@@ -17,6 +17,24 @@ def test_knn_brute_force_self_is_top1(ray_session):
         assert (np.diff(g["cosine"].to_numpy()) <= 1e-12).all()  # descending
 
 
+def test_ivf_bucket_layout_prunes_reads(ray_session):
+    """The IVF index is Parquet partitioned by centroid bucket, and a
+    query's probe set selects a strict subset of the bucket dirs — the
+    read itself is pruned, not just the scoring."""
+    import os
+
+    import numpy as np
+
+    index_dir, cents = similarity.ivf_build(SF)
+    data_dir = os.path.join(index_dir, "data")
+    buckets = [d for d in os.listdir(data_dir) if d.startswith("bucket=")]
+    assert len(buckets) >= 8  # real partitioned layout
+    q_ids, q = similarity._query_matrix(SF, 1)
+    qn = similarity._normalize(q)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :4]
+    assert len(set(probes.reshape(-1).tolist())) < len(buckets)
+
+
 def test_knn_ivf_recall_vs_exact(ray_session):
     exact = similarity.knn_brute_force(SF, n_queries=5, k=5).to_pandas()
     ivf = similarity.knn_ivf(SF).to_pandas()
