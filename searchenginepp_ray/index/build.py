@@ -911,6 +911,19 @@ def merge_segments(
 
     os.makedirs(out_dir, exist_ok=True)
     out_global = os.path.join(out_dir, "global")
+    # a pre-existing out_dir may hold the global/ of a PREVIOUS build of
+    # the same source path — segments would be rebuilt (their per-segment
+    # lineage check fails) but n_docs/avgdl/idf would stay stale. Compare
+    # lineage keys and wipe the whole merged output on mismatch.
+    if os.path.isdir(out_global):
+        try:
+            with open(os.path.join(out_global, "metadata.json")) as f:
+                existing_key = json.load(f).get("lineage_key")
+        except OSError:
+            existing_key = None
+        if existing_key != meta["lineage_key"]:
+            for d in os.listdir(out_dir):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     if not os.path.isdir(out_global):
         shutil.copytree(os.path.join(index_dir, "global"), out_global)
 

@@ -91,24 +91,34 @@ def _shuffle_width() -> int:
 
 # ---------- vectorized tokenize/hash kernels ----------
 
+#: Hash implementation is chosen ONCE at import (polars present or not)
+#: and never falls back at runtime: this hash drives hash-partition
+#: assignment and LSH bucket keys, so a silent per-call fallback on a
+#: worker where polars errs would place identical keys in different
+#: partitions with no error. A missing-everywhere polars still works
+#: (pandas siphash); a flaky polars raises loudly instead of diverging.
+try:
+    import polars as _pl  # noqa: N816
+except ImportError:  # pragma: no cover - both paths covered by tests
+    _pl = None
+
+
 def _hash_strings(arr) -> np.ndarray:
     """C-speed deterministic 64-bit hash of every string in an Arrow
-    array (polars xxhash with a fixed seed; pandas siphash fallback).
-    One call per batch — the replacement for per-token Python blake2b."""
+    array (polars xxhash with a fixed seed; pandas siphash when polars is
+    absent at import). One call per batch — the replacement for per-token
+    Python blake2b."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
-    try:
-        import polars as pl
+    if _pl is not None:
+        return _pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    import pandas as pd
 
-        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
-    except Exception:
-        import pandas as pd
-
-        return pd.util.hash_array(
-            np.asarray(arr.to_pylist(), dtype=object)
-        ).astype(np.uint64, copy=False)
+    return pd.util.hash_array(
+        np.asarray(arr.to_pylist(), dtype=object)
+    ).astype(np.uint64, copy=False)
 
 
 _EMPTY_HASH: np.uint64 | None = None
@@ -721,19 +731,40 @@ def simhash_near_dup_pairs(
 
 # ---------- embedding-cosine near-dup ----------
 
+def _rg_offsets(pf) -> np.ndarray:
+    """Cumulative row offsets of a parquet file's row groups:
+    ``offs[i] .. offs[i+1]`` is row group ``i``'s row range."""
+    md = pf.metadata
+    return np.cumsum(
+        [0] + [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    ).astype(np.int64)
+
+
+def _read_row_range(pf, rg_offs: np.ndarray, start: int, stop: int,
+                    columns: list[str]) -> tuple[pa.Table, int]:
+    """Rows ``[start, stop)`` read from ONLY the covering row groups —
+    never the whole file. Returns (table, rows_physically_read); the
+    second value exists so tests can assert the read is O(stop-start),
+    not O(file)."""
+    g0 = int(np.searchsorted(rg_offs, start, side="right") - 1)
+    g1 = int(np.searchsorted(rg_offs, stop - 1, side="right") - 1)
+    t = pf.read_row_groups(list(range(g0, g1 + 1)), columns=columns)
+    return t.slice(start - int(rg_offs[g0]), stop - start), t.num_rows
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.45, chunk: int = 2048):
     """Exact near-duplicate pairs by embedding cosine >= threshold.
 
     Block-pair self-join: the table is split into row-range chunks; one
-    task per chunk pair (i <= j) loads just its two chunks (pruned
-    parquet read, LRU-cached per actor) and emits its above-threshold
-    pairs from one matmul. Nothing is broadcast and no task ever holds
-    more than two chunks — the exact-O(N²) baseline in its scalable
-    shape. (For the sub-O(N²) approximate path see
-    :func:`embedding_near_dup_lsh`.)"""
+    task per chunk pair (i <= j) loads just its two chunks (row-group-
+    pruned parquet read via :func:`_read_row_range`, LRU-cached per
+    actor) and emits its above-threshold pairs from one matmul. Nothing
+    is broadcast and no task ever holds more than two chunks — the
+    exact-O(N²) baseline in its scalable shape. (For the sub-O(N²)
+    approximate path see :func:`embedding_near_dup_lsh`.)"""
     import pyarrow.parquet as pq
 
-    from .similarity import _normalize
+    from .similarity import _normalize, _vec_matrix
 
     path = f"{sf_dir}/embeddings.parquet"
     n_rows = pq.ParquetFile(path).metadata.num_rows
@@ -745,16 +776,22 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45, chunk: int = 2048):
     class PairBlock:
         def __init__(self):
             self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            self._pf = pq.ParquetFile(path)
+            self._rg_offs = _rg_offsets(self._pf)
+            self.rows_read = 0  # physical rows decoded (test/observability)
 
         def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
             hit = self._cache.get(c)
             if hit is not None:
                 return hit
-            t = pq.read_table(path, columns=["vec_id", "embedding"]).slice(
-                c * chunk, chunk
+            start = c * chunk
+            stop = min(start + chunk, n_rows)
+            t, n_read = _read_row_range(
+                self._pf, self._rg_offs, start, stop, ["vec_id", "embedding"]
             )
+            self.rows_read += n_read
             ids = t["vec_id"].to_numpy()
-            m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+            m = _normalize(_vec_matrix(t["embedding"]))
             if len(self._cache) >= 4:  # bound per-actor memory
                 self._cache.pop(next(iter(self._cache)))
             self._cache[c] = (ids, m)
@@ -808,7 +845,7 @@ def embedding_near_dup_lsh(
     Recall for cosine c is 1-(1-(1-acos(c)/π)^n_planes)^n_tables (≈ 0.99
     at c = 0.9 with these defaults); pairs below ~0.5 cosine may be
     missed — this is the documented approximation trade."""
-    from .similarity import _normalize, embeddings_ds
+    from .similarity import _normalize, _vec_matrix, embeddings_ds
 
     # deterministic hyperplanes, sized to the embedding dim read lazily
     rng = np.random.Generator(np.random.PCG64(7))
@@ -817,7 +854,7 @@ def embedding_near_dup_lsh(
     planes_ref: dict[str, object] = {}
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        m = _normalize(_vec_matrix(t["embedding"]))
         dim = m.shape[1]
         if "planes" not in planes_ref:
             r = np.random.Generator(np.random.PCG64(7))
@@ -860,7 +897,7 @@ def embedding_near_dup_lsh(
         tid = t["table_id"].to_numpy()
         bkt = t["bucket"].to_numpy()
         ids = t["vec_id"].to_numpy()
-        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        m = _normalize(_vec_matrix(t["embedding"]))
         order = np.lexsort((ids, bkt, tid))
         tid, bkt, ids, m = tid[order], bkt[order], ids[order], m[order]
         change = np.empty(len(ids), dtype=bool)

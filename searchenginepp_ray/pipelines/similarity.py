@@ -33,6 +33,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _vec_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow list-of-float column — zero-copy
+    flatten + reshape (one vectorized dtype cast at most), replacing the
+    ~5-10× slower ``np.asarray(col.to_pylist())`` ingest on every vector
+    op. Requires equal-length lists (embeddings are)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        lens = pc.list_value_length(col).to_numpy()
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            raise ValueError("embedding column is ragged — cannot matrixize")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(dtype, copy=False)
+
+
 def _head_table(path: str, n: int, columns: list[str]) -> pa.Table:
     """First ``n`` rows only — a bounded driver-side read (streams record
     batches and stops; never loads the whole column)."""
@@ -53,7 +76,7 @@ def _head_table(path: str, n: int, columns: list[str]) -> pa.Table:
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     t = _head_table(f"{sf_dir}/embeddings.parquet", n_queries, ["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
-    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = _vec_matrix(t["embedding"])
     return ids, q
 
 
@@ -68,7 +91,7 @@ def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5):
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qn = ray.get(q_ref)
-        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        m = _vec_matrix(t["embedding"])
         vec_ids = t["vec_id"].to_numpy()
         sims = qn @ _normalize(m).T  # (n_queries, batch)
         out_q, out_n, out_s = [], [], []
@@ -102,7 +125,7 @@ def _train_centroids(sf_dir: str, nlist: int, sample_size: int,
     """Deterministic k-means-lite centroids from a BOUNDED sample (first
     ``sample_size`` rows streamed, never the full column)."""
     t = _head_table(f"{sf_dir}/embeddings.parquet", sample_size, ["embedding"])
-    sample = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    sample = _normalize(_vec_matrix(t["embedding"]))
     rng = np.random.Generator(np.random.PCG64(42))
     cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
     for _ in range(iters):  # Lloyd on the sample
@@ -125,8 +148,19 @@ def ivf_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
     import json
     import os
 
+    import pyarrow.parquet as pq
+
+    # cache key includes a CONTENT fingerprint of the source file (size +
+    # mtime + row count), not just its path — regenerating
+    # embeddings.parquet in place invalidates the cached centroids and
+    # bucket partitions instead of silently serving stale ones
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    n_rows_src = pq.ParquetFile(src).metadata.num_rows
+    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}:{n_rows_src}"
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:ivf:{nlist}:{sample_size}:{iters}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:ivf:{nlist}:{sample_size}:{iters}:"
+        f"{fingerprint}:v2".encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp/seppray_ivf_cache", key)
     marker = os.path.join(out, "_done.json")
@@ -139,7 +173,7 @@ def ivf_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
-        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        m = _normalize(_vec_matrix(t["embedding"]))
         bucket = (m @ c.T).argmax(axis=1).astype(np.int32)
         return t.append_column("bucket", pa.array(bucket))
 
@@ -193,7 +227,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qn, probe_sets = ray.get(q_ref)
-        m = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        m = _normalize(_vec_matrix(t["embedding"]))
         vec_ids = t["vec_id"].to_numpy()
         bucket = t["bucket"].to_numpy()
         out_q, out_n, out_s = [], [], []
@@ -229,7 +263,7 @@ def embedding_norm_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def per_batch(t: pa.Table) -> pa.Table:
-        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        m = _vec_matrix(t["embedding"])
         norms = np.linalg.norm(m, axis=1)
         return pa.table({"label": t["label"], "norm": pa.array(norms)})
 

@@ -210,3 +210,29 @@ def test_exact_dedup_groups(ray_session):
     got = {r["text_md5"]: (r["keep_doc_id"], r["n_dups"]) for _, r in df.iterrows()}
     for h, docs in md5s.items():
         assert got[h] == (min(docs), len(docs))
+
+
+def test_read_row_range_prunes_row_groups(tmp_path):
+    """embedding_near_dup's chunk loader must read only the row groups
+    covering a chunk — rows physically read is O(chunk), never O(file)."""
+    path = str(tmp_path / "emb.parquet")
+    n, rg = 1000, 100
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array([[float(i), 1.0] for i in range(n)],
+                                        pa.list_(pa.float64()))})
+    pq.write_table(t, path, row_group_size=rg)
+    pf = pq.ParquetFile(path)
+    offs = dedup._rg_offsets(pf)
+    assert offs.tolist() == list(range(0, n + 1, rg))
+    # a chunk strictly inside the file touches only its covering groups
+    got, n_read = dedup._read_row_range(pf, offs, 250, 450, ["vec_id"])
+    assert got["vec_id"].to_pylist() == list(range(250, 450))
+    assert n_read == 300  # row groups 2..4 → 3×100 rows, not 1000
+    # chunk aligned to a single row group reads exactly that group
+    got, n_read = dedup._read_row_range(pf, offs, 700, 800, ["vec_id"])
+    assert got["vec_id"].to_pylist() == list(range(700, 800))
+    assert n_read == rg
+    # tail chunk
+    got, n_read = dedup._read_row_range(pf, offs, 950, 1000, ["vec_id"])
+    assert got["vec_id"].to_pylist() == list(range(950, 1000))
+    assert n_read == rg
