@@ -17,7 +17,6 @@ import pyarrow as pa
 import ray
 
 from ..config import SIMPLE_PROFILE
-from ..normalizer.word_normalizer import normalize_tokens
 from .text_stats import QUALITY_STOPS, documents_ds
 
 
@@ -26,26 +25,49 @@ def _clean_pass(
     max_stopword_ratio: float, lang_threshold: float,
 ):
     """(doc_id, text_md5) of documents passing the quality + language
-    floors — one map pass, everything else filtered before any shuffle."""
-    stops = frozenset(QUALITY_STOPS)
+    floors — one map pass, everything else filtered before any shuffle.
+
+    The floors are computed through the build's VECTORIZED batch
+    tokenizer (the same kernel quality_score/lang_id use: one
+    translate + Arrow split/dictionary pass per batch, per-doc counts
+    via ``bincount``) — no per-row Python tokenize. Only the survivors
+    pay the per-doc md5."""
+    import pyarrow.compute as pc
+
+    from ..normalizer.batch import tokenize_batch
+
+    stops_arr = pa.array(QUALITY_STOPS, pa.string())
 
     def passer(t: pa.Table) -> pa.Table:
-        ids, md5s = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = normalize_tokens(text, SIMPLE_PROFILE)
-            n = len(toks)
-            if n < min_tokens:
-                continue
-            n_stop = sum(1 for w in toks if w in stops)
-            if len(set(toks)) / n < min_distinct_ratio:
-                continue
-            ratio = n_stop / n
-            if ratio > max_stopword_ratio or ratio < lang_threshold:
-                continue  # lang_threshold: the lang_id 'en' heuristic
-            ids.append(doc_id)
-            md5s.append(hashlib.md5(text.encode()).hexdigest())
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text_md5": pa.array([], pa.string())}
+            )
+        doclens, terms_list, tfs_list = tokenize_batch(texts, SIMPLE_PROFILE)
+        n_tok = doclens.astype(np.int64)
+        n_dis = np.asarray(pc.list_value_length(terms_list)).astype(np.int64)
+        flat_terms = pc.list_flatten(terms_list)
+        flat_tfs = np.asarray(pc.list_flatten(tfs_list)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n), n_dis)
+        is_stop = np.asarray(pc.is_in(flat_terms, value_set=stops_arr))
+        n_stop = np.bincount(doc_idx, weights=is_stop * flat_tfs,
+                             minlength=n).astype(np.int64)
+        safe = np.maximum(n_tok, 1)
+        ratio = n_stop / safe
+        keep = (
+            (n_tok >= min_tokens)
+            & (n_dis / safe >= min_distinct_ratio)
+            & (ratio <= max_stopword_ratio)
+            & (ratio >= lang_threshold)  # the lang_id 'en' heuristic
+        )
+        idx = np.flatnonzero(keep)
+        md5s = [hashlib.md5(texts[i].encode()).hexdigest() for i in idx]
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "text_md5": pa.array(md5s)}
+            {"doc_id": t["doc_id"].take(pa.array(idx)),
+             "text_md5": pa.array(md5s, pa.string())}
         )
 
     return documents_ds(sf_dir).map_batches(passer, batch_format="pyarrow")
@@ -71,53 +93,94 @@ def corpus_clean(
     )
 
 
+def _mark_members(
+    ds, key_col: str, members, member_col: str, payload_cols: list[str],
+    keep_matching: bool,
+):
+    """Distributed semi-/anti-join: keep ``ds`` rows whose ``key_col``
+    does (``keep_matching=True``) or does not appear in
+    ``members[member_col]``. One hash-partition exchange over the union;
+    membership testing is one vectorized ``np.isin`` per partition —
+    nothing is collected on the driver."""
+    from .agg import hash_groupby_apply
+
+    def mem_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {"_k": t[member_col].cast(pa.int64()),
+                "_is_mem": pa.array(np.ones(n, np.int8))}
+        for c in payload_cols:
+            cols[c] = pa.array(np.zeros(n, np.int64))
+        return pa.table(cols)
+
+    def row_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {"_k": t[key_col].cast(pa.int64()),
+                "_is_mem": pa.array(np.zeros(n, np.int8))}
+        for c in payload_cols:
+            cols[c] = t[c].cast(pa.int64())
+        return pa.table(cols)
+
+    u = ds.map_batches(row_rows, batch_format="pyarrow").union(
+        members.map_batches(mem_rows, batch_format="pyarrow")
+    )
+
+    def sieve(df):
+        import pandas as pd
+
+        mem = df.loc[df["_is_mem"] == 1, "_k"].to_numpy()
+        rows = df[df["_is_mem"] == 0]
+        hit = np.isin(rows["_k"].to_numpy(), mem)
+        out = rows[hit if keep_matching else ~hit]
+        return out[payload_cols] if len(payload_cols) else pd.DataFrame(
+            {"doc_id": out["_k"].to_numpy()}
+        )
+
+    return hash_groupby_apply(u, ["_k"], sieve)
+
+
 def corpus_clean_neardup(
     sf_dir: str, min_tokens: int = 5, min_distinct_ratio: float = 0.2,
     max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
     jaccard_threshold: float = 0.8,
 ):
     """``corpus_clean`` plus near-duplicate removal: MinHash+LSH pairs
-    form a graph; each connected component keeps only its minimum doc_id.
+    among the QUALITY-PASSING docs form a graph; each connected component
+    keeps only its minimum doc_id.
 
-    The component pass runs on PAIR IDS ONLY (8 B per endpoint, bounded
-    by the LSH candidate count — never text), driver-side union-find,
-    loser ids broadcast back as a filter."""
+    The pair graph is restricted to passers before the component pass —
+    a doc that passes the floors can only lose to another passer, never
+    to a doc that was already dropped for quality (which would silently
+    erase that content from the output).
+
+    Fully distributed: pair filtering is two hash-partition semi-joins,
+    the component labels come from :func:`..pipelines.graph.connected_components`
+    (min-label propagation over the pairs Dataset, one scalar per round
+    to the driver), and losers are removed by a distributed anti-join —
+    no driver-side union-find, no id broadcast."""
     from .dedup import minhash_dedup_pairs
+    from .graph import component_losers, connected_components
 
     pairs = minhash_dedup_pairs(
         sf_dir, jaccard_threshold=jaccard_threshold
     )
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        for a, c in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
-            ra, rc = find(a), find(c)
-            if ra != rc:
-                # union by id: lower id becomes the root (the canonical)
-                lo, hi = (ra, rc) if ra < rc else (rc, ra)
-                parent[hi] = lo
-    losers = np.array(
-        sorted(x for x in parent if find(x) != x), dtype=np.int64
-    )
-    losers_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        arr = ray.get(losers_ref)
-        doc = t["doc_id"].to_numpy()
-        pos = np.searchsorted(arr, doc)
-        inb = pos < len(arr)
-        is_loser = np.zeros(len(t), dtype=bool)
-        is_loser[inb] = arr[pos[inb]] == doc[inb]
-        return t.filter(pa.array(~is_loser))
-
-    return corpus_clean(
+    passers = _clean_pass(
         sf_dir, min_tokens, min_distinct_ratio, max_stopword_ratio,
         lang_threshold,
-    ).map_batches(drop_losers, batch_format="pyarrow")
+    ).materialize()  # reused three times below (id+md5-sized)
+
+    # restrict the pair graph to passers (both endpoints must pass)
+    pair_cols = ["doc_a", "doc_b"]
+    pairs = _mark_members(pairs, "doc_a", passers, "doc_id", pair_cols, True)
+    pairs = _mark_members(pairs, "doc_b", passers, "doc_id", pair_cols, True)
+
+    losers = component_losers(connected_components(pairs))
+
+    # exact-dedup winners among the passers (same as corpus_clean) ...
+    from .agg import hash_groupby_sum
+
+    keepers = hash_groupby_sum(
+        passers, ["text_md5"], {"doc_id": ("doc_id", "min")}
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+    # ... minus the near-dup losers (distributed anti-join)
+    return _mark_members(keepers, "doc_id", losers, "node", [], False)

@@ -99,29 +99,54 @@ def sliding_window_agg(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
 def sessionize(sf_dir: str, gap_s: int = 1800):
     """Per-user session count + longest session length (events within
     ``gap_s`` seconds of the previous event share a session). Ordering is
-    established inside each group (sort by ts), so input order is free —
-    the partitioning assumption is only that one user's events fit one
-    group."""
+    established inside each partition (sort by user, ts), so input order
+    is free — the partitioning assumption is only that one user's events
+    land in one hash partition (guaranteed by the partition key).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy()) // 1_000_000
-        gaps = np.diff(ts)
-        new_session = np.concatenate(([True], gaps > gap_s))
-        session_ids = np.cumsum(new_session)
-        sizes = np.bincount(session_ids)[1:]
+    Scale shape: ONE vectorized pass per hash partition (sort → boundary
+    flags → ``cumsum``/``bincount``/``reduceat``), not one Python call per
+    user — per-user ``map_groups`` pays ~1 ms/group, which a user count
+    that scales with the data cannot afford."""
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=df["user_id"].dtype),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "n_sessions": pd.Series([], dtype=np.int64),
+                 "max_session_events": pd.Series([], dtype=np.int64)}
+            )
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # µs → s
+        n = len(user)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_s
+        new_sess = new_user | gap_break
+        sess_id = np.cumsum(new_sess) - 1          # global session index
+        sizes = np.bincount(sess_id)               # events per session
+        user_starts = np.flatnonzero(new_user)     # first row of each user
+        first_sess = sess_id[user_starts]          # sessions are user-contiguous
+        n_sessions = np.diff(np.append(first_sess, sess_id[-1] + 1))
+        max_sess = np.maximum.reduceat(sizes, first_sess)
+        n_events = np.diff(np.append(user_starts, n))
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [int(session_ids[-1])],
-                "max_session_events": [int(sizes.max())],
+                "user_id": user[user_starts],
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": n_sessions.astype(np.int64),
+                "max_session_events": max_sess.astype(np.int64),
             }
         )
 
-    return (
-        events_ds(sf_dir, ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    from .agg import hash_groupby_apply
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["user_id", "ts"]), ["user_id"], per_partition
     )
 
 

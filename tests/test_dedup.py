@@ -171,28 +171,37 @@ def test_embedding_near_dup_matches_bruteforce(ray_session):
 
 def test_corpus_clean_neardup_removes_noncanonical(ray_session):
     """The near-dup clean keeps exactly one (the min-id) member of every
-    connected near-dup component that survives the quality pass."""
-    from searchenginepp_ray.pipelines.clean import corpus_clean, corpus_clean_neardup
+    connected near-dup component AMONG THE QUALITY PASSERS — a passer
+    must never lose to a doc that itself failed the floors (that content
+    would vanish entirely from the output)."""
+    from searchenginepp_ray.pipelines.clean import (
+        _clean_pass, corpus_clean, corpus_clean_neardup)
 
     clean = set(corpus_clean(SF).to_pandas()["doc_id"])
     nd = set(corpus_clean_neardup(SF).to_pandas()["doc_id"])
     assert nd <= clean
+    passers = set(_clean_pass(SF, 5, 0.2, 0.9, 0.08).to_pandas()["doc_id"])
     pairs = dedup.minhash_dedup_pairs(SF).to_pandas()
-    # union-find reference
+    # union-find reference over the passer-restricted pair graph
     parent = {}
     def find(x):
         while parent.get(x, x) != x:
             parent[x] = parent.get(parent[x], parent[x])
             x = parent[x]
         return x
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
+    kept_edges = [
+        (int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if int(a) in passers and int(b) in passers
+    ]
+    for a, b in kept_edges:
+        ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
     comps = {}
-    for x in set(pairs["doc_a"]) | set(pairs["doc_b"]):
-        comps.setdefault(find(int(x)), set()).add(int(x))
+    for a, b in kept_edges:
+        for x in (a, b):
+            comps.setdefault(find(x), set()).add(x)
     removed = clean - nd
     expect_removed = {x for root, mem in comps.items() for x in mem
                       if x != min(mem)} & clean
@@ -236,3 +245,75 @@ def test_read_row_range_prunes_row_groups(tmp_path):
     got, n_read = dedup._read_row_range(pf, offs, 950, 1000, ["vec_id"])
     assert got["vec_id"].to_pylist() == list(range(950, 1000))
     assert n_read == rg
+
+
+def test_connected_components_multi_component(ray_session):
+    """In-task union-find over a constructed graph: a 4-node chain,
+    a triangle, an isolated pair — labels must equal the component
+    minimum for every node."""
+    import ray.data
+
+    from searchenginepp_ray.pipelines.graph import (
+        component_losers, connected_components)
+
+    edges = [(10, 20), (20, 30), (30, 40),   # chain 10-20-30-40
+             (1, 2), (2, 3), (1, 3),          # triangle
+             (100, 200)]                      # pair
+    pairs = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in edges]
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(pairs).take_all()}
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 10,
+                    1: 1, 2: 1, 3: 1, 100: 100, 200: 100}
+    losers = sorted(r["node"] for r in component_losers(
+        connected_components(pairs)).take_all())
+    assert losers == [2, 3, 20, 30, 40, 200]
+
+
+def test_connected_components_distributed_path(ray_session):
+    """Force the propagation-round regime (inmem_threshold=0) on a
+    diameter-8 path plus a triangle: multiple rounds + pointer jumping
+    must converge to the same labels as the in-task kernel."""
+    import ray.data
+
+    from searchenginepp_ray.pipelines.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(8)] + [(50, 60), (60, 70), (50, 70)]
+    pairs = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in edges]
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(
+                pairs, inmem_threshold=0).take_all()}
+    want = {i: 0 for i in range(9)} | {50: 50, 60: 50, 70: 50}
+    assert comp == want
+
+
+def test_cc_kernel_random_graph_matches_union_find():
+    """Fuzz the vectorized pointer-doubling kernel against a scalar
+    union-find on a random sparse graph."""
+    from searchenginepp_ray.pipelines.graph import _cc_kernel
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 300, 400)
+    b = rng.integers(0, 300, 400)
+    nodes, comp = _cc_kernel(a, b)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = sorted((rx, ry))
+            parent[hi] = lo
+    want = {}
+    for x in set(a.tolist()) | set(b.tolist()):
+        want.setdefault(find(x), set()).add(x)
+    want_map = {x: min(mem) for mem in want.values() for x in mem}
+    assert dict(zip(nodes.tolist(), comp.tolist())) == want_map
