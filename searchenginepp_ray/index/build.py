@@ -50,6 +50,11 @@ from ..codecs import varbyte
 from ..sources.parquet_corpus import ColumnSpec, CorpusShard, corpus_shards, read_shard
 from . import scorer as scorer_mod
 
+#: On-disk build format version, folded into the lineage key so caches
+#: from older layouts (single-file global lexicon, seg-less partials)
+#: rebuild instead of half-loading. Bump on any layout change.
+_BUILD_FORMAT = "fmt3"
+
 DOCS_SCHEMA = pa.schema(
     [
         ("docid", pa.uint64()),
@@ -156,22 +161,44 @@ class TokenizeShards:
 
 
 def _partial_df(batch: pa.Table) -> pa.Table:
-    """Per-batch partial document frequency (terms are unique per doc),
-    plus the batch's doclen sum spread on the first row (so the global
-    groupby yields Σdoclen for free without a second pass over the docs)."""
-    flat = pc.list_flatten(batch["terms"])
-    vc = flat.value_counts()
-    n = len(vc)
-    doclen_part = np.zeros(max(n, 0), dtype=np.int64)
-    if n:
-        doclen_part[0] = int(pc.sum(batch["doclen"]).as_py() or 0)
-    return pa.table(
-        {
-            "term": vc.field("values"),
-            "df_part": vc.field("counts").cast(pa.int64()),
-            "doclen_part": pa.array(doclen_part, pa.int64()),
-        }
-    )
+    """Per-(segment, term) partial document frequency (terms are unique
+    per doc; a shard spans at most a couple of segments), plus each
+    segment's doclen sum spread on its first row (so the global groupby
+    yields Σdoclen for free without a second pass over the docs).
+
+    Carrying the segment id is what lets build stage 2 emit per-SEGMENT
+    global-df semi-join files instead of materializing one global lexicon
+    on the driver and broadcasting it to every assemble task."""
+    out = []
+    for seg in pc.unique(batch["seg"]).to_pylist():
+        part = batch.filter(pc.equal(batch["seg"], seg))
+        flat = pc.list_flatten(part["terms"])
+        vc = flat.value_counts()
+        n = len(vc)
+        if n == 0:
+            continue
+        doclen_part = np.zeros(n, dtype=np.int64)
+        doclen_part[0] = int(pc.sum(part["doclen"]).as_py() or 0)
+        out.append(
+            pa.table(
+                {
+                    "term": vc.field("values"),
+                    "seg": pa.array(np.full(n, seg, np.int32)),
+                    "df_part": vc.field("counts").cast(pa.int64()),
+                    "doclen_part": pa.array(doclen_part, pa.int64()),
+                }
+            )
+        )
+    if not out:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "seg": pa.array([], pa.int32()),
+                "df_part": pa.array([], pa.int64()),
+                "doclen_part": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(out)
 
 
 def _shard_ordinal(shard) -> int:
@@ -267,6 +294,7 @@ def build_index(
     lineage_key = hashlib.sha256(
         json.dumps([sorted(_shard_to_item(s).items()) for s in shards]).encode()
         + cfg.params_id.encode()
+        + _BUILD_FORMAT.encode()
     ).hexdigest()[:16]
 
     docs_dir = os.path.join(out_dir, "docs")
@@ -309,35 +337,90 @@ def build_index(
     _t0 = _time.perf_counter()
 
     # ---- stage 2: global stats (df + metadata) ----
+    # Fully distributed — the driver never holds a term. The per-shard
+    # (seg, term) partials are hash-partitioned BY TERM; each partition
+    # task computes its slice of the global df + idf, writes it as one
+    # file of the partitioned global lexicon (global/term_df/part-K),
+    # and emits (seg, term, df, idf) rows that a second exchange BY SEG
+    # turns into per-segment semi-join files (global/seg_df/seg=N) —
+    # exactly the vocabulary each assemble task needs, pre-sorted, read
+    # with one pruned file read instead of a whole-lexicon broadcast.
+    # (The reference merges its lexicon on one thread and mmaps it
+    # everywhere, src/builder.cpp:127-181 — fine at 14 MB, not at the
+    # tens-of-GB vocabulary of a 100 TB code corpus.)
     marker2 = os.path.join(out_dir, "_global_done")
     if force or not _stage_marker(marker2, lineage_key):
         shutil.rmtree(global_dir, ignore_errors=True)
         os.makedirs(global_dir)
-        # aggregate the vocabulary-sized per-shard partials the tokenize
-        # tasks wrote (the partial/final pattern, A2) — no re-read of the
-        # full tokenized table. Hash-partitioned vectorized aggregation:
-        # Ray's native .aggregate() pays ~1 ms of Python per GROUP, which
-        # a real vocabulary (10^6-10^7 terms) cannot afford.
-        from ..pipelines.agg import hash_groupby_sum  # no import cycle
+        term_df_dir = os.path.join(global_dir, "term_df")
+        seg_df_dir = os.path.join(global_dir, "seg_df")
+        os.makedirs(term_df_dir)
+        os.makedirs(seg_df_dir)
+        from ..pipelines.agg import hash_groupby_apply  # no import cycle
 
-        df_tbl = hash_groupby_sum(
-            ray.data.read_parquet(os.path.join(docs_dir, "_partials")),
-            ["term"],
-            {"df": ("df_part", "sum"), "doclen_sum": ("doclen_part", "sum")},
-        )
-        df_pd = df_tbl.to_pandas().sort_values("term").reset_index(drop=True)
-        sum_doclen = int(df_pd.pop("doclen_sum").sum())
+        parts_ds = ray.data.read_parquet(os.path.join(docs_dir, "_partials"))
+        sum_doclen = int(parts_ds.sum("doclen_part") or 0)
         n_docs = n_docs_total
 
-        df_pd["idf"] = scorer_mod.idf(n_docs, df_pd["df"].to_numpy())
-        pq.write_table(pa.Table.from_pandas(df_pd, preserve_index=False),
-                       os.path.join(global_dir, "term_df.parquet"))
+        def finalize_term_part(df):
+            import pandas as pd
+
+            part = int(df["_part"].iloc[0])
+            g = df.groupby("term", as_index=False, sort=True).agg(
+                df=("df_part", "sum")
+            )
+            g["idf"] = scorer_mod.idf(n_docs, g["df"].to_numpy())
+            final = os.path.join(term_df_dir, f"part-{part:05d}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+            os.replace(tmp, final)
+            # (seg, term) is globally unique after the drop_duplicates
+            # (each term lives in exactly one term partition)
+            st = df[["seg", "term"]].drop_duplicates().merge(g, on="term")
+            return st[["seg", "term", "df", "idf"]]
+
+        seg_rows = hash_groupby_apply(
+            parts_ds, ["term"], finalize_term_part, keep_part=True
+        )
+
+        def write_seg_df(df):
+            import pandas as pd
+
+            rows = []
+            for seg, sub in df.groupby("seg", sort=False):
+                sub = sub.sort_values("term")  # searchsorted order
+                d = os.path.join(seg_df_dir, f"seg={int(seg)}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, "terms.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub[["term", "df", "idf"]], preserve_index=False
+                    ),
+                    tmp,
+                )
+                os.replace(tmp, final)
+                rows.append({"seg": int(seg), "n_terms": len(sub)})
+            return pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"seg": pd.Series([], dtype=np.int64),
+                 "n_terms": pd.Series([], dtype=np.int64)}
+            )
+
+        # consuming the manifest rows executes the partitioned writes;
+        # only (seg, n_terms) scalars ever reach the driver
+        hash_groupby_apply(seg_rows, ["seg"], write_seg_df).count()
+        n_terms_global = sum(
+            pq.read_metadata(os.path.join(term_df_dir, f)).num_rows
+            for f in os.listdir(term_df_dir)
+            if f.endswith(".parquet")
+        )
         with open(os.path.join(global_dir, "metadata.json"), "w") as f:
             json.dump(
                 {
                     "n_docs": n_docs,
                     "sum_doclen": sum_doclen,
                     "avgdl": sum_doclen / max(n_docs, 1),
+                    "n_terms_global": n_terms_global,
                     "params_id": cfg.params_id,
                     "profile_id": cfg.profile.profile_id,
                     # flags spelled out so query-side tooling can adopt
@@ -376,14 +459,13 @@ def build_index(
         for name in os.listdir(docs_dir)
         if name.startswith("seg=")
     )
-    global_df_ref = ray.put(pq.read_table(os.path.join(global_dir, "term_df.parquet")))
     assemble = AssembleSegment(
         out_dir=out_dir,
         docs_dir=docs_dir,
         cfg=cfg,
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
-        global_df_ref=global_df_ref,
+        global_dir=global_dir,
         lineage_key=lineage_key,
         force=force,
     )
@@ -401,7 +483,7 @@ def build_index(
         "sum_doclen": meta["sum_doclen"],
         "avgdl": meta["avgdl"],
         "n_segments": len(seg_ids),
-        "n_terms_global": int(pq.read_metadata(os.path.join(global_dir, "term_df.parquet")).num_rows),
+        "n_terms_global": int(meta["n_terms_global"]),
         "n_postings": int(sum(m["n_postings"] for m in manifests)),
         "out_dir": out_dir,
     }
@@ -411,10 +493,14 @@ def build_index(
 
 
 class AssembleSegment:
-    """Builds one index segment per input row (an actor-pool stage: the
-    broadcast global-df table is fetched once per actor)."""
+    """Builds one index segment per input row. Each task semi-joins ONLY
+    its source segments' vocabularies against the global lexicon via the
+    per-segment ``global/seg_df/seg=N`` files stage 2 wrote — a pruned
+    O(segment-vocab) read per task, replacing the round-2 whole-lexicon
+    ``ray.put`` broadcast (unbounded at a 100 TB code corpus's
+    identifier vocabulary)."""
 
-    def __init__(self, out_dir, docs_dir, cfg, n_docs, avgdl, global_df_ref,
+    def __init__(self, out_dir, docs_dir, cfg, n_docs, avgdl, global_dir,
                  lineage_key, force, seg_groups=None):
         self.out_dir = out_dir
         self.docs_dir = docs_dir
@@ -427,20 +513,40 @@ class AssembleSegment:
         # (None = identity: segment seg reads seg=<seg>); used by the
         # segment-merge/compaction phase
         self.seg_groups = seg_groups
-        # broadcast: the ObjectRef travels in the pickled callable; each
-        # worker fetches the table once from its local object store
-        self.global_df_ref = global_df_ref
+        self.global_dir = global_dir
         self._terms = None
 
-    def _ensure_global(self):
-        if self._terms is None:
-            gdf = ray.get(self.global_df_ref)
-            self._terms = np.asarray(gdf["term"].to_pylist(), dtype=object)
-            self._df = gdf["df"].to_numpy()
-            self._idf = gdf["idf"].to_numpy()
+    def _load_global_for(self, src_segs: list[int]) -> None:
+        """Sets the (term-sorted) ``_terms/_df/_idf`` arrays to the union
+        of the source segments' global-df slices — exactly the vocabulary
+        this task's postings can reference, nothing more."""
+        tables = []
+        for s in src_segs:
+            f = os.path.join(
+                self.global_dir, "seg_df", f"seg={s}", "terms.parquet"
+            )
+            if os.path.exists(f):
+                tables.append(pq.read_table(f))
+        if not tables:
+            self._terms = np.empty(0, dtype=object)
+            self._df = np.empty(0, dtype=np.int64)
+            self._idf = np.empty(0, dtype=np.float64)
+            return
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = t["idf"].to_numpy(zero_copy_only=False)
+        if len(tables) > 1:
+            # merge path: union of per-seg vocabularies → sort + dedup
+            # (a term's (df, idf) row is identical across segments)
+            order = np.argsort(terms, kind="stable")
+            terms, dfv, idf = terms[order], dfv[order], idf[order]
+            keep = np.ones(len(terms), dtype=bool)
+            keep[1:] = terms[1:] != terms[:-1]
+            terms, dfv, idf = terms[keep], dfv[keep], idf[keep]
+        self._terms, self._df, self._idf = terms, dfv, idf
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._ensure_global()
         rows = [self._assemble(int(seg)) for seg in batch["seg"].to_pylist()]
         return pa.Table.from_pylist(rows)
 
@@ -458,6 +564,7 @@ class AssembleSegment:
         _timings = {}
         _t = _time.perf_counter()
         src_segs = self.seg_groups[seg] if self.seg_groups else [seg]
+        self._load_global_for(src_segs)
         files = sorted(
             os.path.join(self.docs_dir, f"seg={s}", f)
             for s in src_segs
@@ -800,6 +907,7 @@ class MergeAssemble(AssembleSegment):
         _timings = {}
         _t = _time.perf_counter()
         src_segs = self.seg_groups[seg] if self.seg_groups else [seg]
+        self._load_global_for(src_segs)
         src_dirs = [os.path.join(self.src_index_dir, f"db_{s}") for s in src_segs]
         files_set: set[str] = set()
         for d in src_dirs:
@@ -856,6 +964,27 @@ class MergeAssemble(AssembleSegment):
             seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
             dl_s, _timings,
         )
+
+
+def read_global_term_df(
+    index_dir: str, columns: list[str] | None = None
+) -> pa.Table:
+    """Read the build's global lexicon (term → df, idf), term-sorted.
+
+    The lexicon is stored term-hash-PARTITIONED (``global/term_df/part-K``)
+    so stage 2 never funnels it through one process; this helper is for
+    tools/tests that genuinely want the whole table (vocabulary-sized —
+    callers at 100 TB scale should prefer the per-segment
+    ``global/seg_df/seg=N`` slices or a pruned read of the partitions).
+    Falls back to the pre-fmt3 single-file layout."""
+    d = os.path.join(index_dir, "global", "term_df")
+    if os.path.isdir(d):
+        t = pads.dataset(d).to_table(columns=columns)
+    else:  # legacy single-file layout
+        t = pq.read_table(
+            os.path.join(index_dir, "global", "term_df.parquet"), columns=columns
+        )
+    return t.take(pc.sort_indices(t, sort_keys=[("term", "ascending")]))
 
 
 def merge_segments(
@@ -934,9 +1063,6 @@ def merge_segments(
     for s in src_segs:
         groups.setdefault(s // group_size, []).append(s)
 
-    global_df_ref = ray.put(
-        pq.read_table(os.path.join(index_dir, "global", "term_df.parquet"))
-    )
     assemble = MergeAssemble(
         src_index_dir=index_dir,
         out_dir=out_dir,
@@ -944,7 +1070,9 @@ def merge_segments(
         cfg=cfg,
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
-        global_df_ref=global_df_ref,
+        # merge tasks semi-join the same per-source-segment global-df
+        # slices the build wrote — no whole-lexicon broadcast here either
+        global_dir=os.path.join(index_dir, "global"),
         lineage_key=meta["lineage_key"] + f":merged{group_size}",
         force=False,
         seg_groups=groups,

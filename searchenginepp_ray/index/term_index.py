@@ -54,7 +54,7 @@ def build_term_postings(
 ) -> dict:
     """Build the term-partitioned posting-list table from an existing
     doc-partitioned build's tokenized docs (``index_dir/docs``) and
-    global df table (``index_dir/global/term_df.parquet``)."""
+    global df table (``index_dir/global/term_df/``)."""
     docs_dir = os.path.join(index_dir, "docs")
     seg_files = [
         os.path.join(docs_dir, d, f)
@@ -63,9 +63,9 @@ def build_term_postings(
         for f in sorted(os.listdir(os.path.join(docs_dir, d)))
         if f.endswith(".parquet")
     ]
-    gdf = pq.read_table(
-        os.path.join(index_dir, "global", "term_df.parquet"), columns=["term", "df"]
-    )
+    from .build import read_global_term_df
+
+    gdf = read_global_term_df(index_dir, columns=["term", "df"])
     hot = gdf.filter(pc.greater(gdf["df"], hot_df))["term"]
     hot_arr = hot.combine_chunks() if hot.num_chunks else pa.array([], pa.string())
 

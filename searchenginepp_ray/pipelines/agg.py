@@ -49,10 +49,15 @@ def hash_groupby_apply(
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     P: int | None = None,
+    keep_part: bool = False,
 ) -> ray.data.Dataset:
     """``fn`` (a vectorized pandas aggregation over the key columns) is
     applied once per hash partition; every row of a key lands in exactly
-    one partition, so the result equals a global groupby."""
+    one partition, so the result equals a global groupby.
+
+    ``keep_part=True`` passes the ``_part`` column (the partition id)
+    through to ``fn`` — for callables that write partition-addressed
+    side outputs (e.g. the index build's partitioned global lexicon)."""
     P = P or _shuffle_width()
     keys = list(keys)
 
@@ -61,7 +66,7 @@ def hash_groupby_apply(
         return t.append_column("_part", pa.array(part))
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=["_part"]))
+        return fn(df) if keep_part else fn(df.drop(columns=["_part"]))
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")

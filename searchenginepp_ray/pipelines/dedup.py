@@ -502,15 +502,46 @@ def _verified_pairs(
         a, b = doc_s[ia], doc_s[ib]
         # in-partition pair dedup BEFORE the (costlier) set intersections
         ab, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
-        sh_py = t["sh"].to_pylist()
-        inter = np.empty(len(ab), dtype=np.int64)
-        union = np.empty(len(ab), dtype=np.int64)
-        for i, f in enumerate(first):
-            A = np.frombuffer(sh_py[order[ia[f]]], dtype="<u8")
-            B = np.frombuffer(sh_py[order[ib[f]]], dtype="<u8")
-            c = len(np.intersect1d(A, B, assume_unique=True))
-            inter[i] = c
-            union[i] = len(A) + len(B) - c
+        # zero-copy u64 view of every packed shingle set: the large_binary
+        # column is (int64 offsets, data) and each blob is whole <u8
+        # words, so byte-offsets/8 index straight into one flat array —
+        # no to_pylist(), no per-pair frombuffer
+        shc = t["sh"].combine_chunks()
+        byte_offs = np.frombuffer(shc.buffers()[1], dtype=np.int64)[
+            shc.offset : shc.offset + len(shc) + 1
+        ]
+        u64_offs = byte_offs // 8
+        data_buf = shc.buffers()[2]
+        flat = (
+            np.frombuffer(data_buf, dtype="<u8")
+            if data_buf is not None and len(data_buf)
+            else np.empty(0, dtype=np.uint64)
+        )
+        set_lens = u64_offs[1:] - u64_offs[:-1]
+        rows_a = order[ia[first]]
+        rows_b = order[ib[first]]
+        len_a, len_b = set_lens[rows_a], set_lens[rows_b]
+
+        def gather(rows, lens):
+            # values of the selected sets, tagged with their pair index
+            tot = int(lens.sum())
+            starts = u64_offs[rows]
+            idx = np.repeat(
+                starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            ) + np.arange(tot, dtype=np.int64)
+            return flat[idx], np.repeat(np.arange(len(rows)), lens)
+
+        va, pa_ids = gather(rows_a, len_a)
+        vb, pb_ids = gather(rows_b, len_b)
+        vals = np.concatenate([va, vb])
+        pids = np.concatenate([pa_ids, pb_ids])
+        # values are unique WITHIN each side, so a (pair, value) duplicate
+        # across the concatenation means the value is common to both sets
+        o2 = np.lexsort((vals, pids))
+        v_s, p_s = vals[o2], pids[o2]
+        eq = (v_s[1:] == v_s[:-1]) & (p_s[1:] == p_s[:-1])
+        inter = np.bincount(p_s[1:][eq], minlength=len(ab)).astype(np.int64)
+        union = len_a + len_b - inter
         return pa.table(
             {"doc_a": pa.array(ab[:, 0].astype(np.int64)),
              "doc_b": pa.array(ab[:, 1].astype(np.int64)),

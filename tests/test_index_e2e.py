@@ -348,9 +348,10 @@ def test_term_partitioned_salted_shuffle(built, tmp_path_factory):
     assert v["violations"] == 0, v
     stats = term_postings_stats(out_dir)
     # df parity with the global lexicon of the doc-partitioned build
-    gdf = pq.read_table(
-        os.path.join(summary["out_dir"], "global", "term_df.parquet"),
-        columns=["term", "df"],
+    from searchenginepp_ray.index.build import read_global_term_df
+
+    gdf = read_global_term_df(
+        summary["out_dir"], columns=["term", "df"]
     ).to_pandas().sort_values("term").reset_index(drop=True)
     assert stats["term"].tolist() == gdf["term"].tolist()
     assert stats["df"].tolist() == gdf["df"].astype(int).tolist()
