@@ -287,8 +287,10 @@ def run_default() -> None:
 
     from searchenginepp_ray.index.engine import QueryEngine
 
-    code_eng = QueryEngine(merged_dir, use_actors=True,
-                           num_workers=min(8, cpus))
+    # default worker count = one actor per merged segment (10 at ×32):
+    # the batch path's critical path is segments-per-worker, so capping
+    # below n_segments doubles wall time for zero resource savings
+    code_eng = QueryEngine(merged_dir, use_actors=True)
     vocab = ("return if else for while hash index query search vector string "
              "buffer merge sort static const int read write parse encode "
              "decode split push append insert erase find map set array").split()

@@ -37,11 +37,16 @@ class SegmentGroupWorker:
         self.searchers = [SegmentSearcher(d, **searcher_args) for d in seg_dirs]
 
     def query_batch(self, toks_batch, k, mode, scorer_name):
+        # segment-major so each searcher's cross-query batch path
+        # (SegmentSearcher.query_batch) amortizes per-term work across
+        # the whole batch; the per-query merge is k × n_segments rows
+        per_seg = [
+            s.query_batch(toks_batch, k, mode, scorer_name)
+            for s in self.searchers
+        ]
         out = []
-        for toks in toks_batch:
-            merged = []
-            for s in self.searchers:
-                merged.extend(s.query(toks, k, mode, scorer_name))
+        for qi in range(len(toks_batch)):
+            merged = [r for res in per_seg for r in res[qi]]
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
         return out

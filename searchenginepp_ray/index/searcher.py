@@ -219,6 +219,15 @@ class SegmentSearcher:
         # and _score_at falls back to searchsorted/blocks.
         self._dense_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
         self._dense_cap_bytes = 256 << 20
+        # dense 0/1 match vectors per term (scorer-independent) + reusable
+        # accumulator scratch — the cross-query batch path's state. The
+        # scratch avoids a fresh multi-hundred-KB allocation (and its
+        # first-touch page faults) per query.
+        self._match_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._acc_scratch: np.ndarray | None = None
+        self._cnt_scratch: np.ndarray | None = None
+        self._part_scratch: np.ndarray | None = None
+        self._mask_scratch: np.ndarray | None = None
         #: below this segment size mode="bmm" dispatches to the plain
         #: accumulator (identical results, cheaper plan); tests pin it to
         #: 0 to force the Maxscore path on tiny fixtures
@@ -669,4 +678,112 @@ class SegmentSearcher:
 
     def query_batch(self, queries: list[list[str]], k: int, mode: str = "daat",
                     scorer_name: str | None = None):
+        """Batch query entry point — the cross-query amortization path.
+
+        For disjunctive modes over a batch whose union-of-terms posting
+        mass is DENSE relative to the segment (common dictionary words,
+        batch workloads), per-term work is hoisted out of the query loop:
+        each unique term's dense score vector is materialized once
+        (LRU-cached across batches), and each query is then a handful of
+        full-width vector adds + one top-k — no per-query candidate-set
+        bookkeeping at all. Scores are BIT-IDENTICAL to :meth:`query_daat`
+        (same lexicographic addition order; adding a non-matching term's
+        0.0 is an IEEE identity), so results match the per-query paths
+        exactly. Sparse workloads (rare terms, huge segments) fall back to
+        the lazy per-query Maxscore/DAAT paths, which decode strictly
+        less. The reference serves queries strictly one-at-a-time
+        (src/engine.cpp:99-117); this batch shape is what its API cannot
+        amortize."""
+        if mode in ("daat", "bmm") and len(queries) >= 4:
+            scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
+            resolved = [self._resolve_terms(q, conj=False) for q in queries]
+            union = sorted({i for idxs in resolved if idxs for i in idxs})
+            if union and self._dense_batch_worthwhile(union):
+                out = self._query_batch_dense(resolved, k, scorer)
+                if out is not None:
+                    return out
         return [self.query(q, k, mode, scorer_name) for q in queries]
+
+    def _dense_batch_worthwhile(self, union: list[int]) -> bool:
+        """Dense batching pays when the union lists blanket the segment:
+        per-query cost is O(n_docs_seg × terms) regardless of df, so it
+        must only replace the lazy paths when the candidate space is
+        already ~the whole segment."""
+        entry_bytes = self.n_docs_seg * 8
+        max_entries = self._dense_cap_bytes // max(entry_bytes, 1)
+        if len(union) > max_entries:
+            return False  # dense vectors for the union would thrash the cap
+        cov = float(self.df_local[union].sum()) / max(self.n_docs_seg, 1)
+        return cov >= 0.5
+
+    def _query_batch_dense(self, resolved, k: int, scorer):
+        n = self.n_docs_seg
+        if self._acc_scratch is None or len(self._acc_scratch) != n:
+            self._acc_scratch = np.empty(n, dtype=np.float64)
+            self._cnt_scratch = np.empty(n, dtype=np.uint16)
+            self._part_scratch = np.empty(n, dtype=np.float64)
+            self._mask_scratch = np.empty(n, dtype=bool)
+        acc, cnt = self._acc_scratch, self._cnt_scratch
+        part, mask = self._part_scratch, self._mask_scratch
+        dense: dict[int, np.ndarray] = {}
+        for ti in {i for idxs in resolved if idxs for i in idxs}:
+            skey = (ti,) + scorer.cache_key
+            d = self._dense_cache.get(skey)
+            if d is not None:
+                self._dense_cache.move_to_end(skey)
+            else:
+                _, local, s = self.scored_postings(ti, scorer)
+                d = self._densify(skey, local, s)
+                if d is None:  # cap race — bail to the per-query paths
+                    return None
+            dense[ti] = d
+        # a positive k-th score proves its docs matched (nonnegative
+        # scorers: acc > 0 ⇒ ≥1 matching term), so the hot path needs no
+        # per-doc match bookkeeping at all — one threshold partition over
+        # the accumulator and a tiny tie-safe select
+        fast_sel = bool(getattr(scorer, "nonnegative", False)) and n > k
+        out = []
+        for idxs in resolved:
+            if not idxs:
+                out.append([])
+                continue
+            # _resolve_terms returns ascending term indices == ascending
+            # lexicographic terms — DAAT's exact addition order
+            np.copyto(acc, dense[idxs[0]])
+            for i in idxs[1:]:
+                acc += dense[i]
+            if fast_sel:
+                # in-place partition/compare on reused scratch: no fresh
+                # 8n-byte allocation (≈page-fault per 4 KiB on some hosts)
+                # per query
+                np.copyto(part, acc)
+                part.partition(n - k)
+                thresh = part[n - k]
+                if thresh > 0.0:
+                    np.greater_equal(acc, thresh, out=mask)
+                    sel = np.flatnonzero(mask)
+                    out.append(self._topk(sel, acc[sel], k))
+                    continue
+            # short/zero-score tail (< k positive docs, or a scorer that
+            # can go negative): exact matched-candidate set via dense 0/1
+            # match vectors (scorer-independent, LRU-cached)
+            np.copyto(cnt, self._dense_match(idxs[0]))
+            for i in idxs[1:]:
+                cnt += self._dense_match(i)
+            cand = np.flatnonzero(cnt)
+            out.append(self._topk(cand, acc[cand], k) if len(cand) else [])
+        return out
+
+    def _dense_match(self, ti: int) -> np.ndarray:
+        """Dense 0/1 matched-doc vector for term ``ti`` (LRU-cached)."""
+        m = self._match_cache.get(ti)
+        if m is not None:
+            self._match_cache.move_to_end(ti)
+            return m
+        docids, _ = self.postings(ti)
+        m = np.zeros(self.n_docs_seg, dtype=np.uint8)
+        m[(docids.astype(np.int64) - self.base_docid)] = 1
+        self._match_cache[ti] = m
+        if len(self._match_cache) > self._cache_cap:
+            self._match_cache.popitem(last=False)
+        return m

@@ -61,40 +61,109 @@ def _ascii_tbl(lower_ascii_only: bool) -> bytes:
 
 _TBL_BYTES = _ascii_tbl(True)  # ASCII part is identical for both profiles
 
-_RE_NONASCII = _re.compile(rb"[\x80-\xff]")
-_RE_PUN2 = _re.compile(b"|".join(_re.escape(c.encode("utf8")) for c in PUN_2_BYTE))
-_RE_PUN3 = _re.compile(b"|".join(_re.escape(c.encode("utf8")) for c in PUN_3_BYTE))
-# latin1 uppercase U+00C0-00DF = bytes C3 80-9F; +0x20 on the trailing byte
-# is the reference's lowercase arithmetic (src/normalizer/utf8_utils.cpp:40-58)
-_RE_LATIN1_UP = _re.compile(b"\xc3[\x80-\x9f]")
+# ---- vectorized multi-byte passes --------------------------------------
+# The 2/3-byte punctuation marks and latin1-uppercase pairs are replaced
+# IN PLACE on a mutable byte view with numpy instead of regex-alternation
+# ``re.sub`` (which scans byte-by-byte through each of the ~55 branches).
+# Correctness relies on UTF-8 self-synchronization: lead bytes (>= 0xC2)
+# never appear as continuation bytes, so every candidate position is a
+# true sequence start, exact whole-sequence equality matches are disjoint,
+# and the same-length space replacement cannot create new matches —
+# byte-for-byte the result of the reference's sequential scan
+# (src/normalizer/PunctuationRemover.cpp:17-33).
+_P2_SEQS = [c.encode("utf8") for c in PUN_2_BYTE]
+_P3_SEQS = [c.encode("utf8") for c in PUN_3_BYTE]
+assert all(len(s) == 2 for s in _P2_SEQS) and all(len(s) == 3 for s in _P3_SEQS)
 
+import numpy as _np
 
-def _lower_latin1_pair(m: "_re.Match[bytes]") -> bytes:
-    b = m.group(0)
-    return bytes((b[0], b[1] + 0x20))
+_P2_LEADS = _np.array(sorted({s[0] for s in _P2_SEQS}), _np.uint8)
+_P2_CODES = _np.array(sorted((s[0] << 8) | s[1] for s in _P2_SEQS), _np.uint16)
+_P3_LEADS = _np.array(sorted({s[0] for s in _P3_SEQS}), _np.uint8)
+_P3_CODES = _np.array(
+    sorted((s[0] << 16) | (s[1] << 8) | s[2] for s in _P3_SEQS), _np.uint32
+)
+assert not (set(_P2_LEADS.tolist()) | set(_P3_LEADS.tolist())) & {0xC2, 0xC3} - {0xC2}
 
 
 def _translate_blob(blob: bytes, latin1_case: bool) -> bytes:
     blob = blob.translate(_TBL_BYTES)
-    if _RE_NONASCII.search(blob):
-        blob = _RE_PUN2.sub(b"  ", blob)
-        blob = _RE_PUN3.sub(b"   ", blob)
-        if latin1_case:
-            blob = _RE_LATIN1_UP.sub(_lower_latin1_pair, blob)
-    return blob
+    probe = _np.frombuffer(blob, _np.uint8)
+    lead_pos = _np.flatnonzero(probe >= 0xC2)  # all mark/case leads are >= C2
+    if len(lead_pos) == 0:
+        return blob
+    buf = bytearray(blob)
+    arr = _np.frombuffer(buf, _np.uint8)  # writable view of the copy
+    n = len(arr)
+    leads = arr[lead_pos]
+
+    p2 = lead_pos[_np.isin(leads, _P2_LEADS) & (lead_pos + 1 < n)]
+    if len(p2):
+        u16 = (arr[p2].astype(_np.uint16) << 8) | arr[p2 + 1]
+        hit = p2[_np.isin(u16, _P2_CODES)]
+        arr[hit] = 0x20
+        arr[hit + 1] = 0x20
+
+    p3 = lead_pos[_np.isin(leads, _P3_LEADS) & (lead_pos + 2 < n)]
+    if len(p3):
+        u32 = (
+            (arr[p3].astype(_np.uint32) << 16)
+            | (arr[p3 + 1].astype(_np.uint32) << 8)
+            | arr[p3 + 2]
+        )
+        hit = p3[_np.isin(u32, _P3_CODES)]
+        arr[hit] = 0x20
+        arr[hit + 1] = 0x20
+        arr[hit + 2] = 0x20
+
+    if latin1_case:
+        # latin1 uppercase U+00C0-00DF = bytes C3 80-9F; +0x20 on the
+        # trailing byte is the reference's lowercase arithmetic
+        # (src/normalizer/utf8_utils.cpp:40-58)
+        pl = lead_pos[(leads == 0xC3) & (lead_pos + 1 < n)]
+        if len(pl):
+            trail = arr[pl + 1]
+            hit = pl[(trail >= 0x80) & (trail <= 0x9F)]
+            arr[hit + 1] += 0x20
+    return bytes(buf)
+
+
+def _mojibake_doc_ids(blob: bytes) -> _np.ndarray:
+    """Indices (into the NUL-joined doc list) of docs whose bytes contain
+    the latin1-double-encoding indicator ``C2 [80-A0 | AD]`` — exactly the
+    docs where :func:`looks_like_mojibake` fires, located with two
+    vectorized passes instead of a per-doc regex."""
+    arr = _np.frombuffer(blob, _np.uint8)
+    c2 = _np.flatnonzero(arr[:-1] == 0xC2) if len(arr) > 1 else _np.empty(0, _np.int64)
+    if len(c2) == 0:
+        return _np.empty(0, _np.int64)
+    nxt = arr[c2 + 1]
+    hits = c2[((nxt >= 0x80) & (nxt <= 0xA0)) | (nxt == 0xAD)]
+    if len(hits) == 0:
+        return _np.empty(0, _np.int64)
+    nul_pos = _np.flatnonzero(arr == 0)
+    return _np.unique(_np.searchsorted(nul_pos, hits))
 
 
 def _prepare_texts(texts: list[str], profile: NormalizerProfile) -> list[str]:
-    if profile.fix_latin1:
-        texts = [
-            fix_latin1_mojibake(t) if looks_like_mojibake(t) else t for t in texts
-        ]
     if any("\x00" in t for t in texts):  # NUL joiner unsafe → per-doc path
+        if profile.fix_latin1:
+            texts = [
+                fix_latin1_mojibake(t) if looks_like_mojibake(t) else t
+                for t in texts
+            ]
         return [
             _translate_blob(t.encode("utf8"), profile.latin1_case).decode("utf8")
             for t in texts
         ]
     blob = "\x00".join(texts).encode("utf8")
+    if profile.fix_latin1:
+        moji = _mojibake_doc_ids(blob)
+        if len(moji):
+            texts = list(texts)
+            for i in moji:
+                texts[i] = fix_latin1_mojibake(texts[i])
+            blob = "\x00".join(texts).encode("utf8")
     return _translate_blob(blob, profile.latin1_case).decode("utf8").split("\x00")
 
 

@@ -122,6 +122,40 @@ def test_bmm_equals_daat(built):
     assert compared > 20  # the comparison is not vacuous
 
 
+def test_query_batch_equals_per_query(built):
+    """The cross-query dense batch path (SegmentSearcher.query_batch)
+    must return BIT-identical results to the per-query paths — same
+    docids, docnos, and exact float scores (same lexicographic addition
+    order; adding a non-matching term's 0.0 dense entry is an IEEE
+    identity) — including queries with unknown terms, empty queries,
+    k > n_matches (the cnt fallback), and both serving modes."""
+    _, _, engine = built
+    toks = [engine.normalize_query(q) for q in QUERIES]
+    toks += [["zzz_not_a_term"], [], toks[0], toks[1]]  # edge + repeats
+    for mode in ("daat", "bmm"):
+        for k in (3, K, 5000):  # 5000 > n_docs: forces the cnt fallback
+            for w in engine.workers:
+                batch = w.query_batch(toks, k, mode, None)
+                per_q = [
+                    [
+                        r
+                        for s in w.searchers
+                        for r in s.query(t, k, mode, None)
+                    ]
+                    for t in toks
+                ]
+                for b, p in zip(batch, per_q):
+                    p.sort(key=lambda r: (-r[2], r[0]))
+                    assert b == p[:k]  # exact equality, scores included
+
+    # the dense path is actually exercised (not just the fallback): the
+    # fixture queries' vocabulary blankets the tiny segments
+    s = engine.workers[0].searchers[0]
+    union = sorted({i for t in toks for i in (s._resolve_terms(t, False) or [])})
+    assert s._dense_batch_worthwhile(union)
+    assert len(s._dense_cache) > 0
+
+
 def test_sha256_invariant(built):
     """Per-row content sha256 carried through the doc index unchanged."""
     import hashlib
