@@ -160,6 +160,75 @@ class TokenizeShards:
         )
 
 
+def _finalize_term_part(df, n_docs: int, term_df_dir: str):
+    """Stage-2 term-partition kernel: global df + idf for this term-hash
+    partition, written as one file of the partitioned global lexicon;
+    returns the (seg, term, df, idf) rows for the per-segment exchange."""
+    part = int(df["_part"].iloc[0])
+    g = df.groupby("term", as_index=False, sort=True).agg(df=("df_part", "sum"))
+    g["idf"] = scorer_mod.idf(n_docs, g["df"].to_numpy())
+    final = os.path.join(term_df_dir, f"part-{part:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+    os.replace(tmp, final)
+    # (seg, term) is globally unique after the drop_duplicates
+    # (each term lives in exactly one term partition)
+    st = df[["seg", "term"]].drop_duplicates().merge(g, on="term")
+    return st[["seg", "term", "df", "idf"]]
+
+
+def _write_seg_df(df, seg_df_dir: str):
+    """Stage-2 segment-partition kernel: each segment's vocabulary slice
+    of the global lexicon, term-sorted for searchsorted semi-joins."""
+    import pandas as pd
+
+    rows = []
+    for seg, sub in df.groupby("seg", sort=False):
+        sub = sub.sort_values("term")  # searchsorted order
+        d = os.path.join(seg_df_dir, f"seg={int(seg)}")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, "terms.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(sub[["term", "df", "idf"]], preserve_index=False),
+            tmp,
+        )
+        os.replace(tmp, final)
+        rows.append({"seg": int(seg), "n_terms": len(sub)})
+    return pd.DataFrame(rows) if rows else pd.DataFrame(
+        {"seg": pd.Series([], dtype=np.int64),
+         "n_terms": pd.Series([], dtype=np.int64)}
+    )
+
+
+@ray.remote
+def _global_stage_single(
+    partial_files: list[str], n_docs: int, term_df_dir: str, seg_df_dir: str,
+    P: int,
+) -> int:
+    """Build stage 2 in one task — the small-vocabulary arm of the
+    cost-based dispatch. Runs the SAME kernels over the same term-hash
+    partition ids as the distributed arm (same term_df/part-K layout,
+    same per-seg files, byte-identical), just without the two all-to-all
+    exchanges, which cost more than the data when the partial set is
+    tiny. Returns sum_doclen."""
+    import pandas as pd
+
+    from ..pipelines.agg import _key_hash
+
+    t = pa.concat_tables([pq.read_table(f) for f in partial_files])
+    sum_doclen = int(pc.sum(t["doclen_part"]).as_py() or 0)
+    part = (_key_hash(t, ["term"]) % np.uint64(P)).astype(np.int32)
+    df = t.to_pandas()
+    df["_part"] = part
+    seg_parts = [
+        _finalize_term_part(sub, n_docs, term_df_dir)
+        for _, sub in df.groupby("_part", sort=False)
+    ]
+    _write_seg_df(pd.concat(seg_parts, ignore_index=True), seg_df_dir)
+    return sum_doclen
+
+
 def _partial_df(batch: pa.Table) -> pa.Table:
     """Per-(segment, term) partial document frequency (terms are unique
     per doc; a shard spans at most a couple of segments), plus each
@@ -357,58 +426,49 @@ def build_index(
         os.makedirs(term_df_dir)
         os.makedirs(seg_df_dir)
         from ..pipelines.agg import hash_groupby_apply  # no import cycle
+        from ..pipelines.dedup import _shuffle_width
 
-        parts_ds = ray.data.read_parquet(os.path.join(docs_dir, "_partials"))
-        sum_doclen = int(parts_ds.sum("doclen_part") or 0)
         n_docs = n_docs_total
-
-        def finalize_term_part(df):
-            import pandas as pd
-
-            part = int(df["_part"].iloc[0])
-            g = df.groupby("term", as_index=False, sort=True).agg(
-                df=("df_part", "sum")
-            )
-            g["idf"] = scorer_mod.idf(n_docs, g["df"].to_numpy())
-            final = os.path.join(term_df_dir, f"part-{part:05d}.parquet")
-            tmp = final + ".tmp"
-            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
-            os.replace(tmp, final)
-            # (seg, term) is globally unique after the drop_duplicates
-            # (each term lives in exactly one term partition)
-            st = df[["seg", "term"]].drop_duplicates().merge(g, on="term")
-            return st[["seg", "term", "df", "idf"]]
-
-        seg_rows = hash_groupby_apply(
-            parts_ds, ["term"], finalize_term_part, keep_part=True
+        pdir = os.path.join(docs_dir, "_partials")
+        partial_files = sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
         )
-
-        def write_seg_df(df):
-            import pandas as pd
-
-            rows = []
-            for seg, sub in df.groupby("seg", sort=False):
-                sub = sub.sort_values("term")  # searchsorted order
-                d = os.path.join(seg_df_dir, f"seg={int(seg)}")
-                os.makedirs(d, exist_ok=True)
-                final = os.path.join(d, "terms.parquet")
-                tmp = final + ".tmp"
-                pq.write_table(
-                    pa.Table.from_pandas(
-                        sub[["term", "df", "idf"]], preserve_index=False
-                    ),
-                    tmp,
+        # the same partition width in both dispatch arms, fixed on the
+        # driver, so their term_df/part-K layouts are identical
+        P = _shuffle_width()
+        psize = sum(os.path.getsize(f) for f in partial_files)
+        single_cap = (
+            int(os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "128")) << 20
+        )
+        if psize <= single_cap:
+            # cost-based dispatch: when the whole (seg, term) partial set
+            # is tiny (bounded vocabulary — the common small/medium case),
+            # two all-to-all exchanges cost more than the data. One Ray
+            # task runs the SAME kernels over the same term-hash partition
+            # ids, producing byte-identical global/ output (pinned by
+            # test_global_stage_paths_identical).
+            sum_doclen = ray.get(
+                _global_stage_single.remote(
+                    partial_files, n_docs, term_df_dir, seg_df_dir, P
                 )
-                os.replace(tmp, final)
-                rows.append({"seg": int(seg), "n_terms": len(sub)})
-            return pd.DataFrame(rows) if rows else pd.DataFrame(
-                {"seg": pd.Series([], dtype=np.int64),
-                 "n_terms": pd.Series([], dtype=np.int64)}
             )
-
-        # consuming the manifest rows executes the partitioned writes;
-        # only (seg, n_terms) scalars ever reach the driver
-        hash_groupby_apply(seg_rows, ["seg"], write_seg_df).count()
+        else:
+            parts_ds = ray.data.read_parquet(pdir)
+            sum_doclen = int(parts_ds.sum("doclen_part") or 0)
+            seg_rows = hash_groupby_apply(
+                parts_ds,
+                ["term"],
+                lambda df: _finalize_term_part(df, n_docs, term_df_dir),
+                P=P,
+                keep_part=True,
+            )
+            # consuming the manifest rows executes the partitioned writes;
+            # only (seg, n_terms) scalars ever reach the driver
+            hash_groupby_apply(
+                seg_rows, ["seg"], lambda df: _write_seg_df(df, seg_df_dir), P=P
+            ).count()
         n_terms_global = sum(
             pq.read_metadata(os.path.join(term_df_dir, f)).num_rows
             for f in os.listdir(term_df_dir)

@@ -167,6 +167,21 @@ def _prepare_texts(texts: list[str], profile: NormalizerProfile) -> list[str]:
     return _translate_blob(blob, profile.latin1_case).decode("utf8").split("\x00")
 
 
+_TOK_SCRATCH: dict[str, _np.ndarray] = {}
+
+
+def _tok_scratch(name: str, n: int, dtype) -> _np.ndarray:
+    """Grow-only per-process scratch — fresh multi-MB temporaries pay
+    ~100 µs/page first-touch on fault-pathological hosts, so the hot
+    token-stream arrays are reused across batches (same pattern as
+    ``pipelines.dedup._scratch_u64``)."""
+    buf = _TOK_SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        buf = _np.empty(max(n + n // 4, 1024), dtype=dtype)
+        _TOK_SCRATCH[name] = buf
+    return buf[:n]
+
+
 def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     """Tokenize a batch of documents.
 
@@ -174,6 +189,14 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     ``np.uint64`` array and the lists are Arrow ``ListArray``s of per-doc
     term-sorted unique terms and their frequencies — the same content as
     ``sorted(term_frequencies(text).items())`` per doc.
+
+    The stream-sized work is one Arrow dictionary-encode, one in-place
+    int64 sort and a run-length pass on reused scratch; every filter
+    (empties, stopwords, the 240-byte cap — ``token.size() > 240``,
+    WordNormalizer.cpp:64) and the stemmer run on the VOCABULARY only,
+    then fan back out through the dictionary codes. Dropped tokens map to
+    a sentinel code that sorts past the real terms of each doc and is cut
+    after the run-length pass — no stream-sized boolean filter copies.
     """
     n = len(texts)
     arr = pa.array(_prepare_texts(texts, profile), pa.string())
@@ -181,21 +204,9 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     # literal split suffices; empties from runs of spaces are filtered below
     toks = pc.split_pattern(arr, " ")
     flat = pc.list_flatten(toks)
-    doc_idx = np.repeat(
-        np.arange(n, dtype=np.int64), np.asarray(pc.list_value_length(toks))
-    )
+    n_tok = len(flat)
 
-    mask = pc.not_equal(pc.binary_length(flat), 0)
-    if profile.stemming:
-        mask = pc.and_(mask, pc.invert(pc.is_in(flat, value_set=_STOPWORDS_ARR)))
-        # byte-length cap (``token.size() > 240``, WordNormalizer.cpp:64);
-        # binary_length on utf8 is in bytes
-        mask = pc.and_(mask, pc.less_equal(pc.binary_length(flat), 240))
-    mask_np = np.asarray(mask)
-    flat = flat.filter(mask)
-    doc_idx = doc_idx[mask_np]
-
-    if len(flat) == 0:
+    def _empty():
         empty_terms = pa.ListArray.from_arrays(
             np.zeros(n + 1, dtype=np.int32), pa.array([], pa.string())
         )
@@ -204,32 +215,68 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
         )
         return np.zeros(n, dtype=np.uint64), empty_terms, empty_tfs
 
-    # dictionary-encode the surviving stream: Python only sees the vocab
-    de = flat.dictionary_encode()
-    codes = np.asarray(de.indices).astype(np.int64)
-    vocab = de.dictionary.to_pylist()
+    if n_tok == 0:
+        return _empty()
 
+    de = flat.dictionary_encode()
+    codes = np.asarray(de.indices)  # int32, zero-copy (no nulls)
+    vocab_pa = de.dictionary
+
+    # vocabulary-sized keep mask (the reference's per-token filters)
+    vlen = pc.binary_length(vocab_pa)
+    keep = pc.not_equal(vlen, 0)
     if profile.stemming:
-        vocab = [stem(t) for t in vocab]
+        keep = pc.and_(keep, pc.invert(pc.is_in(vocab_pa, value_set=_STOPWORDS_ARR)))
+        keep = pc.and_(keep, pc.less_equal(vlen, 240))
+    keep_np = np.asarray(keep)
+    kept_idx = np.flatnonzero(keep_np)
+    vocab = vocab_pa.to_pylist()
+    if profile.stemming:
+        kept_terms = [stem(vocab[i]) for i in kept_idx]
+    else:
+        kept_terms = [vocab[i] for i in kept_idx]
     # collapse stem-equal tokens; np.unique on str objects sorts
     # lexicographically == the reference's std::map term order
-    vocab_arr = np.asarray(vocab, dtype=object)
-    final_vocab, stem_code = np.unique(vocab_arr, return_inverse=True)
-    term_code = stem_code[codes]
-
-    # (doc, term) pair counts, sorted by (doc, term-code) == per-doc
-    # term-sorted order
+    final_vocab, stem_code = np.unique(
+        np.asarray(kept_terms, dtype=object), return_inverse=True
+    )
     n_terms = len(final_vocab)
-    key = doc_idx * n_terms + term_code
-    pair_key, tf = np.unique(key, return_counts=True)
-    pair_doc = pair_key // n_terms
-    pair_term = pair_key - pair_doc * n_terms
+    if n_terms == 0:
+        return _empty()
 
-    doclens = np.bincount(doc_idx, weights=None, minlength=n).astype(np.uint64)
+    # raw dictionary code -> final term code, dropped codes -> sentinel
+    # n_terms (sorts after every real term within a doc)
+    full_map = np.full(len(vocab), n_terms, dtype=np.int64)
+    full_map[kept_idx] = stem_code
+
+    # (doc, term) pair counts via one in-place sort + run-length encode on
+    # scratch, sorted by (doc, term-code) == per-doc term-sorted order
+    width = n_terms + 1
+    key = _tok_scratch("key", n_tok, np.int64)
+    np.take(full_map, codes, out=key)
+    tok_counts = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+    key += np.repeat(np.arange(n, dtype=np.int64) * width, tok_counts)
+    key.sort()
+    change = _tok_scratch("chg", n_tok, bool)
+    change[0] = True
+    np.not_equal(key[1:], key[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    pair_key = key[starts]
+    counts = np.diff(np.append(starts, n_tok))
+    pair_doc = pair_key // width
+    pair_term = pair_key - pair_doc * width
+    real = pair_term < n_terms  # cut the per-doc sentinel runs
+    pair_doc, pair_term, tf = pair_doc[real], pair_term[real], counts[real]
+
+    doclens = np.bincount(pair_doc, weights=tf, minlength=n).astype(np.uint64)
     pairs_per_doc = np.bincount(pair_doc, minlength=n)
     offsets = np.concatenate(([0], np.cumsum(pairs_per_doc))).astype(np.int64)
 
-    term_values = pa.array(final_vocab[pair_term], pa.string())
+    # gather term strings Arrow-side: one vocab-sized object->Arrow
+    # conversion + a C-speed take, instead of materializing a pair-count
+    # sized Python string array per batch
+    final_vocab_pa = pa.array(final_vocab, pa.string())
+    term_values = final_vocab_pa.take(pa.array(pair_term, pa.int64()))
     terms_list = pa.LargeListArray.from_arrays(offsets, term_values)
     tfs_list = pa.LargeListArray.from_arrays(offsets, pa.array(tf, pa.uint32()))
     return doclens, terms_list, tfs_list

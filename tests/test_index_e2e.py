@@ -156,6 +156,39 @@ def test_query_batch_equals_per_query(built):
     assert len(s._dense_cache) > 0
 
 
+def test_global_stage_paths_identical(ray_session, tmp_path_factory, monkeypatch):
+    """Build stage 2's cost-based dispatch: the single-task arm (small
+    partial sets) and the two-exchange distributed arm must produce a
+    byte-identical global/ directory — same term_df/part-K hash layout,
+    same per-segment lexicon slices, same metadata-relevant stats."""
+    import os
+
+    tmp = tmp_path_factory.mktemp("g2")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 350, seed=9, rows_per_group=64)
+    cfg = BuildConfig(docs_per_segment=120)
+
+    monkeypatch.setenv("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "1024")
+    build_index(corpus_path, str(tmp / "idx_single"), cfg, CODE_CORPUS)
+    monkeypatch.setenv("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "0")
+    build_index(corpus_path, str(tmp / "idx_dist"), cfg, CODE_CORPUS)
+
+    def files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = p
+        return out
+
+    a = files(str(tmp / "idx_single" / "global"))
+    b = files(str(tmp / "idx_dist" / "global"))
+    assert set(a) == set(b) and any("term_df" in k for k in a)
+    for rel in sorted(a):
+        with open(a[rel], "rb") as fa, open(b[rel], "rb") as fb:
+            assert fa.read() == fb.read(), f"global/{rel} differs between arms"
+
+
 def test_sha256_invariant(built):
     """Per-row content sha256 carried through the doc index unchanged."""
     import hashlib
