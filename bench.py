@@ -32,6 +32,10 @@ import sys
 import time
 
 SCALE_CORPUS_ROWS = 600_000
+#: --scaling measures throughput RATIOS, so it wants enough rows that
+#: fixed per-stage costs (session/stage startup, the constant-time global
+#: stage) don't read as inefficiency; overridable for quick checks
+SCALING_ROWS = int(os.environ.get("SEPPRAY_SCALE_ROWS", str(2_000_000)))
 SCALE_CORPUS = f"/tmp/bench_corpus/corpus_{SCALE_CORPUS_ROWS // 1000}k.parquet"
 BENCH_SEG_DOCS = 2048  # segment size tuned for this host (see BASELINE.md)
 
@@ -40,6 +44,13 @@ def _ensure_scale_corpus() -> str:
     from searchenginepp_ray.sources.corpus_gen import write_corpus_fast
 
     return write_corpus_fast(SCALE_CORPUS, SCALE_CORPUS_ROWS)
+
+
+def _ensure_scaling_corpus() -> str:
+    from searchenginepp_ray.sources.corpus_gen import write_corpus_fast
+
+    path = f"/tmp/bench_corpus/corpus_{SCALING_ROWS // 1000}k.parquet"
+    return write_corpus_fast(path, SCALING_ROWS)
 
 
 def _content_mb(path: str) -> float:
@@ -76,7 +87,7 @@ def scaling_worker(cpus: int) -> None:
     import ray
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)
-    corpus = _ensure_scale_corpus()
+    corpus = _ensure_scaling_corpus()
     wall, summary = _build_code_corpus(corpus, f"/tmp/bench_scale_idx_{cpus}")
     out = {
         "cpus": cpus,
@@ -94,8 +105,8 @@ def run_scaling(repeats: int) -> None:
         int(x) for x in os.environ.get("SEPPRAY_SCALE_LEVELS", "2,8").split(",")
     ]
     assert len(levels) == 2 and levels[1] > levels[0]
-    _ensure_scale_corpus()
-    mb = _content_mb(SCALE_CORPUS)
+    scaling_corpus = _ensure_scaling_corpus()
+    mb = _content_mb(scaling_corpus)
     results: dict[int, list[dict]] = {lv: [] for lv in levels}
 
     def one(lv: int) -> None:
@@ -135,7 +146,7 @@ def run_scaling(repeats: int) -> None:
     out = {
         "metric": (
             f"index-build scaling efficiency, num_cpus={n} vs {n4} "
-            f"(fresh ray sessions, same {SCALE_CORPUS_ROWS}-row code corpus, "
+            f"(fresh ray sessions, same {SCALING_ROWS}-row code corpus, "
             f"best of {len(results[n])} pairs)"
         ),
         "value": round(eff, 3),
@@ -144,12 +155,12 @@ def run_scaling(repeats: int) -> None:
             f"build_{n}cpus": round(min(r["wall_s"] for r in results[n]), 2),
             f"build_{n4}cpus": round(min(r["wall_s"] for r in results[n4]), 2),
         },
-        "sf": f"code{SCALE_CORPUS_ROWS // 1000}k",
+        "sf": f"code{SCALING_ROWS // 1000}k",
         "num_cpus": n4,
         "docs_per_s": {str(lv): best[lv] for lv in levels},
         "content_mb": round(mb, 1),
         "mb_per_s": {
-            str(lv): round(best[lv] * mb / SCALE_CORPUS_ROWS, 2) for lv in levels
+            str(lv): round(best[lv] * mb / SCALING_ROWS, 2) for lv in levels
         },
         "all_runs": {str(lv): results[lv] for lv in levels},
     }
