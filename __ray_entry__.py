@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+        # nprobe == nlist scans every bucket: IVF degenerates to exact
+        # brute force, making the bucketed machinery SQL-oracle-checkable
+        "knn_ivf_full_probe": lambda sf: similarity.knn_ivf(sf, nprobe=16),
         "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
         # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
@@ -99,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
+        # exhaustive probe == exact brute force, same oracle
+        "knn_ivf_full_probe": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "windowed_agg": osql.windowed_agg_sql(),

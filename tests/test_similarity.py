@@ -45,3 +45,20 @@ def test_knn_ivf_recall_vs_exact(ray_session):
         got = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
         recalls.append(len(want & got) / len(want))
     assert np.mean(recalls) >= 0.6, recalls  # nprobe misses are allowed, collapse isn't
+
+
+def test_knn_ivf_full_probe_equals_brute_force(ray_session):
+    """nprobe == nlist scans every bucket, so IVF must return EXACTLY the
+    brute-force result — same (query_id, neighbor_id, rank) triples and
+    cosines to the oracle's 6-dp rounding. This value-checks the whole
+    bucketed path (partitioned layout, probe routing, per-bucket scoring,
+    merge) with zero approximation slack."""
+    bf = similarity.knn_brute_force(SF, n_queries=5, k=5).to_pandas()
+    ivf = similarity.knn_ivf(SF, n_queries=5, k=5, nlist=16, nprobe=16).to_pandas()
+    key = ["query_id", "rank"]
+    bf = bf.sort_values(key).reset_index(drop=True)
+    ivf = ivf.sort_values(key).reset_index(drop=True)
+    assert bf[["query_id", "neighbor_id", "rank"]].equals(
+        ivf[["query_id", "neighbor_id", "rank"]]
+    )
+    assert (bf["cosine"] - ivf["cosine"]).abs().max() < 1e-9
