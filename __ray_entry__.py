@@ -59,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(sf),
+        # one table, zero hyperplanes => every vector in one bucket: the
+        # LSH machinery degenerates to the exact kernel and gets the
+        # same SQL value-hash check as embedding_near_dup
+        "embedding_near_dup_lsh_exhaustive": lambda sf: dedup.embedding_near_dup_lsh(
+            sf, n_planes=0, n_tables=1
+        ),
         # --- similarity search ---
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
@@ -101,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
+        # exhaustive bucketing == the exact kernel, same oracle
+        "embedding_near_dup_lsh_exhaustive": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
         # exhaustive probe == exact brute force, same oracle
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),

@@ -317,3 +317,19 @@ def test_cc_kernel_random_graph_matches_union_find():
         want.setdefault(find(x), set()).add(x)
     want_map = {x: min(mem) for mem in want.values() for x in mem}
     assert dict(zip(nodes.tolist(), comp.tolist())) == want_map
+
+
+def test_lsh_exhaustive_equals_exact_kernel(ray_session):
+    """One table with zero hyperplanes puts every vector in a single
+    bucket, so the SRP-LSH path must reproduce the exact O(N^2) kernel's
+    pairs verbatim — value-checking the bucket fan-out, per-bucket
+    scoring, and cross-table pair dedup with zero approximation slack."""
+    from searchenginepp_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.01"
+    lsh = dedup.embedding_near_dup_lsh(sf, n_planes=0, n_tables=1).to_pandas()
+    exact = dedup.embedding_near_dup(sf).to_pandas()
+    key = ["vec_a", "vec_b"]
+    assert lsh.sort_values(key).reset_index(drop=True).equals(
+        exact.sort_values(key).reset_index(drop=True)
+    )
