@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
+        # full-stack training-data composition: quality/lang floors +
+        # exact dedup -> cleaned parquet -> index build -> BM25 serving
+        "search_bm25_cleaned_topk": lambda sf: search_docs.search_topk_cleaned(sf, mode="bmm"),
         "index_stats": lambda sf: search_docs.index_stats(sf),
         "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
@@ -97,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
+        "search_bm25_cleaned_topk": osql.search_topk_cleaned_sql("bm25"),
         "index_stats": osql.index_stats_sql(),
         "term_postings_global": osql.term_postings_global_sql(),
         "index_term_df": osql.term_df_sql(),

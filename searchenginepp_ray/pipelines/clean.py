@@ -138,6 +138,55 @@ def _mark_members(
     return hash_groupby_apply(u, ["_k"], sieve)
 
 
+def cleaned_documents_ds(
+    sf_dir: str, min_tokens: int = 5, min_distinct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
+):
+    """The kept documents THEMSELVES (doc_id, text) — :func:`corpus_clean`
+    keeper ids semi-joined back to the corpus.
+
+    Distributed: one hash-partition exchange on doc_id over the union of
+    corpus rows and keeper marks; the text column ships through the
+    exchange exactly once (the unavoidable cost of routing content by a
+    key — there is no driver-side id set)."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .text_stats import documents_ds
+
+    keepers = corpus_clean(
+        sf_dir, min_tokens, min_distinct_ratio, max_stopword_ratio,
+        lang_threshold,
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "text": t["text"],
+             "_is_mem": pa.array(np.zeros(len(t), np.int8))}
+        )
+
+    def mem_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "text": pa.array([""] * n, pa.string()),
+             "_is_mem": pa.array(np.ones(n, np.int8))}
+        )
+
+    u = documents_ds(sf_dir).map_batches(doc_rows, batch_format="pyarrow").union(
+        keepers.map_batches(mem_rows, batch_format="pyarrow")
+    )
+
+    def sieve(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df.loc[df["_is_mem"] == 1, "doc_id"].to_numpy()
+        rows = df[df["_is_mem"] == 0]
+        hit = np.isin(rows["doc_id"].to_numpy(), mem)
+        return rows.loc[hit, ["doc_id", "text"]]
+
+    return hash_groupby_apply(u, ["doc_id"], sieve)
+
+
 def corpus_clean_neardup(
     sf_dir: str, min_tokens: int = 5, min_distinct_ratio: float = 0.2,
     max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,

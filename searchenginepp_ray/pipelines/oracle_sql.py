@@ -112,15 +112,15 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)"""
 
 
-def corpus_clean_sql(
+def _clean_ctes(
     min_tokens: int = 5, min_distinct_ratio: float = 0.2,
     max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
 ) -> str:
-    """Oracle for pipelines.clean.corpus_clean: quality + language floors,
-    then the min doc_id of each exact-content group among the passers."""
+    """CTE chain ``per, pass, kept`` mirroring pipelines.clean.corpus_clean
+    (assumes ``toks`` is already defined): quality + language floors, then
+    the min doc_id of each exact-content group among the passers."""
     stops = ", ".join(f"'{s}'" for s in QUALITY_STOPS)
-    return f"""WITH {tok_cte()},
-per AS (
+    return f"""per AS (
     SELECT doc_id,
            COUNT(*) AS n_tok,
            COUNT(DISTINCT term) AS n_dis,
@@ -134,8 +134,57 @@ pass AS (
       AND p.n_dis * 1.0 / p.n_tok >= {min_distinct_ratio}
       AND p.n_stop * 1.0 / p.n_tok <= {max_stopword_ratio}
       AND p.n_stop * 1.0 / p.n_tok >= {lang_threshold}
+),
+kept AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM pass GROUP BY h)"""
+
+
+def corpus_clean_sql(
+    min_tokens: int = 5, min_distinct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
+) -> str:
+    """Oracle for pipelines.clean.corpus_clean."""
+    ctes = _clean_ctes(min_tokens, min_distinct_ratio, max_stopword_ratio,
+                       lang_threshold)
+    return f"""WITH {tok_cte()},
+{ctes}
+SELECT doc_id FROM kept"""
+
+
+def search_topk_cleaned_sql(scorer: str = "bm25", k: int = 10) -> str:
+    """Oracle for the composed clean → index → search pipeline
+    (pipelines.search_docs.search_topk_cleaned): the corpus is first
+    restricted to corpus_clean's keepers, then the ENTIRE scoring stack
+    (tf, doclen, N, avgdl, df) is recomputed over the cleaned corpus —
+    exactly what rebuilding the index over the cleaned parquet does."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b) if scorer == "bm25" else _tfidf_score_expr()
+    return f"""WITH {tok_cte()},
+{_clean_ctes()},
+ctoks AS (SELECT t.doc_id, t.term FROM toks t JOIN kept USING (doc_id)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ctoks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM ctoks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM kept) AS n_docs,
+                 (SELECT COUNT(*) FROM ctoks) * 1.0
+                   / (SELECT COUNT(*) FROM kept) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM ctoks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
 )
-SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM pass GROUP BY h"""
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""
 
 
 def exact_dedup_sql() -> str:

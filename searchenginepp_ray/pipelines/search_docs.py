@@ -93,6 +93,49 @@ def search_topk(sf_dir: str, k: int = 10, mode: str = "daat",
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
 
 
+def get_cleaned_engine(sf_dir: str, scorer: str = "bm25") -> QueryEngine:
+    """Engine over the CLEANED corpus — the full-stack training-data
+    composition: quality/language floors + exact dedup
+    (``pipelines.clean.corpus_clean``) → cleaned parquet → index build →
+    segment-actor serving. Original doc_ids ride through as docnos, so
+    results are comparable with a SQL oracle that cleans in SQL.
+
+    The cleaned corpus + index are cached under /tmp keyed by
+    (sf_dir, build params, clean version) via the build's own
+    checkpoint markers."""
+    cfg = _cfg(simple=True)
+    key = (os.path.abspath(sf_dir), cfg.params_id, scorer, "cleaned")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        base = hashlib.sha256(
+            f"{os.path.abspath(sf_dir)}:{cfg.params_id}:cleaned:v1".encode()
+        ).hexdigest()[:12]
+        root = os.path.join("/tmp", "seppray_index_cache", base)
+        corpus_dir = os.path.join(root, "corpus")
+        marker = os.path.join(root, "_corpus_done")
+        if not os.path.exists(marker):
+            import shutil
+
+            from .clean import cleaned_documents_ds
+
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+            cleaned_documents_ds(sf_dir).write_parquet(corpus_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        out_dir = os.path.join(root, "index")
+        build_index(corpus_dir, out_dir, cfg, DOCUMENTS_CORPUS)
+        eng = QueryEngine(out_dir, scorer=scorer, use_actors=True,
+                          num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
+        _ENGINES[key] = eng
+    return eng
+
+
+def search_topk_cleaned(sf_dir: str, k: int = 10, mode: str = "daat",
+                        scorer: str = "bm25") -> pd.DataFrame:
+    eng = get_cleaned_engine(sf_dir, scorer=scorer)
+    return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
+
+
 def index_stats(sf_dir: str, simple: bool = True) -> pd.DataFrame:
     """Global index invariants: n_docs, sum_doclen, distinct terms, total
     postings — each SQL-checkable under the simple profile."""
