@@ -179,7 +179,7 @@ def run_default() -> None:
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)
 
-    from searchenginepp_ray.pipelines import dedup, events, similarity, text_stats
+    from searchenginepp_ray.pipelines import clean, dedup, events, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     timings: dict[str, float] = {}
@@ -325,6 +325,8 @@ def run_default() -> None:
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
     timed("minhash_dedup_pairs", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("knn_brute_force", lambda: similarity.knn_brute_force(sf_dir))
+    timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)
+    timed("corpus_clean", lambda: clean.corpus_clean(sf_dir))
     timed("windowed_agg", lambda: events.windowed_agg(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
