@@ -103,12 +103,20 @@ def get_cleaned_engine(sf_dir: str, scorer: str = "bm25") -> QueryEngine:
     The cleaned corpus + index are cached under /tmp keyed by
     (sf_dir, build params, clean version) via the build's own
     checkpoint markers."""
+    import pyarrow.parquet as pq
+
     cfg = _cfg(simple=True)
-    key = (os.path.abspath(sf_dir), cfg.params_id, scorer, "cleaned")
+    # cache key carries a CONTENT fingerprint of the source corpus (size +
+    # mtime + rows, like ivf_build's) — regenerating documents.parquet in
+    # place invalidates the cached cleaned corpus instead of serving it stale
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}:{pq.ParquetFile(src).metadata.num_rows}"
+    key = (os.path.abspath(sf_dir), cfg.params_id, scorer, "cleaned", fingerprint)
     eng = _ENGINES.get(key)
     if eng is None:
         base = hashlib.sha256(
-            f"{os.path.abspath(sf_dir)}:{cfg.params_id}:cleaned:v1".encode()
+            f"{os.path.abspath(sf_dir)}:{cfg.params_id}:cleaned:{fingerprint}:v1".encode()
         ).hexdigest()[:12]
         root = os.path.join("/tmp", "seppray_index_cache", base)
         corpus_dir = os.path.join(root, "corpus")
