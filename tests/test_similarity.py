@@ -35,6 +35,15 @@ def test_ivf_bucket_layout_prunes_reads(ray_session):
     assert len(set(probes.reshape(-1).tolist())) < len(buckets)
 
 
+def test_knn_ivf_plan_has_no_union(ray_session):
+    """Regression guard: the probed-bucket scan must be ONE multi-file
+    read, never a union of per-bucket datasets — a union puts O(nprobe)
+    operators in the streaming plan, which measured 156 s (vs ~3 s) at
+    nprobe=16 on sf0.1 and wedged long-lived sessions."""
+    ds = similarity.knn_ivf(SF, nprobe=16)
+    assert "Union" not in repr(ds)
+
+
 def test_knn_ivf_recall_vs_exact(ray_session):
     exact = similarity.knn_brute_force(SF, n_queries=5, k=5).to_pandas()
     ivf = similarity.knn_ivf(SF).to_pandas()
