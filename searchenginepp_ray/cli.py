@@ -81,6 +81,26 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """``clean`` — the training-data corpus-cleaning pipeline (quality +
+    language floors + exact dedup, optionally MinHash near-dup removal)
+    over any documents-shaped parquet (doc_id, text); writes the KEPT
+    documents as partitioned parquet."""
+    ray = _ray_init(args.num_cpus)
+    from .pipelines.clean import (
+        cleaned_documents_ds, corpus_clean_neardup, texts_for_keepers,
+    )
+
+    if args.near_dup:
+        ds = texts_for_keepers(args.corpus, corpus_clean_neardup(args.corpus))
+    else:
+        ds = cleaned_documents_ds(args.corpus)
+    ds.write_parquet(args.out)
+    print({"out": args.out})
+    ray.shutdown()
+    return 0
+
+
 def cmd_eval(args) -> int:
     """``eval`` ≙ the trec_eval step of the reference workflow
     (reference README.md:122-127): score a TREC run file against qrels."""
@@ -129,6 +149,20 @@ def main(argv=None) -> int:
     q.add_argument("--no-actors", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "clean",
+        help="corpus cleaning: quality/language floors + exact dedup "
+             "(optionally MinHash near-dup removal); writes kept docs as parquet",
+    )
+    c.add_argument("corpus", help="documents-shaped parquet file, or a dir "
+                                  "containing documents.parquet")
+    c.add_argument("-o", "--out", required=True, help="output parquet dir")
+    c.add_argument("--near-dup", action="store_true",
+                   help="also remove MinHash+LSH near-duplicates (component "
+                        "losers) among the quality passers")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_clean)
 
     e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
     e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")

@@ -138,26 +138,17 @@ def _mark_members(
     return hash_groupby_apply(u, ["_k"], sieve)
 
 
-def cleaned_documents_ds(
-    sf_dir: str, min_tokens: int = 5, min_distinct_ratio: float = 0.2,
-    max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
-):
-    """The kept documents THEMSELVES (doc_id, text) — :func:`corpus_clean`
-    keeper ids semi-joined back to the corpus.
-
-    Distributed: one hash-partition exchange on doc_id over the union of
-    corpus rows and keeper marks; the text column ships through the
-    exchange exactly once (the unavoidable cost of routing content by a
-    key — there is no driver-side id set)."""
+def texts_for_keepers(sf_dir: str, keepers):
+    """(doc_id, text) of the corpus rows whose doc_id appears in the
+    ``keepers`` Dataset — a distributed semi-join: one hash-partition
+    exchange on doc_id over the union of corpus rows and keeper marks;
+    the text column ships through the exchange exactly once (the
+    unavoidable cost of routing content by a key — there is no
+    driver-side id set)."""
     import pandas as pd
 
     from .agg import hash_groupby_apply
     from .text_stats import documents_ds
-
-    keepers = corpus_clean(
-        sf_dir, min_tokens, min_distinct_ratio, max_stopword_ratio,
-        lang_threshold,
-    )
 
     def doc_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -185,6 +176,20 @@ def cleaned_documents_ds(
         return rows.loc[hit, ["doc_id", "text"]]
 
     return hash_groupby_apply(u, ["doc_id"], sieve)
+
+
+def cleaned_documents_ds(
+    sf_dir: str, min_tokens: int = 5, min_distinct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.9, lang_threshold: float = 0.08,
+):
+    """The kept documents THEMSELVES (doc_id, text) — :func:`corpus_clean`
+    keeper ids semi-joined back to the corpus via
+    :func:`texts_for_keepers`."""
+    return texts_for_keepers(
+        sf_dir,
+        corpus_clean(sf_dir, min_tokens, min_distinct_ratio,
+                     max_stopword_ratio, lang_threshold),
+    )
 
 
 def corpus_clean_neardup(

@@ -28,7 +28,10 @@ QUALITY_STOPS = (
 )
 
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    path = f"{sf_dir}/documents.parquet"
+    """The documents table as a pruned-column read. ``sf_dir`` is a
+    testdata dir containing ``documents.parquet``, or (for CLI use over
+    arbitrary corpora of the same shape) a ``.parquet`` path itself."""
+    path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
         path, columns=list(columns), override_num_blocks=_read_blocks(path)
     )
