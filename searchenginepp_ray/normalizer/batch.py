@@ -182,41 +182,36 @@ def _tok_scratch(name: str, n: int, dtype) -> _np.ndarray:
     return buf[:n]
 
 
-def tokenize_batch(texts: list[str], profile: NormalizerProfile):
-    """Tokenize a batch of documents.
+def _empty_term_lists(n: int):
+    empty_terms = pa.ListArray.from_arrays(
+        np.zeros(n + 1, dtype=np.int32), pa.array([], pa.string())
+    )
+    empty_tfs = pa.ListArray.from_arrays(
+        np.zeros(n + 1, dtype=np.int32), pa.array([], pa.uint32())
+    )
+    return np.zeros(n, dtype=np.uint64), empty_terms, empty_tfs
 
-    Returns ``(doclens, term_lists, tf_lists)`` where ``doclens`` is an
-    ``np.uint64`` array and the lists are Arrow ``ListArray``s of per-doc
-    term-sorted unique terms and their frequencies — the same content as
-    ``sorted(term_frequencies(text).items())`` per doc.
 
-    The stream-sized work is one Arrow dictionary-encode, one in-place
-    int64 sort and a run-length pass on reused scratch; every filter
-    (empties, stopwords, the 240-byte cap — ``token.size() > 240``,
-    WordNormalizer.cpp:64) and the stemmer run on the VOCABULARY only,
-    then fan back out through the dictionary codes. Dropped tokens map to
-    a sentinel code that sorts past the real terms of each doc and is cut
-    after the run-length pass — no stream-sized boolean filter copies.
+def _mapped_stream(texts: list[str], profile: NormalizerProfile):
+    """Shared vectorized head of :func:`tokenize_batch` /
+    :func:`ordered_tokens_batch`: prepare → split → dictionary-encode the
+    token stream, run every per-token filter (empties, stopwords, the
+    240-byte cap — ``token.size() > 240``, WordNormalizer.cpp:64) and the
+    stemmer on the VOCABULARY only, and return the stream as dictionary
+    codes plus the code→final-term mapping.
+
+    Returns ``None`` when the batch has no tokens or no surviving terms,
+    else ``(tok_counts, codes, full_map, final_vocab_pa, n_terms)`` where
+    ``full_map[raw code]`` is the final term code (dropped codes map to
+    the sentinel ``n_terms``, which sorts after every real term).
     """
-    n = len(texts)
     arr = pa.array(_prepare_texts(texts, profile), pa.string())
     # all C-locale whitespace was mapped to ' ' in the translate pass, so a
     # literal split suffices; empties from runs of spaces are filtered below
     toks = pc.split_pattern(arr, " ")
     flat = pc.list_flatten(toks)
-    n_tok = len(flat)
-
-    def _empty():
-        empty_terms = pa.ListArray.from_arrays(
-            np.zeros(n + 1, dtype=np.int32), pa.array([], pa.string())
-        )
-        empty_tfs = pa.ListArray.from_arrays(
-            np.zeros(n + 1, dtype=np.int32), pa.array([], pa.uint32())
-        )
-        return np.zeros(n, dtype=np.uint64), empty_terms, empty_tfs
-
-    if n_tok == 0:
-        return _empty()
+    if len(flat) == 0:
+        return None
 
     de = flat.dictionary_encode()
     codes = np.asarray(de.indices)  # int32, zero-copy (no nulls)
@@ -242,19 +237,68 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     )
     n_terms = len(final_vocab)
     if n_terms == 0:
-        return _empty()
+        return None
 
     # raw dictionary code -> final term code, dropped codes -> sentinel
-    # n_terms (sorts after every real term within a doc)
     full_map = np.full(len(vocab), n_terms, dtype=np.int64)
     full_map[kept_idx] = stem_code
+    tok_counts = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+    return tok_counts, codes, full_map, pa.array(final_vocab, pa.string()), n_terms
+
+
+def ordered_tokens_batch(texts: list[str], profile: NormalizerProfile):
+    """Normalized token stream per document, ORDER-PRESERVING — the batch
+    twin of :func:`..word_normalizer.normalize_tokens` (equality pinned by
+    ``tests/test_normalizer.py``). Same vectorized head as
+    :func:`tokenize_batch`; the per-doc streams are rebuilt by one C-speed
+    ``take`` through the dictionary codes instead of per-row Python.
+
+    Returns a ``LargeListArray`` of ``string`` with one list per input doc.
+    """
+    n = len(texts)
+    ms = _mapped_stream(texts, profile)
+    if ms is None:
+        return pa.LargeListArray.from_arrays(
+            np.zeros(n + 1, dtype=np.int64), pa.array([], pa.string())
+        )
+    tok_counts, codes, full_map, final_vocab_pa, n_terms = ms
+    stream = full_map[codes]  # final term code per token, stream order
+    keep = stream < n_terms
+    kept_codes = stream[keep]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+    kept_per_doc = np.bincount(doc_idx[keep], minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int64)
+    values = final_vocab_pa.take(pa.array(kept_codes, pa.int64()))
+    return pa.LargeListArray.from_arrays(offsets, values)
+
+
+def tokenize_batch(texts: list[str], profile: NormalizerProfile):
+    """Tokenize a batch of documents.
+
+    Returns ``(doclens, term_lists, tf_lists)`` where ``doclens`` is an
+    ``np.uint64`` array and the lists are Arrow ``ListArray``s of per-doc
+    term-sorted unique terms and their frequencies — the same content as
+    ``sorted(term_frequencies(text).items())`` per doc.
+
+    The stream-sized work is one Arrow dictionary-encode, one in-place
+    int64 sort and a run-length pass on reused scratch; every filter and
+    the stemmer run on the VOCABULARY only (see :func:`_mapped_stream`),
+    then fan back out through the dictionary codes. Dropped tokens map to
+    a sentinel code that sorts past the real terms of each doc and is cut
+    after the run-length pass — no stream-sized boolean filter copies.
+    """
+    n = len(texts)
+    ms = _mapped_stream(texts, profile)
+    if ms is None:
+        return _empty_term_lists(n)
+    tok_counts, codes, full_map, final_vocab_pa, n_terms = ms
+    n_tok = len(codes)
 
     # (doc, term) pair counts via one in-place sort + run-length encode on
     # scratch, sorted by (doc, term-code) == per-doc term-sorted order
     width = n_terms + 1
     key = _tok_scratch("key", n_tok, np.int64)
     np.take(full_map, codes, out=key)
-    tok_counts = np.asarray(pc.list_value_length(toks)).astype(np.int64)
     key += np.repeat(np.arange(n, dtype=np.int64) * width, tok_counts)
     key.sort()
     change = _tok_scratch("chg", n_tok, bool)
@@ -275,7 +319,6 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     # gather term strings Arrow-side: one vocab-sized object->Arrow
     # conversion + a C-speed take, instead of materializing a pair-count
     # sized Python string array per batch
-    final_vocab_pa = pa.array(final_vocab, pa.string())
     term_values = final_vocab_pa.take(pa.array(pair_term, pa.int64()))
     terms_list = pa.LargeListArray.from_arrays(offsets, term_values)
     tfs_list = pa.LargeListArray.from_arrays(offsets, pa.array(tf, pa.uint32()))

@@ -10,13 +10,12 @@ rows-only checked.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray
 
 from ..config import SIMPLE_PROFILE
+from .duck import md5_hex
 from .text_stats import QUALITY_STOPS, documents_ds
 
 
@@ -64,10 +63,10 @@ def _clean_pass(
             & (ratio >= lang_threshold)  # the lang_id 'en' heuristic
         )
         idx = np.flatnonzero(keep)
-        md5s = [hashlib.md5(texts[i].encode()).hexdigest() for i in idx]
+        survivors = t["text"].take(pa.array(idx))
         return pa.table(
             {"doc_id": t["doc_id"].take(pa.array(idx)),
-             "text_md5": pa.array(md5s, pa.string())}
+             "text_md5": md5_hex(survivors)}
         )
 
     return documents_ds(sf_dir).map_batches(passer, batch_format="pyarrow")

@@ -27,8 +27,6 @@ Hot-path rules (the 100 TB shape):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -244,13 +242,14 @@ def _distinct_per_doc(S: np.ndarray, sh_counts: np.ndarray) -> tuple[np.ndarray,
 def exact_dedup(sf_dir: str):
     """Exact duplicate groups: md5(text) → (first doc_id, group size).
 
-    Hash-partitioned groupby; the per-batch md5 is the map side."""
+    Hash-partitioned groupby; the per-batch md5 is the map side, run as
+    DuckDB's vectorized C kernel (:mod:`.duck`) — zero Python per row."""
 
     from .agg import hash_groupby_sum
+    from .duck import md5_hex
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h)})
+        return pa.table({"doc_id": t["doc_id"], "text_md5": md5_hex(t["text"])})
 
     return hash_groupby_sum(
         documents_ds(sf_dir).map_batches(add_hash, batch_format="pyarrow"),

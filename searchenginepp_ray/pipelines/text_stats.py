@@ -11,14 +11,11 @@ token-for-token.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ..config import SIMPLE_PROFILE
-from ..normalizer.word_normalizer import normalize_tokens
 
 #: small embedded stopword list for quality/langid scoring (kept tiny and
 #: embedded verbatim in the oracle SQL's IN (...) list)
@@ -51,13 +48,10 @@ def _read_blocks(path: str, target_rows: int = 2000) -> int:
 
 
 def _tokenize_batch(batch: pa.Table) -> pa.Table:
-    toks = [normalize_tokens(t, SIMPLE_PROFILE) for t in batch["text"].to_pylist()]
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "tokens": pa.array(toks, pa.list_(pa.string())),
-        }
-    )
+    from ..normalizer.batch import ordered_tokens_batch
+
+    toks = ordered_tokens_batch(batch["text"].to_pylist(), SIMPLE_PROFILE)
+    return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
 
 
 def term_counts_ds(sf_dir: str) -> ray.data.Dataset:
@@ -237,23 +231,55 @@ def fingerprint(sf_dir: str, window: int = 4):
     window changes its gram) and robust to small edits (only windows
     touching the edit change, and only the global min matters).
 
-    md5 keeps the digest computable by the DuckDB oracle; the per-gram
-    digest runs in C (hashlib), not a per-byte Python loop. Docs shorter
+    md5 keeps the digest computable by the DuckDB oracle. Docs shorter
     than ``window`` contribute their single whole-doc gram; empty docs
-    hash the empty string."""
-    _md5 = hashlib.md5
+    hash the empty string.
+
+    Fully vectorized: gram strings are assembled by Arrow kernels
+    (``binary_join_element_wise`` over ``window`` shifted takes of the
+    flat token stream; ``binary_join`` for the short-doc whole-doc gram)
+    and the md5 + per-doc min run as ONE DuckDB hash-aggregate pass
+    (:mod:`.duck`) — no per-doc or per-gram Python."""
+    from .duck import md5_prefix_min_by_group
 
     def per_doc(t: pa.Table) -> pa.Table:
-        out = []
+        tokens = t["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n = len(tokens)
+        if n == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"], "fingerprint": pa.array([], pa.string())}
+            )
         w = window
-        for toks in t["tokens"].to_pylist():
-            n = len(toks)
-            if n <= w:
-                grams = (" ".join(toks),)
-            else:
-                grams = (" ".join(toks[i : i + w]) for i in range(n - w + 1))
-            out.append(min(_md5(g.encode()).hexdigest()[:16] for g in grams))
-        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out)})
+        counts = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+        tok_offsets = np.concatenate(([0], np.cumsum(counts)))
+        flat = tokens.flatten()
+        full_idx = np.flatnonzero(counts > w)
+        short_idx = np.flatnonzero(counts <= w)
+        gram_parts, doc_parts = [], []
+        if len(full_idx):
+            m = counts[full_idx] - w + 1  # grams per full doc
+            total = int(m.sum())
+            # starts = tok_offsets[d] + (0..m[d]-1) for each full doc d
+            rng = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+            starts = np.repeat(tok_offsets[full_idx], m) + rng
+            cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+            gram_parts.append(pc.binary_join_element_wise(*cols, " "))
+            doc_parts.append(np.repeat(full_idx, m))
+        if len(short_idx):
+            shorts = tokens.take(pa.array(short_idx))
+            gram_parts.append(pc.binary_join(shorts, " "))
+            doc_parts.append(short_idx)
+        grams = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in gram_parts]
+        )
+        doc_pos = pa.array(np.concatenate(doc_parts))
+        # every doc emits >= 1 gram, so ascending-group output aligns 1:1
+        # with the batch's row order
+        fp = md5_prefix_min_by_group(doc_pos, grams, 16)
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": fp})
 
     return tokens_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 

@@ -37,3 +37,84 @@ def test_bpe_count_pattern_equals_sequential_scan():
     for s, got in zip(cases, vec):
         exp = sum(1 for m in full_re.findall(s) if not ws.match(m))
         assert got == exp, (repr(s), got, exp)
+
+
+def test_ordered_tokens_batch_matches_scalar():
+    """The order-preserving batch tokenizer must equal the scalar
+    normalize_tokens per doc, on both profiles, including mojibake,
+    NUL-containing, empty, all-space, over-240-byte and stop-word docs."""
+    from searchenginepp_ray.config import SIMPLE_PROFILE, NormalizerProfile
+    from searchenginepp_ray.normalizer.batch import ordered_tokens_batch
+    from searchenginepp_ray.normalizer.word_normalizer import normalize_tokens
+
+    full = NormalizerProfile(stemming=True, fix_latin1=True, latin1_case=True)
+    texts = [
+        "Hello, World! The quick brown fox.", "", "   ", "\t\n\r",
+        "a" * 300 + " ok THE the", "caffÃ¨ maÃ±ana", "tab\tsep\nnew",
+        "x \x00 y", "Running runs RUNNER", "the of and", "ÀÉÎÕÜ mixed CASE",
+    ]
+    for prof in (SIMPLE_PROFILE, full):
+        got = ordered_tokens_batch(texts, prof).to_pylist()
+        want = [normalize_tokens(t, prof) for t in texts]
+        assert got == want, prof
+
+
+def test_fingerprint_kernel_matches_bruteforce():
+    """The vectorized gram-assembly + DuckDB md5-min fingerprint kernel
+    must equal the per-doc brute-force loop on every doc-length regime:
+    empty, shorter-than-window, exactly-window, window+1, long."""
+    import hashlib
+
+    import numpy as np
+
+    from searchenginepp_ray.pipelines.duck import md5_prefix_min_by_group
+
+    w = 4
+    docs = [
+        [], ["a"], ["a", "b"], ["a", "b", "c", "d"],
+        ["a", "b", "c", "d", "e"],
+        [f"t{i % 7}" for i in range(50)],
+        ["same"] * 10, ["x", "", "y"],  # empty token inside a gram
+    ]
+    tokens = pa.array(docs, pa.list_(pa.string()))
+    counts = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+    tok_offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = tokens.flatten()
+    full_idx = np.flatnonzero(counts > w)
+    short_idx = np.flatnonzero(counts <= w)
+    gram_parts, doc_parts = [], []
+    m = counts[full_idx] - w + 1
+    total = int(m.sum())
+    rng = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+    starts = np.repeat(tok_offsets[full_idx], m) + rng
+    cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+    gram_parts.append(pc.binary_join_element_wise(*cols, " "))
+    doc_parts.append(np.repeat(full_idx, m))
+    gram_parts.append(pc.binary_join(tokens.take(pa.array(short_idx)), " "))
+    doc_parts.append(short_idx)
+    grams = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in gram_parts]
+    )
+    got = md5_prefix_min_by_group(
+        pa.array(np.concatenate(doc_parts)), grams, 16
+    ).to_pylist()
+
+    want = []
+    for toks in docs:
+        n = len(toks)
+        gs = [" ".join(toks)] if n <= w else [
+            " ".join(toks[i : i + w]) for i in range(n - w + 1)
+        ]
+        want.append(min(hashlib.md5(g.encode()).hexdigest()[:16] for g in gs))
+    assert got == want
+
+
+def test_md5_hex_matches_hashlib():
+    import hashlib
+
+    from searchenginepp_ray.pipelines.duck import md5_hex
+
+    vals = ["", "a", "é—ü", "x" * 1000, "line\nbreak", "nul\x00safe"]
+    got = md5_hex(pa.chunked_array([pa.array(vals)])).to_pylist()
+    assert got == [hashlib.md5(v.encode()).hexdigest() for v in vals]
