@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchenginepp_ray.pipelines import clean, dedup, events, multimodal, similarity, text_stats
+    from searchenginepp_ray.pipelines import clean, dedup, events, multimodal, relational, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     return {
@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
         "image_resize": lambda sf: multimodal.image_resize(sf),
+        # --- relational (distributed hash join / broadcast dim join /
+        # map-side-combined group aggregate over the TPC-H side tables) ---
+        "nation_revenue": lambda sf: relational.nation_revenue(sf),
+        "pricing_summary": lambda sf: relational.pricing_summary(sf),
         # --- stream-shaped ---
         "windowed_agg": lambda sf: events.windowed_agg(sf),
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
@@ -118,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
+        "nation_revenue": osql.nation_revenue_sql(),
+        "pricing_summary": osql.pricing_summary_sql(),
         "windowed_agg": osql.windowed_agg_sql(),
         "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),

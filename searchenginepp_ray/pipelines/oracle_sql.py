@@ -441,3 +441,36 @@ def bpe_token_count_sql() -> str:
                    AS n_bpe_tokens
         FROM documents
     """
+
+
+def nation_revenue_sql() -> str:
+    """Oracle for relational.nation_revenue: orders ⋈ customer ⋈ nation
+    revenue rollup (distributed shuffle join + broadcast dim lookup)."""
+    return """
+        SELECT n_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+
+def pricing_summary_sql(cutoff: str = "2000-12-01") -> str:
+    """Oracle for relational.pricing_summary (the TPC-H Q1 shape)."""
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+               ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+        GROUP BY l_returnflag, l_linestatus
+    """

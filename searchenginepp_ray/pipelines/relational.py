@@ -1,0 +1,216 @@
+"""Relational operators over the TPC-H-style side tables (orders,
+customer, nation, lineitem) — the general data-processing surface a
+training-data engine needs next to its text pipelines: a distributed
+hash equi-join, a broadcast dimension join, and a map-side-combined
+group aggregate (the TPC-H Q1 shape).
+
+Scale shapes:
+
+* :func:`shuffle_join` ships each side's payload through ONE
+  hash-partition exchange on the join key (every key's rows co-locate in
+  exactly one partition); the per-partition merge is vectorized pandas.
+  Right for two data-scaling sides.
+* Dimension tables (nation: 25 rows) are broadcast once via ``ray.put``
+  and mapped inside ``map_batches`` — never shuffled.
+* :func:`pricing_summary` pre-aggregates per batch (map-side combiner),
+  so the exchange carries one row per (flag, status) per batch, not one
+  per lineitem.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .text_stats import _read_blocks
+
+
+def table_ds(sf_dir: str, name: str, columns: list[str]) -> ray.data.Dataset:
+    path = f"{sf_dir}/{name}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_read_blocks(path, target_rows=20_000),
+    )
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> ray.data.Dataset:
+    """Distributed inner equi-join: tag each side, union, hash-partition
+    on the key, merge per partition with vectorized pandas. Output
+    columns: ``[left_key] + left_cols + right_cols``.
+
+    Payload columns must be distinct between the sides; each side's
+    payload crosses the exchange exactly once (the unavoidable cost of
+    co-locating rows by key). This is the J-family generalized beyond the
+    search engine's term/docid joins (reference joins: SURVEY §2 J1-J4)."""
+    from .agg import hash_groupby_apply
+
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload columns must be distinct: {overlap}")
+    # the union needs one schema: pad each side's missing payload columns
+    # with TYPED nulls taken from the other side's schema
+    def _pa_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes / Python classes
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    lsch, rsch = left.schema(), right.schema()
+    types = dict(zip(lsch.names, lsch.types))
+    types.update(dict(zip(rsch.names, rsch.types)))
+    types = {c: _pa_type(types[c]) for c in [*left_cols, *right_cols]}
+
+    def tag(key: str, cols: list[str], side: int):
+        have = set(cols)
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            out = {"_k": t[key].cast(pa.int64()),
+                   "_side": pa.array(np.full(n, side, np.int8))}
+            # canonical payload order on both sides so the union's block
+            # schemas agree (missing columns padded with TYPED nulls)
+            for c in types:
+                out[c] = t[c] if c in have else pa.nulls(n, type=types[c])
+            return pa.table(out)
+
+        return fn
+
+    u = left.map_batches(
+        tag(left_key, left_cols, 0), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag(right_key, right_cols, 1), batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == 0, ["_k"] + left_cols]
+        r = df.loc[df["_side"] == 1, ["_k"] + right_cols]
+        j = l.merge(r, on="_k")
+        return j.rename(columns={"_k": left_key})
+
+    return hash_groupby_apply(u, ["_k"], merge)
+
+
+def nation_revenue(sf_dir: str):
+    """Total order revenue and order count per customer nation:
+    orders ⋈ customer via :func:`shuffle_join` (both sides data-scaling),
+    nation names attached from a ``ray.put`` broadcast (25-row dimension
+    table — never shuffled), then a small per-nation aggregate."""
+    import pyarrow.parquet as pq
+
+    from .agg import hash_groupby_sum
+
+    orders = table_ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = table_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = shuffle_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_totalprice"], ["c_nationkey"],
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    # dense-key dimension lookup: names indexed by nationkey
+    keys = nation["n_nationkey"].to_numpy()
+    names = np.empty(int(keys.max()) + 1, dtype=object)
+    names[keys] = nation["n_name"].to_pylist()
+    names_ref = ray.put(names)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(names_ref)
+        # map-side combiner: pre-aggregate per nation before the final
+        # tiny exchange (nationkey may arrive float64 after the padded
+        # union's pandas roundtrip — cast back)
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            rev_part=("o_totalprice", "sum"),
+            n_part=("o_totalprice", "count"),
+        )
+        g["n_name"] = lut[g["c_nationkey"].to_numpy().astype(np.int64)]
+        return g[["n_name", "rev_part", "n_part"]]
+
+    partials = joined.map_batches(attach, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"n_name": t["n_name"],
+             "revenue": pc.round(t["revenue"], 2),
+             "n_orders": t["n_orders"]}
+        )
+
+    return hash_groupby_sum(
+        partials, ["n_name"],
+        {"revenue": ("rev_part", "sum"), "n_orders": ("n_part", "sum")},
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "2000-12-01"):
+    """TPC-H Q1-shaped pricing summary over lineitem: filter at the read,
+    pre-aggregate sums/counts per batch (map-side combiner — the exchange
+    carries one row per (returnflag, linestatus) per batch), final
+    aggregate + averages over the 4-group key space."""
+    from .agg import hash_groupby_sum
+
+    cut = pd.Timestamp(cutoff)
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cut]
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            charge=df["l_extendedprice"] * (1 - df["l_discount"])
+            * (1 + df["l_tax"]),
+        )
+        g = df.groupby(keys, as_index=False).agg(
+            qty_part=("l_quantity", "sum"),
+            base_part=("l_extendedprice", "sum"),
+            disc_price_part=("disc_price", "sum"),
+            charge_part=("charge", "sum"),
+            disc_part=("l_discount", "sum"),
+            n_part=("l_quantity", "count"),
+        )
+        return g
+
+    partials = table_ds(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"],
+    ).map_batches(partial, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"].round(2),
+                "sum_base_price": df["sum_base_price"].round(2),
+                "sum_disc_price": df["sum_disc_price"].round(2),
+                "sum_charge": df["sum_charge"].round(2),
+                "avg_qty": (df["sum_qty"] / n).round(6),
+                "avg_price": (df["sum_base_price"] / n).round(6),
+                "avg_disc": (df["sum_disc"] / n).round(6),
+                "count_order": n,
+            }
+        )
+
+    return hash_groupby_sum(
+        partials, keys,
+        {"sum_qty": ("qty_part", "sum"),
+         "sum_base_price": ("base_part", "sum"),
+         "sum_disc_price": ("disc_price_part", "sum"),
+         "sum_charge": ("charge_part", "sum"),
+         "sum_disc": ("disc_part", "sum"),
+         "count_order": ("n_part", "sum")},
+    ).map_batches(finish, batch_format="pandas")

@@ -1,0 +1,82 @@
+"""Relational operators: shuffle_join vs a global pandas merge, and the
+two TPC-H-shaped pipelines vs DuckDB over the real side tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+from searchenginepp_ray.pipelines.relational import (
+    nation_revenue,
+    pricing_summary,
+    shuffle_join,
+)
+
+
+def test_shuffle_join_equals_pandas_merge(ray_session):
+    rng = np.random.default_rng(11)
+    # skewed keys, keys missing from each side, duplicate keys both sides
+    left = pd.DataFrame(
+        {"lk": rng.choice(200, 5000, p=None), "lv": rng.random(5000),
+         "ltag": rng.choice(["a", "b"], 5000)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.concatenate([rng.choice(150, 3000), np.array([0] * 500)]),
+         "rv": rng.integers(0, 9, 3500)}
+    )
+    got = (
+        shuffle_join(
+            ray.data.from_pandas(left).repartition(6),
+            ray.data.from_pandas(right).repartition(4),
+            "lk", "rk", ["lv", "ltag"], ["rv"],
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="lk", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["lk", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_nation_revenue_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import nation_revenue_sql
+
+    got = (
+        nation_revenue(sf_dir).to_pandas()
+        .sort_values("n_name").reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    want = (
+        con.sql(nation_revenue_sql()).df()
+        .sort_values("n_name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_pricing_summary_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import pricing_summary_sql
+
+    keys = ["l_returnflag", "l_linestatus"]
+    got = (
+        pricing_summary(sf_dir).to_pandas()
+        .sort_values(keys).reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    want = (
+        con.sql(pricing_summary_sql()).df()
+        .sort_values(keys).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
