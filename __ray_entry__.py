@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
+        # event-time joins Ray Data lacks natively (hash exchange on the
+        # equality key + vectorized per-partition temporal kernel)
+        "asof_join": lambda sf: events.asof_join(sf),
+        "range_join": lambda sf: events.range_join(sf),
     }
 
 
@@ -128,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
+        "asof_join": osql.asof_join_sql(),
+        "range_join": osql.range_join_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

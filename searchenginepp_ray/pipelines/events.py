@@ -150,6 +150,108 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     )
 
 
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click"):
+    """Event-time AS-OF join — the canonical operator Ray Data lacks:
+    each ``left_type`` event is matched to the most recent ``right_type``
+    event by the SAME user at-or-before its timestamp (left-join
+    semantics; ties on the timestamp break to the larger event_id, so the
+    result is deterministic even with duplicate timestamps). Unmatched
+    left rows carry ``-1`` in the matched columns rather than NULL: the
+    oracle comparison hashes a text canon, and nullable BIGINT round-trips
+    through float64 (lossy at epoch-µs magnitudes) on the SQL side.
+
+    Scale shape: both sides cross ONE hash exchange on ``user_id`` (the
+    equality component of the as-of key — every user's events co-locate
+    in exactly one partition), and the per-partition match is
+    ``pandas.merge_asof``: a C-speed binary-search walk over the sorted
+    right side, no per-row Python. Timestamps are emitted as epoch
+    microseconds (BIGINT) so the oracle comparison is precision-exact."""
+    from .agg import hash_groupby_apply
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin([left_type, right_type])]
+
+    out_cols = ["event_id", "user_id", "ts_us", "matched_event_id",
+                "matched_ts_us", "gap_us"]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_us=df["ts"].astype("int64"))
+        l = df.loc[df["event_type"] == left_type,
+                   ["event_id", "user_id", "ts_us"]]
+        r = df.loc[df["event_type"] == right_type,
+                   ["event_id", "user_id", "ts_us"]]
+        if len(l) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in out_cols})
+        r = r.rename(columns={"event_id": "matched_event_id"})
+        r["matched_ts_us"] = r["ts_us"]
+        # merge_asof keeps the LAST right row among equal on-values: the
+        # (ts, event_id) sort makes that the largest event_id — the
+        # deterministic tie-break the oracle's window spec mirrors
+        j = pd.merge_asof(
+            l.sort_values("ts_us", kind="stable"),
+            r.sort_values(["ts_us", "matched_event_id"], kind="stable"),
+            on="ts_us", by="user_id", direction="backward",
+        )
+        j["gap_us"] = j["ts_us"] - j["matched_ts_us"]
+        for c in ("matched_event_id", "matched_ts_us", "gap_us"):
+            j[c] = j[c].fillna(-1).astype(np.int64)
+        return j[out_cols]
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(keep, batch_format="pandas"),
+        ["user_id"], per_partition,
+    )
+
+
+def range_join(sf_dir: str, window_s: int = 86_400,
+               left_type: str = "purchase", right_type: str = "click"):
+    """Event-time RANGE (band) join: every (left, right) pair of events
+    by the same user where the right event falls in the trailing window
+    ``[left.ts - window_s, left.ts]`` — inner-join semantics, one output
+    row per qualifying pair.
+
+    Scale shape: like :func:`asof_join`, ONE hash exchange on ``user_id``
+    co-locates each user's events; the per-partition band join runs in
+    the process-local single-threaded DuckDB connection
+    (:mod:`..pipelines.duck`) — its IEJoin-style inequality join is the
+    C-speed kernel Arrow/pandas lack, and Ray owns all parallelism. The
+    window bound keeps per-pair fan-out finite (no unwindowed cross
+    products reach the exchange)."""
+    from .agg import hash_groupby_apply
+    from .duck import connection
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin([left_type, right_type])]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_us=df["ts"].astype("int64"))
+        sides = {t: df.loc[df["event_type"] == t,
+                           ["event_id", "user_id", "ts_us"]]
+                 for t in (left_type, right_type)}
+        con = connection()
+        con.register("_sepp_rj_l", sides[left_type])
+        con.register("_sepp_rj_r", sides[right_type])
+        out = con.execute(
+            f"""SELECT l.event_id, l.user_id,
+                       r.event_id AS matched_event_id,
+                       l.ts_us - r.ts_us AS gap_us
+                FROM _sepp_rj_l l JOIN _sepp_rj_r r
+                  ON l.user_id = r.user_id
+                 AND r.ts_us BETWEEN l.ts_us - {int(window_s) * 1_000_000}
+                                 AND l.ts_us"""
+        ).df()
+        return out
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(keep, batch_format="pandas"),
+        ["user_id"], per_partition,
+    )
+
+
 def event_type_stats(sf_dir: str):
     """Plain grouped aggregate: per event_type count + value stats
     (rounded for oracle comparability)."""

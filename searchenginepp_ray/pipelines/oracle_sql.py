@@ -474,3 +474,33 @@ def pricing_summary_sql(cutoff: str = "2000-12-01") -> str:
         WHERE l_shipdate <= TIMESTAMP '{cutoff}'
         GROUP BY l_returnflag, l_linestatus
     """
+
+
+def asof_join_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    """Oracle for events.asof_join — the as-of semantics spelled out as a
+    deterministic window spec (ties on ts break to the larger event_id,
+    matching merge_asof's last-row-wins over the (ts, event_id) sort)."""
+    return f"""
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               COALESCE(c.event_id, -1) AS matched_event_id,
+               COALESCE(epoch_us(c.ts), -1) AS matched_ts_us,
+               COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = '{left_type}') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        QUALIFY row_number() OVER (PARTITION BY p.event_id
+                                   ORDER BY c.ts DESC, c.event_id DESC) = 1
+    """
+
+
+def range_join_sql(window_s: int = 86_400, left_type: str = "purchase",
+                   right_type: str = "click") -> str:
+    """Oracle for events.range_join (trailing-window band join)."""
+    return f"""
+        SELECT p.event_id, p.user_id, c.event_id AS matched_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = '{left_type}') p
+        JOIN (SELECT * FROM events WHERE event_type = '{right_type}') c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL {int(window_s)} SECOND AND p.ts
+    """

@@ -1,0 +1,112 @@
+"""Event-time as-of / range joins vs the DuckDB oracle, plus constructed
+edge cases (duplicate timestamps, unmatched left rows, window boundaries)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchenginepp_ray.pipelines.events import asof_join, range_join
+from searchenginepp_ray.pipelines.oracle_sql import asof_join_sql, range_join_sql
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con.sql(sql).df()
+
+
+def test_asof_join_matches_oracle(ray_session, sf_dir):
+    got = (
+        asof_join(sf_dir).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        _oracle(sf_dir, asof_join_sql())
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert (got["matched_event_id"] == -1).sum() > 0  # unmatched rows exercised
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_range_join_matches_oracle(ray_session, sf_dir):
+    keys = ["event_id", "matched_event_id"]
+    got = (
+        range_join(sf_dir).to_pandas()
+        .sort_values(keys).reset_index(drop=True)
+    )
+    want = (
+        _oracle(sf_dir, range_join_sql())
+        .sort_values(keys).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.fixture()
+def edge_dir(tmp_path):
+    us = 1_000_000
+    base = 1_700_000_000 * us
+
+    def ev(eid, t_us, user, typ):
+        return {"event_id": eid, "ts": t_us, "user_id": user,
+                "event_type": typ, "value": 1.0, "props": "{}"}
+
+    rows = [
+        # user 1: two clicks at the SAME timestamp before a purchase —
+        # tie must break to the larger click event_id
+        ev(10, base, 1, "click"),
+        ev(11, base, 1, "click"),
+        ev(12, base + us, 1, "purchase"),
+        # user 1: click exactly AT the purchase ts (allow_exact_matches)
+        ev(13, base + 10 * us, 1, "click"),
+        ev(14, base + 10 * us, 1, "purchase"),
+        # user 2: purchase with NO prior click (click is after)
+        ev(20, base + 5 * us, 2, "purchase"),
+        ev(21, base + 6 * us, 2, "click"),
+        # user 3: click exactly window_s before the purchase (inclusive
+        # lower bound) and one just outside
+        ev(30, base, 3, "click"),
+        ev(31, base - us, 3, "click"),
+        ev(32, base + 7 * us, 3, "purchase"),
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_asof_join_edge_cases(ray_session, edge_dir):
+    got = (
+        asof_join(edge_dir).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    m = dict(zip(got["event_id"], got["matched_event_id"]))
+    assert m[12] == 11          # same-ts tie -> larger click id
+    assert m[14] == 13          # exact-ts match allowed
+    assert m[20] == -1          # no prior click -> unmatched sentinel
+    assert m[32] == 30          # most recent of the two prior clicks
+    want = (
+        _oracle(edge_dir, asof_join_sql())
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_range_join_window_boundaries(ray_session, edge_dir):
+    # window of 7 seconds: for purchase 32 (ts base+7s), click 30 (ts base)
+    # sits exactly ON the lower bound (inclusive); click 31 (base-1s) is out
+    got = (
+        range_join(edge_dir, window_s=7).to_pandas()
+        .sort_values(["event_id", "matched_event_id"]).reset_index(drop=True)
+    )
+    pairs = set(zip(got["event_id"], got["matched_event_id"]))
+    assert (32, 30) in pairs and (32, 31) not in pairs
+    assert (14, 13) in pairs    # exact-ts upper bound inclusive
+    assert (20, 21) not in pairs  # right event after left never matches
+    want = (
+        _oracle(edge_dir, range_join_sql(window_s=7))
+        .sort_values(["event_id", "matched_event_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
