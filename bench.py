@@ -179,7 +179,7 @@ def run_default() -> None:
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)
 
-    from searchenginepp_ray.pipelines import clean, dedup, events, similarity, text_stats
+    from searchenginepp_ray.pipelines import clean, dedup, events, relational, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     timings: dict[str, float] = {}
@@ -328,6 +328,9 @@ def run_default() -> None:
     timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)
     timed("corpus_clean", lambda: clean.corpus_clean(sf_dir))
     timed("windowed_agg", lambda: events.windowed_agg(sf_dir))
+    timed("asof_join", lambda: events.asof_join(sf_dir))
+    timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
+    timed("nation_revenue", lambda: relational.nation_revenue(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
