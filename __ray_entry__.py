@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equality key + vectorized per-partition temporal kernel)
         "asof_join": lambda sf: events.asof_join(sf),
         "range_join": lambda sf: events.range_join(sf),
+        # grouped top-k at scaling key cardinality (map-side partial
+        # top-k) and exact histogram-based quantiles (exchange bounded
+        # by the value domain, not the row count)
+        "top_events_per_user": lambda sf: events.top_events_per_user(sf),
+        "value_quantiles": lambda sf: events.value_quantiles(sf),
     }
 
 
@@ -134,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_stats": osql.event_type_stats_sql(),
         "asof_join": osql.asof_join_sql(),
         "range_join": osql.range_join_sql(),
+        "top_events_per_user": osql.top_events_per_user_sql(),
+        "value_quantiles": osql.value_quantiles_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

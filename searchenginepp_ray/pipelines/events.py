@@ -252,6 +252,92 @@ def range_join(sf_dir: str, window_s: int = 86_400,
     )
 
 
+def top_events_per_user(sf_dir: str, k: int = 2):
+    """Grouped top-k at data-scaling key cardinality: each user's ``k``
+    highest-value events, ranked (ties on value break to the smaller
+    event_id — deterministic).
+
+    Scale shape: a map-side PARTIAL top-k inside every batch first (at
+    most ``k`` rows per user per batch cross the wire), then one hash
+    exchange on ``user_id`` and a vectorized per-partition final top-k —
+    the grouped analogue of the scorer's top-k heap (SURVEY §2.6 O-family
+    / A7), with no global sort anywhere."""
+    from .agg import hash_groupby_apply
+
+    order = dict(by=["user_id", "value", "event_id"],
+                 ascending=[True, False, True], kind="stable")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(**order).groupby("user_id", sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(**order)
+        out = df.groupby("user_id", sort=False).head(k).copy()
+        out["rnk"] = out.groupby("user_id", sort=False).cumcount() + 1
+        out["rnk"] = out["rnk"].astype(np.int64)
+        return out[["user_id", "rnk", "event_id", "value"]]
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["event_id", "user_id", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["user_id"], final,
+    )
+
+
+def value_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Exact per-event_type value quantiles (quantile_cont semantics:
+    linear interpolation over the sorted multiset).
+
+    Scale shape: values are 2-decimal fixed-point, so the exchange
+    carries a HISTOGRAM — per-batch ``value_counts`` of (type, cents)
+    partials into a hash-partitioned sum — whose size is bounded by the
+    value DOMAIN, not the row count. The quantile is then interpolated
+    from each type's cumulative histogram in one vectorized pass. This is
+    the exact-quantile shape that never sorts or co-locates the raw
+    rows (an all-to-all over data-scaling values would)."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "cents": cents})
+            .groupby(["event_type", "cents"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return g
+
+    hist = hash_groupby_sum(
+        events_ds(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "cents"], {"n": ("n_part", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for typ, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("cents")
+            v = g["cents"].to_numpy() / 100.0
+            c = g["n"].to_numpy()
+            cum = np.cumsum(c)            # 1-based rank of each value's last copy
+            n = cum[-1]
+            row = {"event_type": typ, "n_events": np.int64(n)}
+            for q in qs:
+                pos = q * (n - 1)         # 0-based fractional rank
+                lo = int(np.floor(pos))
+                hi = int(np.ceil(pos))
+                # value at 0-based rank r = first v whose cum > r
+                vlo = v[np.searchsorted(cum, lo, side="right")]
+                vhi = v[np.searchsorted(cum, hi, side="right")]
+                row[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+            out.append(row)
+        return pd.DataFrame(out)
+
+    # event_type cardinality is tiny; the per-type histogram rows must
+    # co-locate once for the cumulative pass (bounded by the value domain)
+    return hash_groupby_apply(hist, ["event_type"], finish)
+
+
 def event_type_stats(sf_dir: str):
     """Plain grouped aggregate: per event_type count + value stats
     (rounded for oracle comparability)."""

@@ -504,3 +504,31 @@ def range_join_sql(window_s: int = 86_400, left_type: str = "purchase",
           ON p.user_id = c.user_id
          AND c.ts BETWEEN p.ts - INTERVAL {int(window_s)} SECOND AND p.ts
     """
+
+
+def top_events_per_user_sql(k: int = 2) -> str:
+    """Oracle for events.top_events_per_user (grouped top-k, deterministic
+    tie-break)."""
+    return f"""
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rnk,
+               event_id, value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+        QUALIFY row_number() OVER w <= {int(k)}
+    """
+
+
+def value_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99)) -> str:
+    """Oracle for events.value_quantiles — quantile_cont over the same
+    2-decimal fixed-point grid the histogram uses."""
+    cols = ",\n               ".join(
+        f"ROUND(quantile_cont(round(value, 2), {q}), 6) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {cols}
+        FROM events GROUP BY event_type
+    """

@@ -110,3 +110,56 @@ def test_range_join_window_boundaries(ray_session, edge_dir):
         .sort_values(["event_id", "matched_event_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_top_events_per_user_matches_oracle(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.events import top_events_per_user
+    from searchenginepp_ray.pipelines.oracle_sql import top_events_per_user_sql
+
+    keys = ["user_id", "rnk"]
+    got = (
+        top_events_per_user(sf_dir).to_pandas()
+        .sort_values(keys).reset_index(drop=True)
+    )
+    want = (
+        _oracle(sf_dir, top_events_per_user_sql())
+        .sort_values(keys).reset_index(drop=True)
+    )
+    assert got["rnk"].max() == 2 and len(got) > 0
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_value_quantiles_matches_oracle(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.events import value_quantiles
+    from searchenginepp_ray.pipelines.oracle_sql import value_quantiles_sql
+
+    got = (
+        value_quantiles(sf_dir).to_pandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    want = (
+        _oracle(sf_dir, value_quantiles_sql())
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_value_quantiles_interpolation_exact(ray_session, tmp_path):
+    # constructed histogram with known quantile_cont answers: values
+    # [1.00 x3, 2.00 x1] -> p50 over (1,1,1,2): pos 1.5 -> 1.0;
+    # (0.5,0.9,0.99): p90 pos 2.7 -> 1.7; p99 pos 2.97 -> 1.97
+    df = pd.DataFrame(
+        {"event_id": range(4), "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+         "user_id": [1, 1, 2, 2], "event_type": ["a"] * 4,
+         "value": [1.0, 1.0, 1.0, 2.0], "props": ["{}"] * 4}
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    from searchenginepp_ray.pipelines.events import value_quantiles
+
+    got = value_quantiles(str(tmp_path)).to_pandas()
+    row = got.iloc[0]
+    assert row["n_events"] == 4
+    assert row["p50"] == 1.0
+    assert abs(row["p90"] - 1.7) < 1e-9
+    assert abs(row["p99"] - 1.97) < 1e-9
