@@ -76,7 +76,12 @@ def shuffle_join(
 
         def fn(t: pa.Table) -> pa.Table:
             n = len(t)
-            out = {"_k": t[key].cast(pa.int64()),
+            k = t[key]
+            # unify integer key widths across the two sides; leave
+            # string/binary keys alone (hash_groupby_apply hashes both)
+            if pa.types.is_integer(k.type):
+                k = k.cast(pa.int64())
+            out = {"_k": k,
                    "_side": pa.array(np.full(n, side, np.int8))}
             # canonical payload order on both sides so the union's block
             # schemas agree (missing columns padded with TYPED nulls)

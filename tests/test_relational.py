@@ -80,3 +80,22 @@ def test_pricing_summary_matches_duckdb(ray_session, sf_dir):
         .sort_values(keys).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_shuffle_join_string_keys(ray_session):
+    left = pd.DataFrame({"lk": ["a", "b", "b", "c"], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"rk": ["b", "c", "c", "x"], "rv": [10, 20, 30, 40]})
+    got = (
+        shuffle_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            "lk", "rk", ["lv"], ["rv"],
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="lk", right_on="rk").drop(columns=["rk"])
+        .sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
