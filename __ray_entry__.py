@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_neardup": lambda sf: clean.corpus_clean_neardup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
+        # distributed label-propagation CC over the exact-Jaccard pair
+        # graph — oracle = recursive-CTE reachability closure
+        "dup_components": lambda sf: dedup.dup_components(sf),
         "simhash": lambda sf: dedup.simhash(sf),
         "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
@@ -123,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
+        "dup_components": osql.dup_components_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         # exhaustive bucketing == the exact kernel, same oracle
         "embedding_near_dup_lsh_exhaustive": osql.embedding_near_dup_sql(),

@@ -968,3 +968,29 @@ def embedding_near_dup_lsh(
         ["vec_a", "vec_b"],
         {"cosine_milli": ("cosine_milli", "min")},
     )
+
+
+def dup_components(
+    sf_dir: str, shingle: int = 3, thr_num: int = 4, thr_den: int = 5,
+    num_perm: int = 128, bands: int = 64,
+):
+    """Connected components over the exact n-gram-Jaccard near-dup pair
+    graph: ``(doc_id, component)`` for every doc appearing in a pair,
+    where ``component`` is the minimum doc_id reachable through the
+    graph — the canonical-representative labeling a near-dup removal
+    keeps one doc per component from.
+
+    ``inmem_threshold=0`` forces the DISTRIBUTED alternating-min label
+    propagation (``pipelines.graph.connected_components``) even at test
+    scale, so the DuckDB recursive-CTE oracle value-checks the
+    propagation machinery itself, not just the small-graph fallback."""
+    from .graph import connected_components
+
+    pairs = ngram_jaccard_dedup(
+        sf_dir, shingle, thr_num, thr_den, num_perm, bands
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b", inmem_threshold=0)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )

@@ -532,3 +532,27 @@ def value_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99)) -> str:
                {cols}
         FROM events GROUP BY event_type
     """
+
+
+def dup_components_sql(shingle: int = 3, thr_num: int = 4,
+                       thr_den: int = 5) -> str:
+    """Oracle for dedup.dup_components: recursive-CTE reachability
+    closure over the exact-Jaccard pair graph, component = min reachable
+    doc_id (symmetric edges make every node its own src)."""
+    pairs = ngram_jaccard_sql(shingle, thr_num, thr_den)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
+FROM reach GROUP BY src
+"""

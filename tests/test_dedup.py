@@ -5,6 +5,7 @@ block-pair join vs a brute-force numpy oracle."""
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -333,3 +334,28 @@ def test_lsh_exhaustive_equals_exact_kernel(ray_session):
     assert lsh.sort_values(key).reset_index(drop=True).equals(
         exact.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_dup_components_matches_recursive_cte_oracle(ray_session, sf_dir):
+    """The distributed label-propagation CC (inmem fallback disabled)
+    over the exact-Jaccard pair graph equals DuckDB's recursive-CTE
+    reachability closure."""
+    import duckdb
+
+    from searchenginepp_ray.pipelines.dedup import dup_components
+    from searchenginepp_ray.pipelines.oracle_sql import dup_components_sql
+
+    got = (
+        dup_components(sf_dir).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(dup_components_sql()).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) > 0 and got["component"].nunique() > 1
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
