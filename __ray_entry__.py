@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchenginepp_ray.pipelines import clean, dedup, events, multimodal, relational, similarity, text_stats
+    from searchenginepp_ray.pipelines import clean, dedup, events, multimodal, relational, sample, similarity, text_stats
     from searchenginepp_ray.pipelines import search_docs
 
     return {
@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
         "image_resize": lambda sf: multimodal.image_resize(sf),
+        # --- sampling + sketches ---
+        # content-addressed Bernoulli sample (stable across reruns)
+        "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
+        # HLL distinct-terms estimate (register partials, max-merge)
+        "hll_distinct_terms": lambda sf: sample.hll_distinct_terms(sf),
         # --- relational (distributed hash join / broadcast dim join /
         # map-side-combined group aggregate over the TPC-H side tables) ---
         "nation_revenue": lambda sf: relational.nation_revenue(sf),
@@ -135,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
+        "deterministic_sample": osql.deterministic_sample_sql(),
         "nation_revenue": osql.nation_revenue_sql(),
         "pricing_summary": osql.pricing_summary_sql(),
         "windowed_agg": osql.windowed_agg_sql(),

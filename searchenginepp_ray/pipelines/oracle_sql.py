@@ -556,3 +556,16 @@ SELECT src AS doc_id,
        CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
 FROM reach GROUP BY src
 """
+
+
+def deterministic_sample_sql(frac: float = 0.1) -> str:
+    """Oracle for sample.deterministic_sample — the same md5-prefix rule
+    in SQL (lexicographic hex comparison == numeric comparison)."""
+    from .sample import _threshold_hex
+
+    thr = _threshold_hex(frac)
+    return f"""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, {len(thr)}) < '{thr}'
+    """

@@ -1,0 +1,131 @@
+"""Sampling + sketching operators for training-data curation.
+
+* :func:`deterministic_sample` — content-addressed Bernoulli sampling:
+  membership is a pure function of the row key (md5 prefix < threshold),
+  so the sample is STABLE across reruns, resumable shards, and cluster
+  sizes — at 100 TB a sample that depends on RNG state or row order is
+  not reproducible; this one is, and it is exactly SQL-expressible.
+* :func:`hll_distinct_terms` — HyperLogLog distinct-term estimate: each
+  batch emits a register vector (map-side partial), registers merge by
+  elementwise max through one tiny exchange. The exchange carries
+  ``2^p`` bytes per batch regardless of data size — the sketch shape for
+  cardinalities too large to count exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _threshold_hex(frac: float, digits: int = 4) -> str:
+    """Keep-threshold as a ``digits``-long lowercase hex string: a row is
+    kept iff its md5 prefix (uniform over [0, 16^digits)) is strictly
+    below floor(frac * 16^digits)."""
+    space = 16 ** digits
+    t = int(frac * space)
+    return format(t, f"0{digits + 1}x")[1:]  # zero-padded, drop carry slot
+
+
+def deterministic_sample(sf_dir: str, frac: float = 0.1):
+    """Documents sampled by ``md5(doc_id) < frac``: every worker makes
+    the same keep/drop decision from the row key alone (no RNG, no
+    coordination), so reruns, retries and partial rebuilds all see the
+    same sample. Uniform within every stratum (lang, source, ...) by the
+    hash's uniformity."""
+    from .duck import md5_hex
+    from .text_stats import documents_ds
+
+    thr = _threshold_hex(frac)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        h = md5_hex(ids)
+        pref = pc.utf8_slice_codeunits(h, 0, len(thr))
+        return t.filter(pc.less(pref, thr))
+
+    # full rows out: a sample is a row filter, not a projection
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    return documents_ds(sf_dir, columns=cols).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+# ---------- HyperLogLog ----------
+
+_HLL_P = 14                       # 2^14 registers -> ~0.8% std error
+_ALPHA = 0.7213 / (1 + 1.079 / (1 << _HLL_P))
+
+
+def _hll_registers(hashes: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Register vector (uint8) from 64-bit hashes: index = top ``p``
+    bits, value = 1 + leading-zero count of the remaining 64-p bits."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # leading zeros of `rest` via bit length: lz = 64 - bit_length
+    bl = np.zeros(len(rest), dtype=np.uint8)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += np.uint8(shift)
+        v[big] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    rho = (64 - bl + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _ALPHA * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range (linear counting)
+    return float(est)
+
+
+def hll_distinct_terms(sf_dir: str, p: int = _HLL_P):
+    """Estimated distinct-term count of the corpus (simple profile).
+
+    Map-side: each batch hashes its batch-local vocabulary (already
+    deduplicated by the tokenizer) and emits ONE ``2^p``-byte register
+    row. Merge: elementwise max over all register rows in a single small
+    task — commutative/associative, so any merge tree gives the same
+    sketch. Returns a 1-row DataFrame (estimate + relative-error bound);
+    checked against the exact count by pytest (no SQL oracle — the
+    estimate is approximate by design)."""
+    import pandas as pd
+
+    from .dedup import _hash_strings
+    from .text_stats import term_counts_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms = pc.list_flatten(t["terms"])
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        uniq = pc.unique(terms)
+        h = _hash_strings(uniq).astype(np.uint64)
+        regs = _hll_registers(h, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = term_counts_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = 1 << p
+        acc = np.zeros(m, dtype=np.uint8)
+        for b in t["regs"]:
+            np.maximum(acc, np.frombuffer(b.as_py(), dtype=np.uint8), out=acc)
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    regs = np.frombuffer(merged[0]["regs"], dtype=np.uint8)
+    return pd.DataFrame(
+        {"distinct_terms_est": [round(_hll_estimate(regs), 1)],
+         "rel_error_bound": [round(1.04 / (1 << p) ** 0.5, 6)]}
+    )
