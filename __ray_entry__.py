@@ -105,7 +105,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by the value domain, not the row count)
         "top_events_per_user": lambda sf: events.top_events_per_user(sf),
         "value_quantiles": lambda sf: events.value_quantiles(sf),
+        # per-user running window functions (cumsum in exact integer
+        # cents + lag) — one exchange, vectorized per-partition kernel
+        "user_value_running": lambda sf: events.user_value_running(sf),
+        # exact grouped COUNT DISTINCT (two-level: dedup exchange on
+        # (type,user) spreads hot types over the full partition width)
+        "event_user_distinct": lambda sf: events.event_user_distinct(sf),
+        # distributed anti-join / left-outer aggregate join
+        "customers_without_orders":
+            lambda sf: relational.customers_without_orders(sf),
+        "customer_order_counts":
+            lambda sf: relational.customer_order_counts(sf),
+        # per-stratum content-addressed sampling (corpus rebalancing)
+        "stratified_sample": lambda sf: sample.stratified_sample(sf),
+        # fixed-iteration PageRank over the part co-purchase graph —
+        # iterative distributed algorithm, rank state never on the driver
+        "part_pagerank": lambda sf: _graph().part_pagerank(sf),
     }
+
+
+def _graph():
+    from searchenginepp_ray.pipelines import graph
+
+    return graph
 
 
 def oracle_sql() -> dict[str, str]:
@@ -151,6 +173,12 @@ def oracle_sql() -> dict[str, str]:
         "range_join": osql.range_join_sql(),
         "top_events_per_user": osql.top_events_per_user_sql(),
         "value_quantiles": osql.value_quantiles_sql(),
+        "user_value_running": osql.user_value_running_sql(),
+        "event_user_distinct": osql.event_user_distinct_sql(),
+        "customers_without_orders": osql.customers_without_orders_sql(),
+        "customer_order_counts": osql.customer_order_counts_sql(),
+        "stratified_sample": osql.stratified_sample_sql(),
+        "part_pagerank": osql.part_pagerank_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

@@ -360,3 +360,89 @@ def event_type_stats(sf_dir: str):
         return df
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def user_value_running(sf_dir: str):
+    """Per-user RUNNING window functions: cumulative sum of ``value`` and
+    the previous event's value (lag), ordered by (ts, event_id) within
+    each user — the SQL ``SUM(value) OVER (PARTITION BY user ORDER BY
+    ts, event_id)`` / ``LAG(value)`` pair.
+
+    Scale shape: ONE hash exchange on ``user_id`` co-locates each user's
+    events; the per-partition kernel is a single vectorized pass (stable
+    sort → group-boundary flags → prefix sum with a per-group base
+    subtraction, shift-by-one for the lag) — no per-user Python.
+
+    The running sum is carried in EXACT integer cents (``value`` is a
+    2-decimal quantity, same fixed-point grid ``value_quantiles`` uses),
+    so the oracle comparison is order-ULP-free; the lag column moves raw
+    values without arithmetic and is bit-exact by construction."""
+    from .agg import hash_groupby_apply
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "cum_value_cents": pd.Series([], dtype=np.int64),
+                 "prev_value": pd.Series([], dtype=np.float64)})
+        df = df.assign(ts_us=df["ts"].astype("int64"))
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        user = df["user_id"].to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)
+        cents = np.rint(v * 100).astype(np.int64)
+        n = len(v)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, n))
+        cs = np.cumsum(cents)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        cum = cs - np.repeat(base, counts)
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = v[:-1]
+        prev[starts] = np.nan  # lag is NULL at each user's first event
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": user,
+             "cum_value_cents": cum,
+             "prev_value": prev})
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], per_partition,
+    )
+
+
+def event_user_distinct(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT user_id) per event_type — the exact
+    twin of the HLL sketch (`sample.hll_distinct_terms`).
+
+    Scale shape: batches deduplicate (type, user) map-side, the exchange
+    is hash-partitioned on BOTH columns (so a hot event_type spreads over
+    the full partition width — no single-reducer hot key), each partition
+    counts its now-globally-unique pairs per type, and the final sum runs
+    over the tiny type key space."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def part_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        g = d.groupby("event_type", as_index=False).agg(
+            n_part=("user_id", "size"))
+        g["n_part"] = g["n_part"].astype(np.int64)
+        return g
+
+    partials = hash_groupby_apply(
+        events_ds(sf_dir, ["event_type", "user_id"])
+        .map_batches(batch_dedup, batch_format="pandas"),
+        ["event_type", "user_id"], part_count,
+    )
+    return hash_groupby_sum(
+        partials, ["event_type"], {"n_users": ("n_part", "sum")}
+    )

@@ -208,3 +208,131 @@ def component_losers(components: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"node": t["node"].filter(pa.array(keep))})
 
     return components.map_batches(non_canon, batch_format="pyarrow")
+
+
+# ---------- PageRank ----------
+
+def pagerank(
+    edges: ray.data.Dataset,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over a SYMMETRIC directed edge Dataset
+    (every node must have out-degree ≥ 1 — symmetrized graphs satisfy
+    this by construction, which removes the dangling-mass term and makes
+    the recurrence exactly SQL-expressible for the oracle):
+
+        r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} r_t(u) / outdeg(u)
+
+    Scale shape: edges are hash-partitioned on ``src`` ONCE (degrees are
+    computed in the same pass and carried on the edge rows, so iterations
+    never re-derive them); each iteration is one rank⋈edges co-partition
+    exchange on ``src`` plus one contribution aggregation on ``dst`` with
+    a map-side combiner. Rank state is node-sized, lives in the object
+    store, and is re-materialized per iteration to keep the streaming
+    plan shallow (the knn_ivf wide-plan lesson); the driver only ever
+    holds the scalar N."""
+    from .agg import hash_groupby_sum
+    from .relational import shuffle_join
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].cast(pa.int64()),
+            "dst": t[dst].cast(pa.int64()),
+        })
+
+    def dedup_and_degree(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["src", "dst"])
+        return d.assign(deg=d.groupby("src")["src"].transform("size")
+                        .astype(np.int64))
+
+    # one exchange: co-locate each src's edges, dedup, attach out-degree
+    edges_deg = hash_groupby_apply(
+        edges.map_batches(edge_rows, batch_format="pyarrow"),
+        ["src"], dedup_and_degree,
+    ).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["node"])
+
+    nodes = hash_groupby_apply(
+        edges_deg.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], dedup_nodes,
+    ).materialize()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "pr", pa.array(np.full(len(t), 1.0 / n_nodes))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: per-batch partial sums per dst
+        c = df["pr"].to_numpy() / df["deg"].to_numpy()
+        g = pd.DataFrame({"dst": df["dst"].to_numpy(), "c": c}).groupby(
+            "dst", as_index=False)["c"].sum()
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["contrib"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t["dst"].cast(pa.int64()),
+            "pr": pa.array(base + damping * s),
+        })
+
+    for _ in range(iters):
+        joined = shuffle_join(
+            edges_deg, ranks, "src", "node", ["dst", "deg"], ["pr"]
+        )
+        partials = joined.map_batches(contrib_partial, batch_format="pandas")
+        ranks = hash_groupby_sum(
+            partials, ["dst"], {"contrib": ("c", "sum")}
+        ).map_batches(finish, batch_format="pyarrow").materialize()
+    return ranks
+
+
+def part_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 5):
+    """PageRank over the part CO-PURCHASE graph: parts are adjacent iff
+    they appear in the same order (distinct pairs, both directions — a
+    symmetric graph, so :func:`pagerank`'s no-dangling precondition holds
+    by construction).
+
+    Edge build is one hash exchange on ``l_orderkey``; the per-partition
+    kernel is a vectorized self-merge per order (orders are small, so the
+    quadratic blowup is per-order bounded). Ranks are rounded to 10
+    decimals for oracle comparability (accumulated cross-engine ULP drift
+    after ``iters`` float exchanges is ~1e-16 relative — far inside the
+    rounding grid)."""
+    import pyarrow.compute as pc
+
+    from .relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({
+            "src": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "dst": m["l_partkey_y"].to_numpy(dtype=np.int64),
+        })
+
+    edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    pr = pagerank(edges, damping=damping, iters=iters)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_key": t["node"],
+            "pagerank": pc.round(t["pr"], ndigits=10),
+        })
+
+    return pr.map_batches(fmt, batch_format="pyarrow")

@@ -569,3 +569,104 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
         FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, {len(thr)}) < '{thr}'
     """
+
+
+def customers_without_orders_sql(priority: str = "1-URGENT") -> str:
+    """Oracle for relational.customers_without_orders (distributed
+    anti-join; only deduplicated right-side keys cross the exchange)."""
+    return f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '{priority}')
+    """
+
+
+def customer_order_counts_sql() -> str:
+    """Oracle for relational.customer_order_counts (LEFT OUTER aggregate
+    join — customers with zero orders kept at 0/0.0)."""
+    return """
+        SELECT c_custkey, c_mktsegment,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """
+
+
+def user_value_running_sql() -> str:
+    """Oracle for events.user_value_running: per-user running sum (exact
+    integer cents — the same fixed-point grid value_quantiles uses, so
+    the comparison is summation-order-exact) + lag."""
+    return """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS cum_value_cents,
+               LAG(value) OVER w AS prev_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+def event_user_distinct_sql() -> str:
+    """Oracle for events.event_user_distinct (exact grouped
+    COUNT DISTINCT, twin of the HLL sketch)."""
+    return """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """
+
+
+def stratified_sample_sql(fracs: dict | None = None,
+                          default_frac: float | None = None) -> str:
+    """Oracle for sample.stratified_sample — the per-stratum md5 rule as
+    a CASE over the lang column."""
+    from .sample import STRATA_DEFAULT_FRAC, STRATA_FRACS, _threshold_hex
+
+    fracs = STRATA_FRACS if fracs is None else fracs
+    default_frac = STRATA_DEFAULT_FRAC if default_frac is None else default_frac
+    arms = "\n                 ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(f)}'"
+        for lang, f in sorted(fracs.items())
+    )
+    return f"""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang {arms}
+                 ELSE '{_threshold_hex(default_frac)}' END
+    """
+
+
+def part_pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """Oracle for graph.part_pagerank: the fixed-iteration recurrence
+    unrolled as chained CTEs over the DISTINCT co-purchase pair graph
+    (symmetric ⇒ no dangling nodes ⇒ the plain SUM form is exact)."""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""r{i} AS (
+    SELECT p.dst AS node,
+           (1 - {damping}) / (SELECT n FROM nn)
+           + {damping} * SUM(r.pr / d.deg) AS pr
+    FROM pairs p
+    JOIN r{i - 1} r ON r.node = p.src
+    JOIN deg d ON d.src = p.src
+    GROUP BY p.dst
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey <> l2.l_partkey
+),
+deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM pairs GROUP BY src
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+{chain}
+SELECT node AS part_key, ROUND(pr, 10) AS pagerank FROM r{iters}
+"""

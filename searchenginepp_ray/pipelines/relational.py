@@ -219,3 +219,126 @@ def pricing_summary(sf_dir: str, cutoff: str = "2000-12-01"):
          "sum_disc": ("disc_part", "sum"),
          "count_order": ("n_part", "sum")},
     ).map_batches(finish, batch_format="pandas")
+
+
+def shuffle_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Distributed semi-join (``anti=False``: keep left rows whose key
+    appears on the right) / anti-join (``anti=True``: keep left rows
+    whose key does NOT). Only the right side's KEY column crosses the
+    exchange — deduplicated map-side per batch first — so the shuffled
+    payload is left rows + right distinct keys, never right payloads.
+    Output columns: ``[left_key] + left_cols``."""
+    from .agg import hash_groupby_apply
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[left_key]
+        if pa.types.is_integer(k.type):
+            k = k.cast(pa.int64())
+        out = {"_k": k, "_side": pa.array(np.zeros(len(t), np.int8))}
+        for c in left_cols:
+            out[c] = t[c]
+        return pa.table(out)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t[right_key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if pa.types.is_integer(k.type):
+            k = k.cast(pa.int64())
+        k = pc.unique(k)  # map-side dedup: keys only cross the exchange
+        out = {"_k": k, "_side": pa.array(np.ones(len(k), np.int8))}
+        lsch = dict(zip(left.schema().names, left.schema().types))
+        for c in left_cols:
+            typ = lsch[c]
+            out[c] = pa.nulls(len(k), type=typ if isinstance(typ, pa.DataType)
+                              else pa.from_numpy_dtype(np.dtype(typ)))
+        return pa.table(out)
+
+    u = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0]
+        rkeys = df.loc[df["_side"] == 1, "_k"].unique()
+        m = l["_k"].isin(rkeys)
+        out = l.loc[~m if anti else m, ["_k"] + left_cols]
+        return out.rename(columns={"_k": left_key})
+
+    return hash_groupby_apply(u, ["_k"], filt)
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
+    """Anti-join: customers that never placed a ``priority`` order.
+    Orders are filtered at the read and contribute only their
+    (deduplicated) custkey column to the exchange."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    cust = table_ds(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == priority,
+    )
+    return shuffle_semi_join(
+        cust, orders, "c_custkey", "o_custkey",
+        ["c_name", "c_acctbal"], anti=True,
+    )
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER aggregate join: every customer with its order count and
+    total spend (0 / 0.0 for customers with no orders). The fact side is
+    pre-aggregated map-side to one row per custkey per batch, so the
+    exchange carries customer rows + order PARTIALS, never raw orders."""
+    from .agg import hash_groupby_apply
+
+    cust = table_ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = table_ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": t["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": t["c_mktsegment"],
+            "n_part": pa.array(np.zeros(len(t), np.int64)),
+            "spend_part": pa.array(np.zeros(len(t), np.float64)),
+            "_side": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_part=("o_totalprice", "count"),
+            spend_part=("o_totalprice", "sum"),
+        )
+        return pd.DataFrame({
+            "_k": g["o_custkey"].astype(np.int64),
+            "c_mktsegment": pd.array([None] * len(g), dtype="string"),
+            "n_part": g["n_part"].astype(np.int64),
+            "spend_part": g["spend_part"],
+            "_side": np.ones(len(g), np.int8),
+        })
+
+    u = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_partials, batch_format="pandas")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["_side"] == 0]
+        o = df[df["_side"] == 1].groupby("_k", as_index=False).agg(
+            n_orders=("n_part", "sum"), total_spent=("spend_part", "sum")
+        )
+        j = c[["_k", "c_mktsegment"]].merge(o, on="_k", how="left")
+        j["n_orders"] = j["n_orders"].fillna(0).astype(np.int64)
+        j["total_spent"] = j["total_spent"].fillna(0.0).round(2)
+        return j.rename(columns={"_k": "c_custkey"})
+
+    return hash_groupby_apply(u, ["_k"], merge)

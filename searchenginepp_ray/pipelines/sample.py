@@ -129,3 +129,40 @@ def hll_distinct_terms(sf_dir: str, p: int = _HLL_P):
         {"distinct_terms_est": [round(_hll_estimate(regs), 1)],
          "rel_error_bound": [round(1.04 / (1 << p) ** 0.5, 6)]}
     )
+
+
+#: default per-stratum keep fractions for :func:`stratified_sample` —
+#: rebalance a head-heavy corpus by downsampling the dominant language
+STRATA_FRACS = {"en": 0.1}
+STRATA_DEFAULT_FRAC = 0.5
+
+
+def stratified_sample(sf_dir: str, fracs: dict[str, float] | None = None,
+                      default_frac: float = STRATA_DEFAULT_FRAC):
+    """Per-stratum deterministic sampling: each ``lang`` keeps its own
+    fraction of documents (downsampling the dominant language is the
+    standard rebalancing move for multilingual training corpora).
+    Membership is still a pure function of the row key — same
+    content-addressed md5 rule as :func:`deterministic_sample`, but the
+    threshold is selected per row from the stratum column, so no shuffle,
+    no RNG, no coordination; reruns and resumed shards agree."""
+    import pandas as pd
+
+    from .duck import md5_hex
+    from .text_stats import documents_ds
+
+    fracs = STRATA_FRACS if fracs is None else fracs
+    thr = {k: _threshold_hex(v) for k, v in fracs.items()}
+    thr_default = _threshold_hex(default_frac)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        h = md5_hex(ids)
+        pref = pc.utf8_slice_codeunits(h, 0, 4).to_pandas()
+        cut = t["lang"].to_pandas().map(thr).fillna(thr_default)
+        return t.filter(pa.array((pref < cut).to_numpy()))
+
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    return documents_ds(sf_dir, columns=cols).map_batches(
+        keep, batch_format="pyarrow"
+    )

@@ -1,0 +1,119 @@
+"""PageRank (vs a local numpy power iteration and the DuckDB unrolled
+recurrence), semi/anti joins (vs pandas isin), running window functions
+and exact grouped distinct (vs DuckDB window/DISTINCT SQL)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+from searchenginepp_ray.pipelines.graph import pagerank
+
+
+def _numpy_pagerank(edges: pd.DataFrame, d: float, iters: int) -> pd.DataFrame:
+    e = edges.drop_duplicates(["src", "dst"])
+    nodes = np.unique(e["src"].to_numpy())
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    deg = e.groupby("src").size()
+    r = np.full(N, 1.0 / N)
+    src = e["src"].map(idx).to_numpy()
+    dst = e["dst"].map(idx).to_numpy()
+    w = 1.0 / deg.loc[e["src"]].to_numpy()
+    for _ in range(iters):
+        contrib = np.zeros(N)
+        np.add.at(contrib, dst, r[src] * w)
+        r = (1 - d) / N + d * contrib
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    rng = np.random.default_rng(7)
+    # random symmetric graph with a few heavy hubs
+    a = rng.integers(0, 60, 800)
+    b = (a + rng.integers(1, 59, 800)) % 60
+    e = pd.DataFrame({"src": np.r_[a, b], "dst": np.r_[b, a]})
+    got = (
+        pagerank(ray.data.from_pandas(e).repartition(5), damping=0.85, iters=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    want = _numpy_pagerank(e, 0.85, 4).sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
+    # a proper distribution: ranks sum to ~1 on a symmetric graph
+    assert abs(got["pr"].sum() - 1.0) < 1e-9
+
+
+def test_part_pagerank_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.graph import part_pagerank
+    from searchenginepp_ray.pipelines.oracle_sql import part_pagerank_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    got = part_pagerank(sf_dir).to_pandas().sort_values("part_key")
+    want = con.execute(part_pagerank_sql()).df().sort_values("part_key")
+    assert got["part_key"].tolist() == want["part_key"].tolist()
+    np.testing.assert_allclose(got["pagerank"], want["pagerank"], atol=1e-10)
+
+
+def test_semi_and_anti_join(ray_session):
+    from searchenginepp_ray.pipelines.relational import shuffle_semi_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 2000),
+                         "v": rng.random(2000)})
+    right = pd.DataFrame({"rk": rng.integers(50, 150, 500)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+    for anti in (False, True):
+        got = shuffle_semi_join(lds, rds, "k", "rk", ["v"], anti=anti).to_pandas()
+        m = left["k"].isin(right["rk"].unique())
+        want = left[~m if anti else m]
+        assert len(got) == len(want)
+        assert sorted(got["v"].tolist()) == sorted(want["v"].tolist())
+
+
+def test_running_window_and_distinct_match_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.events import (
+        event_user_distinct,
+        user_value_running,
+    )
+    from searchenginepp_ray.pipelines.oracle_sql import (
+        event_user_distinct_sql,
+        user_value_running_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+
+    got = user_value_running(sf_dir).to_pandas().sort_values("event_id")
+    want = con.execute(user_value_running_sql()).df().sort_values("event_id")
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    # exact: integer cents carry no float reorder noise
+    assert got["cum_value_cents"].tolist() == want["cum_value_cents"].tolist()
+    pd.testing.assert_series_equal(
+        got["prev_value"].reset_index(drop=True),
+        want["prev_value"].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    got_d = event_user_distinct(sf_dir).to_pandas().sort_values("event_type")
+    want_d = con.execute(event_user_distinct_sql()).df().sort_values("event_type")
+    assert got_d["n_users"].tolist() == want_d["n_users"].tolist()
+
+
+def test_stratified_sample_rates_and_determinism(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.sample import stratified_sample
+
+    a = stratified_sample(sf_dir).to_pandas()
+    b = stratified_sample(sf_dir).to_pandas()
+    # deterministic: identical membership across runs
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # strata rates: en is downsampled ~0.1, everything else ~0.5
+    full = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    n_en_full = int((full["lang"] == "en").sum())
+    n_en = int((a["lang"] == "en").sum())
+    assert n_en < n_en_full * 0.3
+    n_rest_full = int((full["lang"] != "en").sum())
+    n_rest = int((a["lang"] != "en").sum())
+    assert 0.25 * n_rest_full < n_rest < 0.75 * n_rest_full
