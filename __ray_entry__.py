@@ -121,7 +121,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
+        # embedding GENERATION (deterministic feature-hashed TF-IDF
+        # "model": posting explode + term-side idf exchange + (doc,dim)
+        # aggregation) — long format so the oracle is a grouped sum
+        "doc_embedding": lambda sf: _embed().doc_embedding(sf),
     }
+
+
+def _embed():
+    from searchenginepp_ray.pipelines import embed
+
+    return embed
 
 
 def _graph():
@@ -179,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": osql.customer_order_counts_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
+        "doc_embedding": osql.doc_embedding_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

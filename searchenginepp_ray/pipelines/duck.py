@@ -62,3 +62,20 @@ def md5_prefix_min_by_group(group, values, prefix_len: int) -> pa.Array:
         "FROM _sepp_fp_in GROUP BY d ORDER BY d"
     ).arrow()
     return _plain(out["fp"])
+
+
+def md5_bucket(arr, n_buckets: int) -> pa.Array:
+    """Vectorized portable hash-bucket id: ``CAST('0x' || first 8 md5 hex
+    chars AS BIGINT) % n_buckets`` — the same expression a SQL oracle can
+    evaluate verbatim, so bucket assignments agree bit-for-bit across
+    engines (DuckDB md5 here == DuckDB md5 there)."""
+    arr = _plain(arr)
+    if len(arr) == 0:
+        return pa.array([], pa.int64())
+    con = connection()
+    con.register("_sepp_bkt_in", pa.table({"s": arr}))
+    out = con.execute(
+        "SELECT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) "
+        f"% {int(n_buckets)} AS b FROM _sepp_bkt_in"
+    ).arrow()
+    return _plain(out["b"])

@@ -1,0 +1,136 @@
+"""Embedding GENERATION over the documents table — the "model
+inference" stage of a training-data pipeline, implemented with a
+deterministic, oracle-checkable model: feature-hashed TF-IDF document
+vectors (the classic hashing-trick text embedder).
+
+Every term hashes to one of ``dims`` buckets with the portable md5
+bucket rule (:func:`.duck.md5_bucket` — the identical expression the
+SQL oracle evaluates), and each bucket accumulates ``tf * log2(N/df)``.
+A real neural embedder slots into the same shape: replace the per-term
+kernel with a batched forward pass inside the same actor-pool
+``map_batches`` and keep the downstream layout.
+
+Scale shape (no driver funnels, two exchanges):
+
+1. one pass over :func:`..text_stats.term_counts_ds` explodes each doc
+   into posting rows (term, doc_id, tf) AND per-batch df partials —
+   both tagged into one stream, so the term-side exchange runs once;
+2. hash exchange on ``term``: each partition finalizes its terms' df,
+   computes idf, hashes terms to dims (one C-speed md5 kernel over the
+   partition VOCABULARY, not the posting stream), and pre-aggregates
+   (doc_id, dim) partials map-side;
+3. hash exchange on (doc_id, dim) sums the partials.
+
+Output is LONG format (doc_id, dim, weight): exactly SQL-groupable for
+the oracle; :func:`doc_embedding_vectors` pivots it to a dense
+``FixedSizeList`` column for downstream ANN (one vectorized per-doc
+scatter per partition), feeding the knn/LSH family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+DIMS = 64
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/documents.parquet"
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def doc_embedding(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
+    """(doc_id, dim, weight): feature-hashed TF-IDF document embedding in
+    long format. ``weight`` is rounded to 6 dp for oracle comparability
+    (cross-engine log2/summation ULPs are ~1e-14 absolute)."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .text_stats import term_counts_ds
+
+    n_docs = float(_n_docs(sf_dir))
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = t["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        flat_terms = pc.list_flatten(terms)
+        flat_tfs = pc.list_flatten(t["tfs"]).cast(pa.int64())
+        n_per = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+        doc_ids = pa.array(np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_per))
+        # terms are unique per doc, so this batch's df partial is the
+        # flat stream's value_counts — tag df rows is_post=0
+        vc = flat_terms.value_counts()
+        n_post, n_df = len(flat_terms), len(vc)
+        return pa.table({
+            "term": pa.concat_arrays(
+                [flat_terms.combine_chunks() if isinstance(flat_terms, pa.ChunkedArray) else flat_terms,
+                 vc.field("values")]),
+            "doc_id": pa.concat_arrays(
+                [doc_ids, pa.array(np.zeros(n_df, np.int64))]),
+            "tf": pa.concat_arrays(
+                [flat_tfs.combine_chunks() if isinstance(flat_tfs, pa.ChunkedArray) else flat_tfs,
+                 vc.field("counts").cast(pa.int64())]),
+            "is_post": pa.array(
+                np.r_[np.ones(n_post, np.int8), np.zeros(n_df, np.int8)]),
+        })
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        from .duck import md5_bucket
+
+        posts = df[df["is_post"] == 1]
+        dfs = (df[df["is_post"] == 0].groupby("term")["tf"].sum())
+        if len(posts) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "w_part": pd.Series([], dtype=np.float64)})
+        # hash the partition VOCABULARY once, map to the posting stream
+        vocab = dfs.index.to_numpy()
+        dims_of = np.asarray(md5_bucket(pa.array(vocab, pa.string()), dims))
+        idf = np.log2(n_docs / dfs.to_numpy(dtype=np.float64))
+        lut = pd.DataFrame({"term": vocab, "dim": dims_of, "idf": idf})
+        j = posts.merge(lut, on="term")
+        w = j["tf"].to_numpy(dtype=np.float64) * j["idf"].to_numpy()
+        # map-side combiner: partial sums per (doc, dim) before exchange 2
+        g = pd.DataFrame({"doc_id": j["doc_id"].to_numpy(),
+                          "dim": j["dim"].to_numpy(), "w": w}).groupby(
+            ["doc_id", "dim"], as_index=False)["w"].sum()
+        return g.rename(columns={"w": "w_part"})
+
+    partials = hash_groupby_apply(
+        term_counts_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["term"], per_term,
+    )
+    emb = hash_groupby_sum(
+        partials, ["doc_id", "dim"], {"weight": ("w_part", "sum")}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dim": t["dim"].cast(pa.int64()),
+            "weight": pc.round(t["weight"], ndigits=6),
+        })
+
+    return emb.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_embedding_vectors(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
+    """Dense form: (doc_id, embedding FixedSizeList<float32, dims>) —
+    one more hash exchange on doc_id pivots the long rows into vectors
+    with a single per-partition scatter (no per-doc Python)."""
+    from .agg import hash_groupby_apply
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        ids, inv = np.unique(df["doc_id"].to_numpy(), return_inverse=True)
+        mat = np.zeros((len(ids), dims), dtype=np.float32)
+        mat[inv, df["dim"].to_numpy()] = df["weight"].to_numpy()
+        return pd.DataFrame({"doc_id": ids, "embedding": list(mat)})
+
+    return hash_groupby_apply(doc_embedding(sf_dir, dims), ["doc_id"], pivot)

@@ -670,3 +670,26 @@ r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
 {chain}
 SELECT node AS part_key, ROUND(pr, 10) AS pagerank FROM r{iters}
 """
+
+
+def doc_embedding_sql(dims: int = 64) -> str:
+    """Oracle for embed.doc_embedding: feature-hashed TF-IDF in long
+    format — the md5 bucket expression is literally the one the Ray
+    kernel evaluates (both run DuckDB md5), so dims agree bit-for-bit;
+    weights are rounded to 6 dp against cross-engine log2/sum ULPs."""
+    return f"""WITH {tok_cte()},
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dfs AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY term
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT t.doc_id,
+       CAST(('0x' || substr(md5(t.term), 1, 8)) AS BIGINT) % {int(dims)} AS dim,
+       ROUND(SUM(t.tf * log2((SELECT n FROM nn) / d.df)), 6) AS weight
+FROM tf t JOIN dfs d USING (term)
+GROUP BY t.doc_id, dim
+"""
