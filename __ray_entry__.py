@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute force, making the bucketed machinery SQL-oracle-checkable
         "knn_ivf_full_probe": lambda sf: similarity.knn_ivf(sf, nprobe=16),
         "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
+        # per-label centroid (class prototypes): one (sumvec, count)
+        # partial per label per batch, tiny final exchange
+        "label_centroids": lambda sf: similarity.label_centroids(sf),
         # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
@@ -190,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": osql.stratified_sample_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
+        "label_centroids": osql.label_centroids_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

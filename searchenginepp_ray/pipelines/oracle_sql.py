@@ -693,3 +693,17 @@ SELECT t.doc_id,
 FROM tf t JOIN dfs d USING (term)
 GROUP BY t.doc_id, dim
 """
+
+
+def label_centroids_sql() -> str:
+    """Oracle for similarity.label_centroids (per-label mean vector,
+    long format via unnest + generate_subscripts)."""
+    return """
+        WITH expl AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings)
+        SELECT label, dim, ROUND(AVG(x), 6) AS mean_weight
+        FROM expl GROUP BY label, dim
+    """

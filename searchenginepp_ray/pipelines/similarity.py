@@ -283,3 +283,47 @@ def embedding_norm_stats(sf_dir: str):
         return df[["label", "n", "mean_norm"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding CENTROID (mean vector) in long format
+    (label, dim, mean_weight) — the class-prototype aggregate used for
+    nearest-centroid classification and cluster drift monitoring.
+
+    Scale shape: each batch collapses to ONE (sum-vector, count) partial
+    per label (zero-copy FixedSizeList → matrix, ``np.add.reduceat``-free
+    label bincount), so the exchange carries label-count × dims floats
+    per batch regardless of row count; the final divide runs over the
+    tiny label key space."""
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["label", "embedding"],
+                               override_num_blocks=_read_blocks(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv).astype(np.int64)
+        L, D = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, D)),
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), L)),
+            "s_part": pa.array(sums.ravel()),
+            "n_part": pa.array(np.repeat(counts, D)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            s=("s_part", "sum"), n=("n_part", "sum"))
+        g["mean_weight"] = (g["s"] / g["n"]).round(6)
+        return g[["label", "dim", "mean_weight"]]
+
+    return hash_groupby_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], finish,
+    )

@@ -71,3 +71,25 @@ def test_knn_ivf_full_probe_equals_brute_force(ray_session):
         ivf[["query_id", "neighbor_id", "rank"]]
     )
     assert (bf["cosine"] - ivf["cosine"]).abs().max() < 1e-9
+
+
+def test_label_centroids_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from searchenginepp_ray.pipelines.oracle_sql import label_centroids_sql
+    from searchenginepp_ray.pipelines.similarity import label_centroids
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    got = label_centroids(sf_dir).to_pandas().sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    want = con.execute(label_centroids_sql()).df().sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    assert got["label"].tolist() == want["label"].tolist()
+    assert got["dim"].tolist() == want["dim"].tolist()
+    import numpy as np
+
+    np.testing.assert_allclose(got["mean_weight"], want["mean_weight"],
+                               atol=1e-6)
