@@ -15,12 +15,20 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
-def events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
+def events_ds(sf_dir: str, columns=None, types=None) -> ray.data.Dataset:
+    """Pruned events read; ``types`` pushes an ``event_type IN (...)``
+    row filter down to the parquet scan (row-group pruning + no
+    filtered-out rows ever entering the pipeline)."""
     from .text_stats import _read_blocks
 
     path = f"{sf_dir}/events.parquet"
+    flt = None
+    if types is not None:
+        import pyarrow.dataset as pads
+
+        flt = pads.field("event_type").isin(list(types))
     return ray.data.read_parquet(
-        path, columns=columns,
+        path, columns=columns, filter=flt,
         override_num_blocks=_read_blocks(path, target_rows=20_000),
     )
 
@@ -169,9 +177,6 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     microseconds (BIGINT) so the oracle comparison is precision-exact."""
     from .agg import hash_groupby_apply
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["event_type"].isin([left_type, right_type])]
-
     out_cols = ["event_id", "user_id", "ts_us", "matched_event_id",
                 "matched_ts_us", "gap_us"]
 
@@ -200,8 +205,8 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
         return j[out_cols]
 
     return hash_groupby_apply(
-        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .map_batches(keep, batch_format="pandas"),
+        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"],
+                  types=[left_type, right_type]),
         ["user_id"], per_partition,
     )
 
@@ -223,9 +228,6 @@ def range_join(sf_dir: str, window_s: int = 86_400,
     from .agg import hash_groupby_apply
     from .duck import connection
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["event_type"].isin([left_type, right_type])]
-
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(ts_us=df["ts"].astype("int64"))
         sides = {t: df.loc[df["event_type"] == t,
@@ -246,8 +248,8 @@ def range_join(sf_dir: str, window_s: int = 86_400,
         return out
 
     return hash_groupby_apply(
-        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .map_batches(keep, batch_format="pandas"),
+        events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type"],
+                  types=[left_type, right_type]),
         ["user_id"], per_partition,
     )
 

@@ -167,11 +167,9 @@ def pricing_summary(sf_dir: str, cutoff: str = "2000-12-01"):
     aggregate + averages over the 4-group key space."""
     from .agg import hash_groupby_sum
 
-    cut = pd.Timestamp(cutoff)
     keys = ["l_returnflag", "l_linestatus"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cut]
         df = df.assign(
             disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
             charge=df["l_extendedprice"] * (1 - df["l_discount"])
@@ -187,10 +185,21 @@ def pricing_summary(sf_dir: str, cutoff: str = "2000-12-01"):
         )
         return g
 
-    partials = table_ds(
-        sf_dir, "lineitem",
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-         "l_discount", "l_tax", "l_shipdate"],
+    # shipdate predicate pushed to the parquet scan: row groups outside
+    # the cutoff are pruned and filtered rows never enter the pipeline
+    # (l_shipdate itself is then not needed downstream)
+    import pyarrow.dataset as pads
+
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/lineitem.parquet"
+    partials = ray.data.read_parquet(
+        path,
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=pads.field("l_shipdate")
+        <= pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us")),
+        override_num_blocks=_read_blocks(path, target_rows=20_000),
     ).map_batches(partial, batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
