@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
+        # same recurrence through the edge-STATIONARY raw-actor BSP
+        # engine (edges and rank shards pinned per actor; only
+        # contribution partials move per superstep)
+        "part_pagerank_bsp": lambda sf: _graph().part_pagerank_bsp(sf),
         # embedding GENERATION (deterministic feature-hashed TF-IDF
         # "model": posting explode + term-side idf exchange + (doc,dim)
         # aggregation) — long format so the oracle is a grouped sum
@@ -192,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": osql.customer_order_counts_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
+        "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "label_centroids": osql.label_centroids_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float

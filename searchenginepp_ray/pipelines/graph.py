@@ -336,3 +336,202 @@ def part_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 5):
         })
 
     return pr.map_batches(fmt, batch_format="pyarrow")
+
+
+# ---------- edge-stationary (BSP) PageRank ----------
+
+def _node_part(v: np.ndarray, P: int) -> np.ndarray:
+    """Partition id of an int64 node column — the EXACT function
+    ``agg._key_hash`` applies to a single integer key, so the actor
+    layout and any ``hash_groupby_apply`` on the same key agree."""
+    from .dedup import _splitmix64
+
+    return (_splitmix64(v.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+
+
+@ray.remote
+class _PagerankShard:
+    """One hash partition of the edge table + its rank shard, pinned in
+    an actor for the whole run. Nodes are this shard's distinct ``src``
+    values (hash(src) % P == k); on a symmetric graph every incoming
+    ``dst`` is also some shard's ``src``, so rank ownership is total.
+
+    Per superstep the shard emits ONE ``ray.put`` contribution partial
+    per destination shard (pre-summed per dst, so partial size is
+    bounded by the shard's out-neighborhood, not its edge count) and
+    then folds the partials addressed to it into its rank shard. Edges
+    and ranks never cross the network after load."""
+
+    def __init__(self, path: str, P: int, damping: float):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["src", "dst", "deg"])
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        deg = t["deg"].to_numpy().astype(np.float64)
+        self.nodes = np.unique(src)
+        # edges sorted by destination shard: contribs() slices per shard
+        part = _node_part(dst, P)
+        order = np.argsort(part, kind="stable")
+        self.src_idx = np.searchsorted(self.nodes, src[order])
+        self.dst = dst[order]
+        self.deg = deg[order]
+        self.bounds = np.searchsorted(part[order], np.arange(P + 1))
+        self.damping = damping
+        self.r = None
+
+    def n_nodes(self) -> int:
+        return len(self.nodes)
+
+    def init_ranks(self, n_total: int) -> None:
+        self.n_total = n_total
+        self.r = np.full(len(self.nodes), 1.0 / n_total)
+
+    def contribs(self) -> list:
+        w = self.r[self.src_idx] / self.deg
+        out = []
+        for p in range(len(self.bounds) - 1):
+            lo, hi = self.bounds[p], self.bounds[p + 1]
+            ud, inv = np.unique(self.dst[lo:hi], return_inverse=True)
+            s = np.bincount(inv, weights=w[lo:hi])
+            out.append(ray.put((ud, s)))
+        return out
+
+    def apply(self, partial_refs: list) -> None:
+        acc = np.zeros(len(self.nodes))
+        for ref in partial_refs:
+            ud, s = ray.get(ref)
+            if len(ud) == 0:
+                continue
+            idx = np.searchsorted(self.nodes, ud)
+            # symmetric-graph invariant: every dst is an owned node
+            assert (idx < len(self.nodes)).all() and (self.nodes[idx] == ud).all()
+            acc[idx] += s
+        self.r = (1.0 - self.damping) / self.n_total + self.damping * acc
+
+    def write(self, out_path: str) -> str:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"node": pa.array(self.nodes),
+                      "pr": pa.array(self.r)}), out_path)
+        return out_path
+
+
+def pagerank_bsp(
+    edges: ray.data.Dataset,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    P: int | None = None,
+    work_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Edge-STATIONARY PageRank — same recurrence as :func:`pagerank`,
+    different movement contract: the Dataset form re-ships the edge
+    table through the rank⋈edges exchange every iteration; here edges
+    are hash-partitioned by ``src`` ONCE (each partition task writes its
+    own parquet shard — the build's resumable-layout pattern), then a
+    pool of raw Ray actors pins shard k's edges AND its rank shard for
+    the whole run, and each superstep moves only pre-summed contribution
+    partials (object refs routed shard→shard; the driver handles P²
+    refs, never data). This is the canonical "shared mutable state the
+    Dataset API can't express" case the raw-actor escape hatch exists
+    for; final ranks are written shard-partitioned and returned as a
+    lazy read."""
+    import os
+    import tempfile
+
+    from .agg import hash_groupby_apply
+
+    P = P or _shuffle_width_graph()
+    work_dir = work_dir or tempfile.mkdtemp(prefix="seppray_pagerank_",
+                                            dir="/tmp")
+    os.makedirs(work_dir, exist_ok=True)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].cast(pa.int64()),
+            "dst": t[dst].cast(pa.int64()),
+        })
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        if len(df) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype=np.int64),
+                                 "path": pd.Series([], dtype=str)})
+        part = int(df["_part"].iloc[0])
+        d = df.drop_duplicates(["src", "dst"])
+        deg = d.groupby("src")["src"].transform("size").astype(np.int64)
+        path = os.path.join(work_dir, f"edges_part={part}.parquet")
+        pq.write_table(pa.table({
+            "src": pa.array(d["src"].to_numpy()),
+            "dst": pa.array(d["dst"].to_numpy()),
+            "deg": pa.array(deg.to_numpy()),
+        }), path)
+        return pd.DataFrame({"part": [part], "path": [path]})
+
+    manifest = hash_groupby_apply(
+        edges.map_batches(edge_rows, batch_format="pyarrow"),
+        ["src"], write_shard, P=P, keep_part=True,
+    ).to_pandas()  # P rows — a manifest, not data
+
+    shards = [
+        _PagerankShard.remote(path, P, damping)
+        for path in manifest.sort_values("part")["path"]
+    ]
+    n_total = sum(ray.get([s.n_nodes.remote() for s in shards]))
+    ray.get([s.init_ranks.remote(n_total) for s in shards])
+    for _ in range(iters):
+        # ref matrix: lists[i][j] = shard i's partial addressed to shard j
+        lists = ray.get([s.contribs.remote() for s in shards])
+        ray.get([
+            shards[j].apply.remote([lists[i][j] for i in range(len(shards))])
+            for j in range(len(shards))
+        ])
+    paths = ray.get([
+        s.write.remote(os.path.join(work_dir, f"ranks_part={k}.parquet"))
+        for k, s in enumerate(shards)
+    ])
+    for s in shards:
+        ray.kill(s)
+    return ray.data.read_parquet(paths)
+
+
+def _shuffle_width_graph() -> int:
+    from .dedup import _shuffle_width
+
+    return _shuffle_width()
+
+
+def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
+    """:func:`part_pagerank`'s co-purchase graph through the
+    edge-stationary BSP engine — same output contract (and the same SQL
+    oracle value-gates both paths)."""
+    import pyarrow.compute as pc
+
+    from .agg import hash_groupby_apply
+    from .relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({
+            "src": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "dst": m["l_partkey_y"].to_numpy(dtype=np.int64),
+        })
+
+    edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    pr = pagerank_bsp(edges, damping=damping, iters=iters)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_key": t["node"],
+            "pagerank": pc.round(t["pr"], ndigits=10),
+        })
+
+    return pr.map_batches(fmt, batch_format="pyarrow")

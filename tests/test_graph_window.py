@@ -117,3 +117,20 @@ def test_stratified_sample_rates_and_determinism(ray_session, sf_dir):
     n_rest_full = int((full["lang"] != "en").sum())
     n_rest = int((a["lang"] != "en").sum())
     assert 0.25 * n_rest_full < n_rest < 0.75 * n_rest_full
+
+
+def test_pagerank_bsp_equals_dataset_pagerank(ray_session):
+    from searchenginepp_ray.pipelines.graph import pagerank_bsp
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 80, 1200)
+    b = (a + rng.integers(1, 79, 1200)) % 80
+    e = pd.DataFrame({"src": np.r_[a, b], "dst": np.r_[b, a]})
+    eds = ray.data.from_pandas(e).repartition(6)
+    got = (pagerank_bsp(eds, damping=0.85, iters=4, P=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (pagerank(ray.data.from_pandas(e).repartition(6),
+                     damping=0.85, iters=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
