@@ -331,6 +331,12 @@ def run_default() -> None:
     timed("asof_join", lambda: events.asof_join(sf_dir))
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
     timed("nation_revenue", lambda: relational.nation_revenue(sf_dir))
+    # embedding generation + the edge-stationary BSP PageRank (2.4M-edge
+    # co-purchase graph, 5 supersteps; see graph.pagerank_bsp)
+    from searchenginepp_ray.pipelines import embed, graph
+
+    timed("doc_embedding", lambda: embed.doc_embedding(sf_dir))
+    timed("part_pagerank_bsp", lambda: graph.part_pagerank_bsp(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total

@@ -444,7 +444,7 @@ def pagerank_bsp(
 
     from .agg import hash_groupby_apply
 
-    P = P or _shuffle_width_graph()
+    P = P or _bsp_width()
     work_dir = work_dir or tempfile.mkdtemp(prefix="seppray_pagerank_",
                                             dir="/tmp")
     os.makedirs(work_dir, exist_ok=True)
@@ -503,6 +503,16 @@ def _shuffle_width_graph() -> int:
     from .dedup import _shuffle_width
 
     return _shuffle_width()
+
+
+def _bsp_width() -> int:
+    """Default shard count for :func:`pagerank_bsp`: LONG-LIVED actors
+    want fewer, bigger shards than a stateless exchange (each extra
+    shard pays an actor process + a P² term in per-superstep ref
+    routing) — cores/2 tracks the cluster like the shuffle width does,
+    at half the actor count. Multi-node users size P explicitly."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 2)
 
 
 def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
