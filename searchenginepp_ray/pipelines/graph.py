@@ -360,12 +360,26 @@ class _PagerankShard:
     per destination shard (pre-summed per dst, so partial size is
     bounded by the shard's out-neighborhood, not its edge count) and
     then folds the partials addressed to it into its rank shard. Edges
-    and ranks never cross the network after load."""
+    and ranks never cross the network after load.
 
-    def __init__(self, path: str, P: int, damping: float):
+    Construction is split from :meth:`load` so the pool can be spawned
+    BEFORE the edge exchange runs: worker-process startup on a session
+    that has already churned Ray Data workers costs seconds per actor
+    on this host (fresh-page fault path), but hides entirely under the
+    upstream exchange when started concurrently with it."""
+
+    def __init__(self):
+        pass
+
+    def load(self, path: str | None, P: int, damping: float) -> None:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["src", "dst", "deg"])
+        if path is None:  # empty partition — owns no nodes, no edges
+            t = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+        else:
+            t = pq.read_table(path, columns=["src", "dst", "deg"])
         src = t["src"].to_numpy().astype(np.int64)
         dst = t["dst"].to_numpy().astype(np.int64)
         deg = t["deg"].to_numpy().astype(np.float64)
@@ -472,15 +486,22 @@ def pagerank_bsp(
         }), path)
         return pd.DataFrame({"part": [part], "path": [path]})
 
+    # spawn the pool FIRST: process startup overlaps the edge exchange
+    # below (see _PagerankShard docstring for why this matters here)
+    pool = [_PagerankShard.remote() for _ in range(P)]
+
     manifest = hash_groupby_apply(
         edges.map_batches(edge_rows, batch_format="pyarrow"),
         ["src"], write_shard, P=P, keep_part=True,
     ).to_pandas()  # P rows — a manifest, not data
 
-    shards = [
-        _PagerankShard.remote(path, P, damping)
-        for path in manifest.sort_values("part")["path"]
-    ]
+    # shard index MUST equal partition id (contribs() addresses partials
+    # by hash(dst) % P); empty partitions load as empty shards so the
+    # alignment holds even when some parts produced no edges.
+    part_to_path = dict(zip(manifest["part"], manifest["path"]))
+    shards = pool
+    ray.get([s.load.remote(part_to_path.get(k), P, damping)
+             for k, s in enumerate(shards)])
     n_total = sum(ray.get([s.n_nodes.remote() for s in shards]))
     ray.get([s.init_ranks.remote(n_total) for s in shards])
     for _ in range(iters):
