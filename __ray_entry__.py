@@ -52,6 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text_stats.quality_score(sf),
         "lang_id": lambda sf: text_stats.lang_id(sf),
         "doc_fingerprint": lambda sf: text_stats.fingerprint(sf),
+        # --- training-data filters (Gopher repetition / PII scrub /
+        # benchmark decontamination with a broadcast gram set) ---
+        "repetition_stats": lambda sf: _filters().repetition_stats(sf),
+        "pii_redact": lambda sf: _filters().pii_redact(sf),
+        "decontaminate": lambda sf: _filters().decontaminate(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
@@ -141,6 +146,12 @@ def _embed():
     return embed
 
 
+def _filters():
+    from searchenginepp_ray.pipelines import filters
+
+    return filters
+
+
 def _graph():
     from searchenginepp_ray.pipelines import graph
 
@@ -167,6 +178,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": osql.quality_score_sql(),
         "lang_id": osql.lang_id_sql(),
         "doc_fingerprint": osql.doc_fingerprint_sql(),
+        "repetition_stats": osql.repetition_stats_sql(),
+        "pii_redact": osql.pii_redact_sql(),
+        "decontaminate": osql.decontaminate_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),

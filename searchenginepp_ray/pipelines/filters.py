@@ -1,0 +1,220 @@
+"""Training-data quality filters over the ``documents`` table — the
+filter family a 100 TB LLM-corpus pipeline runs between ingest and
+training export:
+
+* :func:`repetition_stats` — Gopher-style n-gram repetition signals
+  (top-bigram concentration, duplicate-trigram fraction) per document.
+* :func:`pii_redact` — email / IPv4 scrubbing with RE2 on BOTH engines
+  (Arrow's ``replace_substring_regex`` here, DuckDB ``regexp_replace``
+  in the oracle), counts from the original text, md5 of the redacted
+  text as the value check.
+* :func:`decontaminate` — benchmark-overlap flagging: documents sharing
+  any word trigram with a designated benchmark subset are marked
+  contaminated. The contamination set is the SMALL side by construction
+  (real decontamination sets are benchmark suites, MBs at most), so it
+  is built distributed, collected once as 64-bit gram hashes, and
+  broadcast via ``ray.put`` — the corpus side streams and never
+  shuffles.
+
+All three are single-pass ``map_batches`` transforms over a pruned
+two-column read; no exchange is needed anywhere except decontaminate's
+bounded benchmark collection. Per-batch work is Arrow / numpy kernels
+(dictionary-encode for gram counting, shifted ``take`` columns joined
+by ``binary_join_element_wise`` for gram assembly — the same assembly
+the fingerprint operator uses, reference parity: none, these are
+beyond-reference training-data ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .text_stats import documents_ds
+
+#: word tokenizer shared verbatim with the SQL oracles: lowercase, then
+#: split on any non-[a-z0-9] run, dropping empty tokens.
+WORD_SPLIT = "[^a-z0-9]+"
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _words_flat(text_col) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(doc_idx, flat_tokens, n_tokens_per_doc) for one batch — one
+    utf8_lower + one RE2 split + one filter, no per-row Python."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text_col), WORD_SPLIT)
+    counts = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = doc_idx[keep]
+    n_tokens = np.bincount(doc_idx, minlength=len(counts)).astype(np.int64)
+    return doc_idx, flat, n_tokens
+
+
+def _grams(flat: pa.Array, n_tokens: np.ndarray, w: int
+           ) -> tuple[np.ndarray, pa.Array]:
+    """(gram_doc_idx, gram_strings): all ``w``-token grams per doc,
+    assembled from ``w`` shifted takes of the flat token stream (docs
+    shorter than ``w`` emit no grams)."""
+    offsets = np.concatenate(([0], np.cumsum(n_tokens)))
+    m = np.maximum(n_tokens - (w - 1), 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    rng = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+    starts = np.repeat(offsets[:-1], m) + rng
+    cols = [flat.take(pa.array(starts + j)) for j in range(w)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    return np.repeat(np.arange(len(n_tokens)), m), grams
+
+
+def _gram_run_stats(gdoc: np.ndarray, grams: pa.Array, n_docs: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc (n_grams, n_distinct, max_count) over (doc, gram) pairs —
+    dictionary-encode (Arrow C) + one int64 sort + run-length pass."""
+    n_grams = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    max_count = np.zeros(n_docs, dtype=np.int64)
+    if len(gdoc) == 0:
+        return n_grams, n_distinct, max_count
+    codes = np.asarray(grams.dictionary_encode().indices).astype(np.int64)
+    key = gdoc * (codes.max() + 1) + codes
+    key.sort()
+    run_starts = np.concatenate(([0], np.flatnonzero(np.diff(key)) + 1))
+    run_counts = np.diff(np.concatenate((run_starts, [len(key)])))
+    run_doc = (key[run_starts] // (codes.max() + 1)).astype(np.int64)
+    np.add.at(n_distinct, run_doc, 1)
+    np.maximum.at(max_count, run_doc, run_counts)
+    return n_grams, n_distinct, max_count
+
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition signals over the shared word tokenization:
+    ``top_bigram_frac`` (count of the most frequent bigram over all
+    bigram instances — concentration, the Gopher top-n-gram filter) and
+    ``dup_trigram_frac`` (fraction of trigram instances that are
+    repeats of an earlier trigram in the same doc). Fractions are 0 for
+    docs too short to form the gram; rounded to 6 dp for oracle
+    comparability (same precedent as quality_score)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        n = len(t)
+        _, flat, n_tokens = _words_flat(t["text"])
+        bdoc, bgrams = _grams(flat, n_tokens, 2)
+        nb, _, bmax = _gram_run_stats(bdoc, bgrams, n)
+        tdoc, tgrams = _grams(flat, n_tokens, 3)
+        nt, tdis, _ = _gram_run_stats(tdoc, tgrams, n)
+        top_bi = np.where(nb > 0, bmax / np.maximum(nb, 1), 0.0)
+        dup_tri = np.where(nt > 0, (nt - tdis) / np.maximum(nt, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "top_bigram_frac": pa.array(np.round(top_bi, 6)),
+            "dup_trigram_frac": pa.array(np.round(dup_tri, 6)),
+        })
+
+    return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str):
+    """Per-doc PII scrub: email / IPv4 occurrence counts from the
+    original text plus the md5 of the redacted text (emails replaced
+    first, then IPv4s — both RE2 leftmost-non-overlapping, the same
+    scan order DuckDB's regexp functions use, so the oracle matches
+    byte-for-byte)."""
+    from .duck import md5_hex
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_email = pc.count_substring_regex(text, EMAIL_RE).cast(pa.int64())
+        n_ip = pc.count_substring_regex(text, IPV4_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, IPV4_RE, "<IP>")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": n_email,
+            "n_ipv4": n_ip,
+            "redacted_md5": md5_hex(red),
+        })
+
+    return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
+def _bench_gram_hashes(sf_dir: str, w: int, bench_mod: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the benchmark docs' grams. The
+    benchmark subset is small by construction; per-batch partials are
+    already deduped, so what reaches the driver is bounded by the
+    benchmark gram vocabulary, not the corpus."""
+    from .dedup import _hash_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"].to_numpy() % bench_mod == 0)
+        sub = t.filter(pa.array(mask))
+        if len(sub) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        _, flat, n_tokens = _words_flat(sub["text"])
+        _, grams = _grams(flat, n_tokens, w)
+        if len(grams) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        return pa.table({"h": pa.array(np.unique(_hash_strings(grams)))})
+
+    parts = [
+        b["h"]
+        for b in documents_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate([np.asarray(p) for p in parts]))
+
+
+def decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97):
+    """(doc_id, contaminated) for every NON-benchmark document: true iff
+    the doc shares at least one word ``w``-gram with any benchmark doc
+    (``doc_id % bench_mod == 0`` designates the benchmark subset — a
+    deterministic stand-in for an eval-suite table).
+
+    Matching is by 64-bit gram hash on the Ray side (xxhash via the
+    dedup family's `_hash_strings`); a false positive needs a 64-bit
+    collision between a corpus gram and a benchmark gram, negligible at
+    any realistic contamination-set size. The SQL oracle matches exact
+    gram strings."""
+    import ray
+
+    bench_ref = ray.put(_bench_gram_hashes(sf_dir, w, bench_mod))
+
+    def flag(t: pa.Table) -> pa.Table:
+        from .dedup import _hash_strings
+
+        bench = ray.get(bench_ref)
+        mask = np.asarray(t["doc_id"].to_numpy() % bench_mod != 0)
+        sub = t.filter(pa.array(mask))
+        n = len(sub)
+        contaminated = np.zeros(n, dtype=bool)
+        if n and len(bench):
+            _, flat, n_tokens = _words_flat(sub["text"])
+            gdoc, grams = _grams(flat, n_tokens, w)
+            if len(grams):
+                h = _hash_strings(grams)
+                pos = np.searchsorted(bench, h)
+                pos[pos == len(bench)] = 0
+                hit = bench[pos] == h
+                np.logical_or.at(contaminated, gdoc, hit)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "contaminated": pa.array(contaminated),
+        })
+
+    return documents_ds(sf_dir).map_batches(flag, batch_format="pyarrow")

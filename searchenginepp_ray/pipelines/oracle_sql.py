@@ -707,3 +707,65 @@ def label_centroids_sql() -> str:
         SELECT label, dim, ROUND(AVG(x), 6) AS mean_weight
         FROM expl GROUP BY label, dim
     """
+
+
+# ---------- training-data filters (pipelines/filters.py) ----------
+
+def _word_toks_cte() -> str:
+    """CTE ``wtoks(doc_id, w)`` — the filters family's word tokenization
+    (lowercase, split on non-[a-z0-9] runs, empties dropped), kept
+    verbatim-identical to ``filters.WORD_SPLIT``."""
+    return """
+wtoks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS w
+    FROM documents
+)"""
+
+
+def repetition_stats_sql() -> str:
+    """Oracle for filters.repetition_stats (Gopher-style n-gram
+    repetition): top-bigram concentration + duplicate-trigram fraction
+    per document."""
+    return f"""WITH {_word_toks_cte()},
+bpos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM wtoks),
+bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM bpos),
+bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+bagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS bmax FROM bic GROUP BY doc_id),
+tpos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM wtoks),
+tri AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM tpos),
+tagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt, CAST(COUNT(DISTINCT g) AS BIGINT) AS tdis FROM tri GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(b.bmax / CAST(b.nb AS DOUBLE), 0), 6) AS top_bigram_frac,
+       ROUND(COALESCE((a.nt - a.tdis) / CAST(a.nt AS DOUBLE), 0), 6) AS dup_trigram_frac
+FROM wtoks t LEFT JOIN bagg b USING (doc_id) LEFT JOIN tagg a USING (doc_id)"""
+
+
+def pii_redact_sql() -> str:
+    """Oracle for filters.pii_redact — DuckDB's regexp functions are
+    RE2 like Arrow's, so counts and replacement spans agree exactly."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                          '{ipv4}', '<IP>', 'g')) AS redacted_md5
+FROM documents"""
+
+
+def decontaminate_sql(w: int = 3, bench_mod: int = 97) -> str:
+    """Oracle for filters.decontaminate: exact gram-string overlap
+    between the benchmark subset and the rest of the corpus."""
+    return f"""WITH {_word_toks_cte()},
+pos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - {w - 1}, 0))) AS i FROM wtoks),
+grams AS (SELECT doc_id, array_to_string(w[i:i+{w - 1}], ' ') AS g FROM pos),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+cont AS (SELECT DISTINCT doc_id FROM grams
+         WHERE doc_id % {bench_mod} <> 0 AND g IN (SELECT g FROM bench))
+SELECT d.doc_id,
+       (d.doc_id IN (SELECT doc_id FROM cont)) AS contaminated
+FROM documents d WHERE d.doc_id % {bench_mod} <> 0"""

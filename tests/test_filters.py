@@ -1,0 +1,127 @@
+"""Training-data filters (pipelines/filters.py): constructed-corpus
+behavior pins (the synthetic testdata has no PII and few edge cases)
+plus oracle agreement at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts):
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        path,
+    )
+    return path
+
+
+def test_pii_redact_constructed(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.filters import pii_redact
+
+    texts = [
+        "contact alice@example.com or bob.smith+x@sub.domain.org today",
+        "server at 10.0.0.1 and 192.168.255.3, backup 8.8.8.8",
+        "mixed: eve@corp.io from 172.16.4.20",
+        "clean text with no pii at all",
+        "",
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (
+        pii_redact(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_emails"].tolist() == [2, 0, 1, 0, 0]
+    assert got["n_ipv4"].tolist() == [0, 3, 1, 0, 0]
+    # redaction changes the digest exactly when something matched
+    import hashlib
+
+    raw_md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    changed = (got["redacted_md5"] != pd.Series(raw_md5)).tolist()
+    assert changed == [True, True, True, False, False]
+    # and the redacted text itself round-trips through the same kernels
+    import pyarrow.compute as pc
+
+    from searchenginepp_ray.pipelines.filters import EMAIL_RE, IPV4_RE
+
+    red = pc.replace_substring_regex(
+        pc.replace_substring_regex(pa.array(texts), EMAIL_RE, "<EMAIL>"),
+        IPV4_RE, "<IP>")
+    assert red[0].as_py() == "contact <EMAIL> or <EMAIL> today"
+    assert red[1].as_py() == "server at <IP> and <IP>, backup <IP>"
+
+
+def test_repetition_stats_constructed(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.filters import repetition_stats
+
+    texts = [
+        "spam spam spam spam",          # one bigram repeated 3x
+        "a b c d e",                    # all grams unique
+        "x y z x y z x y z",            # heavy trigram repetition
+        "solo",                         # too short for any gram
+        "",                             # empty
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (
+        repetition_stats(path)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [4, 5, 9, 1, 0]
+    # doc0: 3 bigram instances, all "spam spam" -> 1.0
+    assert got["top_bigram_frac"].tolist() == pytest.approx([1.0, 0.25, 3 / 8, 0.0, 0.0], abs=1e-6)
+    # doc0: 2 trigram instances, 1 distinct -> 1/2 duplicated;
+    # doc2: 7 instances, 3 distinct -> 4/7 duplicated
+    assert got["dup_trigram_frac"].tolist() == pytest.approx(
+        [1 / 2, 0.0, 4 / 7, 0.0, 0.0], abs=1e-6)
+
+
+def test_decontaminate_constructed(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.filters import decontaminate
+
+    # bench_mod=3 -> docs 0 and 3 are the benchmark set
+    texts = [
+        "the quick brown fox jumps",     # bench
+        "lazy dog sleeps all day",       # clean
+        "a quick brown fox appears",     # shares "quick brown fox"
+        "unrelated benchmark text here", # bench
+        "totally unrelated benchmark text here too",  # shares w/ doc3
+        "xx yy",                         # too short for a trigram
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (
+        decontaminate(path, w=3, bench_mod=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2, 4, 5]
+    assert got["contaminated"].tolist() == [False, True, True, False]
+
+
+def test_filters_match_oracle_sf0001(ray_session, sf_dir):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name in ("repetition_stats", "pii_redact", "decontaminate"):
+        got = (
+            e.queries()[name](sf_dir).to_pandas()
+        )
+        want = con.execute(e.oracle_sql()[name]).df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
