@@ -133,6 +133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine (edges and rank shards pinned per actor; only
         # contribution partials move per superstep)
         "part_pagerank_bsp": lambda sf: _graph().part_pagerank_bsp(sf),
+        # deterministic content-addressed shard export + manifest
+        # checksums (the terminal training-export stage)
+        "shard_export": lambda sf: _export().shard_export(sf),
+        # scalar int8-range quantization of the embedding column
+        # (global per-dim min/max pass + streaming code pass)
+        "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # embedding GENERATION (deterministic feature-hashed TF-IDF
         # "model": posting explode + term-side idf exchange + (doc,dim)
         # aggregation) — long format so the oracle is a grouped sum
@@ -150,6 +156,12 @@ def _filters():
     from searchenginepp_ray.pipelines import filters
 
     return filters
+
+
+def _export():
+    from searchenginepp_ray.pipelines import export
+
+    return export
 
 
 def _graph():
@@ -181,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
+        "shard_export": osql.shard_export_sql(),
+        "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),

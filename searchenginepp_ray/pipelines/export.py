@@ -1,0 +1,83 @@
+"""Training-data shard export — the terminal stage of a corpus
+pipeline: deterministic, content-addressed sharding of the documents
+table into fixed parquet shards plus a verifiable manifest.
+
+Shard assignment is ``md5_bucket(doc_id)`` (:mod:`.duck` — the same
+``CAST('0x' || substr(md5(s),1,8) AS BIGINT) % n`` expression the SQL
+oracle evaluates verbatim), NOT row position: the layout is a pure
+function of the corpus, so it is stable across runs, cluster sizes and
+input block orders, embarrassingly parallel (no global sort or row
+numbering), and resumable — a failed run re-produces byte-identical
+shards, and an orchestrator can skip shards whose manifest row already
+matches. Each shard's rows are sorted by doc_id before writing so the
+shard FILE is deterministic too, and ``ids_md5`` (md5 of the
+comma-joined sorted doc_id list) makes the manifest a checksum of the
+full assignment, value-checked by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .agg import hash_groupby_apply
+from .text_stats import documents_ds
+
+
+def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
+    """Write the corpus as ``n_shards`` content-addressed parquet shards
+    under ``out_dir`` and return the manifest Dataset
+    (shard_id, n_docs, total_chars, ids_md5)."""
+    from .duck import md5_bucket
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="seppray_export_", dir="/tmp")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        sid = md5_bucket(pc.cast(t["doc_id"], pa.string()), n_shards)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "n_chars_utf8": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "shard_id": sid,
+        })
+
+    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, g in df.groupby("shard_id", sort=True):
+            g = g.sort_values("doc_id")
+            path = os.path.join(out_dir, f"shard={int(sid)}.parquet")
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(g["doc_id"].to_numpy()),
+                    "text": pa.array(g["text"], pa.string()),
+                }),
+                path,
+            )
+            ids = ",".join(str(i) for i in g["doc_id"].to_numpy())
+            rows.append({
+                "shard_id": np.int64(sid),
+                "n_docs": np.int64(len(g)),
+                "total_chars": np.int64(g["n_chars_utf8"].sum()),
+                "ids_md5": hashlib.md5(ids.encode()).hexdigest(),
+            })
+        if not rows:
+            return pd.DataFrame({
+                "shard_id": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "total_chars": pd.Series([], dtype=np.int64),
+                "ids_md5": pd.Series([], dtype=str),
+            })
+        return pd.DataFrame(rows)
+
+    return hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(assign, batch_format="pyarrow"),
+        ["shard_id"], write_shards,
+    )

@@ -769,3 +769,38 @@ cont AS (SELECT DISTINCT doc_id FROM grams
 SELECT d.doc_id,
        (d.doc_id IN (SELECT doc_id FROM cont)) AS contaminated
 FROM documents d WHERE d.doc_id % {bench_mod} <> 0"""
+
+
+def shard_export_sql(n_shards: int = 8) -> str:
+    """Oracle for export.shard_export — the md5-bucket rule is the
+    verbatim expression duck.md5_bucket evaluates; ids_md5 checksums the
+    full shard assignment."""
+    return f"""
+WITH s AS (
+    SELECT doc_id, length(text) AS lc,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {int(n_shards)} AS shard_id
+    FROM documents)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(lc) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM s GROUP BY shard_id"""
+
+
+def embedding_quantize_sql() -> str:
+    """Oracle for similarity.embedding_quantize: per-dim global min/max,
+    then floor((x-mn)*255/(mx-mn)+0.5) codes in long format. floor(v+.5)
+    on both engines — no round-half parity hazard."""
+    return """
+WITH e AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings),
+mm AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN mm.mx > mm.mn
+                 THEN floor((e.x - mm.mn) * 255 / (mm.mx - mm.mn) + 0.5)
+                 ELSE 0 END AS BIGINT) AS code
+FROM e JOIN mm USING (dim)"""

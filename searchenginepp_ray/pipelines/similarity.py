@@ -327,3 +327,64 @@ def label_centroids(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["label", "dim"], finish,
     )
+
+
+def embedding_quantize(sf_dir: str):
+    """Scalar (int8-range) quantization of the embedding column: global
+    per-dimension min/max (pass 1 — per-batch partials through a tiny
+    64-key native aggregate, then broadcast), then per-element codes
+    ``floor((x - mn) * 255 / (mx - mn) + 0.5)`` (pass 2, streaming).
+    Output is long format (vec_id, dim, code) so the DuckDB oracle can
+    value-check every element; a production export would pack the codes
+    row-wise as a fixed-size binary column instead.
+
+    floor(v + 0.5) is used instead of round() so Ray and the oracle
+    agree bit-for-bit (numpy rounds half-to-even, SQL half-away); v is
+    always >= 0 here so the two differ only in tie direction."""
+    import pyarrow.compute as pc
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn_p": pa.array([], pa.float64()),
+                             "mx_p": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn_p": pa.array(m.min(axis=0)),
+            "mx_p": pa.array(m.max(axis=0)),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        embeddings_ds(sf_dir)
+        .map_batches(minmax_partial, batch_format="pyarrow")
+        .groupby("dim")  # tiny key space (n_dims) — native agg is fine
+        .aggregate(Min("mn_p"), Max("mx_p"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = mm["min(mn_p)"].to_numpy()
+    mx = mm["max(mx_p)"].to_numpy()
+    bounds_ref = ray.put((mn, mx))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bounds_ref)
+        m = _vec_matrix(t["embedding"])
+        n, d = m.shape if m.size else (0, len(lo))
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (m - lo) * 255.0 / span
+        codes = np.where(span > 0, np.floor(v + 0.5), 0.0).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(t["vec_id"].to_numpy(), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1)),
+        })
+
+    return embeddings_ds(sf_dir).map_batches(quantize, batch_format="pyarrow")

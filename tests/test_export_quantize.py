@@ -1,0 +1,71 @@
+"""shard_export (pipelines/export.py) and embedding_quantize
+(pipelines/similarity.py): file/manifest agreement, determinism,
+coverage, and quantization error bounds."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def test_shard_export_files_match_manifest(ray_session, sf_dir, tmp_path):
+    from searchenginepp_ray.pipelines.export import shard_export
+
+    out = str(tmp_path / "shards")
+    manifest = shard_export(sf_dir, n_shards=4, out_dir=out).to_pandas()
+    manifest = manifest.sort_values("shard_id").reset_index(drop=True)
+    assert manifest["shard_id"].tolist() == [0, 1, 2, 3]
+
+    total = 0
+    for row in manifest.itertuples():
+        t = pq.read_table(os.path.join(out, f"shard={row.shard_id}.parquet"))
+        assert len(t) == row.n_docs
+        ids = t["doc_id"].to_numpy()
+        assert (np.diff(ids) > 0).all()  # sorted, unique
+        got_md5 = hashlib.md5(
+            ",".join(str(i) for i in ids).encode()).hexdigest()
+        assert got_md5 == row.ids_md5
+        total += len(t)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert total == n_docs  # full coverage, no dup or drop
+
+
+def test_shard_export_deterministic(ray_session, sf_dir, tmp_path):
+    from searchenginepp_ray.pipelines.export import shard_export
+
+    a = shard_export(sf_dir, n_shards=4,
+                     out_dir=str(tmp_path / "a")).to_pandas()
+    b = shard_export(sf_dir, n_shards=4,
+                     out_dir=str(tmp_path / "b")).to_pandas()
+    a = a.sort_values("shard_id").reset_index(drop=True)
+    b = b.sort_values("shard_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_embedding_quantize_bounds_and_reconstruction(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.similarity import (
+        _vec_matrix, embedding_quantize, embeddings_ds)
+
+    codes = embedding_quantize(sf_dir).to_pandas()
+    assert codes["code"].between(0, 255).all()
+
+    # exact per-dim min/max from a direct read
+    t = embeddings_ds(sf_dir).to_pandas()
+    import pyarrow as pa
+
+    m = _vec_matrix(pa.array(list(t["embedding"])))
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    span = mx - mn
+
+    wide = codes.pivot(index="vec_id", columns="dim", values="code")
+    wide = wide.sort_index()
+    order = np.argsort(t["vec_id"].to_numpy())
+    m_sorted = m[order]
+    recon = mn + wide.to_numpy() * span / 255.0
+    err = np.abs(recon - m_sorted)
+    # half-step quantization error bound per element
+    assert (err <= span / 510.0 + 1e-12).all()
+    # min and max of each dim code to 0 / 255 exactly
+    assert (wide.to_numpy().min(axis=0) == 0).all()
+    assert (wide.to_numpy().max(axis=0) == 255).all()
