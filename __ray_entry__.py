@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic content-addressed shard export + manifest
         # checksums (the terminal training-export stage)
         "shard_export": lambda sf: _export().shard_export(sf),
+        # context-window chunking (fixed-size overlapping word chunks,
+        # md5-checksummed content) — streaming flat-map, no exchange
+        "chunk_documents": lambda sf: _export().chunk_documents(sf),
         # scalar int8-range quantization of the embedding column
         # (global per-dim min/max pass + streaming code pass)
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
@@ -194,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
         "shard_export": osql.shard_export_sql(),
+        "chunk_documents": osql.chunk_documents_sql(),
         "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),

@@ -81,3 +81,61 @@ def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
         documents_ds(sf_dir).map_batches(assign, batch_format="pyarrow"),
         ["shard_id"], write_shards,
     )
+
+
+def chunk_documents(sf_dir: str, size: int = 32, stride: int = 24):
+    """Context-window chunking: split each doc's word-token stream
+    (the filters family's tokenization, shared verbatim with the SQL
+    oracle) into chunks of ``size`` tokens starting every ``stride``
+    tokens (overlap = size - stride); the last chunk of a doc may be
+    short, empty docs emit no chunks. Output is
+    (doc_id, chunk_idx, n_tokens, chunk_md5) — the md5 of the
+    space-joined chunk value-checks the exact token content without
+    shipping the text twice.
+
+    Fully vectorized: chunk token indices are one repeat/cumsum range
+    construction over the flat token stream; chunk strings come from a
+    ListArray + ``binary_join``; md5 is the DuckDB C kernel
+    (:mod:`.duck`). One streaming pass, no exchange."""
+    import pyarrow.compute as pc
+
+    from .duck import md5_hex
+    from .filters import _words_flat
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        _, flat, n_tokens = _words_flat(t["text"])
+        doc_off = np.concatenate(([0], np.cumsum(n_tokens)))
+        # chunks per doc: ceil(L / stride) capped so every start < L
+        n_chunks = np.where(n_tokens > 0,
+                            (np.maximum(n_tokens - 1, 0) // stride) + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            })
+        cdoc = np.repeat(np.arange(len(n_tokens)), n_chunks)
+        # chunk_idx within doc: 0..n_chunks[d]-1
+        cidx = np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks,
+                                            n_chunks)
+        starts = doc_off[cdoc] + cidx * stride
+        ends = np.minimum(starts + size, doc_off[cdoc] + n_tokens[cdoc])
+        lens = ends - starts
+        # gather flat token indices for every chunk
+        tok_off = np.concatenate(([0], np.cumsum(lens)))
+        idx = np.arange(int(lens.sum())) - np.repeat(tok_off[:-1], lens) \
+            + np.repeat(starts, lens)
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(tok_off, pa.int32()), flat.take(pa.array(idx)))
+        chunk_str = pc.binary_join(chunk_list, " ")
+        doc_ids = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_ids[cdoc]),
+            "chunk_idx": pa.array(cidx.astype(np.int64)),
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "chunk_md5": md5_hex(chunk_str),
+        })
+
+    return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")

@@ -804,3 +804,20 @@ SELECT e.vec_id, e.dim,
                  THEN floor((e.x - mm.mn) * 255 / (mm.mx - mm.mn) + 0.5)
                  ELSE 0 END AS BIGINT) AS code
 FROM e JOIN mm USING (dim)"""
+
+
+def chunk_documents_sql(size: int = 32, stride: int = 24) -> str:
+    """Oracle for export.chunk_documents — same tokenization CTE, chunk
+    grid via generate_series, md5 of the 1-based inclusive array slice."""
+    return f"""WITH {_word_toks_cte()},
+pos AS (
+    SELECT doc_id, w,
+           unnest(generate_series(0, (len(w) - 1) // {int(stride)})) AS ci
+    FROM wtoks WHERE len(w) > 0)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(least({int(size)}, len(w) - ci * {int(stride)}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           w[ci * {int(stride)} + 1 : least(ci * {int(stride)} + {int(size)}, len(w))],
+           ' ')) AS chunk_md5
+FROM pos"""

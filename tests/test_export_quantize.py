@@ -69,3 +69,41 @@ def test_embedding_quantize_bounds_and_reconstruction(ray_session, sf_dir):
     # min and max of each dim code to 0 / 255 exactly
     assert (wide.to_numpy().min(axis=0) == 0).all()
     assert (wide.to_numpy().max(axis=0) == 255).all()
+
+
+def test_chunk_documents_constructed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.export import chunk_documents
+
+    texts = [
+        " ".join(f"t{i}" for i in range(70)),  # 70 tokens: chunks at 0,24,48
+        "a b c",                                # shorter than size -> 1 chunk
+        " ".join(f"x{i}" for i in range(24)),   # exactly one stride -> 1 chunk
+        "",                                     # empty -> no chunks
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), path)
+    got = (
+        chunk_documents(path, size=32, stride=24)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 0, 0, 1, 2]
+    assert got["chunk_idx"].tolist() == [0, 1, 2, 0, 0]
+    # 70 tokens, size 32 stride 24: lens 32, 32, 70-48=22
+    assert got["n_tokens"].tolist() == [32, 32, 22, 3, 24]
+    import hashlib
+
+    toks = texts[0].split()
+    expect0 = hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest()
+    expect1 = hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest()
+    expect2 = hashlib.md5(" ".join(toks[48:70]).encode()).hexdigest()
+    assert got["chunk_md5"].tolist()[:3] == [expect0, expect1, expect2]
