@@ -337,6 +337,15 @@ def run_default() -> None:
 
     timed("doc_embedding", lambda: embed.doc_embedding(sf_dir))
     timed("part_pagerank_bsp", lambda: graph.part_pagerank_bsp(sf_dir))
+    # training-data filters + export stages (round-3 session 2)
+    from searchenginepp_ray.pipelines import export, filters
+
+    timed("repetition_stats", lambda: filters.repetition_stats(sf_dir))
+    timed("decontaminate", lambda: filters.decontaminate(sf_dir))
+    timed("chunk_documents", lambda: export.chunk_documents(sf_dir))
+    timed("shard_export", lambda: export.shard_export(sf_dir))
+    timed("embedding_quantize",
+          lambda: similarity.embedding_quantize(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
