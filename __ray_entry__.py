@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-window chunking (fixed-size overlapping word chunks,
         # md5-checksummed content) — streaming flat-map, no exchange
         "chunk_documents": lambda sf: _export().chunk_documents(sf),
+        # the composed end-to-end training pipeline: clean -> benchmark
+        # decontamination -> chunk -> content-addressed shards, with the
+        # WHOLE composition value-checked by one SQL statement
+        "training_export": lambda sf: _export().training_export(sf),
         # scalar int8-range quantization of the embedding column
         # (global per-dim min/max pass + streaming code pass)
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
@@ -198,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
+        "training_export": osql.training_export_sql(),
         "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),

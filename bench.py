@@ -346,6 +346,7 @@ def run_default() -> None:
     timed("shard_export", lambda: export.shard_export(sf_dir))
     timed("embedding_quantize",
           lambda: similarity.embedding_quantize(sf_dir))
+    timed("training_export", lambda: export.training_export(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total

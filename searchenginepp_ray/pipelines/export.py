@@ -84,14 +84,23 @@ def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
 
 
 def chunk_documents(sf_dir: str, size: int = 32, stride: int = 24):
+    """Context-window chunking of the documents table — see
+    :func:`chunk_ds` for the kernel. Output is
+    (doc_id, chunk_idx, n_tokens, chunk_md5)."""
+    return chunk_ds(documents_ds(sf_dir), size=size, stride=stride)
+
+
+def chunk_ds(ds, size: int = 32, stride: int = 24,
+             keep_text: bool = False):
     """Context-window chunking: split each doc's word-token stream
     (the filters family's tokenization, shared verbatim with the SQL
     oracle) into chunks of ``size`` tokens starting every ``stride``
     tokens (overlap = size - stride); the last chunk of a doc may be
     short, empty docs emit no chunks. Output is
-    (doc_id, chunk_idx, n_tokens, chunk_md5) — the md5 of the
-    space-joined chunk value-checks the exact token content without
-    shipping the text twice.
+    (doc_id, chunk_idx, n_tokens, chunk_md5[, chunk_text]) — the md5 of
+    the space-joined chunk value-checks the exact token content without
+    shipping the text twice; ``keep_text=True`` additionally carries
+    the chunk string (for writing real training shards).
 
     Fully vectorized: chunk token indices are one repeat/cumsum range
     construction over the flat token stream; chunk strings come from a
@@ -110,12 +119,15 @@ def chunk_documents(sf_dir: str, size: int = 32, stride: int = 24):
                             (np.maximum(n_tokens - 1, 0) // stride) + 1, 0)
         total = int(n_chunks.sum())
         if total == 0:
-            return pa.table({
+            cols = {
                 "doc_id": pa.array([], pa.int64()),
                 "chunk_idx": pa.array([], pa.int64()),
                 "n_tokens": pa.array([], pa.int64()),
                 "chunk_md5": pa.array([], pa.string()),
-            })
+            }
+            if keep_text:
+                cols["chunk_text"] = pa.array([], pa.string())
+            return pa.table(cols)
         cdoc = np.repeat(np.arange(len(n_tokens)), n_chunks)
         # chunk_idx within doc: 0..n_chunks[d]-1
         cidx = np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks,
@@ -131,11 +143,106 @@ def chunk_documents(sf_dir: str, size: int = 32, stride: int = 24):
             pa.array(tok_off, pa.int32()), flat.take(pa.array(idx)))
         chunk_str = pc.binary_join(chunk_list, " ")
         doc_ids = t["doc_id"].to_numpy()
-        return pa.table({
+        cols = {
             "doc_id": pa.array(doc_ids[cdoc]),
             "chunk_idx": pa.array(cidx.astype(np.int64)),
             "n_tokens": pa.array(lens.astype(np.int64)),
             "chunk_md5": md5_hex(chunk_str),
-        })
+        }
+        if keep_text:
+            cols["chunk_text"] = chunk_str
+        return pa.table(cols)
 
-    return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def training_export(sf_dir: str, n_shards: int = 8,
+                    out_dir: str | None = None, bench_mod: int = 97):
+    """The composed end-to-end training-data pipeline — what a corpus
+    team actually runs before pre-training, each stage an
+    already-oracle-checked operator of this engine:
+
+    1. quality + language floors and exact dedup
+       (:func:`..clean.corpus_clean`),
+    2. benchmark exclusion + decontamination
+       (:func:`..filters.decontaminate` — benchmark docs themselves and
+       any doc sharing a word trigram with them are dropped),
+    3. survivor texts re-attached by one hash semi-join
+       (:func:`..clean.texts_for_keepers`),
+    4. context-window chunking (:func:`chunk_ds`, text carried),
+    5. content-addressed shard write: shard = md5-bucket of
+       ``doc_id:chunk_idx``, one parquet of (doc_id, chunk_idx,
+       chunk_text) per shard under ``out_dir``.
+
+    Returns the manifest (shard_id, n_chunks, total_tokens, ids_md5)
+    where ids_md5 checksums the ordered (doc_id, chunk_idx) assignment
+    — the single value the DuckDB oracle reproduces end-to-end, making
+    the WHOLE composition value-checked, not just its stages."""
+    import pyarrow.compute as pc
+
+    from .clean import corpus_clean, texts_for_keepers
+    from .duck import md5_bucket
+    from .filters import decontaminate
+    from .relational import shuffle_semi_join
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="seppray_train_", dir="/tmp")
+    os.makedirs(out_dir, exist_ok=True)
+
+    keepers = corpus_clean(sf_dir)
+
+    def non_bench(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"].to_numpy() % bench_mod != 0)
+        return t.filter(pa.array(mask))
+
+    def contaminated_only(t: pa.Table) -> pa.Table:
+        return t.filter(t["contaminated"]).select(["doc_id"])
+
+    cont = decontaminate(sf_dir, bench_mod=bench_mod).map_batches(
+        contaminated_only, batch_format="pyarrow")
+    survivors = shuffle_semi_join(
+        keepers.map_batches(non_bench, batch_format="pyarrow"),
+        cont, "doc_id", "doc_id", [], anti=True,
+    )
+    chunks = chunk_ds(texts_for_keepers(sf_dir, survivors), keep_text=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.cast(t["chunk_idx"], pa.string()), ":")
+        return t.append_column("shard_id", md5_bucket(key, n_shards))
+
+    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, g in df.groupby("shard_id", sort=True):
+            g = g.sort_values(["doc_id", "chunk_idx"])
+            path = os.path.join(out_dir, f"shard={int(sid)}.parquet")
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(g["doc_id"].to_numpy()),
+                    "chunk_idx": pa.array(g["chunk_idx"].to_numpy()),
+                    "chunk_text": pa.array(g["chunk_text"], pa.string()),
+                }),
+                path,
+            )
+            ids = ",".join(
+                f"{d}:{c}" for d, c in
+                zip(g["doc_id"].to_numpy(), g["chunk_idx"].to_numpy()))
+            rows.append({
+                "shard_id": np.int64(sid),
+                "n_chunks": np.int64(len(g)),
+                "total_tokens": np.int64(g["n_tokens"].sum()),
+                "ids_md5": hashlib.md5(ids.encode()).hexdigest(),
+            })
+        if not rows:
+            return pd.DataFrame({
+                "shard_id": pd.Series([], dtype=np.int64),
+                "n_chunks": pd.Series([], dtype=np.int64),
+                "total_tokens": pd.Series([], dtype=np.int64),
+                "ids_md5": pd.Series([], dtype=str),
+            })
+        return pd.DataFrame(rows)
+
+    return hash_groupby_apply(
+        chunks.map_batches(assign, batch_format="pyarrow"),
+        ["shard_id"], write_shards,
+    )

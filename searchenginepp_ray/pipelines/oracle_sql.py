@@ -821,3 +821,41 @@ SELECT doc_id,
            w[ci * {int(stride)} + 1 : least(ci * {int(stride)} + {int(size)}, len(w))],
            ' ')) AS chunk_md5
 FROM pos"""
+
+
+def training_export_sql(size: int = 32, stride: int = 24,
+                        n_shards: int = 8, bench_mod: int = 97) -> str:
+    """Oracle for export.training_export — the FULL composition (quality
+    floors + exact dedup -> benchmark exclusion + trigram
+    decontamination -> chunking -> md5-bucket sharding) reproduced in
+    one SQL statement, value-checked down to the per-shard ordered
+    (doc_id, chunk_idx) checksum."""
+    ctes = _clean_ctes()
+    return f"""WITH {tok_cte()},
+{ctes},
+{_word_toks_cte()},
+gpos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM wtoks),
+grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM gpos),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+cont AS (SELECT DISTINCT doc_id FROM grams
+         WHERE doc_id % {bench_mod} <> 0 AND g IN (SELECT g FROM bench)),
+surv AS (SELECT doc_id FROM kept
+         WHERE doc_id % {bench_mod} <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+swt AS (SELECT w.doc_id, w.w FROM wtoks w JOIN surv USING (doc_id)),
+cpos AS (SELECT doc_id, w,
+                unnest(generate_series(0, (len(w) - 1) // {int(stride)})) AS ci
+         FROM swt WHERE len(w) > 0),
+chunks AS (
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(least({int(size)}, len(w) - ci * {int(stride)}) AS BIGINT) AS n_tokens,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR) AS key
+    FROM cpos),
+sh AS (SELECT *, CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT)
+                     % {int(n_shards)} AS shard_id
+       FROM chunks)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(key, ',' ORDER BY doc_id, chunk_idx)) AS ids_md5
+FROM sh GROUP BY shard_id"""

@@ -107,3 +107,38 @@ def test_chunk_documents_constructed(ray_session, tmp_path):
     expect1 = hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest()
     expect2 = hashlib.md5(" ".join(toks[48:70]).encode()).hexdigest()
     assert got["chunk_md5"].tolist()[:3] == [expect0, expect1, expect2]
+
+
+def test_training_export_shards_and_exclusions(ray_session, sf_dir, tmp_path):
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.clean import corpus_clean
+    from searchenginepp_ray.pipelines.export import training_export
+    from searchenginepp_ray.pipelines.filters import decontaminate
+
+    out = str(tmp_path / "train")
+    manifest = (
+        training_export(sf_dir, n_shards=4, out_dir=out)
+        .to_pandas().sort_values("shard_id").reset_index(drop=True)
+    )
+    assert manifest["n_chunks"].sum() > 0
+
+    shard_rows = []
+    for row in manifest.itertuples():
+        t = pq.read_table(os.path.join(out, f"shard={row.shard_id}.parquet"))
+        assert len(t) == row.n_chunks
+        keys = [f"{d}:{c}" for d, c in
+                zip(t["doc_id"].to_pylist(), t["chunk_idx"].to_pylist())]
+        assert hashlib.md5(",".join(keys).encode()).hexdigest() == row.ids_md5
+        # chunk text is real (non-empty strings)
+        assert all(len(s) > 0 for s in t["chunk_text"].to_pylist())
+        shard_rows.append(t.to_pandas())
+    docs = pd.concat(shard_rows)["doc_id"].unique()
+
+    # no benchmark docs, no contaminated docs, only quality keepers
+    assert (docs % 97 != 0).all()
+    cont = decontaminate(sf_dir).to_pandas()
+    cont_ids = set(cont.loc[cont["contaminated"], "doc_id"])
+    assert not (set(docs) & cont_ids)
+    keep_ids = set(corpus_clean(sf_dir).to_pandas()["doc_id"])
+    assert set(docs) <= keep_ids
