@@ -101,6 +101,24 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_train_export(args) -> int:
+    """``train-export`` — the composed end-to-end training pipeline
+    (quality floors + exact dedup -> benchmark exclusion + trigram
+    decontamination -> context-window chunking -> content-addressed
+    chunk-text shards) over any documents-shaped parquet; prints the
+    shard manifest."""
+    ray = _ray_init(args.num_cpus)
+    from .pipelines.export import training_export
+
+    manifest = training_export(
+        args.corpus, n_shards=args.shards, out_dir=args.out,
+        bench_mod=args.bench_mod,
+    ).to_pandas().sort_values("shard_id")
+    print(manifest.to_string(index=False))
+    ray.shutdown()
+    return 0
+
+
 def cmd_eval(args) -> int:
     """``eval`` ≙ the trec_eval step of the reference workflow
     (reference README.md:122-127): score a TREC run file against qrels."""
@@ -163,6 +181,20 @@ def main(argv=None) -> int:
                         "losers) among the quality passers")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_clean)
+
+    t = sub.add_parser(
+        "train-export",
+        help="composed training pipeline: clean -> decontaminate -> chunk "
+             "-> content-addressed chunk-text shards + manifest",
+    )
+    t.add_argument("corpus", help="documents-shaped parquet file, or a dir "
+                                  "containing documents.parquet")
+    t.add_argument("-o", "--out", required=True, help="output shard dir")
+    t.add_argument("--shards", type=int, default=8)
+    t.add_argument("--bench-mod", type=int, default=97,
+                   help="doc_id %% N == 0 designates the benchmark subset")
+    t.add_argument("--num-cpus", type=int, default=None)
+    t.set_defaults(fn=cmd_train_export)
 
     e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
     e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")
