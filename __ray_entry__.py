@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.customers_without_orders(sf),
         "customer_order_counts":
             lambda sf: relational.customer_order_counts(sf),
+        # OLAP rollup (finest level via one map-side-combined exchange;
+        # coarser levels derived from the tiny aggregate) in exact cents
+        "order_rollup": lambda sf: relational.order_rollup(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
@@ -231,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "event_user_distinct": osql.event_user_distinct_sql(),
         "customers_without_orders": osql.customers_without_orders_sql(),
         "customer_order_counts": osql.customer_order_counts_sql(),
+        "order_rollup": osql.order_rollup_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),

@@ -859,3 +859,17 @@ SELECT shard_id,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        md5(string_agg(key, ',' ORDER BY doc_id, chunk_idx)) AS ids_md5
 FROM sh GROUP BY shard_id"""
+
+
+def order_rollup_sql() -> str:
+    """Oracle for relational.order_rollup — GROUP BY ROLLUP in exact
+    integer cents."""
+    return """
+WITH o AS (
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM o GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""

@@ -351,3 +351,49 @@ def customer_order_counts(sf_dir: str):
         return j.rename(columns={"_k": "c_custkey"})
 
     return hash_groupby_apply(u, ["_k"], merge)
+
+
+def order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (o_orderpriority, o_orderstatus) over orders —
+    the OLAP rollup corner of the relational surface. Measures are
+    EXACT integer cents (``floor(x*100 + 0.5)``, same expression as the
+    oracle), so every level's sum is summation-order-independent and
+    the value check is exact.
+
+    Scale shape: one map-side-combined exchange produces the FINEST
+    level (key space = |priority| x |status|, independent of row
+    count); the coarser levels are derived from that tiny aggregate —
+    rollup of algebraic measures (sum/count) never re-touches the fact
+    table."""
+    import numpy as np
+    import pandas as pd
+
+    from .agg import hash_groupby_sum
+
+    keys = ["o_orderpriority", "o_orderstatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = df.assign(cents=cents).groupby(keys, as_index=False).agg(
+            cents_part=("cents", "sum"), n_part=("cents", "count"))
+        return g
+
+    base = hash_groupby_sum(
+        table_ds(sf_dir, "orders", keys + ["o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        keys,
+        {"total_cents": ("cents_part", "sum"), "n_orders": ("n_part", "sum")},
+    ).to_pandas()  # <= |priority| x |status| rows — a cube, not data
+
+    lvl1 = base.groupby("o_orderpriority", as_index=False).agg(
+        total_cents=("total_cents", "sum"), n_orders=("n_orders", "sum"))
+    lvl1["o_orderstatus"] = None
+    lvl0 = pd.DataFrame({
+        "o_orderpriority": [None], "o_orderstatus": [None],
+        "total_cents": [base["total_cents"].sum()],
+        "n_orders": [base["n_orders"].sum()],
+    })
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderpriority", "o_orderstatus", "total_cents", "n_orders"]]

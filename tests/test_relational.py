@@ -99,3 +99,18 @@ def test_shuffle_join_string_keys(ray_session):
         .sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_order_rollup_levels_consistent(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import order_rollup
+
+    out = order_rollup(sf_dir)
+    fine = out[out["o_orderstatus"].notna()]
+    lvl1 = out[out["o_orderstatus"].isna() & out["o_orderpriority"].notna()]
+    total = out[out["o_orderpriority"].isna()]
+    assert len(total) == 1
+    assert total["total_cents"].iloc[0] == fine["total_cents"].sum()
+    assert total["n_orders"].iloc[0] == fine["n_orders"].sum()
+    g = fine.groupby("o_orderpriority")["total_cents"].sum()
+    for prio, row in lvl1.set_index("o_orderpriority").iterrows():
+        assert row["total_cents"] == g[prio]
