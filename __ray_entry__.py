@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute force, making the bucketed machinery SQL-oracle-checkable
         "knn_ivf_full_probe": lambda sf: similarity.knn_ivf(sf, nprobe=16),
         "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
+        # exact k-NN GRAPH (all-vs-all top-k): block-pair self-join with
+        # per-block tie-safe partial top-k, one exchange on vec_id
+        "knn_graph": lambda sf: similarity.knn_graph(sf),
         # per-label centroid (class prototypes): one (sumvec, count)
         # partial per label per batch, tiny final exchange
         "label_centroids": lambda sf: similarity.label_centroids(sf),
@@ -218,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive probe == exact brute force, same oracle
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
+        "knn_graph": osql.knn_graph_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "nation_revenue": osql.nation_revenue_sql(),

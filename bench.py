@@ -347,6 +347,7 @@ def run_default() -> None:
     timed("embedding_quantize",
           lambda: similarity.embedding_quantize(sf_dir))
     timed("training_export", lambda: export.training_export(sf_dir))
+    timed("knn_graph", lambda: similarity.knn_graph(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total

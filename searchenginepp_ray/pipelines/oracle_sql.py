@@ -873,3 +873,22 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(SUM(cents) AS BIGINT) AS total_cents,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM o GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+
+
+def knn_graph_sql(k: int = 5) -> str:
+    """Oracle for similarity.knn_graph — exact all-vs-all cosine top-k,
+    self excluded, (cos DESC, neighbor ASC) tie-break."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+sims AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(a.ve, b.ve) AS cos
+    FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+ranked AS (
+    SELECT vec_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM sims)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {int(k)}"""

@@ -388,3 +388,111 @@ def embedding_quantize(sf_dir: str):
         })
 
     return embeddings_ds(sf_dir).map_batches(quantize, batch_format="pyarrow")
+
+
+def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):
+    """Exact k-NN GRAPH: for every vector, its top-k cosine neighbors
+    among all OTHER vectors — the all-vs-all self-join member of the
+    similarity family (the building block for graph-based dedup,
+    clustering and recommend pipelines).
+
+    Scale shape: the same block-pair self-join as
+    ``dedup.embedding_near_dup`` (one task per chunk pair, row-group-
+    pruned parquet reads, LRU-cached per actor, nothing broadcast) but
+    each block emits tie-safe PARTIAL top-k rows for both chunks, so
+    per-task output is O(chunk × k), not O(chunk²). The global per-
+    vector top-k is one hash exchange on vec_id with a vectorized
+    lexsort/run-length kernel per partition — no per-vector Python at
+    scaling cardinality. Returns (vec_id, neighbor_id, rank, cosine)."""
+    import pyarrow.parquet as pq
+
+    from .agg import hash_groupby_apply
+    from .dedup import _read_row_range, _rg_offsets
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    n_chunks = max(1, (n_rows + chunk - 1) // chunk)
+    tasks = [
+        {"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+
+    class GraphBlock:
+        def __init__(self):
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            self._pf = pq.ParquetFile(path)
+            self._rg_offs = _rg_offsets(self._pf)
+
+        def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+            hit = self._cache.get(c)
+            if hit is not None:
+                return hit
+            start = c * chunk
+            stop = min(start + chunk, n_rows)
+            t, _ = _read_row_range(
+                self._pf, self._rg_offs, start, stop, ["vec_id", "embedding"]
+            )
+            ids = t["vec_id"].to_numpy()
+            m = _normalize(_vec_matrix(t["embedding"]))
+            if len(self._cache) >= 4:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[c] = (ids, m)
+            return ids, m
+
+        @staticmethod
+        def _partial(ids_r: np.ndarray, ids_c: np.ndarray, sims: np.ndarray,
+                     out: list) -> None:
+            """Tie-safe per-row top-k of one sims block (rows keep every
+            candidate >= the k-th value; the global merge resolves)."""
+            n_c = sims.shape[1]
+            kk = min(k, n_c)
+            thresh = np.partition(sims, n_c - kk, axis=1)[:, n_c - kk]
+            rr, cc = np.nonzero(sims >= thresh[:, None])
+            out.append((ids_r[rr], ids_c[cc], sims[rr, cc]))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out: list = []
+            for ci, cj in zip(t["ci"].to_pylist(), t["cj"].to_pylist()):
+                ids_i, m_i = self._load(ci)
+                ids_j, m_j = self._load(cj)
+                sims = m_i @ m_j.T
+                if ci == cj:
+                    np.fill_diagonal(sims, -np.inf)  # exclude self
+                    self._partial(ids_i, ids_j, sims, out)
+                else:
+                    self._partial(ids_i, ids_j, sims, out)
+                    self._partial(ids_j, ids_i, sims.T.copy(), out)
+            if not out:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "vec_id": pa.array(
+                    np.concatenate([o[0] for o in out]).astype(np.int64)),
+                "neighbor_id": pa.array(
+                    np.concatenate([o[1] for o in out]).astype(np.int64)),
+                "cosine": pa.array(np.concatenate([o[2] for o in out])),
+            })
+
+    partials = ray.data.from_items(tasks).map_batches(
+        GraphBlock, batch_size=4, concurrency=(1, 8), batch_format="pyarrow",
+        num_cpus=1,
+    )
+
+    def topk_per_vec(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["vec_id"].to_numpy()
+        nb = df["neighbor_id"].to_numpy()
+        cs = df["cosine"].to_numpy()
+        order = np.lexsort((nb, -cs, v))
+        v, nb, cs = v[order], nb[order], cs[order]
+        starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(v)])))
+        rank = np.arange(len(v)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return pd.DataFrame({
+            "vec_id": v[keep],
+            "neighbor_id": nb[keep],
+            "rank": (rank[keep] + 1).astype(np.int64),
+            "cosine": np.round(cs[keep], 6),
+        })
+
+    return hash_groupby_apply(partials, ["vec_id"], topk_per_vec)

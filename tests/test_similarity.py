@@ -93,3 +93,21 @@ def test_label_centroids_matches_duckdb(ray_session, sf_dir):
 
     np.testing.assert_allclose(got["mean_weight"], want["mean_weight"],
                                atol=1e-6)
+
+
+def test_knn_graph_multichunk_equals_singlechunk(ray_session, sf_dir):
+    """Chunked block-pair self-join must be invariant to chunk size, and
+    must exclude self while covering every vector."""
+    from searchenginepp_ray.pipelines.similarity import knn_graph
+
+    one = (knn_graph(sf_dir, k=3, chunk=10_000).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    many = (knn_graph(sf_dir, k=3, chunk=17).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert one.equals(many)
+    assert (one["vec_id"] != one["neighbor_id"]).all()
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    assert one["vec_id"].nunique() == n
+    assert (one.groupby("vec_id")["rank"].max() == 3).all()
