@@ -17,7 +17,6 @@ full assignment, value-checked by the DuckDB oracle.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -61,12 +60,14 @@ def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
                 }),
                 path,
             )
-            ids = ",".join(str(i) for i in g["doc_id"].to_numpy())
+            from .duck import md5_string_agg
+
+            id_strs = pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string())
             rows.append({
                 "shard_id": np.int64(sid),
                 "n_docs": np.int64(len(g)),
                 "total_chars": np.int64(g["n_chars_utf8"].sum()),
-                "ids_md5": hashlib.md5(ids.encode()).hexdigest(),
+                "ids_md5": md5_string_agg(id_strs),
             })
         if not rows:
             return pd.DataFrame({
@@ -224,14 +225,17 @@ def training_export(sf_dir: str, n_shards: int = 8,
                 }),
                 path,
             )
-            ids = ",".join(
-                f"{d}:{c}" for d, c in
-                zip(g["doc_id"].to_numpy(), g["chunk_idx"].to_numpy()))
+            from .duck import md5_string_agg
+
+            keys = pc.binary_join_element_wise(
+                pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string()),
+                pc.cast(pa.array(g["chunk_idx"].to_numpy()), pa.string()),
+                ":")
             rows.append({
                 "shard_id": np.int64(sid),
                 "n_chunks": np.int64(len(g)),
                 "total_tokens": np.int64(g["n_tokens"].sum()),
-                "ids_md5": hashlib.md5(ids.encode()).hexdigest(),
+                "ids_md5": md5_string_agg(keys),
             })
         if not rows:
             return pd.DataFrame({
