@@ -107,54 +107,62 @@ def chunk_ds(ds, size: int = 32, stride: int = 24,
     construction over the flat token stream; chunk strings come from a
     ListArray + ``binary_join``; md5 is the DuckDB C kernel
     (:mod:`.duck`). One streaming pass, no exchange."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return _chunk_batch(t, size, stride, keep_text)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _chunk_batch(t: pa.Table, size: int, stride: int,
+                 keep_text: bool) -> pa.Table:
+    """One batch of :func:`chunk_ds` — module-level so the property
+    tests can drive the kernel directly against a naive reference."""
     import pyarrow.compute as pc
 
     from .duck import md5_hex
     from .filters import _words_flat
 
-    def per_batch(t: pa.Table) -> pa.Table:
-        _, flat, n_tokens = _words_flat(t["text"])
-        doc_off = np.concatenate(([0], np.cumsum(n_tokens)))
-        # chunks per doc: ceil(L / stride) capped so every start < L
-        n_chunks = np.where(n_tokens > 0,
-                            (np.maximum(n_tokens - 1, 0) // stride) + 1, 0)
-        total = int(n_chunks.sum())
-        if total == 0:
-            cols = {
-                "doc_id": pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "chunk_md5": pa.array([], pa.string()),
-            }
-            if keep_text:
-                cols["chunk_text"] = pa.array([], pa.string())
-            return pa.table(cols)
-        cdoc = np.repeat(np.arange(len(n_tokens)), n_chunks)
-        # chunk_idx within doc: 0..n_chunks[d]-1
-        cidx = np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks,
-                                            n_chunks)
-        starts = doc_off[cdoc] + cidx * stride
-        ends = np.minimum(starts + size, doc_off[cdoc] + n_tokens[cdoc])
-        lens = ends - starts
-        # gather flat token indices for every chunk
-        tok_off = np.concatenate(([0], np.cumsum(lens)))
-        idx = np.arange(int(lens.sum())) - np.repeat(tok_off[:-1], lens) \
-            + np.repeat(starts, lens)
-        chunk_list = pa.ListArray.from_arrays(
-            pa.array(tok_off, pa.int32()), flat.take(pa.array(idx)))
-        chunk_str = pc.binary_join(chunk_list, " ")
-        doc_ids = t["doc_id"].to_numpy()
+    _, flat, n_tokens = _words_flat(t["text"])
+    doc_off = np.concatenate(([0], np.cumsum(n_tokens)))
+    # chunks per doc: ceil(L / stride) capped so every start < L
+    n_chunks = np.where(n_tokens > 0,
+                        (np.maximum(n_tokens - 1, 0) // stride) + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
         cols = {
-            "doc_id": pa.array(doc_ids[cdoc]),
-            "chunk_idx": pa.array(cidx.astype(np.int64)),
-            "n_tokens": pa.array(lens.astype(np.int64)),
-            "chunk_md5": md5_hex(chunk_str),
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_md5": pa.array([], pa.string()),
         }
         if keep_text:
-            cols["chunk_text"] = chunk_str
+            cols["chunk_text"] = pa.array([], pa.string())
         return pa.table(cols)
-
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    cdoc = np.repeat(np.arange(len(n_tokens)), n_chunks)
+    # chunk_idx within doc: 0..n_chunks[d]-1
+    cidx = np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks,
+                                        n_chunks)
+    starts = doc_off[cdoc] + cidx * stride
+    ends = np.minimum(starts + size, doc_off[cdoc] + n_tokens[cdoc])
+    lens = ends - starts
+    # gather flat token indices for every chunk
+    tok_off = np.concatenate(([0], np.cumsum(lens)))
+    idx = np.arange(int(lens.sum())) - np.repeat(tok_off[:-1], lens) \
+        + np.repeat(starts, lens)
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(tok_off, pa.int32()), flat.take(pa.array(idx)))
+    chunk_str = pc.binary_join(chunk_list, " ")
+    doc_ids = t["doc_id"].to_numpy()
+    cols = {
+        "doc_id": pa.array(doc_ids[cdoc]),
+        "chunk_idx": pa.array(cidx.astype(np.int64)),
+        "n_tokens": pa.array(lens.astype(np.int64)),
+        "chunk_md5": md5_hex(chunk_str),
+    }
+    if keep_text:
+        cols["chunk_text"] = chunk_str
+    return pa.table(cols)
 
 
 def training_export(sf_dir: str, n_shards: int = 8,

@@ -125,3 +125,90 @@ def test_filters_match_oracle_sf0001(ray_session, sf_dir):
         got = got.sort_values(list(got.columns)).reset_index(drop=True)
         want = want.sort_values(list(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+# ---------- property tests: vectorized kernels vs naive references ----------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab1 .\t\nXé")), max_size=40
+    ),
+    min_size=0, max_size=8,
+)
+
+
+def _ref_words(text):
+    return [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_words_flat_matches_naive(texts):
+    import pyarrow as pa
+
+    from searchenginepp_ray.pipelines.filters import _words_flat
+
+    doc_idx, flat, n_tokens = _words_flat(pa.array(texts, pa.string()))
+    flat_list = flat.to_pylist()
+    pos = 0
+    for d, text in enumerate(texts):
+        ref = _ref_words(text)
+        assert n_tokens[d] == len(ref)
+        assert flat_list[pos:pos + len(ref)] == ref
+        assert (doc_idx[pos:pos + len(ref)] == d).all()
+        pos += len(ref)
+    assert pos == len(flat_list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=4))
+def test_grams_match_naive(texts, w):
+    import pyarrow as pa
+
+    from searchenginepp_ray.pipelines.filters import _grams, _words_flat
+
+    _, flat, n_tokens = _words_flat(pa.array(texts, pa.string()))
+    gdoc, grams = _grams(flat, n_tokens, w)
+    got = list(zip(gdoc.tolist(), grams.to_pylist()))
+    want = []
+    for d, text in enumerate(texts):
+        toks = _ref_words(text)
+        for i in range(max(len(toks) - w + 1, 0)):
+            want.append((d, " ".join(toks[i:i + w])))
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts, st.integers(min_value=2, max_value=6),
+       st.integers(min_value=1, max_value=6))
+def test_chunk_batch_matches_naive(texts, size, stride):
+    import pyarrow as pa
+
+    from searchenginepp_ray.pipelines.export import _chunk_batch
+
+    stride = min(stride, size)  # overlap contract: stride <= size
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = _chunk_batch(t, size, stride, keep_text=True).to_pandas()
+    import hashlib
+
+    want = []
+    for d, text in enumerate(texts):
+        toks = _ref_words(text)
+        s = 0
+        ci = 0
+        while s < len(toks):
+            piece = toks[s:s + size]
+            want.append((d, ci, len(piece),
+                         hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                         " ".join(piece)))
+            ci += 1
+            s += stride
+    assert list(map(tuple, got.itertuples(index=False))) == want
