@@ -13,6 +13,13 @@ matches. Each shard's rows are sorted by doc_id before writing so the
 shard FILE is deterministic too, and ``ids_md5`` (md5 of the
 comma-joined sorted doc_id list) makes the manifest a checksum of the
 full assignment, value-checked by the DuckDB oracle.
+
+Shard files are written atomically (temp name + ``os.replace``) so an
+interrupted run never leaves a torn parquet behind a matching manifest
+row. ``out_dir`` must be storage every worker can reach — on a real
+multi-node cluster that means a shared filesystem or object-store
+mount, the same contract as the index build's partitioned-parquet
+exchanges; the ``/tmp`` default is for this sandbox's single node.
 """
 
 from __future__ import annotations
@@ -28,6 +35,44 @@ import pyarrow.parquet as pq
 
 from .agg import hash_groupby_apply
 from .text_stats import documents_ds
+
+
+def _shard_writer(out_dir: str, sort_keys: list[str], data_cols: list[str],
+                  count_name: str, total_name: str, total_src: str,
+                  key_fn):
+    """Shared per-partition shard writer for :func:`shard_export` and
+    :func:`training_export`: one atomically-written parquet per shard id
+    in the partition (sorted by ``sort_keys``) plus one manifest row
+    (shard_id, <count>, <total>, ids_md5), where ids_md5 checksums the
+    ordered ``key_fn`` strings via the DuckDB string_agg kernel."""
+    from .duck import md5_string_agg
+
+    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, g in df.groupby("shard_id", sort=True):
+            g = g.sort_values(sort_keys)
+            path = os.path.join(out_dir, f"shard={int(sid)}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(g[data_cols], preserve_index=False),
+                path + ".tmp",
+            )
+            os.replace(path + ".tmp", path)  # never a torn final file
+            rows.append({
+                "shard_id": np.int64(sid),
+                count_name: np.int64(len(g)),
+                total_name: np.int64(g[total_src].sum()),
+                "ids_md5": md5_string_agg(key_fn(g)),
+            })
+        if not rows:
+            return pd.DataFrame({
+                "shard_id": pd.Series([], dtype=np.int64),
+                count_name: pd.Series([], dtype=np.int64),
+                total_name: pd.Series([], dtype=np.int64),
+                "ids_md5": pd.Series([], dtype=str),
+            })
+        return pd.DataFrame(rows)
+
+    return write_shards
 
 
 def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
@@ -48,35 +93,11 @@ def shard_export(sf_dir: str, n_shards: int = 8, out_dir: str | None = None):
             "shard_id": sid,
         })
 
-    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for sid, g in df.groupby("shard_id", sort=True):
-            g = g.sort_values("doc_id")
-            path = os.path.join(out_dir, f"shard={int(sid)}.parquet")
-            pq.write_table(
-                pa.table({
-                    "doc_id": pa.array(g["doc_id"].to_numpy()),
-                    "text": pa.array(g["text"], pa.string()),
-                }),
-                path,
-            )
-            from .duck import md5_string_agg
-
-            id_strs = pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string())
-            rows.append({
-                "shard_id": np.int64(sid),
-                "n_docs": np.int64(len(g)),
-                "total_chars": np.int64(g["n_chars_utf8"].sum()),
-                "ids_md5": md5_string_agg(id_strs),
-            })
-        if not rows:
-            return pd.DataFrame({
-                "shard_id": pd.Series([], dtype=np.int64),
-                "n_docs": pd.Series([], dtype=np.int64),
-                "total_chars": pd.Series([], dtype=np.int64),
-                "ids_md5": pd.Series([], dtype=str),
-            })
-        return pd.DataFrame(rows)
+    write_shards = _shard_writer(
+        out_dir, ["doc_id"], ["doc_id", "text"],
+        "n_docs", "total_chars", "n_chars_utf8",
+        lambda g: pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string()),
+    )
 
     return hash_groupby_apply(
         documents_ds(sf_dir).map_batches(assign, batch_format="pyarrow"),
@@ -187,8 +208,6 @@ def training_export(sf_dir: str, n_shards: int = 8,
     where ids_md5 checksums the ordered (doc_id, chunk_idx) assignment
     — the single value the DuckDB oracle reproduces end-to-end, making
     the WHOLE composition value-checked, not just its stages."""
-    import pyarrow.compute as pc
-
     from .clean import corpus_clean, texts_for_keepers
     from .duck import md5_bucket
     from .filters import decontaminate
@@ -220,39 +239,14 @@ def training_export(sf_dir: str, n_shards: int = 8,
             pc.cast(t["chunk_idx"], pa.string()), ":")
         return t.append_column("shard_id", md5_bucket(key, n_shards))
 
-    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for sid, g in df.groupby("shard_id", sort=True):
-            g = g.sort_values(["doc_id", "chunk_idx"])
-            path = os.path.join(out_dir, f"shard={int(sid)}.parquet")
-            pq.write_table(
-                pa.table({
-                    "doc_id": pa.array(g["doc_id"].to_numpy()),
-                    "chunk_idx": pa.array(g["chunk_idx"].to_numpy()),
-                    "chunk_text": pa.array(g["chunk_text"], pa.string()),
-                }),
-                path,
-            )
-            from .duck import md5_string_agg
-
-            keys = pc.binary_join_element_wise(
-                pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string()),
-                pc.cast(pa.array(g["chunk_idx"].to_numpy()), pa.string()),
-                ":")
-            rows.append({
-                "shard_id": np.int64(sid),
-                "n_chunks": np.int64(len(g)),
-                "total_tokens": np.int64(g["n_tokens"].sum()),
-                "ids_md5": md5_string_agg(keys),
-            })
-        if not rows:
-            return pd.DataFrame({
-                "shard_id": pd.Series([], dtype=np.int64),
-                "n_chunks": pd.Series([], dtype=np.int64),
-                "total_tokens": pd.Series([], dtype=np.int64),
-                "ids_md5": pd.Series([], dtype=str),
-            })
-        return pd.DataFrame(rows)
+    write_shards = _shard_writer(
+        out_dir, ["doc_id", "chunk_idx"], ["doc_id", "chunk_idx", "chunk_text"],
+        "n_chunks", "total_tokens", "n_tokens",
+        lambda g: pc.binary_join_element_wise(
+            pc.cast(pa.array(g["doc_id"].to_numpy()), pa.string()),
+            pc.cast(pa.array(g["chunk_idx"].to_numpy()), pa.string()),
+            ":"),
+    )
 
     return hash_groupby_apply(
         chunks.map_batches(assign, batch_format="pyarrow"),

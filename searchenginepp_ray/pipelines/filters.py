@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .text_stats import documents_ds
+from .text_stats import documents_ds, round6_half_up
 
 #: word tokenizer shared verbatim with the SQL oracles: lowercase, then
 #: split on any non-[a-z0-9] run, dropping empty tokens.
@@ -89,11 +89,12 @@ def _gram_run_stats(gdoc: np.ndarray, grams: pa.Array, n_docs: int
     if len(gdoc) == 0:
         return n_grams, n_distinct, max_count
     codes = np.asarray(grams.dictionary_encode().indices).astype(np.int64)
-    key = gdoc * (codes.max() + 1) + codes
+    base = codes.max() + 1
+    key = gdoc * base + codes
     key.sort()
     run_starts = np.concatenate(([0], np.flatnonzero(np.diff(key)) + 1))
     run_counts = np.diff(np.concatenate((run_starts, [len(key)])))
-    run_doc = (key[run_starts] // (codes.max() + 1)).astype(np.int64)
+    run_doc = (key[run_starts] // base).astype(np.int64)
     np.add.at(n_distinct, run_doc, 1)
     np.maximum.at(max_count, run_doc, run_counts)
     return n_grams, n_distinct, max_count
@@ -120,8 +121,11 @@ def repetition_stats(sf_dir: str):
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(n_tokens),
-            "top_bigram_frac": pa.array(np.round(top_bi, 6)),
-            "dup_trigram_frac": pa.array(np.round(dup_tri, 6)),
+            # half-away rounding shared with the oracle (see
+            # text_stats.round6_half_up: np.round's half-to-even
+            # disagrees with SQL ROUND exactly on p/2^k ratios)
+            "top_bigram_frac": pa.array(round6_half_up(top_bi)),
+            "dup_trigram_frac": pa.array(round6_half_up(dup_tri)),
         })
 
     return documents_ds(sf_dir).map_batches(per_batch, batch_format="pyarrow")

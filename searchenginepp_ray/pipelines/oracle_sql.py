@@ -93,9 +93,9 @@ per AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tokens,
-       ROUND(COALESCE(p.n_dis * 1.0 / p.n_tok, 0.0), 6) AS distinct_ratio,
-       ROUND(COALESCE(p.n_stop * 1.0 / p.n_tok, 0.0), 6) AS stopword_ratio,
-       ROUND(COALESCE(p.tot_len * 1.0 / p.n_tok, 0.0), 6) AS mean_token_len
+       floor((COALESCE(p.n_dis * 1.0 / p.n_tok, 0.0)) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+       floor((COALESCE(p.n_stop * 1.0 / p.n_tok, 0.0)) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+       floor((COALESCE(p.tot_len * 1.0 / p.n_tok, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_token_len
 FROM documents d LEFT JOIN per p USING (doc_id)"""
 
 
@@ -738,8 +738,8 @@ tri AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM tpos),
 tagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt, CAST(COUNT(DISTINCT g) AS BIGINT) AS tdis FROM tri GROUP BY doc_id)
 SELECT t.doc_id,
        CAST(len(t.w) AS BIGINT) AS n_tokens,
-       ROUND(COALESCE(b.bmax / CAST(b.nb AS DOUBLE), 0), 6) AS top_bigram_frac,
-       ROUND(COALESCE((a.nt - a.tdis) / CAST(a.nt AS DOUBLE), 0), 6) AS dup_trigram_frac
+       floor((COALESCE(b.bmax / CAST(b.nb AS DOUBLE), 0)) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+       floor((COALESCE((a.nt - a.tdis) / CAST(a.nt AS DOUBLE), 0)) * 1000000 + 0.5) / 1000000 AS dup_trigram_frac
 FROM wtoks t LEFT JOIN bagg b USING (doc_id) LEFT JOIN tagg a USING (doc_id)"""
 
 

@@ -24,6 +24,18 @@ QUALITY_STOPS = (
     "with", "as", "this", "that", "at", "by", "an", "be", "or", "are",
 )
 
+def round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Half-AWAY-from-zero rounding to 6 dp for non-negative ratios —
+    ``floor(x*1e6 + 0.5)/1e6``, the bit-identical twin of the SQL
+    oracles' ``floor(expr * 1000000 + 0.5) / 1000000``. ``np.round``
+    rounds half-to-even while DuckDB ``ROUND`` rounds half-away, and
+    integer ratios with power-of-two denominators (e.g. 1/128 =
+    0.0078125) land EXACTLY on the half grid, where the two rules
+    disagree — a reachable oracle-hash mismatch. Both engines evaluate
+    this same floor expression instead."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     """The documents table as a pruned-column read. ``sf_dir`` is a
     testdata dir containing ``documents.parquet``, or (for CLI use over
@@ -185,9 +197,9 @@ def quality_score(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "n_tokens": pa.array(n_tok),
-                "distinct_ratio": pa.array(np.round(n_dis / safe, 6)),
-                "stopword_ratio": pa.array(np.round(n_stop / safe, 6)),
-                "mean_token_len": pa.array(np.round(tot_len / safe, 6)),
+                "distinct_ratio": pa.array(round6_half_up(n_dis / safe)),
+                "stopword_ratio": pa.array(round6_half_up(n_stop / safe)),
+                "mean_token_len": pa.array(round6_half_up(tot_len / safe)),
             }
         )
 

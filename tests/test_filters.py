@@ -212,3 +212,25 @@ def test_chunk_batch_matches_naive(texts, size, stride):
             ci += 1
             s += stride
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_rounding_parity_on_half_grid(ray_session, tmp_path):
+    """1/128 = 0.0078125 lands exactly on the 6-dp half grid, where
+    np.round (half-to-even) and SQL ROUND (half-away) disagree; both
+    sides now use the identical floor(x*1e6+0.5)/1e6 expression."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    from searchenginepp_ray.pipelines.filters import repetition_stats
+
+    path = _write_docs(tmp_path, [" ".join(f"w{i}" for i in range(129))])
+    got = repetition_stats(path).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute(e.oracle_sql()["repetition_stats"]).df()
+    assert got["top_bigram_frac"].tolist() == want["top_bigram_frac"].tolist() == [0.007813]
