@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label centroid (class prototypes): one (sumvec, count)
         # partial per label per batch, tiny final exchange
         "label_centroids": lambda sf: similarity.label_centroids(sf),
+        # distributed Lloyd's k-means (deterministic init + shared
+        # rounding rule => the unrolled-CTE oracle is hash-exact); one
+        # streaming pass + one k×dims exchange per iteration
+        "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
@@ -244,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "label_centroids": osql.label_centroids_sql(),
+        "kmeans_embeddings": osql.kmeans_embeddings_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

@@ -40,7 +40,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: tuple[str, ...] = ()):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
@@ -53,6 +53,8 @@ def main(sf_dir: str):
         )
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -99,4 +101,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01") else 0)
+    sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                       tuple(sys.argv[2:])) else 0)

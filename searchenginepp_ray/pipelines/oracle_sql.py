@@ -695,6 +695,48 @@ GROUP BY t.doc_id, dim
 """
 
 
+def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:
+    """Oracle for similarity.kmeans_embeddings: the Lloyd recurrence
+    unrolled as chained CTEs. Init = k lowest-vec_id vectors; assignment
+    ties break to the lowest cluster id (row_number ORDER BY dist,
+    cluster); centroid update = member mean under the SHARED
+    floor(x*1e9+0.5)/1e9 rounding rule, so both engines iterate on
+    identical centroid doubles; empty clusters COALESCE to their previous
+    centroid."""
+
+    def assign_cte(i: int, csrc: str) -> str:
+        return f"""a{i} AS (SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v) ASC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
+
+    def update_cte(i: int) -> str:
+        return f"""x{i} AS (SELECT a.cluster,
+           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
+           unnest(e.v) AS x
+    FROM a{i} a JOIN e USING (vec_id)),
+g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
+    FROM (SELECT cluster, dim, AVG(x) AS mx FROM x{i} GROUP BY cluster, dim)
+    GROUP BY cluster),
+c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
+    FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster, v
+    FROM (SELECT * FROM e ORDER BY vec_id LIMIT {int(k)}))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(i, f"c{i - 1}"))
+        parts.append(update_cte(i))
+    parts.append(assign_cte(iters + 1, f"c{iters}"))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
+
+
 def label_centroids_sql() -> str:
     """Oracle for similarity.label_centroids (per-label mean vector,
     long format via unnest + generate_subscripts)."""

@@ -390,6 +390,97 @@ def embedding_quantize(sf_dir: str):
     return embeddings_ds(sf_dir).map_batches(quantize, batch_format="pyarrow")
 
 
+def _round9_half_up(x: np.ndarray) -> np.ndarray:
+    """Half-away rounding to 9 dp — the same shared floor(x*1e9+0.5)/1e9
+    expression the SQL oracle evaluates, so both engines carry IDENTICAL
+    centroid doubles between k-means iterations (np.round half-to-even
+    vs SQL ROUND half-away would diverge on grid-exact means)."""
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering member of the similarity family (topic/domain bucketing of
+    a corpus; also the principled centroid trainer for the IVF index,
+    whose ``_train_centroids`` is the sampled fast path of this op).
+
+    Deterministic and oracle-checkable: init = the ``k`` lowest-vec_id
+    vectors (the table's standard vec_id-sorted layout makes this the
+    first-k head read); assignment = argmin squared Euclidean distance
+    with ties to the lowest cluster id; update = member mean rounded
+    half-away to 9 dp (shared rule, see :func:`_round9_half_up`); empty
+    clusters keep their previous centroid. After ``iters`` rounds the
+    final assignment is emitted as (vec_id, cluster). The DuckDB oracle
+    unrolls the identical recurrence as chained CTEs.
+
+    Scale shape: per iteration ONE streaming pass over the table — each
+    batch reduces to (cluster, dim, sum, count) partials (k×dims floats,
+    map-side combined), one hash exchange over the k×dims key space, and
+    a k×dims driver pivot (bounded by k·dims, NOT by rows). Centroids are
+    broadcast once per iteration via ``ray.put``. No shuffle of the big
+    side, nothing data-sized on the driver."""
+    from .agg import hash_groupby_sum
+
+    path = f"{sf_dir}/embeddings.parquet"
+    t0 = _head_table(path, k, ["vec_id", "embedding"])
+    init_ids = t0["vec_id"].to_numpy()
+    cents = _vec_matrix(t0["embedding"])[np.argsort(init_ids)]
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _vec_matrix(t["embedding"])
+            kk, d = c.shape
+            if m.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s_part": pa.array([], pa.float64()),
+                                 "n_part": pa.array([], pa.int64())})
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)  # ties -> lowest cluster id, like the oracle
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            occ = np.flatnonzero(cnt)  # only occupied clusters emit
+            return pa.table({
+                "cluster": pa.array(np.repeat(occ.astype(np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(occ))),
+                "s_part": pa.array(sums[occ].ravel()),
+                "n_part": pa.array(np.repeat(cnt[occ], d)),
+            })
+
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        agg = hash_groupby_sum(
+            embeddings_ds(sf_dir).map_batches(
+                make_partial(cref), batch_format="pyarrow"),
+            ["cluster", "dim"], {"s": ("s_part", "sum"), "n": ("n_part", "sum")},
+        ).to_pandas()  # k*dims rows — bounded by the key space, not rows
+        new = cents.copy()
+        cl = agg["cluster"].to_numpy()
+        dm = agg["dim"].to_numpy()
+        new[cl, dm] = agg["s"].to_numpy() / agg["n"].to_numpy()
+        occupied = np.unique(cl)
+        new[occupied] = _round9_half_up(new[occupied])
+        cents = new
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _vec_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"vec_id": t["vec_id"],
+                             "cluster": pa.array([], pa.int64())})
+        a = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return embeddings_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
 def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):
     """Exact k-NN GRAPH: for every vector, its top-k cosine neighbors
     among all OTHER vectors — the all-vs-all self-join member of the

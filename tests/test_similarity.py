@@ -111,3 +111,40 @@ def test_knn_graph_multichunk_equals_singlechunk(ray_session, sf_dir):
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     assert one["vec_id"].nunique() == n
     assert (one.groupby("vec_id")["rank"].max() == 3).all()
+
+
+def _kmeans_numpy_ref(path: str, k: int, iters: int) -> np.ndarray:
+    """Sequential Lloyd reference with the pipeline's exact determinism
+    contract (lowest-vec_id init, lowest-cluster tie-break, 9 dp
+    half-away centroid rounding, empty clusters keep previous)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = (t["embedding"].combine_chunks().flatten().to_numpy()
+         .reshape(len(ids), -1).astype(np.float64))
+    order = np.argsort(ids)
+    m = m[order]
+    cents = m[:k].copy()
+    for _ in range(iters):
+        a = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(k):
+            mem = m[a == c]
+            if len(mem):
+                cents[c] = np.floor(mem.mean(0) * 1e9 + 0.5) / 1e9
+    a = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    out = np.empty_like(a)
+    out[:] = a
+    # back to vec_id order for comparison
+    return ids[order], out
+
+
+def test_kmeans_matches_sequential_reference(ray_session):
+    got = (similarity.kmeans_embeddings(SF, k=8, iters=3)
+           .to_pandas().sort_values("vec_id"))
+    ref_ids, ref_a = _kmeans_numpy_ref(f"{SF}/embeddings.parquet", 8, 3)
+    assert (got["vec_id"].to_numpy() == ref_ids).all()
+    assert (got["cluster"].to_numpy() == ref_a).all()
+    # every cluster id in range, and clustering is non-degenerate
+    assert got["cluster"].between(0, 7).all()
+    assert got["cluster"].nunique() > 1
