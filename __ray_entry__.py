@@ -52,6 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: text_stats.quality_score(sf),
         "lang_id": lambda sf: text_stats.lang_id(sf),
         "doc_fingerprint": lambda sf: text_stats.fingerprint(sf),
+        # perplexity-style LM quality filter: per-doc mean log2 unigram
+        # prob under the corpus's own unigram LM (one term exchange, one
+        # doc exchange; the global-T term cancels out of the term side)
+        "unigram_logprob": lambda sf: text_stats.unigram_logprob(sf),
         # --- training-data filters (Gopher repetition / PII scrub /
         # benchmark decontamination with a broadcast gram set) ---
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
@@ -207,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": osql.quality_score_sql(),
         "lang_id": osql.lang_id_sql(),
         "doc_fingerprint": osql.doc_fingerprint_sql(),
+        "unigram_logprob": osql.unigram_logprob_sql(),
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),

@@ -68,6 +68,23 @@ def term_tf_sql() -> str:
 SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY term"""
 
 
+def unigram_logprob_sql() -> str:
+    """Oracle for text_stats.unigram_logprob: per-doc mean log2 unigram
+    probability under the corpus unigram LM, via the same
+    Σ tf·log2(ctf) − n·log2(T) decomposition and the shared
+    floor(x*1e6+0.5)/1e6 rounding rule."""
+    return f"""WITH {tok_cte()},
+ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+d AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(log2(c.c)) AS s
+      FROM toks t JOIN ctf c USING (term) GROUP BY t.doc_id)
+SELECT doc_id, n_tokens,
+       floor((s - n_tokens * log2((SELECT t FROM tot))) / n_tokens * 1e6 + 0.5)
+           / 1e6 AS avg_logprob
+FROM d"""
+
+
 def token_count_sql() -> str:
     return f"""WITH {tok_cte()}
 SELECT d.doc_id,

@@ -234,6 +234,103 @@ def lang_id(sf_dir: str, threshold: float = 0.08):
     return term_counts_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
+def unigram_logprob(sf_dir: str):
+    """Per-doc average log2 unigram probability under the corpus's own
+    unigram LM — the perplexity-style quality filter (docs far below the
+    corpus-typical log-prob are boilerplate/garbage candidates; the
+    classic cheap stand-in for model-perplexity filtering).
+
+    score_d = (1/|d|) Σ_{t∈d} tf_dt · log2(ctf_t / T)
+            = (Σ_t tf_dt·log2(ctf_t) − |d|·log2(T)) / |d|
+
+    The second form is what runs: the per-term exchange never needs the
+    global scalar T, so the pipeline is (1) a tiny pass for T = Σ doclen,
+    (2) one explode pass emitting posting rows + per-batch ctf partials
+    into a SINGLE term-keyed exchange (each partition finalizes its
+    terms' ctf, joins its postings, and map-side-combines per-doc
+    Σ tf·log2(ctf) AND Σ tf partials), (3) one doc-keyed exchange summing
+    the partials. Nothing vocabulary- or corpus-sized on the driver.
+
+    Output (doc_id, n_tokens, avg_logprob) with the shared
+    floor(x*1e6+0.5)/1e6 rounding rule (avg_logprob is negative; floor
+    half-up is well-defined there and the oracle evaluates the identical
+    expression). Docs with zero tokens emit no postings and are absent,
+    matching the SQL side's join-over-toks semantics."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    tc = term_counts_ds(sf_dir)
+    T = float(
+        tc.map_batches(
+            lambda t: pa.table({"doclen": t["doclen"]}), batch_format="pyarrow"
+        ).sum("doclen")
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = t["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        flat_terms = pc.list_flatten(terms)
+        flat_tfs = pc.list_flatten(t["tfs"]).cast(pa.int64())
+        n_per = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+        doc_ids = pa.array(np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_per))
+        # per-batch ctf partial: grouped sum of the flat tf stream
+        g = (pa.table({"term": flat_terms, "tf": flat_tfs})
+             .group_by("term").aggregate([("tf", "sum")]))
+        n_post, n_ctf = len(flat_terms), len(g)
+
+        def _chunks(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        return pa.table({
+            "term": pa.concat_arrays([_chunks(flat_terms), _chunks(g["term"])]),
+            "doc_id": pa.concat_arrays(
+                [doc_ids, pa.array(np.zeros(n_ctf, np.int64))]),
+            "tf": pa.concat_arrays(
+                [_chunks(flat_tfs), _chunks(g["tf_sum"].cast(pa.int64()))]),
+            "is_post": pa.array(
+                np.r_[np.ones(n_post, np.int8), np.zeros(n_ctf, np.int8)]),
+        })
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        posts = df[df["is_post"] == 1]
+        ctf = df[df["is_post"] == 0].groupby("term")["tf"].sum()
+        if len(posts) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "s_part": pd.Series([], dtype=np.float64),
+                                 "n_part": pd.Series([], dtype=np.int64)})
+        # log2 over the partition VOCABULARY once, mapped to the postings
+        lut = pd.DataFrame({"term": ctf.index.to_numpy(),
+                            "lp": np.log2(ctf.to_numpy(dtype=np.float64))})
+        j = posts.merge(lut, on="term")
+        tf = j["tf"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            "doc_id": j["doc_id"].to_numpy(),
+            "s": tf * j["lp"].to_numpy(),
+            "n": j["tf"].to_numpy(),
+        }).groupby("doc_id", as_index=False).sum()  # map-side combiner
+        return g.rename(columns={"s": "s_part", "n": "n_part"})
+
+    partials = hash_groupby_apply(
+        tc.map_batches(explode, batch_format="pyarrow"), ["term"], per_term)
+    per_doc = hash_groupby_sum(
+        partials, ["doc_id"], {"s": ("s_part", "sum"), "n": ("n_part", "sum")})
+
+    log2_T = np.log2(T)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = round6_half_up((s - n * log2_T) / n)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n),
+                         "avg_logprob": pa.array(avg)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------- document fingerprinting ----------
 
 def fingerprint(sf_dir: str, window: int = 4):

@@ -118,3 +118,27 @@ def test_md5_hex_matches_hashlib():
     vals = ["", "a", "é—ü", "x" * 1000, "line\nbreak", "nul\x00safe"]
     got = md5_hex(pa.chunked_array([pa.array(vals)])).to_pylist()
     assert got == [hashlib.md5(v.encode()).hexdigest() for v in vals]
+
+
+def test_unigram_logprob_hand_corpus(ray_session, tmp_path):
+    """Hand-checkable LM: corpus = {"a a a b", "a b"} under the simple
+    profile. ctf(a)=4, ctf(b)=2, T=6; doc0: (3·log2(4)+1·log2(2) − 4·log2(6))/4,
+    doc1: (log2(4)+log2(2) − 2·log2(6))/2."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.text_stats import unigram_logprob
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": ["a a a b", "a b"]}), p)
+    got = unigram_logprob(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [4, 2]
+    want0 = (3 * math.log2(4) + math.log2(2) - 4 * math.log2(6)) / 4
+    want1 = (math.log2(4) + math.log2(2) - 2 * math.log2(6)) / 2
+    import numpy as np
+
+    exp = np.floor(np.array([want0, want1]) * 1e6 + 0.5) / 1e6
+    assert np.allclose(got["avg_logprob"].to_numpy(), exp, atol=0)
