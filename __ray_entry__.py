@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "model": posting explode + term-side idf exchange + (doc,dim)
         # aggregation) — long format so the oracle is a grouped sum
         "doc_embedding": lambda sf: _embed().doc_embedding(sf),
+        # top-m TF-IDF keyword extraction per doc (grouped top-k at
+        # per-doc cardinality; same explode + term exchange as
+        # doc_embedding, one doc exchange with a sort/cumcount kernel)
+        "doc_keywords": lambda sf: _embed().doc_keywords(sf),
     }
 
 
@@ -252,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": osql.part_pagerank_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
+        "doc_keywords": osql.doc_keywords_sql(),
         "label_centroids": osql.label_centroids_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float

@@ -45,6 +45,38 @@ def _n_docs(sf_dir: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _explode_posts_df(t: pa.Table) -> pa.Table:
+    """One term_counts batch → posting rows (term, doc_id, tf, is_post=1)
+    PLUS per-batch df partials (term, 0, df_part, is_post=0), tagged into
+    one stream so the term-side exchange runs once. Shared by
+    :func:`doc_embedding` and :func:`doc_keywords`."""
+    terms = t["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    flat_terms = pc.list_flatten(terms)
+    flat_tfs = pc.list_flatten(t["tfs"]).cast(pa.int64())
+    n_per = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+    doc_ids = pa.array(np.repeat(
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        n_per))
+    # terms are unique per doc, so this batch's df partial is the
+    # flat stream's value_counts — tag df rows is_post=0
+    vc = flat_terms.value_counts()
+    n_post, n_df = len(flat_terms), len(vc)
+    return pa.table({
+        "term": pa.concat_arrays(
+            [flat_terms.combine_chunks() if isinstance(flat_terms, pa.ChunkedArray) else flat_terms,
+             vc.field("values")]),
+        "doc_id": pa.concat_arrays(
+            [doc_ids, pa.array(np.zeros(n_df, np.int64))]),
+        "tf": pa.concat_arrays(
+            [flat_tfs.combine_chunks() if isinstance(flat_tfs, pa.ChunkedArray) else flat_tfs,
+             vc.field("counts").cast(pa.int64())]),
+        "is_post": pa.array(
+            np.r_[np.ones(n_post, np.int8), np.zeros(n_df, np.int8)]),
+    })
+
+
 def doc_embedding(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
     """(doc_id, dim, weight): feature-hashed TF-IDF document embedding in
     long format. ``weight`` is rounded to 6 dp for oracle comparability
@@ -54,32 +86,7 @@ def doc_embedding(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
 
     n_docs = float(_n_docs(sf_dir))
 
-    def explode(t: pa.Table) -> pa.Table:
-        terms = t["terms"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        flat_terms = pc.list_flatten(terms)
-        flat_tfs = pc.list_flatten(t["tfs"]).cast(pa.int64())
-        n_per = np.asarray(pc.list_value_length(terms)).astype(np.int64)
-        doc_ids = pa.array(np.repeat(
-            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            n_per))
-        # terms are unique per doc, so this batch's df partial is the
-        # flat stream's value_counts — tag df rows is_post=0
-        vc = flat_terms.value_counts()
-        n_post, n_df = len(flat_terms), len(vc)
-        return pa.table({
-            "term": pa.concat_arrays(
-                [flat_terms.combine_chunks() if isinstance(flat_terms, pa.ChunkedArray) else flat_terms,
-                 vc.field("values")]),
-            "doc_id": pa.concat_arrays(
-                [doc_ids, pa.array(np.zeros(n_df, np.int64))]),
-            "tf": pa.concat_arrays(
-                [flat_tfs.combine_chunks() if isinstance(flat_tfs, pa.ChunkedArray) else flat_tfs,
-                 vc.field("counts").cast(pa.int64())]),
-            "is_post": pa.array(
-                np.r_[np.ones(n_post, np.int8), np.zeros(n_df, np.int8)]),
-        })
+    explode = _explode_posts_df
 
     def per_term(df: pd.DataFrame) -> pd.DataFrame:
         from .duck import md5_bucket
@@ -119,6 +126,60 @@ def doc_embedding(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
         })
 
     return emb.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_keywords(sf_dir: str, m: int = 5) -> ray.data.Dataset:
+    """Top-``m`` TF-IDF keywords per document — keyword extraction /
+    metadata tagging for a training corpus (the grouped-top-k member of
+    the text family, at per-doc cardinality).
+
+    Shape: the same single explode pass + term-keyed exchange as
+    :func:`doc_embedding` (each partition finalizes its terms' df and
+    joins its postings — terms are unique per doc so no combiner is
+    needed), then one doc-keyed exchange ranks with a vectorized
+    sort/cumcount kernel per partition. Ranking compares UNROUNDED
+    weights with term ASC tie-break — exact ties (equal tf and df) are
+    identical doubles in both engines, so the oracle's row_number agrees;
+    only the reported weight is rounded (shared floor rule)."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .text_stats import round6_half_up, term_counts_ds
+
+    n_docs = float(_n_docs(sf_dir))
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        posts = df[df["is_post"] == 1]
+        dfs = df[df["is_post"] == 0].groupby("term")["tf"].sum()
+        if len(posts) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=np.float64)})
+        lut = pd.DataFrame({
+            "term": dfs.index.to_numpy(),
+            "idf": np.log2(n_docs / dfs.to_numpy(dtype=np.float64))})
+        j = posts.merge(lut, on="term")
+        return pd.DataFrame({
+            "doc_id": j["doc_id"].to_numpy(),
+            "term": j["term"].to_numpy(),
+            "w": j["tf"].to_numpy(dtype=np.float64) * j["idf"].to_numpy()})
+
+    weighted = hash_groupby_apply(
+        term_counts_ds(sf_dir).map_batches(
+            _explode_posts_df, batch_format="pyarrow"),
+        ["term"], per_term)
+
+    def topm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "w", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        r = df.groupby("doc_id").cumcount().to_numpy()
+        keep = r < m
+        out = df.iloc[keep].copy()
+        out["rank"] = (r[keep] + 1).astype(np.int64)
+        out["weight"] = round6_half_up(out.pop("w").to_numpy())
+        return out[["doc_id", "term", "rank", "weight"]]
+
+    return hash_groupby_apply(weighted, ["doc_id"], topm)
 
 
 def doc_embedding_vectors(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:

@@ -754,6 +754,36 @@ c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
             + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
 
 
+def doc_keywords_sql(m: int = 5) -> str:
+    """Oracle for embed.doc_keywords: top-m TF-IDF terms per doc via
+    row_number over UNROUNDED weights (term ASC tie-break), weight
+    reported under the shared floor rule."""
+    return f"""WITH {tok_cte()},
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dfs AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY term
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+w AS (
+    SELECT t.doc_id, t.term,
+           t.tf * log2((SELECT n FROM nn) / d.df) AS w
+    FROM tf t JOIN dfs d USING (term)
+),
+r AS (
+    SELECT doc_id, term, w,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY w DESC, term ASC) AS rank
+    FROM w
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       floor(w * 1e6 + 0.5) / 1e6 AS weight
+FROM r WHERE rank <= {int(m)}"""
+
+
 def label_centroids_sql() -> str:
     """Oracle for similarity.label_centroids (per-label mean vector,
     long format via unnest + generate_subscripts)."""
