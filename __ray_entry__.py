@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
         "pii_redact": lambda sf: _filters().pii_redact(sf),
         "decontaminate": lambda sf: _filters().decontaminate(sf),
+        # exact-substring-dedup signal: corpus-global duplicated-window
+        # fraction per doc (one gram-keyed exchange, map-side-combined)
+        "dup_span_stats": lambda sf: _filters().dup_span_stats(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
@@ -138,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OLAP rollup (finest level via one map-side-combined exchange;
         # coarser levels derived from the tiny aggregate) in exact cents
         "order_rollup": lambda sf: relational.order_rollup(sf),
+        # grouped-agg -> GLOBAL top-k (exact-integer revenue; one
+        # exchange + per-partition partial top-k + P*k driver merge)
+        "top_orders_by_revenue":
+            lambda sf: relational.top_orders_by_revenue(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
@@ -219,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
+        "dup_span_stats": osql.dup_span_stats_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
         "training_export": osql.training_export_sql(),
@@ -252,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": osql.customers_without_orders_sql(),
         "customer_order_counts": osql.customer_order_counts_sql(),
         "order_rollup": osql.order_rollup_sql(),
+        "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),

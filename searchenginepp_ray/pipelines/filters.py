@@ -231,3 +231,74 @@ def decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97):
         })
 
     return documents_ds(sf_dir).map_batches(flag, batch_format="pyarrow")
+
+
+def dup_span_stats(sf_dir: str, w: int = 8):
+    """Per-doc duplicated-span statistics — the exact-substring-dedup
+    signal (Lee et al.'s "Deduplicating Training Data" family): for every
+    ``w``-token window of every doc, is that exact window text repeated
+    ANYWHERE in the corpus (another doc, or elsewhere in the same doc)?
+    Output (doc_id, n_windows, n_dup_windows, dup_frac) for every doc
+    with at least one window; a downstream cut on ``dup_frac`` drops
+    boilerplate-heavy docs.
+
+    Matching is by 64-bit gram hash on the Ray side (same stance as
+    :func:`decontaminate`: a false dup needs a 64-bit xxhash collision
+    between two distinct corpus grams — negligible; the SQL oracle
+    matches exact gram strings, so the sf-scale gate also pins the
+    no-collision assumption).
+
+    Scale shape: one streaming pass assembles windows with the shared
+    Arrow gram kernel and map-side-combines (gram, doc) instance counts
+    per batch; ONE hash exchange on the gram hash lets each partition
+    compute its grams' exact global counts and re-combine to per-doc
+    partials; one doc-keyed exchange sums. Traffic after the map-side
+    combine is bounded by distinct (gram, doc) pairs — never the raw
+    token stream — and nothing corpus-sized touches the driver."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .dedup import _hash_strings
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, flat, n_tokens = _words_flat(t["text"])
+        gdoc, grams = _grams(flat, n_tokens, w)
+        if len(grams) == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c_part": pa.array([], pa.int64())})
+        g = (pd.DataFrame({"h": _hash_strings(grams), "doc_id": doc_ids[gdoc]})
+             .groupby(["h", "doc_id"], as_index=False).size())
+        return pa.table({"h": pa.array(g["h"].to_numpy(), pa.uint64()),
+                         "doc_id": pa.array(g["doc_id"].to_numpy()),
+                         "c_part": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        # every instance of a gram is in this partition => exact C
+        c = df["c_part"].to_numpy()
+        C = df.groupby("h")["c_part"].transform("sum").to_numpy()
+        g = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                           "nw_part": c,
+                           "nd_part": np.where(C >= 2, c, 0)})
+             .groupby("doc_id", as_index=False).sum())
+        return g
+
+    partials = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["h"], per_gram)
+    per_doc = hash_groupby_sum(
+        partials, ["doc_id"],
+        {"n_windows": ("nw_part", "sum"), "n_dup_windows": ("nd_part", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_dup_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_windows": pa.array(nw),
+            "n_dup_windows": pa.array(nd),
+            "dup_frac": pa.array(round6_half_up(nd / nw)),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

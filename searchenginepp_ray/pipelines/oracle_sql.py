@@ -712,6 +712,22 @@ GROUP BY t.doc_id, dim
 """
 
 
+def top_orders_by_revenue_sql(k: int = 10) -> str:
+    """Oracle for relational.top_orders_by_revenue: exact-integer revenue
+    in 1e-4 units, rank ties on o_orderkey ASC."""
+    return f"""WITH rev AS (
+    SELECT l_orderkey AS o_orderkey,
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_e4
+    FROM lineitem GROUP BY l_orderkey),
+r AS (
+    SELECT o_orderkey, rev_e4,
+           row_number() OVER (ORDER BY rev_e4 DESC, o_orderkey ASC) AS rank
+    FROM rev)
+SELECT o_orderkey, CAST(rank AS BIGINT) AS rank, rev_e4 / 10000.0 AS revenue
+FROM r WHERE rank <= {int(k)}"""
+
+
 def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:
     """Oracle for similarity.kmeans_embeddings: the Lloyd recurrence
     unrolled as chained CTEs. Init = k lowest-vec_id vectors; assignment
@@ -811,6 +827,26 @@ wtoks AS (
                        t -> t <> '') AS w
     FROM documents
 )"""
+
+
+def dup_span_stats_sql(w: int = 8) -> str:
+    """Oracle for filters.dup_span_stats: exact corpus-global window
+    counts over gram STRINGS (the Ray side uses 64-bit gram hashes;
+    this gate pins the no-collision assumption at sf scale)."""
+    return f"""WITH {_word_toks_cte()},
+gpos AS (SELECT doc_id, w,
+                unnest(generate_series(1, greatest(len(w) - {w - 1}, 0))) AS i
+         FROM wtoks),
+gr AS (SELECT doc_id, array_to_string(w[i:i+{w - 1}], ' ') AS g FROM gpos),
+cnt AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY g),
+per AS (SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM gr JOIN cnt USING (g) GROUP BY doc_id)
+SELECT doc_id, n_windows, n_dup_windows,
+       floor(n_dup_windows * 1.0 / n_windows * 1e6 + 0.5) / 1e6 AS dup_frac
+FROM per"""
 
 
 def repetition_stats_sql() -> str:

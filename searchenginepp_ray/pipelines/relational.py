@@ -397,3 +397,49 @@ def order_rollup(sf_dir: str):
     out["total_cents"] = out["total_cents"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["o_orderpriority", "o_orderstatus", "total_cents", "n_orders"]]
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """Global top-``k`` orders by lineitem revenue — the grouped-agg →
+    GLOBAL top-k composition (TPC-H Q3's shape without its filters).
+
+    Revenue is carried as EXACT integers in 1e-4 currency units:
+    ``cents(extendedprice) × (100 − cents(discount))`` — both factors are
+    exact under the shared floor(x*100+0.5) rule, so ranking has no float
+    hazard and ties break on o_orderkey ASC identically in both engines.
+
+    Scale shape: per-batch map-side partials (one vectorized groupby per
+    batch), ONE hash exchange on l_orderkey for exact totals, a per-
+    partition partial top-k (each partition emits ≤ k rows), and a
+    driver-side merge of the P×k survivors (bounded by the shuffle
+    width, not the data)."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+
+    li = table_ds(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return (pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                              "rev_part": p * (100 - d)})
+                .groupby("o_orderkey", as_index=False)["rev_part"].sum())
+
+    def partition_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False)["rev_part"].sum()
+        g = g.sort_values(["rev_part", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        return g.rename(columns={"rev_part": "rev_e4"})
+
+    survivors = hash_groupby_apply(
+        li.map_batches(partial, batch_format="pandas"),
+        ["o_orderkey"], partition_topk,
+    ).to_pandas()  # <= P*k rows
+
+    out = survivors.sort_values(["rev_e4", "o_orderkey"],
+                                ascending=[False, True]).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["revenue"] = out.pop("rev_e4").to_numpy() / 10000.0
+    return out[["o_orderkey", "rank", "revenue"]].reset_index(drop=True)

@@ -234,3 +234,41 @@ def test_rounding_parity_on_half_grid(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
     want = con.execute(e.oracle_sql()["repetition_stats"]).df()
     assert got["top_bigram_frac"].tolist() == want["top_bigram_frac"].tolist() == [0.007813]
+
+
+def test_dup_span_stats_constructed(ray_session, tmp_path):
+    """Corpus with a planted repeated 8-word span: doc0 and doc1 share
+    one window verbatim; doc2 repeats its own window internally; doc3 is
+    all-unique; doc4 is too short to form a window (absent from output)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.filters import dup_span_stats
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = {
+        0: f"intro words here {span} trailing bits",
+        1: f"{span} completely different ending tokens now",
+        2: f"{span} middle filler {span}",
+        3: "one two three four five six seven eight nine ten",
+        4: "too short",
+    }
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"doc_id": list(docs), "text": list(docs.values())}), p)
+    got = (dup_span_stats(str(tmp_path), w=8).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert 4 not in got.index
+    # doc3 shares nothing
+    assert got.loc[3, "n_dup_windows"] == 0
+    # the planted span is duplicated for docs 0, 1, 2
+    for d in (0, 1, 2):
+        assert got.loc[d, "n_dup_windows"] >= 1, d
+    # doc2: the two copies of the span make BOTH its span windows dups
+    assert got.loc[2, "n_dup_windows"] >= 2
+    # window counts: len(tokens)-7 per doc
+    for d, text in docs.items():
+        nt = len(text.split())
+        if nt >= 8:
+            assert got.loc[d, "n_windows"] == nt - 7
+    assert np.all(got["dup_frac"].between(0, 1))

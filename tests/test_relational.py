@@ -114,3 +114,16 @@ def test_order_rollup_levels_consistent(ray_session, sf_dir):
     g = fine.groupby("o_orderpriority")["total_cents"].sum()
     for prio, row in lvl1.set_index("o_orderpriority").iterrows():
         assert row["total_cents"] == g[prio]
+
+
+def test_top_orders_by_revenue_rank_invariants(ray_session):
+    from searchenginepp_ray.pipelines.relational import top_orders_by_revenue
+
+    df = top_orders_by_revenue("/root/testdata/sf0.001", k=10)
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    # revenue non-increasing; equal-revenue neighbors ordered by orderkey
+    rev = df["revenue"].to_numpy()
+    assert (rev[:-1] >= rev[1:]).all()
+    ok = df["o_orderkey"].to_numpy()
+    same = rev[:-1] == rev[1:]
+    assert (ok[:-1][same] < ok[1:][same]).all()
