@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring-dedup signal: corpus-global duplicated-window
         # fraction per doc (one gram-keyed exchange, map-side-combined)
         "dup_span_stats": lambda sf: _filters().dup_span_stats(sf),
+        # statistical phrase mining: corpus-wide top-k PMI bigrams
+        # (count exchange with min-count cut, two unigram co-partition
+        # joins, per-partition partial top-k)
+        "collocations": lambda sf: _filters().collocations(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
@@ -227,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
         "dup_span_stats": osql.dup_span_stats_sql(),
+        "collocations": osql.collocations_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
         "training_export": osql.training_export_sql(),

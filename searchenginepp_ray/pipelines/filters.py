@@ -302,3 +302,117 @@ def dup_span_stats(sf_dir: str, w: int = 8):
         })
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Corpus-wide collocation extraction: top-``k`` bigrams by pointwise
+    mutual information, PMI = log2(c_ab) + 2·log2(T_uni) − log2(T_bi)
+    − log2(c_a) − log2(c_b), restricted to bigrams with c_ab ≥
+    ``min_count`` (the classic statistical-phrase miner run before
+    tokenizer training / phrase vocabulary induction).
+
+    Both engines evaluate the PMI expression with the SAME operand order
+    (per-term libm ULP wobble ~1e-16 never flips a rank between distinct
+    count triples); exact ties (identical (c_ab, c_a, c_b)) break on the
+    gram string ASC in both. The reported pmi uses the shared floor
+    rounding rule.
+
+    Scale shape: one counting pass emits tagged unigram/bigram map-side
+    partials keyed on the string itself; exchange 1 finalizes counts and
+    applies the min_count cut (prunes the tail before any join traffic);
+    exchanges 2 and 3 attach c_a and c_b by co-partitioning the surviving
+    bigrams with the unigram counts on the first then second word —
+    vocabulary-sized joins, never broadcast (the global-lexicon lesson);
+    a per-partition partial top-k caps the driver merge at P×k rows. The
+    two totals come from one cheap pre-pass of per-batch scalar sums."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+
+    def count_scalars(t: pa.Table) -> pa.Table:
+        _, flat, n_tokens = _words_flat(t["text"])
+        n_bi = int(np.maximum(n_tokens - 1, 0).sum())
+        return pa.table({"n_uni": pa.array([len(flat)], pa.int64()),
+                         "n_bi": pa.array([n_bi], pa.int64())})
+
+    totals = documents_ds(sf_dir).map_batches(
+        count_scalars, batch_format="pyarrow").sum(["n_uni", "n_bi"])
+    t_uni, t_bi = float(totals["sum(n_uni)"]), float(totals["sum(n_bi)"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        _, flat, n_tokens = _words_flat(t["text"])
+        _, bigrams = _grams(flat, n_tokens, 2)
+        uc = flat.value_counts()
+        bc = bigrams.value_counts()
+
+        def _c(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        return pa.table({
+            "g": pa.concat_arrays([_c(uc.field("values")), _c(bc.field("values"))]),
+            "c_part": pa.concat_arrays(
+                [uc.field("counts").cast(pa.int64()),
+                 bc.field("counts").cast(pa.int64())]),
+            "is_bi": pa.array(np.r_[np.zeros(len(uc), np.int8),
+                                    np.ones(len(bc), np.int8)]),
+        })
+
+    def finalize_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["g", "is_bi"], as_index=False)["c_part"].sum()
+        uni = g[g["is_bi"] == 0]
+        bi = g[(g["is_bi"] == 1) & (g["c_part"] >= min_count)]
+        # unify on a "w" key for the next exchange: unigram rows keyed by
+        # their word; bigram rows keyed by their FIRST word
+        words = bi["g"].str.split(" ", n=1)
+        out_bi = pd.DataFrame({
+            "w": words.str[0], "b": words.str[1], "gram": bi["g"],
+            "c_ab": bi["c_part"].to_numpy(), "c_a": 0, "kind": 1})
+        out_uni = pd.DataFrame({
+            "w": uni["g"], "b": "", "gram": "",
+            "c_ab": uni["c_part"].to_numpy(), "c_a": 0, "kind": 0})
+        return pd.concat([out_bi, out_uni], ignore_index=True)
+
+    stage1 = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["g"], finalize_counts)
+
+    def attach_ca(df: pd.DataFrame) -> pd.DataFrame:
+        uni = df[df["kind"] == 0][["w", "c_ab"]].rename(columns={"c_ab": "cnt"})
+        bi = df[df["kind"] == 1].drop(columns=["c_a"])
+        j = bi.merge(uni, on="w", how="left")
+        # rekey on the SECOND word; forward the unigram rows for exch 3
+        out_bi = pd.DataFrame({
+            "w": j["b"], "b": j["w"], "gram": j["gram"],
+            "c_ab": j["c_ab"].to_numpy(),
+            "c_a": j["cnt"].to_numpy().astype(np.int64), "kind": 1})
+        return pd.concat([out_bi, df[df["kind"] == 0]], ignore_index=True)
+
+    stage2 = hash_groupby_apply(stage1, ["w"], attach_ca)
+
+    log2 = np.log2
+
+    def attach_cb_topk(df: pd.DataFrame) -> pd.DataFrame:
+        uni = df[df["kind"] == 0][["w", "c_ab"]].rename(columns={"c_ab": "cnt"})
+        bi = df[df["kind"] == 1]
+        if len(bi) == 0:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "pmi_raw": pd.Series([], dtype=np.float64)})
+        j = bi.merge(uni, on="w", how="left")
+        c_ab = j["c_ab"].to_numpy(dtype=np.float64)
+        c_a = j["c_a"].to_numpy(dtype=np.float64)
+        c_b = j["cnt"].to_numpy(dtype=np.float64)
+        pmi = (log2(c_ab) + 2.0 * log2(t_uni) - log2(t_bi)
+               - log2(c_a) - log2(c_b))
+        out = pd.DataFrame({"gram": j["gram"], "n": j["c_ab"].astype(np.int64),
+                            "pmi_raw": pmi})
+        return out.sort_values(["pmi_raw", "gram"],
+                               ascending=[False, True]).head(k)
+
+    survivors = hash_groupby_apply(stage2, ["w"], attach_cb_topk).to_pandas()
+
+    out = survivors.sort_values(["pmi_raw", "gram"],
+                                ascending=[False, True]).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["pmi"] = round6_half_up(out.pop("pmi_raw").to_numpy())
+    return out[["gram", "n", "rank", "pmi"]].reset_index(drop=True)

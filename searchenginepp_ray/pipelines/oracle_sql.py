@@ -849,6 +849,37 @@ SELECT doc_id, n_windows, n_dup_windows,
 FROM per"""
 
 
+def collocations_sql(min_count: int = 5, k: int = 20) -> str:
+    """Oracle for filters.collocations: PMI with the identical operand
+    order (log2(c_ab) + 2 log2(Tu) - log2(Tb) - log2(c_a) - log2(c_b))
+    and gram-ASC tie-break on the unrounded value."""
+    return f"""WITH {_word_toks_cte()},
+uni AS (SELECT unnest(w) AS t FROM wtoks),
+uc AS (SELECT t AS w, COUNT(*) AS c FROM uni GROUP BY t),
+tu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bpos AS (SELECT doc_id, w,
+                unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+         FROM wtoks),
+bi AS (SELECT array_to_string(w[i:i+1], ' ') AS g FROM bpos),
+bc AS (SELECT g, COUNT(*) AS c FROM bi GROUP BY g),
+tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bi),
+parts AS (SELECT g, c,
+                 string_split(g, ' ')[1] AS a,
+                 string_split(g, ' ')[2] AS b
+          FROM bc WHERE c >= {int(min_count)}),
+wt AS (SELECT p.g, p.c,
+              log2(CAST(p.c AS DOUBLE)) + 2 * log2((SELECT v FROM tu))
+              - log2((SELECT v FROM tb))
+              - log2(CAST(ua.c AS DOUBLE)) - log2(CAST(ub.c AS DOUBLE)) AS pmi
+       FROM parts p JOIN uc ua ON ua.w = p.a JOIN uc ub ON ub.w = p.b),
+r AS (SELECT g, c, pmi,
+             row_number() OVER (ORDER BY pmi DESC, g ASC) AS rank
+      FROM wt)
+SELECT g AS gram, CAST(c AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       floor(pmi * 1e6 + 0.5) / 1e6 AS pmi
+FROM r WHERE rank <= {int(k)}"""
+
+
 def repetition_stats_sql() -> str:
     """Oracle for filters.repetition_stats (Gopher-style n-gram
     repetition): top-bigram concentration + duplicate-trigram fraction

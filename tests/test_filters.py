@@ -272,3 +272,27 @@ def test_dup_span_stats_constructed(ray_session, tmp_path):
         if nt >= 8:
             assert got.loc[d, "n_windows"] == nt - 7
     assert np.all(got["dup_frac"].between(0, 1))
+
+
+def test_collocations_planted_phrase(ray_session, tmp_path):
+    """A planted always-together pair must out-PMI a frequent pair whose
+    words also occur apart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.filters import collocations
+
+    # "zig zag" always adjacent; "data base" words also appear separately
+    docs = []
+    for i in range(6):
+        docs.append(f"zig zag appears here data base row {i}")
+        docs.append(f"data alone and base alone fill row {i}")
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"doc_id": list(range(len(docs))),
+                             "text": docs}), p)
+    got = collocations(str(tmp_path), min_count=5, k=50)
+    assert len(got) >= 2
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    pmis = dict(zip(got["gram"], got["pmi"]))
+    assert "zig zag" in pmis and "data base" in pmis
+    assert pmis["zig zag"] > pmis["data base"]
