@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rounding rule => the unrolled-CTE oracle is hash-exact); one
         # streaming pass + one k×dims exchange per iteration
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
+        # distributed covariance (augmented-Gram map-side partials, one
+        # dims^2 exchange) — the PCA/whitening primitive; eigensolve of
+        # the 64x64 result is driver-side by design
+        "embedding_covariance":
+            lambda sf: similarity.embedding_covariance(sf),
         # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
@@ -273,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": osql.doc_keywords_sql(),
         "label_centroids": osql.label_centroids_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
+        "embedding_covariance": osql.embedding_covariance_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +

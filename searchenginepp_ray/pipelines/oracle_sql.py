@@ -800,6 +800,26 @@ SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
 FROM r WHERE rank <= {int(m)}"""
 
 
+def embedding_covariance_sql() -> str:
+    """Oracle for similarity.embedding_covariance: upper-triangle
+    covariance via the Σxᵢxⱼ / per-dim sums / N decomposition (the same
+    quantities the augmented-Gram partials carry)."""
+    return """WITH expl AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings),
+s AS (SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS s
+      FROM expl a JOIN expl b USING (vec_id)
+      WHERE a.dim <= b.dim GROUP BY i, j),
+m AS (SELECT dim, SUM(x) AS m FROM expl GROUP BY dim),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings)
+SELECT s.i AS dim_i, s.j AS dim_j,
+       floor((s.s - ma.m * mb.m / (SELECT v FROM n)) / (SELECT v FROM n)
+             * 1e6 + 0.5) / 1e6 AS cov
+FROM s JOIN m ma ON ma.dim = s.i JOIN m mb ON mb.dim = s.j"""
+
+
 def label_centroids_sql() -> str:
     """Oracle for similarity.label_centroids (per-label mean vector,
     long format via unnest + generate_subscripts)."""

@@ -587,3 +587,57 @@ def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):
         })
 
     return hash_groupby_apply(partials, ["vec_id"], topk_per_vec)
+
+
+def embedding_covariance(sf_dir: str):
+    """Distributed covariance matrix of the embedding column — the
+    linear-algebra aggregate behind PCA / whitening / drift detection at
+    corpus scale. Returns the upper triangle in long format
+    (dim_i, dim_j, cov) with cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/N)/N, rounded under
+    the shared floor rule.
+
+    Scale shape: each batch reduces to ONE augmented Gram partial —
+    [X|1]ᵀ[X|1], which carries Σxᵢxⱼ, the per-dim sums (last column) and
+    the row count (corner) in a single (d+1)² matrix — so the exchange
+    traffic is dims² floats per batch regardless of rows, and the final
+    assembly is a dims²-row pivot (bounded by the dimension, never the
+    data). One hash exchange over the (i, j) key space.
+
+    The 64×64 result is eigensolved driver-side in microseconds for PCA
+    (see the pytest) — the classic "big data, small model" split."""
+    import pandas as pd
+
+    from .agg import hash_groupby_sum
+    from .text_stats import round6_half_up
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"dim_i": pa.array([], pa.int64()),
+                             "dim_j": pa.array([], pa.int64()),
+                             "s_part": pa.array([], pa.float64())})
+        aug = np.hstack([m, np.ones((len(m), 1))])
+        S = aug.T @ aug
+        d1 = S.shape[0]
+        iu, ju = np.triu_indices(d1)
+        return pa.table({"dim_i": pa.array(iu.astype(np.int64)),
+                         "dim_j": pa.array(ju.astype(np.int64)),
+                         "s_part": pa.array(S[iu, ju])})
+
+    agg = hash_groupby_sum(
+        embeddings_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["dim_i", "dim_j"], {"s": ("s_part", "sum")},
+    ).to_pandas()  # (d+1)(d+2)/2 rows — bounded by dims, not data
+
+    d1 = int(agg["dim_i"].max()) + 1
+    d = d1 - 1
+    S = np.zeros((d1, d1))
+    S[agg["dim_i"], agg["dim_j"]] = agg["s"].to_numpy()
+    S = S + np.triu(S, 1).T  # mirror to full symmetric
+    n = S[d, d]
+    sums = S[:d, d]
+    iu, ju = np.triu_indices(d)
+    cov = (S[:d, :d][iu, ju] - sums[iu] * sums[ju] / n) / n
+    return pd.DataFrame({"dim_i": iu.astype(np.int64),
+                         "dim_j": ju.astype(np.int64),
+                         "cov": round6_half_up(cov)})

@@ -148,3 +148,27 @@ def test_kmeans_matches_sequential_reference(ray_session):
     # every cluster id in range, and clustering is non-degenerate
     assert got["cluster"].between(0, 7).all()
     assert got["cluster"].nunique() > 1
+
+
+def test_embedding_covariance_pca_matches_numpy(ray_session):
+    """The distributed covariance equals numpy's (to the shared 6 dp
+    rule), and the driver-side eigensolve of the 64×64 result recovers
+    the same top principal component as PCA on the raw matrix — the
+    'big data, small model' split the operator is designed for."""
+    import pyarrow.parquet as pq
+
+    got = similarity.embedding_covariance(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = (t["embedding"].combine_chunks().flatten().to_numpy()
+         .reshape(len(t), -1).astype(np.float64))
+    ref = np.cov(m, rowvar=False, bias=True)
+    d = ref.shape[0]
+    full = np.zeros((d, d))
+    full[got["dim_i"], got["dim_j"]] = got["cov"]
+    full = full + np.triu(full, 1).T
+    assert np.abs(full - ref).max() < 1e-6 + 1e-9
+    # PCA: top eigenvector from the operator's matrix vs raw-data PCA
+    wg, vg = np.linalg.eigh(full)
+    wr, vr = np.linalg.eigh(ref)
+    assert abs(wg[-1] - wr[-1]) < 1e-5
+    assert abs(abs(vg[:, -1] @ vr[:, -1]) - 1.0) < 1e-4
