@@ -348,6 +348,17 @@ def run_default() -> None:
           lambda: similarity.embedding_quantize(sf_dir))
     timed("training_export", lambda: export.training_export(sf_dir))
     timed("knn_graph", lambda: similarity.knn_graph(sf_dir))
+    # round-3 session 3: LM/statistical text analysis + clustering
+    timed("unigram_logprob", lambda: text_stats.unigram_logprob(sf_dir))
+    timed("dup_span_stats", lambda: filters.dup_span_stats(sf_dir))
+    timed("collocations", lambda: filters.collocations(sf_dir))
+    timed("doc_keywords", lambda: embed.doc_keywords(sf_dir))
+    timed("kmeans_embeddings",
+          lambda: similarity.kmeans_embeddings(sf_dir))
+    timed("embedding_covariance",
+          lambda: similarity.embedding_covariance(sf_dir))
+    timed("top_orders_by_revenue",
+          lambda: relational.top_orders_by_revenue(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
