@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.top_orders_by_revenue(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
+        # deterministic salted train/val/test split (disjoint +
+        # exhaustive by construction; stable across reruns/clusters)
+        "dataset_split": lambda sf: sample.dataset_split(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
@@ -272,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": osql.order_rollup_sql(),
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
+        "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),

@@ -728,6 +728,23 @@ SELECT o_orderkey, CAST(rank AS BIGINT) AS rank, rev_e4 / 10000.0 AS revenue
 FROM r WHERE rank <= {int(k)}"""
 
 
+def dataset_split_sql(val_frac: float = 0.1, test_frac: float = 0.1,
+                      salt: str = "split") -> str:
+    """Oracle for sample.dataset_split: the identical salted md5-prefix
+    CASE rule."""
+    from .sample import _threshold_hex
+
+    t_test = _threshold_hex(test_frac)
+    t_val = _threshold_hex(test_frac + val_frac)
+    return f"""SELECT doc_id,
+       CASE WHEN substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{t_test}' THEN 'test'
+            WHEN substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{t_val}' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents"""
+
+
 def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:
     """Oracle for similarity.kmeans_embeddings: the Lloyd recurrence
     unrolled as chained CTEs. Init = k lowest-vec_id vectors; assignment

@@ -166,3 +166,34 @@ def stratified_sample(sf_dir: str, fracs: dict[str, float] | None = None,
     return documents_ds(sf_dir, columns=cols).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def dataset_split(sf_dir: str, val_frac: float = 0.1,
+                  test_frac: float = 0.1, salt: str = "split"):
+    """Deterministic train/val/test assignment — the terminal curation
+    step before export. The split is a pure function of the row key
+    (md5 of ``salt:doc_id``), so it is stable across reruns, resumable
+    shards and cluster sizes, splits are disjoint and exhaustive by
+    construction, and the ``salt`` decorrelates it from every other
+    md5-addressed decision in the pipeline (sampling, sharding) — a doc
+    sampled by :func:`deterministic_sample` is not biased toward any
+    split. Single streaming pass, no shuffle, no RNG. Returns
+    (doc_id, split)."""
+    from .duck import md5_hex
+    from .text_stats import documents_ds
+
+    t_test = _threshold_hex(test_frac)
+    t_val = _threshold_hex(test_frac + val_frac)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        keyed = pc.binary_join_element_wise(
+            pa.array([salt + ":"] * len(t), pa.string()), ids, "")
+        pref = pc.utf8_slice_codeunits(md5_hex(keyed), 0, 4)
+        p = pref.to_numpy(zero_copy_only=False)
+        split = np.where(p < t_test, "test",
+                         np.where(p < t_val, "val", "train"))
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(split)})
+
+    return documents_ds(sf_dir, columns=("doc_id",)).map_batches(
+        tag, batch_format="pyarrow")

@@ -65,3 +65,23 @@ def test_hll_distinct_terms_small_corpus_exact(ray_session, sf_dir):
     exact = term_df(sf_dir).count()
     # tiny vocabulary -> linear-counting regime is exact
     assert est == exact
+
+
+def test_dataset_split_disjoint_stable_salted(ray_session):
+    from searchenginepp_ray.pipelines.sample import dataset_split
+
+    sf = "/root/testdata/sf0.01"
+    a = dataset_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dataset_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # rerun-stable
+    assert set(a["split"].unique()) <= {"train", "val", "test"}
+    assert len(a) == a["doc_id"].nunique()  # exhaustive + disjoint
+    # fractions in the right ballpark (md5 uniformity, 500 docs)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.6 <= frac.get("train", 0) <= 0.95
+    assert 0.02 <= frac.get("val", 0) <= 0.25
+    assert 0.02 <= frac.get("test", 0) <= 0.25
+    # a different salt reshuffles assignments
+    c = dataset_split(sf, salt="other").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (c["split"] != a["split"]).any()
