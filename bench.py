@@ -336,6 +336,11 @@ def run_default() -> None:
     from searchenginepp_ray.pipelines import embed, graph
 
     timed("doc_embedding", lambda: embed.doc_embedding(sf_dir))
+    # BSP PageRank spawns a raw-actor pool; its wall time is dominated by
+    # actor process startup whenever the session carries worker residue
+    # (measured 5-45 s run-to-run for ~1 s of supersteps) — recycle so
+    # the recorded number measures the engine, not the churn
+    recycle_session()
     timed("part_pagerank_bsp", lambda: graph.part_pagerank_bsp(sf_dir))
     # training-data filters + export stages (round-3 session 2)
     from searchenginepp_ray.pipelines import export, filters
