@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc cardinality; same explode + term exchange as
         # doc_embedding, one doc exchange with a sort/cumcount kernel)
         "doc_keywords": lambda sf: _embed().doc_keywords(sf),
+        # composed semantic search: embedding GENERATION -> dense pivot
+        # -> exact cosine top-k vs the first 5 docs (rank over the
+        # shared-rounded cosine so the composition is hash-checkable)
+        "text_knn": lambda sf: _embed().text_knn(sf),
     }
 
 
@@ -280,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "doc_keywords": osql.doc_keywords_sql(),
+        "text_knn": osql.text_knn_sql(),
         "label_centroids": osql.label_centroids_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
         "embedding_covariance": osql.embedding_covariance_sql(),

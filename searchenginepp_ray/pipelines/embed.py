@@ -182,16 +182,87 @@ def doc_keywords(sf_dir: str, m: int = 5) -> ray.data.Dataset:
     return hash_groupby_apply(weighted, ["doc_id"], topm)
 
 
-def doc_embedding_vectors(sf_dir: str, dims: int = DIMS) -> ray.data.Dataset:
+def doc_embedding_vectors(sf_dir: str, dims: int = DIMS,
+                          dtype=None) -> ray.data.Dataset:
     """Dense form: (doc_id, embedding FixedSizeList<float32, dims>) —
     one more hash exchange on doc_id pivots the long rows into vectors
-    with a single per-partition scatter (no per-doc Python)."""
+    with a single per-partition scatter (no per-doc Python).
+    ``dtype=np.float64`` keeps full precision (used by :func:`text_knn`,
+    whose oracle comparison needs the rounded weights bit-exact)."""
     from .agg import hash_groupby_apply
+
+    dt = dtype or np.float32
 
     def pivot(df: pd.DataFrame) -> pd.DataFrame:
         ids, inv = np.unique(df["doc_id"].to_numpy(), return_inverse=True)
-        mat = np.zeros((len(ids), dims), dtype=np.float32)
+        mat = np.zeros((len(ids), dims), dtype=dt)
         mat[inv, df["dim"].to_numpy()] = df["weight"].to_numpy()
         return pd.DataFrame({"doc_id": ids, "embedding": list(mat)})
 
     return hash_groupby_apply(doc_embedding(sf_dir, dims), ["doc_id"], pivot)
+
+
+def text_knn(sf_dir: str, n_queries: int = 5, k: int = 5,
+             dims: int = DIMS) -> ray.data.Dataset:
+    """The COMPOSED semantic-search query: embedding GENERATION
+    (:func:`doc_embedding`, the deterministic feature-hashed TF-IDF
+    model) → dense pivot → exact cosine top-k of every document against
+    the first ``n_queries`` documents. This is the text-side twin of
+    ``knn_brute_force`` with the vectors produced by the pipeline itself
+    rather than read from a table — the end-to-end shape of embed-then-
+    retrieve corpus curation, value-checked by ONE SQL statement.
+
+    Determinism contract: similarity is computed from the ROUNDED
+    (6 dp) long-format weights — which the doc_embedding oracle proves
+    bit-identical across engines — and ranking compares the ROUNDED
+    cosine (ties → neighbor_id ASC), so cross-engine summation-order
+    ULPs cannot flip a rank. Docs with no tokens have no embedding rows
+    and are absent, matching the SQL join semantics.
+
+    Scale shape: the query matrix is n_queries×dims (collected once,
+    ``ray.put`` broadcast); the corpus side streams through the dense
+    pivot with per-batch partial top-k — no all-to-all beyond
+    doc_embedding's own two exchanges + the pivot exchange."""
+    import pyarrow as pa_mod
+
+    vecs = doc_embedding_vectors(sf_dir, dims, dtype=np.float64)
+    # bounded collect: the n_queries query vectors only
+    q_rows = (vecs.filter(lambda r: r["doc_id"] < n_queries)
+              .take_all())
+    q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in q_rows])
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put((q_ids, qn))
+
+    def partial_topk(t: pa_mod.Table) -> pa_mod.Table:
+        from .similarity import _normalize, _vec_matrix
+
+        q_ids, qn = ray.get(q_ref)
+        m = _vec_matrix(t["embedding"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qn @ _normalize(m).T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = np.floor(sims[qi] * 1e6 + 0.5) / 1e6  # shared rounding
+            thresh = np.partition(s, len(s) - kk)[len(s) - kk]
+            keep = np.flatnonzero(s >= thresh)  # tie-safe partial top-k
+            out_q.extend([int(q_ids[qi])] * len(keep))
+            out_n.extend(ids[keep].tolist())
+            out_s.extend(s[keep].tolist())
+        return pa_mod.table({
+            "query_id": pa_mod.array(out_q, pa_mod.int64()),
+            "neighbor_id": pa_mod.array(out_n, pa_mod.int64()),
+            "cosine": pa_mod.array(out_s, pa_mod.float64())})
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas")

@@ -837,6 +837,33 @@ SELECT s.i AS dim_i, s.j AS dim_j,
 FROM s JOIN m ma ON ma.dim = s.i JOIN m mb ON mb.dim = s.j"""
 
 
+def text_knn_sql(n_queries: int = 5, k: int = 5, dims: int = 64) -> str:
+    """Oracle for embed.text_knn: ONE statement composing the
+    doc_embedding weights (rounded 6 dp — bit-identical across engines,
+    proven by the doc_embedding gate) with cosine top-k; ranking over
+    the ROUNDED cosine, ties to neighbor_id ASC."""
+    emb = doc_embedding_sql(dims)
+    return f"""WITH emb AS ({emb}),
+nrm AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS nn
+        FROM emb GROUP BY doc_id),
+q AS (SELECT * FROM emb WHERE doc_id < {int(n_queries)}),
+dots AS (SELECT q.doc_id AS query_id, e.doc_id AS neighbor_id,
+                SUM(q.weight * e.weight) AS dot
+         FROM q JOIN emb e USING (dim) GROUP BY query_id, neighbor_id),
+cosv AS (SELECT d.query_id, d.neighbor_id,
+                floor(d.dot / (nq.nn * ne.nn) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM dots d
+         JOIN nrm nq ON nq.doc_id = d.query_id
+         JOIN nrm ne ON ne.doc_id = d.neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC)
+                 AS rank
+      FROM cosv)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= {int(k)}"""
+
+
 def label_centroids_sql() -> str:
     """Oracle for similarity.label_centroids (per-label mean vector,
     long format via unnest + generate_subscripts)."""

@@ -45,6 +45,10 @@ def _vec_matrix(col, dtype=np.float64) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if isinstance(col, pa.ExtensionArray):
+        # Ray's tensor extension (what a pandas round-trip of ndarray
+        # rows infers): its to_numpy() is already the (n, dim) matrix
+        return col.to_numpy().astype(dtype, copy=False)
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
     else:

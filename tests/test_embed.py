@@ -52,3 +52,15 @@ def test_embedding_feeds_knn(ray_session, sf_dir):
     ids = dense["doc_id"].to_numpy()
     for qi in range(5):
         assert ids[np.argmax(sims[qi])] == ids[qi]
+
+
+def test_text_knn_self_top1(ray_session):
+    """Every query doc's nearest neighbor by its own generated embedding
+    is itself (cosine 1.0)."""
+    from searchenginepp_ray.pipelines.embed import text_knn
+
+    df = text_knn("/root/testdata/sf0.01", n_queries=3, k=3).to_pandas()
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g.iloc[0]["neighbor_id"] == qid
+        assert abs(g.iloc[0]["cosine"] - 1.0) < 1e-9
