@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed label-propagation CC over the exact-Jaccard pair
         # graph — oracle = recursive-CTE reachability closure
         "dup_components": lambda sf: dedup.dup_components(sf),
+        # quality-based canonicalization: keep the LONGEST member of
+        # each near-dup component (tagged-union doc_id join + one
+        # component-keyed argmax exchange; integer-exact)
+        "dup_components_best": lambda sf: dedup.dup_components_best(sf),
         "simhash": lambda sf: dedup.simhash(sf),
         "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
@@ -252,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "dup_components": osql.dup_components_sql(),
+        "dup_components_best": osql.dup_components_best_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         # exhaustive bucketing == the exact kernel, same oracle
         "embedding_near_dup_lsh_exhaustive": osql.embedding_near_dup_sql(),

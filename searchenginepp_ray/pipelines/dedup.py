@@ -994,3 +994,69 @@ def dup_components(
         lambda t: t.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow",
     )
+
+
+def dup_components_best(
+    sf_dir: str, shingle: int = 3, thr_num: int = 4, thr_den: int = 5,
+    num_perm: int = 128, bands: int = 64,
+):
+    """Near-dup canonicalization by QUALITY, not by id: for every
+    connected component of the exact-Jaccard near-dup graph, keep the
+    member with the most tokens (ties → lowest doc_id) — the "keep the
+    longest copy" rule real curation pipelines use instead of
+    :func:`dup_components`'s min-id labeling. Returns
+    (component, keep_doc_id, n_tokens, n_members).
+
+    Composition shape: the component labels (distributed label
+    propagation) hash-join the per-doc token counts on doc_id (one
+    tagged-union exchange — only component members carry counts onward),
+    then one component-keyed exchange runs a vectorized sort/head-1
+    argmax kernel. Integer-exact throughout: no float tie hazard."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .text_stats import token_count
+
+    comp = dup_components(sf_dir, shingle, thr_num, thr_den,
+                          num_perm, bands)
+
+    def tag_comp(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "component": t["component"].cast(pa.int64()),
+            "n_tokens": pa.array(np.zeros(n, np.int64)),
+            "kind": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "component": pa.array(np.full(n, -1, np.int64)),
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8)),
+        })
+
+    u = comp.map_batches(tag_comp, batch_format="pyarrow").union(
+        token_count(sf_dir).map_batches(tag_counts, batch_format="pyarrow"))
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["kind"] == 0][["doc_id", "component"]]
+        n = df[df["kind"] == 1][["doc_id", "n_tokens"]]
+        j = c.merge(n, on="doc_id", how="left")
+        j["n_tokens"] = j["n_tokens"].fillna(0).astype(np.int64)
+        return j
+
+    members = hash_groupby_apply(u, ["doc_id"], join)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["component", "n_tokens", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        sizes = df.groupby("component").size()
+        out = df.groupby("component", as_index=False).head(1).copy()
+        out["n_members"] = out["component"].map(sizes).astype(np.int64)
+        out = out.rename(columns={"doc_id": "keep_doc_id"})
+        return out[["component", "keep_doc_id", "n_tokens", "n_members"]]
+
+    return hash_groupby_apply(members, ["component"], best)

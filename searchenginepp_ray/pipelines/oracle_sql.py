@@ -575,6 +575,42 @@ FROM reach GROUP BY src
 """
 
 
+def dup_components_best_sql(shingle: int = 3, thr_num: int = 4,
+                            thr_den: int = 5) -> str:
+    """Oracle for dedup.dup_components_best: the reachability-closure
+    components joined with per-doc token counts, keep-longest (ties to
+    lowest doc_id) via a window."""
+    pairs = ngram_jaccard_sql(shingle, thr_num, thr_den)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src
+),{tok_cte()},
+tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+j AS (SELECT c.component, c.doc_id, COALESCE(tc.n, 0) AS n
+      FROM comp c LEFT JOIN tc USING (doc_id)),
+r AS (SELECT component, doc_id, n,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS m
+      FROM j)
+SELECT component, doc_id AS keep_doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(m AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
 def deterministic_sample_sql(frac: float = 0.1) -> str:
     """Oracle for sample.deterministic_sample — the same md5-prefix rule
     in SQL (lexicographic hex comparison == numeric comparison)."""

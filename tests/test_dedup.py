@@ -359,3 +359,27 @@ def test_dup_components_matches_recursive_cte_oracle(ray_session, sf_dir):
     )
     assert len(got) > 0 and got["component"].nunique() > 1
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_dup_components_best_keeps_longest(ray_session):
+    """Canonicalization invariants at sf0.01: one keeper per component,
+    the keeper belongs to the component, and no other member of the
+    component has more tokens (or equal tokens with a lower id)."""
+    from searchenginepp_ray.pipelines.dedup import (
+        dup_components, dup_components_best)
+    from searchenginepp_ray.pipelines.text_stats import token_count
+
+    sf = "/root/testdata/sf0.01"
+    best = dup_components_best(sf).to_pandas()
+    comp = dup_components(sf).to_pandas()
+    counts = token_count(sf).to_pandas().set_index("doc_id")["n_tokens"]
+    assert best["component"].is_unique
+    members = comp.groupby("component")["doc_id"].apply(set)
+    for _, row in best.iterrows():
+        m = members[row["component"]]
+        assert row["keep_doc_id"] in m
+        assert row["n_members"] == len(m)
+        for d in m:
+            n_d = counts.get(d, 0)
+            assert (n_d, -d) <= (row["n_tokens"], -row["keep_doc_id"]), (
+                row["component"], d)
