@@ -54,6 +54,11 @@ def main(sf_dir: str, only: tuple[str, ...] = ()):
 
     qs = entrymod.queries()
     if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"unknown query name(s): {', '.join(unknown)}")
+            ray.shutdown()
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0

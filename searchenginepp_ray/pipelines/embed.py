@@ -45,11 +45,15 @@ def _n_docs(sf_dir: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _explode_posts_df(t: pa.Table) -> pa.Table:
+def _explode_posts_df(t: pa.Table, partial: str = "df") -> pa.Table:
     """One term_counts batch → posting rows (term, doc_id, tf, is_post=1)
-    PLUS per-batch df partials (term, 0, df_part, is_post=0), tagged into
-    one stream so the term-side exchange runs once. Shared by
-    :func:`doc_embedding` and :func:`doc_keywords`."""
+    PLUS per-batch per-term partials (term, 0, part, is_post=0), tagged
+    into one stream so the term-side exchange runs once. ``partial``
+    selects the partial statistic: ``"df"`` (docs-per-term — terms are
+    unique per doc, so it's the flat stream's value_counts) or ``"ctf"``
+    (collection term frequency — grouped tf sum). Shared by
+    :func:`doc_embedding`, :func:`doc_keywords` and
+    :func:`..text_stats.unigram_logprob`."""
     terms = t["terms"]
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
@@ -59,21 +63,25 @@ def _explode_posts_df(t: pa.Table) -> pa.Table:
     doc_ids = pa.array(np.repeat(
         t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         n_per))
-    # terms are unique per doc, so this batch's df partial is the
-    # flat stream's value_counts — tag df rows is_post=0
-    vc = flat_terms.value_counts()
-    n_post, n_df = len(flat_terms), len(vc)
+
+    def _c(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    if partial == "df":
+        vc = flat_terms.value_counts()
+        p_terms, p_vals = _c(vc.field("values")), vc.field("counts").cast(pa.int64())
+    else:  # "ctf"
+        g = (pa.table({"term": flat_terms, "tf": flat_tfs})
+             .group_by("term").aggregate([("tf", "sum")]))
+        p_terms, p_vals = _c(g["term"]), _c(g["tf_sum"].cast(pa.int64()))
+    n_post, n_p = len(flat_terms), len(p_terms)
     return pa.table({
-        "term": pa.concat_arrays(
-            [flat_terms.combine_chunks() if isinstance(flat_terms, pa.ChunkedArray) else flat_terms,
-             vc.field("values")]),
+        "term": pa.concat_arrays([_c(flat_terms), p_terms]),
         "doc_id": pa.concat_arrays(
-            [doc_ids, pa.array(np.zeros(n_df, np.int64))]),
-        "tf": pa.concat_arrays(
-            [flat_tfs.combine_chunks() if isinstance(flat_tfs, pa.ChunkedArray) else flat_tfs,
-             vc.field("counts").cast(pa.int64())]),
+            [doc_ids, pa.array(np.zeros(n_p, np.int64))]),
+        "tf": pa.concat_arrays([_c(flat_tfs), _c(p_vals)]),
         "is_post": pa.array(
-            np.r_[np.ones(n_post, np.int8), np.zeros(n_df, np.int8)]),
+            np.r_[np.ones(n_post, np.int8), np.zeros(n_p, np.int8)]),
     })
 
 
@@ -225,7 +233,12 @@ def text_knn(sf_dir: str, n_queries: int = 5, k: int = 5,
     doc_embedding's own two exchanges + the pivot exchange."""
     import pyarrow as pa_mod
 
-    vecs = doc_embedding_vectors(sf_dir, dims, dtype=np.float64)
+    # materialize the dense pivot ONCE: it is consumed twice (query
+    # collection + the scan below), and Ray re-executes lineage per
+    # consumption — doc_embedding's two exchanges would otherwise run
+    # twice. The pivot is the pipeline's smallest artifact (dims×8 bytes
+    # per doc) and spills via the object store at scale.
+    vecs = doc_embedding_vectors(sf_dir, dims, dtype=np.float64).materialize()
     # bounded collect: the n_queries query vectors only
     q_rows = (vecs.filter(lambda r: r["doc_id"] < n_queries)
               .take_all())
@@ -243,14 +256,23 @@ def text_knn(sf_dir: str, n_queries: int = 5, k: int = 5,
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = qn @ _normalize(m).T
         out_q, out_n, out_s = [], [], []
-        kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
-            s = np.floor(sims[qi] * 1e6 + 0.5) / 1e6  # shared rounding
+            raw = sims[qi]
+            # the oracle's JOIN ... USING (dim) only ranks docs sharing
+            # at least one posted dim with the query; disjoint support
+            # gives a dot of exactly 0.0 — drop those candidates so the
+            # two sides rank the same set
+            cand = np.flatnonzero(raw != 0.0)
+            if len(cand) == 0:
+                continue
+            s = np.floor(raw[cand] * 1e6 + 0.5) / 1e6  # shared rounding
+            kk = min(k, len(s))
             thresh = np.partition(s, len(s) - kk)[len(s) - kk]
-            keep = np.flatnonzero(s >= thresh)  # tie-safe partial top-k
+            keep = cand[np.flatnonzero(s >= thresh)]  # tie-safe partial
             out_q.extend([int(q_ids[qi])] * len(keep))
             out_n.extend(ids[keep].tolist())
-            out_s.extend(s[keep].tolist())
+            out_s.extend(
+                (np.floor(raw[keep] * 1e6 + 0.5) / 1e6).tolist())
         return pa_mod.table({
             "query_id": pa_mod.array(out_q, pa_mod.int64()),
             "neighbor_id": pa_mod.array(out_n, pa_mod.int64()),

@@ -298,7 +298,7 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM sims
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, floor(cos * 1e6 + 0.5) / 1e6 AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
@@ -1146,5 +1146,5 @@ ranked AS (
                               ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM sims)
 SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       ROUND(cos, 6) AS cosine
+       floor(cos * 1e6 + 0.5) / 1e6 AS cosine
 FROM ranked WHERE rank <= {int(k)}"""

@@ -118,7 +118,9 @@ def knn_brute_force(sf_dir: str, n_queries: int = 5, k: int = 5):
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        df["cosine"] = df["cosine"].round(6)
+        # shared floor rounding rule (np.round half-to-even vs SQL ROUND
+        # half-away disagree exactly on the half grid)
+        df["cosine"] = np.floor(df["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
         return df[["query_id", "neighbor_id", "rank", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -260,7 +262,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        df["cosine"] = df["cosine"].round(6)
+        df["cosine"] = np.floor(df["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
         return df[["query_id", "neighbor_id", "rank", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -542,7 +544,11 @@ def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):
             kk = min(k, n_c)
             thresh = np.partition(sims, n_c - kk, axis=1)[:, n_c - kk]
             rr, cc = np.nonzero(sims >= thresh[:, None])
-            out.append((ids_r[rr], ids_c[cc], sims[rr, cc]))
+            vals = sims[rr, cc]
+            # when the candidate pool is <= k the row threshold is the
+            # -inf self sentinel itself — never emit it
+            real = vals != -np.inf
+            out.append((ids_r[rr[real]], ids_c[cc[real]], vals[real]))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             out: list = []
@@ -587,7 +593,7 @@ def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):
             "vec_id": v[keep],
             "neighbor_id": nb[keep],
             "rank": (rank[keep] + 1).astype(np.int64),
-            "cosine": np.round(cs[keep], 6),
+            "cosine": np.floor(cs[keep] * 1e6 + 0.5) / 1e6,
         })
 
     return hash_groupby_apply(partials, ["vec_id"], topk_per_vec)

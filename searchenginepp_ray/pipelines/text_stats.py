@@ -268,31 +268,9 @@ def unigram_logprob(sf_dir: str):
     )
 
     def explode(t: pa.Table) -> pa.Table:
-        terms = t["terms"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        flat_terms = pc.list_flatten(terms)
-        flat_tfs = pc.list_flatten(t["tfs"]).cast(pa.int64())
-        n_per = np.asarray(pc.list_value_length(terms)).astype(np.int64)
-        doc_ids = pa.array(np.repeat(
-            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_per))
-        # per-batch ctf partial: grouped sum of the flat tf stream
-        g = (pa.table({"term": flat_terms, "tf": flat_tfs})
-             .group_by("term").aggregate([("tf", "sum")]))
-        n_post, n_ctf = len(flat_terms), len(g)
+        from .embed import _explode_posts_df
 
-        def _chunks(a):
-            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-
-        return pa.table({
-            "term": pa.concat_arrays([_chunks(flat_terms), _chunks(g["term"])]),
-            "doc_id": pa.concat_arrays(
-                [doc_ids, pa.array(np.zeros(n_ctf, np.int64))]),
-            "tf": pa.concat_arrays(
-                [_chunks(flat_tfs), _chunks(g["tf_sum"].cast(pa.int64()))]),
-            "is_post": pa.array(
-                np.r_[np.ones(n_post, np.int8), np.zeros(n_ctf, np.int8)]),
-        })
+        return _explode_posts_df(t, partial="ctf")
 
     def per_term(df: pd.DataFrame) -> pd.DataFrame:
         posts = df[df["is_post"] == 1]

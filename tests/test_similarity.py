@@ -172,3 +172,24 @@ def test_embedding_covariance_pca_matches_numpy(ray_session):
     wr, vr = np.linalg.eigh(ref)
     assert abs(wg[-1] - wr[-1]) < 1e-5
     assert abs(abs(vg[:, -1] @ vr[:, -1]) - 1.0) < 1e-4
+
+
+def test_knn_graph_small_pool_excludes_self(ray_session, tmp_path):
+    """Candidate pool <= k: the -inf self sentinel must never surface as
+    a neighbor (single-chunk self block, n_rows < k)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(4, 8)).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array([list(r) for r in m],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * 4, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    df = similarity.knn_graph(str(tmp_path), k=5).to_pandas()
+    assert (df["vec_id"] != df["neighbor_id"]).all()
+    assert np.isfinite(df["cosine"]).all()
+    # each vector sees exactly the 3 others
+    assert df.groupby("vec_id").size().eq(3).all()
