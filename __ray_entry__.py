@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (count exchange with min-count cut, two unigram co-partition
         # joins, per-partition partial top-k)
         "collocations": lambda sf: _filters().collocations(sf),
+        # tokenizer TRAINING: BPE iteration-0 pair statistics (oracle-
+        # checked) and the full merge-learning loop (rows-only; pinned
+        # by a pytest vs a sequential Sennrich reference)
+        "bpe_pair_counts": lambda sf: _tokenizer().bpe_pair_counts(sf),
+        "bpe_train": lambda sf: _tokenizer().bpe_train(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
@@ -204,6 +209,12 @@ def _embed():
     return embed
 
 
+def _tokenizer():
+    from searchenginepp_ray.pipelines import tokenizer
+
+    return tokenizer
+
+
 def _filters():
     from searchenginepp_ray.pipelines import filters
 
@@ -248,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(),
         "dup_span_stats": osql.dup_span_stats_sql(),
         "collocations": osql.collocations_sql(),
+        "bpe_pair_counts": osql.bpe_pair_counts_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
         "training_export": osql.training_export_sql(),

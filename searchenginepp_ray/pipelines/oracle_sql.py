@@ -980,6 +980,24 @@ SELECT g AS gram, CAST(c AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
 FROM r WHERE rank <= {int(k)}"""
 
 
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    """Oracle for tokenizer.bpe_pair_counts: adjacent char pairs of the
+    word-frequency dict, top-k by weighted count, (a, b) ASC ties."""
+    return f"""WITH {_word_toks_cte()},
+uw AS (SELECT unnest(w) AS word FROM wtoks),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uw GROUP BY word),
+pos AS (SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wc WHERE length(word) >= 2),
+pcnt AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+                SUM(n) AS n
+         FROM pos GROUP BY a, b),
+r AS (SELECT a, b, n,
+             row_number() OVER (ORDER BY n DESC, a ASC, b ASC) AS rank
+      FROM pcnt)
+SELECT a, b, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {int(k)}"""
+
+
 def repetition_stats_sql() -> str:
     """Oracle for filters.repetition_stats (Gopher-style n-gram
     repetition): top-bigram concentration + duplicate-trigram fraction

@@ -1,0 +1,185 @@
+"""Tokenizer TRAINING over the documents table — the vocabulary-induction
+stage of a training-data pipeline: byte-pair-encoding merge learning
+(Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units") re-expressed for Ray Data.
+
+The classic algorithm trains on the WORD-FREQUENCY dictionary, not the
+token stream: one pass over the corpus builds (word, count) — after which
+every merge iteration is vocabulary-sized work, independent of corpus
+size. That split is exactly what distributes:
+
+1. one streaming pass + one hash exchange builds the word-count vocab
+   (map-side ``value_counts`` partials, so the exchange carries the
+   batch-local vocabulary, never the token stream);
+2. the vocab Dataset is materialized ONCE (object-store resident,
+   spillable) with each word's symbol sequence; every merge iteration is
+   one ``map_batches`` pair-count pass (map-side-combined per block) +
+   one tiny (symbol-pair-space-bounded) exchange + a driver argmax — the
+   only thing the driver ever holds is pair counts and the merge list;
+3. applying a merge rewrites the symbol column in place (per-word regex
+   with symbol-boundary lookarounds, one ``map_batches`` over the vocab).
+
+Per-word Python in the pair-count/apply kernels runs at VOCABULARY
+cardinality, not corpus cardinality — the same trade the reference
+single-machine implementations make, here partitioned across the
+cluster.
+
+``bpe_pair_counts`` (iteration-0 pair statistics) is DuckDB-oracle-
+checked; ``bpe_train`` is pinned by a pytest against a sequential
+reference implementation of the same deterministic contract (most
+frequent pair first; ties → lexicographically smallest (a, b))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _word_counts_ds(sf_dir: str) -> ray.data.Dataset:
+    """(word, n) over the filters-family word tokenization (lowercase,
+    split on non-[a-z0-9] runs) — one exchange, map-side combined."""
+    from .agg import hash_groupby_sum
+    from .filters import _words_flat
+    from .text_stats import documents_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, flat, _ = _words_flat(t["text"])
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n_part": vc.field("counts").cast(pa.int64())})
+
+    return hash_groupby_sum(
+        documents_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["word"], {"n": ("n_part", "sum")})
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 50):
+    """Adjacent character-pair statistics of the word-frequency dict —
+    BPE iteration 0, the oracle-checkable half of tokenizer training.
+    Returns the top-``k`` pairs by total weighted count
+    (a, b, n, rank; ties → (a, b) ASC).
+
+    Fully vectorized: each vocab block concatenates its words into one
+    byte buffer, takes (char, next-char) at every non-word-final
+    position, and bincounts over the 256² pair space with word-count
+    weights — no per-word Python on this path."""
+    from .agg import hash_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["word"].to_numpy()
+        n = df["n"].to_numpy()
+        lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+        keep = lens >= 2
+        words, n, lens = words[keep], n[keep], lens[keep]
+        if len(words) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "n_part": pd.Series([], dtype=np.int64)})
+        buf = np.frombuffer("".join(words).encode("utf-8"), dtype=np.uint8)
+        # words are [a-z0-9]+ => 1 byte per char, offsets from lengths
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        m = lens - 1  # pair positions per word
+        rng = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m)
+        pos = np.repeat(starts, m) + rng
+        pair_id = buf[pos].astype(np.int32) * 256 + buf[pos + 1]
+        counts = np.bincount(pair_id, weights=np.repeat(n, m),
+                             minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({
+            "a": [chr(p // 256) for p in nz],
+            "b": [chr(p % 256) for p in nz],
+            "n_part": counts[nz].astype(np.int64)})
+
+    pairs = hash_groupby_sum(
+        _word_counts_ds(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["a", "b"], {"n": ("n_part", "sum")},
+    ).to_pandas()  # bounded by the 36^2 character-pair space
+
+    pairs = pairs.sort_values(["n", "a", "b"],
+                              ascending=[False, True, True]).head(k)
+    pairs["rank"] = np.arange(1, len(pairs) + 1, dtype=np.int64)
+    return pairs[["a", "b", "n", "rank"]].reset_index(drop=True)
+
+
+def _merge_pattern(a: str, b: str):
+    """Compiled regex replacing the symbol bigram ``a b`` (space-joined
+    symbols, whole-symbol matches only via lookarounds) left-to-right
+    non-overlapping — the classic BPE application order."""
+    import re
+
+    return re.compile(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)")
+
+
+def _count_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block symbol-pair counts of the space-joined symbol column —
+    per-word Python at vocabulary cardinality (see module docstring)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for s, n in zip(df["sym"].to_numpy(), df["n"].to_numpy()):
+        syms = s.split(" ")
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += int(n)
+    if not c:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n_part": pd.Series([], dtype=np.int64)})
+    ks = list(c.keys())
+    return pd.DataFrame({"a": [p[0] for p in ks],
+                         "b": [p[1] for p in ks],
+                         "n_part": np.fromiter(c.values(), np.int64, len(ks))})
+
+
+def bpe_train(sf_dir: str, n_merges: int = 8):
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+    Deterministic contract: each step merges the pair with the highest
+    total weighted count, ties to the lexicographically smallest (a, b).
+    Returns (rank, a, b, merged, n).
+
+    Scale shape: see the module docstring — the corpus is touched once;
+    every iteration is vocabulary-sized distributed work plus a
+    pair-space-bounded exchange; the driver holds only pair counts and
+    the merge list."""
+    from .agg import hash_groupby_sum
+
+    # symbolize: "abc" -> "a b c" (single chars; one Arrow regex pass)
+    vocab = _word_counts_ds(sf_dir).map_batches(
+        lambda t: pa.table({
+            "sym": pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(t["word"], "(.)", "\\1 ")),
+            "n": t["n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts = hash_groupby_sum(
+            vocab.map_batches(_count_pairs_block, batch_format="pandas"),
+            ["a", "b"], {"n": ("n_part", "sum")},
+        ).to_pandas()  # bounded by the learned-symbol pair space
+        if len(counts) == 0:
+            break
+        counts = counts.sort_values(["n", "a", "b"],
+                                    ascending=[False, True, True])
+        a, b, n = (counts.iloc[0]["a"], counts.iloc[0]["b"],
+                   int(counts.iloc[0]["n"]))
+        merges.append((a, b, n))
+        pat, repl = _merge_pattern(a, b), a + b
+
+        def apply(df: pd.DataFrame, pat=pat, repl=repl) -> pd.DataFrame:
+            df = df.copy()
+            df["sym"] = df["sym"].str.replace(pat, repl, regex=True)
+            return df
+
+        vocab = vocab.map_batches(apply, batch_format="pandas").materialize()
+
+    return pd.DataFrame({
+        "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+        "a": [m[0] for m in merges],
+        "b": [m[1] for m in merges],
+        "merged": [m[0] + m[1] for m in merges],
+        "n": np.array([m[2] for m in merges], dtype=np.int64)})
