@@ -364,6 +364,9 @@ def run_default() -> None:
           lambda: similarity.embedding_covariance(sf_dir))
     timed("top_orders_by_revenue",
           lambda: relational.top_orders_by_revenue(sf_dir))
+    from searchenginepp_ray.pipelines import tokenizer
+
+    timed("bpe_train", lambda: tokenizer.bpe_train(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
