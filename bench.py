@@ -175,6 +175,10 @@ def run_default() -> None:
         # measured sweet spot: ~16 concurrent heavy tasks (cpus//16 → 2
         # slots per task at 32 CPUs gave 47.5k docs/s vs 30k at //8)
         os.environ["SEPPRAY_TASK_CPUS"] = str(max(1, cpus // 16))
+    # fewer, bigger BSP shards on this host: actor-process startup
+    # serializes on the fault path, so the P² superstep routing is never
+    # the binding cost here (measured 10.9 s at 8 shards vs 12-14 at 16)
+    os.environ.setdefault("SEPPRAY_BSP_SHARDS", str(max(4, cpus // 4)))
     import ray
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)

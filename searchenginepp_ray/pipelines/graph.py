@@ -531,7 +531,15 @@ def _bsp_width() -> int:
     want fewer, bigger shards than a stateless exchange (each extra
     shard pays an actor process + a P² term in per-superstep ref
     routing) — cores/2 tracks the cluster like the shuffle width does,
-    at half the actor count. Multi-node users size P explicitly."""
+    at half the actor count. Multi-node users size P explicitly.
+    ``SEPPRAY_BSP_SHARDS`` overrides on hosts where actor-process
+    startup is the dominant cost (this sandbox's fault path serializes
+    fresh-process page faults — see BASELINE.md host notes)."""
+    import os
+
+    env = int(os.environ.get("SEPPRAY_BSP_SHARDS", "0"))
+    if env > 0:
+        return env
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, cpus // 2)
 
