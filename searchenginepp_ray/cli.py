@@ -39,9 +39,9 @@ def cmd_build(args) -> int:
         profile=SIMPLE_PROFILE if args.profile == "simple" else FULL_PROFILE,
         docs_per_segment=args.docs_per_segment,
     )
-    if args.format == "tsv":
+    if args.format in ("tsv", "jsonl"):
         summary = build_index(args.corpus, args.out, cfg, None,
-                              force=args.force, source_format="tsv")
+                              force=args.force, source_format=args.format)
     else:
         spec = DOCUMENTS_CORPUS if args.table == "documents" else CODE_CORPUS
         summary = build_index(args.corpus, args.out, cfg, spec, force=args.force)
@@ -146,7 +146,7 @@ def main(argv=None) -> int:
     b.add_argument("--docs-per-segment", type=int, default=65_536)
     b.add_argument("--profile", choices=("full", "simple"), default="full")
     b.add_argument("--table", choices=("code", "documents"), default="code")
-    b.add_argument("--format", choices=("parquet", "tsv"), default="parquet",
+    b.add_argument("--format", choices=("parquet", "tsv", "jsonl"), default="parquet",
                    help="tsv = the reference's native <docno>\\t<text> lines")
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--force", action="store_true")

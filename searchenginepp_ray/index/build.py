@@ -284,14 +284,21 @@ def _shard_from_item(row: dict):
 
         return TsvShard(row["path"], row["byte_start"], row["byte_end"],
                         row["base_docid"], row["num_rows"])
+    if row.get("kind") == "jsonl":
+        from ..sources.jsonl_corpus import JsonlShard
+
+        return JsonlShard(row["path"], row["byte_start"], row["byte_end"],
+                          row["base_docid"], row["num_rows"])
     return CorpusShard(row["path"], row["row_group"], row["base_docid"], row["num_rows"])
 
 
 def _shard_to_item(shard) -> dict:
+    from ..sources.jsonl_corpus import JsonlShard
     from ..sources.tsv_corpus import TsvShard
 
-    if isinstance(shard, TsvShard):
-        return {"kind": "tsv", "path": shard.path, "byte_start": shard.byte_start,
+    if isinstance(shard, (TsvShard, JsonlShard)):
+        kind = "tsv" if isinstance(shard, TsvShard) else "jsonl"
+        return {"kind": kind, "path": shard.path, "byte_start": shard.byte_start,
                 "byte_end": shard.byte_end, "base_docid": shard.base_docid,
                 "num_rows": shard.num_rows}
     return {"kind": "parquet", "path": shard.path, "row_group": shard.row_group,
@@ -299,10 +306,13 @@ def _shard_to_item(shard) -> dict:
 
 
 def _read_shard_any(shard, columns):
+    from ..sources.jsonl_corpus import JsonlShard, read_jsonl_shard
     from ..sources.tsv_corpus import TsvShard, read_tsv_shard
 
     if isinstance(shard, TsvShard):
         return read_tsv_shard(shard)
+    if isinstance(shard, JsonlShard):
+        return read_jsonl_shard(shard)
     return read_shard(shard, columns)
 
 
@@ -356,6 +366,11 @@ def build_index(
 
         spec = spec or TSV_CORPUS
         shards = tsv_shards(corpus_paths)
+    elif source_format == "jsonl":
+        from ..sources.jsonl_corpus import JSONL_CORPUS, jsonl_shards
+
+        spec = spec or JSONL_CORPUS
+        shards = jsonl_shards(corpus_paths)
     else:
         spec = spec or CODE_CORPUS
         shards = corpus_shards(corpus_paths)

@@ -40,22 +40,28 @@ class TsvShard:
     num_rows: int
 
 
-def tsv_shards(paths: list[str] | str, rows_per_shard: int = 4096) -> list[TsvShard]:
-    """Metadata pass: newline-count each file in chunks, cutting shards at
-    exact line boundaries every ``rows_per_shard`` lines."""
+def _list_files(paths: list[str] | str, ext: str) -> list[str]:
     if isinstance(paths, str):
         paths = [paths]
     files: list[str] = []
     for p in paths:
         if os.path.isdir(p):
             files.extend(
-                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".tsv")
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(ext)
             )
         else:
             files.append(p)
     files.sort()
+    return files
 
-    shards: list[TsvShard] = []
+
+def scan_line_shards(files: list[str], rows_per_shard: int = 4096
+                     ) -> list[tuple[str, int, int, int, int]]:
+    """Metadata pass shared by every line-delimited source (TSV, JSONL):
+    newline-count each file in chunks, cutting shards at exact line
+    boundaries every ``rows_per_shard`` lines. Returns
+    (path, byte_start, byte_end, base_docid, num_rows) tuples."""
+    shards: list[tuple[str, int, int, int, int]] = []
     base = 1
     for path in files:
         size = os.path.getsize(path)
@@ -92,9 +98,15 @@ def tsv_shards(paths: list[str] | str, rows_per_shard: int = 4096) -> list[TsvSh
         for i, off in enumerate(cut_offsets):
             end = cut_offsets[i + 1] if i + 1 < len(cut_offsets) else size
             n = min(rows_per_shard, lines_total - i * rows_per_shard)
-            shards.append(TsvShard(path, off, end, base, n))
+            shards.append((path, off, end, base, n))
             base += n
     return shards
+
+
+def tsv_shards(paths: list[str] | str, rows_per_shard: int = 4096) -> list[TsvShard]:
+    """TSV shard enumeration over the shared line scanner."""
+    return [TsvShard(*t)
+            for t in scan_line_shards(_list_files(paths, ".tsv"), rows_per_shard)]
 
 
 def read_tsv_shard(shard: TsvShard) -> pa.Table:

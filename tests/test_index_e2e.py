@@ -615,3 +615,51 @@ def test_block_offset_decode_matches_full(built, tmp_path_factory):
             assert t.tolist() == full_t[lo:hi].tolist(), (s.terms[ti], b)
             checked_blocks += 1
     assert checked_blocks > len(s.terms)  # multi-block lists exist
+
+
+def test_jsonl_build_matches_parquet_build(ray_session, tmp_path):
+    """The same corpus through the JSONL byte-range line shards and the
+    Parquet row-group shards produces byte-identical segments (the same
+    invariant the TSV source is held to)."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import BuildConfig, SIMPLE_PROFILE
+    from searchenginepp_ray.index.build import build_index
+    from searchenginepp_ray.sources.parquet_corpus import ColumnSpec
+
+    docs = [{"docno": f"d{i:03d}",
+             "text": f"alpha beta row {i} gamma {'x' * (i % 7)}"}
+            for i in range(300)]
+    jl = tmp_path / "corpus.jsonl"
+    with open(jl, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    pqp = tmp_path / "corpus.parquet"
+    pq.write_table(pa.table({"docno": [d["docno"] for d in docs],
+                             "text": [d["text"] for d in docs]}),
+                   pqp, row_group_size=64)
+
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=128)
+    spec = ColumnSpec(text_col="text", docno_cols=("docno",))
+    build_index(str(jl), str(tmp_path / "idx_jl"), cfg,
+                source_format="jsonl", force=True)
+    build_index(str(pqp), str(tmp_path / "idx_pq"), cfg, spec, force=True)
+
+    def seg_hashes(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                if fn.endswith(".parquet") and "db_" in dirpath:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    t = pq.read_table(os.path.join(dirpath, fn))
+                    out[rel] = hashlib.sha256(
+                        t.to_pandas().to_csv(index=False).encode()).hexdigest()
+        return out
+
+    hj, hp = seg_hashes(tmp_path / "idx_jl"), seg_hashes(tmp_path / "idx_pq")
+    assert hj and hj == hp
