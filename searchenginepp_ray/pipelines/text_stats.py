@@ -39,7 +39,15 @@ def round6_half_up(x: np.ndarray) -> np.ndarray:
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     """The documents table as a pruned-column read. ``sf_dir`` is a
     testdata dir containing ``documents.parquet``, or (for CLI use over
-    arbitrary corpora of the same shape) a ``.parquet`` path itself."""
+    arbitrary corpora of the same shape) a ``.parquet`` or ``.jsonl``
+    path itself (JSONL: column pruning happens after the vectorized
+    arrow JSON parse — line-delimited files carry no column layout to
+    push down into)."""
+    if sf_dir.endswith(".jsonl"):
+        ds = ray.data.read_json(sf_dir)
+        cols = list(columns)
+        return ds.map_batches(lambda t: t.select(cols),
+                              batch_format="pyarrow")
     path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
         path, columns=list(columns), override_num_blocks=_read_blocks(path)

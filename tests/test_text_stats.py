@@ -142,3 +142,26 @@ def test_unigram_logprob_hand_corpus(ray_session, tmp_path):
 
     exp = np.floor(np.array([want0, want1]) * 1e6 + 0.5) / 1e6
     assert np.allclose(got["avg_logprob"].to_numpy(), exp, atol=0)
+
+
+def test_documents_ds_accepts_jsonl(ray_session, tmp_path):
+    """The text-pipeline family runs unchanged over a .jsonl corpus path
+    (clean / train-export CLI interchange format)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.text_stats import token_count
+
+    docs = [{"doc_id": i, "text": f"alpha beta {i} gamma"} for i in range(40)]
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    pqp = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": [d["doc_id"] for d in docs],
+                             "text": [d["text"] for d in docs]}), pqp)
+    a = token_count(str(jl)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = token_count(str(pqp)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
