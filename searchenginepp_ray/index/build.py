@@ -316,6 +316,25 @@ def _read_shard_any(shard, columns):
     return read_shard(shard, columns)
 
 
+def _append_compatible(sig_path: str, new_sig: dict) -> bool:
+    """True iff the previously-built shard list is a prefix of the new
+    one under identical params/format — the append-only case where every
+    old shard's bytes, base docid and segment assignment are unchanged,
+    so its stage-1 outputs remain valid verbatim."""
+    try:
+        with open(sig_path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if old.get("params") != new_sig["params"] or \
+            old.get("format") != new_sig["format"]:
+        return False
+    old_shards = old.get("shards", [])
+    new_shards = new_sig["shards"]
+    return (0 < len(old_shards) <= len(new_shards)
+            and new_shards[:len(old_shards)] == old_shards)
+
+
 def _stage_marker(path: str, key: str) -> bool:
     try:
         return open(path).read() == key
@@ -387,17 +406,34 @@ def build_index(
 
     # ---- stage 1: tokenize → per-doc parquet partitioned by segment ----
     marker1 = os.path.join(out_dir, "_docs_done")
+    # append-incremental contract: the shard-list signature lets a rerun
+    # whose NEW shard list starts with the old one (same params/format,
+    # files only appended — base docids of old shards unchanged) keep the
+    # old shards' tokenize outputs and partials; only the appended shards
+    # tokenize. Stages 2-3 always recompute on a lineage change (df/idf
+    # shift with N), which is exactly the correct split: tokenize cost is
+    # per-byte-of-corpus, assemble cost is per-index.
+    sig_path = os.path.join(out_dir, "_docs_shards.json")
+    shard_sig = json.loads(json.dumps({
+        "params": cfg.params_id, "format": _BUILD_FORMAT,
+        "shards": [sorted(_shard_to_item(s).items()) for s in shards],
+    }))
     if force or not _stage_marker(marker1, lineage_key):
         # crash-resume within the stage: an in-progress marker carries the
         # lineage key; if it matches, completed shards (their partial file
         # exists — written last, atomically) are skipped instead of wiping
-        # the whole stage. A key mismatch (different input/params) wipes.
+        # the whole stage. A key mismatch wipes UNLESS the old shard list
+        # is a strict prefix of the new one (append-incremental).
         wip = os.path.join(out_dir, "_docs_wip")
         if force or not _stage_marker(wip, lineage_key):
-            shutil.rmtree(docs_dir, ignore_errors=True)
+            if force or not _append_compatible(sig_path, shard_sig):
+                shutil.rmtree(docs_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         with open(wip, "w") as f:
             f.write(lineage_key)
+        with open(sig_path + ".tmp", "w") as f:
+            json.dump(shard_sig, f)
+        os.replace(sig_path + ".tmp", sig_path)
         pdir = os.path.join(docs_dir, "_partials")
         done = set(os.listdir(pdir)) if os.path.isdir(pdir) else set()
         shard_items = [

@@ -663,3 +663,76 @@ def test_jsonl_build_matches_parquet_build(ray_session, tmp_path):
 
     hj, hp = seg_hashes(tmp_path / "idx_jl"), seg_hashes(tmp_path / "idx_pq")
     assert hj and hj == hp
+
+
+def test_append_incremental_build(ray_session, tmp_path):
+    """Appending corpus files and re-running build_index keeps the old
+    shards' tokenize outputs (append-incremental) and still produces an
+    index byte-identical to a from-scratch build of the full corpus."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import BuildConfig, SIMPLE_PROFILE
+    from searchenginepp_ray.index.build import build_index
+    from searchenginepp_ray.index.engine import QueryEngine
+    from searchenginepp_ray.sources.parquet_corpus import ColumnSpec
+
+    def write_part(path, lo, hi):
+        pq.write_table(pa.table({
+            "docno": [f"d{i:04d}" for i in range(lo, hi)],
+            "text": [f"alpha beta {i} gamma delta {'z' * (i % 5)}"
+                     for i in range(lo, hi)]}), path, row_group_size=64)
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    write_part(corpus / "a.parquet", 0, 150)
+    write_part(corpus / "b.parquet", 150, 300)
+
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=128)
+    spec = ColumnSpec(text_col="text", docno_cols=("docno",))
+    idx = tmp_path / "idx"
+    build_index(str(corpus), str(idx), cfg, spec)
+
+    pdir = idx / "docs" / "_partials"
+    old_partials = {f: os.path.getmtime(pdir / f) for f in os.listdir(pdir)}
+
+    # append a file that sorts AFTER the existing ones
+    write_part(corpus / "c.parquet", 300, 420)
+    summary = build_index(str(corpus), str(idx), cfg, spec)
+    assert summary["n_docs"] == 420
+
+    # old tokenize outputs were reused, not rebuilt
+    for f, mt in old_partials.items():
+        assert os.path.getmtime(pdir / f) == mt, f
+    assert len(os.listdir(pdir)) > len(old_partials)
+
+    # byte-identical to a from-scratch build of the full corpus
+    fresh = tmp_path / "idx_fresh"
+    build_index(str(corpus), str(fresh), cfg, spec, force=True)
+
+    def seg_hashes(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                if fn.endswith(".parquet") and "db_" in dirpath:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    t = pq.read_table(os.path.join(dirpath, fn))
+                    out[rel] = hashlib.sha256(
+                        t.to_pandas().to_csv(index=False).encode()).hexdigest()
+        return out
+
+    assert seg_hashes(idx) == seg_hashes(fresh)
+
+    # and serving works over the appended index
+    eng = QueryEngine(str(idx), scorer="bm25", use_actors=False)
+    hits = eng.search("alpha beta", k=3, mode="daat")
+    assert len(hits) == 3
+
+    # a NON-append change (file sorting before the others) falls back to
+    # the full wipe — correctness first
+    write_part(corpus / "0early.parquet", 420, 460)
+    summary = build_index(str(corpus), str(idx), cfg, spec)
+    assert summary["n_docs"] == 460
