@@ -163,6 +163,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange + per-partition partial top-k + P*k driver merge)
         "top_orders_by_revenue":
             lambda sf: relational.top_orders_by_revenue(sf),
+        # TPC-H Q3: the CHAINED multi-join (custkey semi-join, then an
+        # orderkey aggregate join — re-partition between hops), filters
+        # pushed to the scans, exact-integer revenue, global top-k
+        "order_shipping_priority":
+            lambda sf: relational.order_shipping_priority(sf),
+        # data profiling: per-column exact ndv/nulls/min/max/mean over
+        # lineitem — partials for the algebraic stats, ONE shared
+        # (colid, key64) exchange for every column's distinct count
+        "table_profile": lambda sf: relational.table_profile(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
         # deterministic salted train/val/test split (disjoint +
@@ -295,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": osql.customer_order_counts_sql(),
         "order_rollup": osql.order_rollup_sql(),
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
+        "order_shipping_priority": osql.order_shipping_priority_sql(),
+        "table_profile": osql.table_profile_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),

@@ -1166,3 +1166,74 @@ ranked AS (
 SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        floor(cos * 1e6 + 0.5) / 1e6 AS cosine
 FROM ranked WHERE rank <= {int(k)}"""
+
+
+def order_shipping_priority_sql(segment: str = "BUILDING",
+                                cutoff: str = "1998-07-01",
+                                k: int = 10) -> str:
+    """Oracle for relational.order_shipping_priority (TPC-H Q3 shape):
+    3-table chain, exact-integer 1e-4 revenue, rank ties on o_orderkey
+    ASC. The order date is compared/emitted as epoch microseconds so the
+    text canon is precision-exact."""
+    return f"""WITH rev AS (
+    SELECT l_orderkey,
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_e4
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+    GROUP BY l_orderkey),
+j AS (
+    SELECT o.o_orderkey, rev.rev_e4, o.o_orderdate, o.o_orderpriority
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN rev ON rev.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{segment}'
+      AND o.o_orderdate < TIMESTAMP '{cutoff}'),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, o_orderkey ASC) AS rank
+    FROM j)
+SELECT o_orderkey, CAST(rank AS BIGINT) AS rank, rev_e4 / 10000.0 AS revenue,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM r WHERE rank <= {int(k)}"""
+
+
+def table_profile_sql() -> str:
+    """Oracle for relational.table_profile: per-column exact profile over
+    lineitem in one wide row. Decimal distinct/mean run on the exact
+    cents grid (the identical floor rule); timestamps on epoch µs."""
+    from .relational import (_PROFILE_DEC, _PROFILE_INT, _PROFILE_STR,
+                             _PROFILE_TS)
+
+    parts = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in _PROFILE_INT:
+        parts += [
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv",
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {c}_nulls",
+            f"CAST(MIN({c}) AS BIGINT) AS {c}_min",
+            f"CAST(MAX({c}) AS BIGINT) AS {c}_max",
+        ]
+    for c in _PROFILE_DEC:
+        cents = f"CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+        parts += [
+            f"CAST(COUNT(DISTINCT {cents}) AS BIGINT) AS {c}_ndv",
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {c}_nulls",
+            f"MIN({cents}) / 100.0 AS {c}_min",
+            f"MAX({cents}) / 100.0 AS {c}_max",
+            f"floor(SUM({cents}) / (100.0 * COUNT({c})) * 1e6 + 0.5) / 1e6 AS {c}_mean",
+        ]
+    for c in _PROFILE_STR:
+        parts += [
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv",
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {c}_nulls",
+            f"MIN({c}) AS {c}_min",
+            f"MAX({c}) AS {c}_max",
+        ]
+    for c in _PROFILE_TS:
+        parts += [
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv",
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {c}_nulls",
+            f"CAST(epoch_us(MIN({c})) AS BIGINT) AS {c}_min",
+            f"CAST(epoch_us(MAX({c})) AS BIGINT) AS {c}_max",
+        ]
+    sel = ",\n       ".join(parts)
+    return f"SELECT {sel}\nFROM lineitem"

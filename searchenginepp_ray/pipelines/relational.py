@@ -443,3 +443,223 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["revenue"] = out.pop("rev_e4").to_numpy() / 10000.0
     return out[["o_orderkey", "rank", "revenue"]].reset_index(drop=True)
+
+
+def order_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                            cutoff: str = "1998-07-01", k: int = 10):
+    """TPC-H Q3 (shipping priority), the CHAINED multi-join: customers in
+    ``segment`` ⋈ orders placed before ``cutoff`` ⋈ lineitems shipped
+    after ``cutoff``, revenue per order, global top-``k`` by revenue
+    (ties → o_orderkey ASC). Two different join keys back-to-back is the
+    shape single-exchange ops can't express: the engine must re-partition
+    between hops.
+
+    Scale shape: all three filters are pushed into the parquet scans
+    (row-group pruning; filtered rows never enter the pipeline). Hop 1 is
+    a SEMI-join — only deduplicated custkeys of the segment's customers
+    cross the exchange (:func:`shuffle_semi_join`), never customer
+    payloads. Hop 2 pre-aggregates lineitem revenue per orderkey map-side
+    (one vectorized groupby per batch), then ONE hash exchange on
+    orderkey co-locates surviving orders with their revenue partials; an
+    inner merge keeps orders with at least one qualifying lineitem.
+    Revenue is EXACT integer 1e-4 currency units (cents(price) ×
+    (100−cents(discount)), both factors exact under the shared
+    floor(x*100+0.5) rule), so ranking and the oracle comparison carry no
+    float hazard. The global top-k is a per-partition partial top-k → a
+    ≤ P×k driver merge (bounded by the shuffle width, not the data)."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment,
+    )
+    path = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        path, columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut,
+        override_num_blocks=_read_blocks(path, target_rows=20_000),
+    )
+    # hop 1: orders of the segment's customers (keys-only exchange)
+    orders = shuffle_semi_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut,
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    # hop 2 inputs, tagged into one stream: order rows (side 0) + map-side
+    # revenue partials per orderkey (side 1)
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": t["o_orderkey"].cast(pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "rev_part": pa.array(np.zeros(len(t), np.int64)),
+            "_side": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(),
+                           "rev_part": p * (100 - d)})
+             .groupby("_k", as_index=False)["rev_part"].sum())
+        g["o_orderdate"] = pd.Series([pd.NaT] * len(g),
+                                     dtype="datetime64[us]")
+        g["o_orderpriority"] = pd.array([None] * len(g), dtype="string")
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["_k", "o_orderdate", "o_orderpriority", "rev_part", "_side"]]
+
+    u = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        li.map_batches(rev_partials, batch_format="pandas"))
+
+    def partition_topk(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0]
+        r = df[df["_side"] == 1].groupby("_k", as_index=False)["rev_part"].sum()
+        j = o[["_k", "o_orderdate", "o_orderpriority"]].merge(r, on="_k")
+        j = j.sort_values(["rev_part", "_k"], ascending=[False, True]).head(k)
+        return j.rename(columns={"_k": "o_orderkey", "rev_part": "rev_e4"})
+
+    survivors = hash_groupby_apply(u, ["_k"], partition_topk).to_pandas()
+    if len(survivors) == 0:
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64),
+            "o_orderdate_us": pd.Series([], dtype=np.int64),
+            "o_orderpriority": pd.Series([], dtype=object)})
+
+    out = survivors.sort_values(["rev_e4", "o_orderkey"],
+                                ascending=[False, True]).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["revenue"] = out.pop("rev_e4").to_numpy() / 10000.0
+    out["o_orderdate_us"] = out.pop("o_orderdate").astype("int64")
+    return out[["o_orderkey", "rank", "revenue", "o_orderdate_us",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
+#: profiled lineitem columns by kind: dense ints, 2-dp decimals (exact
+#: cents grid), strings, timestamps (epoch µs)
+_PROFILE_INT = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_PROFILE_DEC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+_PROFILE_TS = ("l_shipdate",)
+
+
+def table_profile(sf_dir: str):
+    """Data profiling over ``lineitem`` — the schema-quality pass a
+    training/ETL pipeline runs before trusting a new table: per column
+    EXACT distinct count, null count, min/max, and (for the 2-dp decimal
+    columns) the mean in exact integer cents. One wide row out.
+
+    Scale shape: min/max/null/sum reduce through per-batch PARTIALS (one
+    tiny row per column per batch; the driver-side merge is bounded by
+    n_batches × n_columns, not data). Distinct counts — the only
+    data-sized part — ride ONE hash exchange shared by ALL columns:
+    every batch emits its per-column distinct values as (colid, key64)
+    pairs (map-side dedup), the exchange partitions on BOTH fields (a
+    low-cardinality column never hot-keys a single reducer), each
+    partition counts its now-globally-unique pairs, and a tiny per-colid
+    sum finishes. key64 is the value itself for ints/timestamps and the
+    exact cents grid for decimals (collision-free by construction);
+    strings use the 64-bit content hash — the same no-collision stance
+    as the dedup family, pinned here by the exact SQL oracle."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .dedup import _hash_strings
+
+    all_cols = [*_PROFILE_INT, *_PROFILE_DEC, *_PROFILE_STR, *_PROFILE_TS]
+    colid = {c: i for i, c in enumerate(all_cols)}
+    ds = table_ds(sf_dir, "lineitem", all_cols)
+
+    def _key64(t: pa.Table, c: str) -> np.ndarray:
+        """Non-null values of column ``c`` on their exact 64-bit key grid
+        (SQL's DISTINCT/MIN/MAX/SUM all ignore NULLs — so does this)."""
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if c in _PROFILE_STR:
+            return _hash_strings(col).astype(np.int64, copy=False)
+        if c in _PROFILE_DEC:
+            v = col.to_numpy(zero_copy_only=False)
+            return np.floor(v * 100 + 0.5).astype(np.int64)
+        # ints / timestamps: the value IS the key
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def ndv_pairs(t: pa.Table) -> pa.Table:
+        cids, keys = [], []
+        for c in all_cols:
+            u = np.unique(_key64(t, c))  # map-side dedup per batch
+            cids.append(np.full(len(u), colid[c], np.int32))
+            keys.append(u)
+        return pa.table({"cid": pa.array(np.concatenate(cids)),
+                         "key64": pa.array(np.concatenate(keys))})
+
+    def part_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["cid", "key64"])
+        g = d.groupby("cid", as_index=False).agg(n_part=("key64", "size"))
+        g["n_part"] = g["n_part"].astype(np.int64)
+        return g
+
+    ndv = hash_groupby_sum(
+        hash_groupby_apply(
+            ds.map_batches(ndv_pairs, batch_format="pyarrow"),
+            ["cid", "key64"], part_count),
+        ["cid"], {"ndv": ("n_part", "sum")},
+    ).to_pandas()  # one row per profiled column
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        row: dict[str, object] = {"n_rows": len(t)}
+        for c in all_cols:
+            col = t[c]
+            row[f"{c}_nulls"] = int(col.null_count)
+            if c in _PROFILE_STR:
+                v = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                row[f"{c}_min"] = pc.min(v).as_py()   # None on all-null
+                row[f"{c}_max"] = pc.max(v).as_py()
+            else:
+                k = _key64(t, c)
+                # NaN partial on an all-null batch: skipped by the
+                # skipna reduce below (int64 keys fit float64 exactly
+                # here — epoch-µs/cents magnitudes are well under 2^53)
+                row[f"{c}_min"] = float(k.min()) if len(k) else np.nan
+                row[f"{c}_max"] = float(k.max()) if len(k) else np.nan
+                if c in _PROFILE_DEC:
+                    row[f"{c}_cents"] = int(k.sum()) if len(k) else 0
+        return pd.DataFrame([row])
+
+    # bounded collect: one tiny partial row per batch
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+
+    out: dict[str, object] = {"n_rows": np.int64(p["n_rows"].sum())}
+    for c in all_cols:
+        out[f"{c}_ndv"] = np.int64(ndv.loc[ndv["cid"] == colid[c], "ndv"].iloc[0])
+        nulls = np.int64(p[f"{c}_nulls"].sum())
+        out[f"{c}_nulls"] = nulls
+        n_valid = float(out["n_rows"] - nulls)
+        if c in _PROFILE_STR:
+            out[f"{c}_min"] = p[f"{c}_min"].dropna().min()
+            out[f"{c}_max"] = p[f"{c}_max"].dropna().max()
+        elif c in _PROFILE_DEC:
+            # min/max back on the value grid (exact: cents / 100)
+            out[f"{c}_min"] = p[f"{c}_min"].min() / 100.0
+            out[f"{c}_max"] = p[f"{c}_max"].max() / 100.0
+            out[f"{c}_mean"] = np.floor(
+                p[f"{c}_cents"].sum() / (100.0 * n_valid) * 1e6 + 0.5) / 1e6
+        else:
+            out[f"{c}_min"] = np.int64(p[f"{c}_min"].min())
+            out[f"{c}_max"] = np.int64(p[f"{c}_max"].max())
+    return pd.DataFrame([out])

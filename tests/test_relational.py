@@ -127,3 +127,77 @@ def test_top_orders_by_revenue_rank_invariants(ray_session):
     ok = df["o_orderkey"].to_numpy()
     same = rev[:-1] == rev[1:]
     assert (ok[:-1][same] < ok[1:][same]).all()
+
+
+def test_order_shipping_priority_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import (
+        order_shipping_priority_sql,
+    )
+    from searchenginepp_ray.pipelines.relational import order_shipping_priority
+
+    got = order_shipping_priority(sf_dir).reset_index(drop=True)
+    con = _duck(sf_dir)
+    want = con.sql(order_shipping_priority_sql()).df()
+    want = want.sort_values("rank").reset_index(drop=True)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False)
+
+
+def test_order_shipping_priority_empty_segment(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import order_shipping_priority
+
+    # a segment with no customers: the chain yields zero rows, not an error
+    out = order_shipping_priority(sf_dir, segment="NO-SUCH-SEGMENT")
+    assert len(out) == 0
+
+
+def test_table_profile_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import table_profile_sql
+    from searchenginepp_ray.pipelines.relational import table_profile
+
+    got = table_profile(sf_dir).reset_index(drop=True)
+    con = _duck(sf_dir)
+    want = con.sql(table_profile_sql()).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        g, w = got[c].iloc[0], want[c].iloc[0]
+        if isinstance(w, float):
+            assert abs(g - w) < 1e-9, c
+        else:
+            assert g == w, c
+
+
+def test_table_profile_counts_nulls(ray_session, tmp_path):
+    # constructed table with actual NULLs and duplicates: the profile's
+    # null counter and exact ndv must see them
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.relational import (
+        _PROFILE_DEC, _PROFILE_INT, _PROFILE_STR, _PROFILE_TS, table_profile,
+    )
+
+    n = 100
+    cols = {}
+    for c in _PROFILE_INT:
+        cols[c] = pa.array([None if i % 10 == 0 else i % 7
+                            for i in range(n)], pa.int64())
+    for c in _PROFILE_DEC:
+        cols[c] = pa.array([None if i % 25 == 0 else (i % 5) * 1.25
+                            for i in range(n)], pa.float64())
+    for c in _PROFILE_STR:
+        cols[c] = pa.array([None if i % 50 == 0 else "sv" + str(i % 3)
+                            for i in range(n)], pa.string())
+    for c in _PROFILE_TS:
+        cols[c] = pa.array([None if i % 20 == 0 else 1_000_000 * (i % 11)
+                            for i in range(n)], pa.timestamp("us"))
+    d = tmp_path / "prof"
+    d.mkdir()
+    pq.write_table(pa.table(cols), str(d / "lineitem.parquet"))
+    out = table_profile(str(d))
+    assert out["n_rows"].iloc[0] == n
+    assert out[f"{_PROFILE_INT[0]}_nulls"].iloc[0] == 10
+    assert out[f"{_PROFILE_DEC[0]}_nulls"].iloc[0] == 4
+    assert out[f"{_PROFILE_STR[0]}_nulls"].iloc[0] == 2
+    assert out[f"{_PROFILE_TS[0]}_nulls"].iloc[0] == 5
