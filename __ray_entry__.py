@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user running window functions (cumsum in exact integer
         # cents + lag) — one exchange, vectorized per-partition kernel
         "user_value_running": lambda sf: events.user_value_running(sf),
+        # exact global RANK() without a global sort: domain-bounded
+        # histogram exchange + broadcast prefix offsets + streaming map
+        "global_value_rank": lambda sf: events.global_value_rank(sf),
         # exact grouped COUNT DISTINCT (two-level: dedup exchange on
         # (type,user) spreads hot types over the full partition width)
         "event_user_distinct": lambda sf: events.event_user_distinct(sf),
@@ -299,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": osql.top_events_per_user_sql(),
         "value_quantiles": osql.value_quantiles_sql(),
         "user_value_running": osql.user_value_running_sql(),
+        "global_value_rank": osql.global_value_rank_sql(),
         "event_user_distinct": osql.event_user_distinct_sql(),
         "customers_without_orders": osql.customers_without_orders_sql(),
         "customer_order_counts": osql.customer_order_counts_sql(),

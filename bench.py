@@ -368,6 +368,9 @@ def run_default() -> None:
           lambda: similarity.embedding_covariance(sf_dir))
     timed("top_orders_by_revenue",
           lambda: relational.top_orders_by_revenue(sf_dir))
+    timed("order_shipping_priority",
+          lambda: relational.order_shipping_priority(sf_dir))
+    timed("table_profile", lambda: relational.table_profile(sf_dir))
     from searchenginepp_ray.pipelines import tokenizer
 
     timed("bpe_train", lambda: tokenizer.bpe_train(sf_dir))

@@ -19,13 +19,28 @@ import sys
 
 
 def _ray_init(num_cpus: int | None):
+    """Own the Ray session for a CLI run. Standalone (``RAY_ADDRESS``
+    unset or ``local``): start a local session. Under ``ray job submit``
+    on a real cluster, the job runtime presets ``RAY_ADDRESS`` to the
+    cluster — join it (per-node resources belong to the cluster config
+    there, so ``--num-cpus`` only applies to local sessions)::
+
+        ray job submit --working-dir . -- \\
+            python -m searchenginepp_ray build corpus/ -o /shared/idx
+    """
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr and addr != "local":
+            ray.init(address=addr, include_dashboard=False)
+        else:
+            kwargs = {"include_dashboard": False}
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(address="local", **kwargs)
     return ray
 
 

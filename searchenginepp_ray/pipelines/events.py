@@ -448,3 +448,50 @@ def event_user_distinct(sf_dir: str):
     return hash_groupby_sum(
         partials, ["event_type"], {"n_users": ("n_part", "sum")}
     )
+
+
+def global_value_rank(sf_dir: str):
+    """EXACT global rank of every event by ``value`` (descending; ties
+    share a rank, SQL ``RANK() OVER (ORDER BY value DESC)``) — the
+    global-ORDER-BY primitive WITHOUT a global sort.
+
+    Scale shape: ``value`` lives on the 2-decimal fixed-point grid, so
+    rank = 1 + (count of strictly-greater values) is computable from a
+    HISTOGRAM: per-batch (cents, count) partials cross one exchange
+    bounded by the value DOMAIN (like :func:`value_quantiles`), the
+    cumulative greater-than offsets — one small array — are broadcast
+    via ``ray.put``, and a second streaming pass maps each row's cents
+    to its rank with one ``searchsorted``. No row ever moves for the
+    ranking; an all-to-all ``sort`` over data-scaling rows would."""
+    from .agg import hash_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"cents": cents}).groupby("cents", sort=False)
+             .size().reset_index(name="n_part"))
+        return g
+
+    hist = hash_groupby_sum(
+        events_ds(sf_dir, ["value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["cents"], {"n": ("n_part", "sum")},
+    ).to_pandas()  # bounded by the value domain, not the row count
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    grid = hist["cents"].to_numpy()
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    # rank of a value v (DESC, ties share) = 1 + Σ counts of cents > v
+    greater = np.concatenate([np.cumsum(counts[::-1])[::-1][1:], [0]])
+    rank_of = greater + 1
+    ref = ray.put((grid, rank_of))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        grid, rank_of = ray.get(ref)
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        idx = np.searchsorted(grid, cents)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "value": df["value"].to_numpy(),
+            "rnk": rank_of[idx].astype(np.int64)})
+
+    return events_ds(sf_dir, ["event_id", "value"]).map_batches(
+        attach, batch_format="pandas")

@@ -1237,3 +1237,14 @@ def table_profile_sql() -> str:
         ]
     sel = ",\n       ".join(parts)
     return f"SELECT {sel}\nFROM lineitem"
+
+
+def global_value_rank_sql() -> str:
+    """Oracle for events.global_value_rank: SQL RANK() over the same
+    2-decimal cents grid (DESC, ties share)."""
+    return """
+SELECT event_id, value,
+       CAST(RANK() OVER (
+           ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC) AS BIGINT)
+           AS rnk
+FROM events"""

@@ -163,3 +163,40 @@ def test_value_quantiles_interpolation_exact(ray_session, tmp_path):
     assert row["p50"] == 1.0
     assert abs(row["p90"] - 1.7) < 1e-9
     assert abs(row["p99"] - 1.97) < 1e-9
+
+
+def test_global_value_rank_matches_oracle(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.events import global_value_rank
+    from searchenginepp_ray.pipelines.oracle_sql import global_value_rank_sql
+
+    got = (
+        global_value_rank(sf_dir).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        _oracle(sf_dir, global_value_rank_sql())
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_global_value_rank_tie_semantics(ray_session, tmp_path):
+    # constructed tie-heavy table: RANK semantics (ties share the rank,
+    # next rank skips) and the top value ranks 1
+    from searchenginepp_ray.pipelines.events import global_value_rank
+
+    vals = [5.0, 5.0, 3.25, 3.25, 3.25, 1.5, 0.0, 0.0]
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([1_000_000 * i for i in range(len(vals))],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(["x"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+    })
+    d = tmp_path / "rk"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = (global_value_rank(str(d)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert list(out["rnk"]) == [1, 1, 3, 3, 3, 6, 7, 7]
