@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (count exchange with min-count cut, two unigram co-partition
         # joins, per-partition partial top-k)
         "collocations": lambda sf: _filters().collocations(sf),
+        # exact consecutive-token phrase search and distributed grep —
+        # both broadcast-scan retrieval (one streaming pass, zero
+        # exchanges, only hit rows leave each task)
+        "phrase_search": lambda sf: _filters().phrase_search(sf),
+        "regex_search": lambda sf: _filters().regex_search(sf),
         # tokenizer TRAINING: BPE iteration-0 pair statistics (oracle-
         # checked) and the full merge-learning loop (rows-only; pinned
         # by a pytest vs a sequential Sennrich reference)
@@ -271,6 +276,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(),
         "dup_span_stats": osql.dup_span_stats_sql(),
         "collocations": osql.collocations_sql(),
+        "phrase_search": osql.phrase_search_sql(),
+        "regex_search": osql.regex_search_sql(),
         "bpe_pair_counts": osql.bpe_pair_counts_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),

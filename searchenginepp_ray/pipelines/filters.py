@@ -416,3 +416,132 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["pmi"] = round6_half_up(out.pop("pmi_raw").to_numpy())
     return out[["gram", "n", "rank", "pmi"]].reset_index(drop=True)
+
+
+#: phrase queries shared verbatim with the SQL oracle — plain word
+#: sequences under the WORD_SPLIT tokenization (no regex metachars).
+#: Mix of lengths (1/2/3/4 words) plus a guaranteed zero-hit phrase so
+#: the empty path is oracle-pinned too.
+PHRASE_QUERIES = (
+    "spark",
+    "table table",
+    "value fast",
+    "scan query big",
+    "window stream sort query",
+    "zebra stripes never occur",
+)
+
+
+def phrase_search(sf_dir: str, phrases: tuple[str, ...] = PHRASE_QUERIES):
+    """Exact phrase search: for each query phrase, every document that
+    contains the phrase as a CONSECUTIVE word-token sequence, with its
+    occurrence count (overlapping occurrences all count: ``a a a``
+    contains ``a a`` twice). Output (query, doc_id, n).
+
+    Scale shape: the phrase set is query-sized, so this is the
+    broadcast-scan retrieval shape (same as :func:`decontaminate`): ONE
+    streaming pass over a pruned two-column read, no exchange anywhere —
+    each document lies wholly inside its batch, so per-batch gram
+    matching yields final counts directly and only (query, doc, n) hit
+    rows leave the task. Per batch the work is the shared vectorized
+    gram assembly (one lowercase + one RE2 split + w shifted takes per
+    distinct phrase length) and one Arrow equality scan per phrase.
+    A term-partitioned positional-postings index (term → (doc, pos),
+    adjacency via co-partitioned offset intersection) only wins once
+    query volume amortizes the index build; for ad-hoc phrase sweeps
+    over a 100 TB corpus the scan IS the right plan. Reference parity:
+    none — the reference's postings are positionless
+    (reference src/index/types.hpp), so this is beyond-reference.
+    """
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        by_len.setdefault(len(p.split()), []).append(p)
+
+    empty = pa.table({"query": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def match(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, flat, n_tokens = _words_flat(t["text"])
+        qs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        for w, plist in sorted(by_len.items()):
+            gdoc, grams = _grams(flat, n_tokens, w)
+            if len(grams) == 0:
+                continue
+            for p in plist:
+                hit = gdoc[np.asarray(pc.equal(grams, p))]
+                if hit.size == 0:
+                    continue
+                cnt = np.bincount(hit, minlength=len(doc_ids))
+                nz = np.flatnonzero(cnt)
+                qs.append(np.full(len(nz), p, dtype=object))
+                ds_.append(doc_ids[nz])
+                ns.append(cnt[nz].astype(np.int64))
+        if not qs:
+            return empty
+        return pa.table({
+            "query": pa.array(np.concatenate(qs), pa.string()),
+            "doc_id": pa.array(np.concatenate(ds_)),
+            "n": pa.array(np.concatenate(ns)),
+        })
+
+    return documents_ds(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+#: grep patterns shared verbatim with the SQL oracle. RE2 on both
+#: engines (Arrow count_substring_regex / DuckDB regexp_extract_all),
+#: so match semantics agree byte-for-byte.
+GREP_PATTERNS = (
+    r"tabl[ae]",
+    r"(scan|filter) (join|merge)",
+    r"\bvalue\b.{0,20}\bhash\b",
+    r"[0-9]+",
+)
+
+
+def regex_search(sf_dir: str, patterns: tuple[str, ...] = GREP_PATTERNS):
+    """Distributed grep over the corpus: for each pattern, every doc with
+    at least one non-overlapping RE2 match and its match count —
+    (pattern, doc_id, n). The bread-and-butter sweep over a 100 TB code
+    corpus (license scans, API-usage counts, secret hunting; the
+    pii_redact op is the destructive cousin of this read-only one).
+
+    Scale shape: broadcast-scan — the pattern set rides the task
+    closure, ONE streaming pass over a pruned two-column read, zero
+    exchanges, only hit rows leave each task. Per batch each pattern is
+    one Arrow ``count_substring_regex`` kernel (RE2, C++); no per-row
+    Python. Reference parity: none (beyond-reference)."""
+    pats = list(patterns)
+
+    empty = pa.table({"pattern": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def match(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ps: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        for p in pats:
+            cnt = np.asarray(pc.count_substring_regex(text, p)).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            if nz.size == 0:
+                continue
+            ps.append(np.full(len(nz), p, dtype=object))
+            ds_.append(doc_ids[nz])
+            ns.append(cnt[nz])
+        if not ps:
+            return empty
+        return pa.table({
+            "pattern": pa.array(np.concatenate(ps), pa.string()),
+            "doc_id": pa.array(np.concatenate(ds_)),
+            "n": pa.array(np.concatenate(ns)),
+        })
+
+    return documents_ds(sf_dir).map_batches(match, batch_format="pyarrow")

@@ -1248,3 +1248,43 @@ SELECT event_id, value,
            ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC) AS BIGINT)
            AS rnk
 FROM events"""
+
+
+def phrase_search_sql(phrases: tuple[str, ...] | None = None) -> str:
+    """Oracle for filters.phrase_search: per phrase, overlapping
+    consecutive-token occurrence counts via the gram-position CTE
+    (same list-slice gram assembly as dup_span_stats_sql)."""
+    from .filters import PHRASE_QUERIES
+
+    phrases = phrases or PHRASE_QUERIES
+    subs = []
+    for p in phrases:
+        w = len(p.split())
+        esc = p.replace("'", "''")
+        subs.append(f"""
+SELECT '{esc}' AS query, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT doc_id, array_to_string(w[i:i+{w - 1}], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - {w - 1}, 0))) AS i
+            FROM wtoks))
+WHERE g = '{esc}'
+GROUP BY doc_id""")
+    return f"WITH {_word_toks_cte()}" + "\nUNION ALL".join(subs)
+
+
+def regex_search_sql(patterns: tuple[str, ...] | None = None) -> str:
+    """Oracle for filters.regex_search: RE2 non-overlapping match counts
+    (DuckDB regexp_extract_all ≡ Arrow count_substring_regex — both
+    RE2, both leftmost, so counts agree byte-for-byte)."""
+    from .filters import GREP_PATTERNS
+
+    patterns = patterns or GREP_PATTERNS
+    subs = []
+    for p in patterns:
+        esc = p.replace("'", "''")
+        subs.append(f"""
+SELECT '{esc}' AS pattern, doc_id,
+       CAST(len(regexp_extract_all(text, '{esc}')) AS BIGINT) AS n
+FROM documents
+WHERE len(regexp_extract_all(text, '{esc}')) > 0""")
+    return "\nUNION ALL".join(subs)

@@ -296,3 +296,93 @@ def test_collocations_planted_phrase(ray_session, tmp_path):
     pmis = dict(zip(got["gram"], got["pmi"]))
     assert "zig zag" in pmis and "data base" in pmis
     assert pmis["zig zag"] > pmis["data base"]
+
+
+def test_phrase_search_overlap_counting(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.filters import phrase_search
+
+    texts = [
+        "a a a a",                     # "a a" x3 (overlapping)
+        "foo,bar baz",                 # punctuation is a token boundary
+        "x foo bar x foo bar",         # "foo bar" x2
+        "nothing here",
+        "",
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (phrase_search(path, phrases=("a a", "foo bar", "baz", "missing phrase"))
+           .to_pandas().sort_values(["query", "doc_id"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "query": ["a a", "baz", "foo bar", "foo bar"],
+        "doc_id": [0, 1, 1, 2],
+        "n": [3, 1, 1, 2],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_phrase_search_matches_naive(ray_session, tmp_path):
+    """Random word-salad corpus vs a pure-Python sliding-window count."""
+    import itertools
+    rng = np.random.RandomState(7)
+    vocab = ["a", "b", "cc", "d1"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+             for _ in range(40)]
+    phrases = tuple(" ".join(p) for n in (1, 2, 3)
+                    for p in itertools.product(vocab[:2], repeat=n))
+    path = _write_docs(tmp_path, texts)
+    from searchenginepp_ray.pipelines.filters import phrase_search
+
+    got = (phrase_search(path, phrases=phrases).to_pandas()
+           .sort_values(["query", "doc_id"]).reset_index(drop=True))
+    rows = []
+    for p in phrases:
+        pw = p.split()
+        for i, t in enumerate(texts):
+            ws = _ref_words(t)
+            n = sum(1 for j in range(len(ws) - len(pw) + 1)
+                    if ws[j:j + len(pw)] == pw)
+            if n:
+                rows.append((p, i, n))
+    want = (pd.DataFrame(rows, columns=["query", "doc_id", "n"])
+            .sort_values(["query", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_regex_search_counts(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.filters import regex_search
+
+    texts = [
+        "aaa aa a",                # "aa" matches non-overlapping: aaa->1, aa->1
+        "v1 v2 v33",
+        "no digits",
+        "",
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (regex_search(path, patterns=("aa", r"[0-9]+", "zzz"))
+           .to_pandas().sort_values(["pattern", "doc_id"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "pattern": ["[0-9]+", "aa"],
+        "doc_id": [1, 0],
+        "n": [3, 2],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_phrase_regex_match_oracle_sf0001(ray_session, sf_dir):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name in ("phrase_search", "regex_search"):
+        got = e.queries()[name](sf_dir).to_pandas()
+        want = con.execute(e.oracle_sql()[name]).df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
