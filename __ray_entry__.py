@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prob under the corpus's own unigram LM (one term exchange, one
         # doc exchange; the global-T term cancels out of the term side)
         "unigram_logprob": lambda sf: text_stats.unigram_logprob(sf),
+        # SymSpell deletion-neighborhood fuzzy term lookup over the
+        # distributed vocabulary (spelling correction; broadcast query
+        # deletion keys, exact DP verify on candidates only)
+        "fuzzy_term_match": lambda sf: text_stats.fuzzy_term_match(sf),
         # --- training-data filters (Gopher repetition / PII scrub /
         # benchmark decontamination with a broadcast gram set) ---
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
@@ -271,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": osql.lang_id_sql(),
         "doc_fingerprint": osql.doc_fingerprint_sql(),
         "unigram_logprob": osql.unigram_logprob_sql(),
+        "fuzzy_term_match": osql.fuzzy_term_match_sql(),
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),

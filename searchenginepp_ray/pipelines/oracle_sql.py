@@ -1288,3 +1288,22 @@ SELECT '{esc}' AS pattern, doc_id,
 FROM documents
 WHERE len(regexp_extract_all(text, '{esc}')) > 0""")
     return "\nUNION ALL".join(subs)
+
+
+def fuzzy_term_match_sql(queries: tuple[str, ...] | None = None,
+                         max_dist: int = 1) -> str:
+    """Oracle for text_stats.fuzzy_term_match: naive O(V×Q) exact edit
+    distance over the full vocabulary (DuckDB ``levenshtein`` is the
+    same unit-cost metric as the pipeline's DP verifier)."""
+    from .text_stats import FUZZY_QUERIES
+
+    queries = queries or FUZZY_QUERIES
+    vals = ", ".join("('" + q.replace("'", "''") + "')" for q in queries)
+    return f"""WITH {tok_cte()},
+vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY term),
+q(query) AS (VALUES {vals})
+SELECT q.query, v.term, v.df,
+       CAST(levenshtein(q.query, v.term) AS BIGINT) AS dist
+FROM vocab v CROSS JOIN q
+WHERE levenshtein(q.query, v.term) <= {int(max_dist)}"""

@@ -411,3 +411,101 @@ def bpe_token_count(sf_dir: str):
         )
 
     return documents_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
+#: fuzzy-lookup queries shared verbatim with the SQL oracle: typos of
+#: corpus terms (1 edit), one exact term (dist 0), one no-match.
+FUZZY_QUERIES = ("tble", "scann", "vale", "sprk", "windoww", "merge", "qzx")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute) — the same
+    metric as DuckDB's ``levenshtein()``. Only runs on SymSpell
+    CANDIDATES (a handful per query), never the whole vocabulary."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletes1(s: str) -> set[str]:
+    """The SymSpell distance-1 deletion neighborhood of ``s``, plus
+    ``s`` itself."""
+    return {s[: i] + s[i + 1:] for i in range(len(s))} | {s}
+
+
+def fuzzy_term_match(sf_dir: str, queries: tuple[str, ...] = FUZZY_QUERIES,
+                     max_dist: int = 1):
+    """Fuzzy term lookup (spelling correction over the index vocabulary):
+    for each query string, every vocabulary term within edit distance
+    ``max_dist`` (=1), with its df — (query, term, df, dist).
+
+    Scale shape (SymSpell / Wolf-Garbe deletion-neighborhood matching):
+    two strings are within edit distance 1 iff their distance-1 deletion
+    neighborhoods intersect, so the query side ships as a tiny broadcast
+    set of deletion keys riding the task closure, and the VOCABULARY —
+    the big side, produced by the same term-keyed df exchange the
+    lexicon family uses — streams through one map_batches: per batch,
+    ``maxlen`` vectorized Arrow slice+concat passes generate every
+    term's deletion keys, one ``is_in`` probe against the broadcast set
+    picks candidates, and only candidates (a bounded handful per query,
+    never vocabulary-sized) pay the exact DP verification. No exchange
+    beyond the df aggregate itself; output is hit rows only.
+    Reference parity: none (beyond-reference; the reference engine has
+    no fuzzy matching)."""
+    qdel: dict[str, list[str]] = {q: sorted(_deletes1(q)) for q in queries}
+    probe = frozenset().union(*qdel.values()) if qdel else frozenset()
+    probe_arr = pa.array(sorted(probe), pa.string())
+
+    empty = pa.table({"query": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def match(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.asarray(pc.utf8_length(terms)).astype(np.int64)
+        maxlen = int(lens.max()) if len(lens) else 0
+        # candidate mask: term itself, or any single-deletion variant,
+        # hits the broadcast deletion-key set
+        cand = np.asarray(pc.is_in(terms, value_set=probe_arr))
+        for i in range(maxlen):
+            dele = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(terms, 0, i),
+                pc.utf8_slice_codeunits(terms, i + 1, np.iinfo(np.int32).max),
+                "")
+            hit = np.asarray(pc.is_in(dele, value_set=probe_arr))
+            cand |= hit & (lens > i)
+        idx = np.flatnonzero(cand)
+        if idx.size == 0:
+            return empty
+        out_q, out_t, out_df, out_d = [], [], [], []
+        for i in idx:
+            term = terms[int(i)].as_py()
+            tdel = _deletes1(term)
+            for q in queries:
+                if tdel.isdisjoint(qdel[q]):
+                    continue
+                d = _levenshtein(q, term)
+                if d <= max_dist:
+                    out_q.append(q)
+                    out_t.append(term)
+                    out_df.append(int(dfs[i]))
+                    out_d.append(d)
+        if not out_q:
+            return empty
+        return pa.table({"query": pa.array(out_q, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_df, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    return term_df(sf_dir).map_batches(match, batch_format="pyarrow")

@@ -165,3 +165,60 @@ def test_documents_ds_accepts_jsonl(ray_session, tmp_path):
     a = token_count(str(jl)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = token_count(str(pqp)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fuzzy_term_match_vs_bruteforce(ray_session, tmp_path):
+    """SymSpell candidate generation + DP verify vs naive all-pairs
+    Levenshtein — includes the classic false-candidate pair (ab/ba share
+    deletion 'a' but are distance 2) and multi-match queries."""
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.text_stats import (
+        _levenshtein, fuzzy_term_match)
+
+    vocab_docs = [
+        "ab ba cat cart care bat bath xylophone scan scans",
+        "ab cat can man scan spam",
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(vocab_docs, pa.string()),
+        }), path)
+    queries = ("ab", "cat", "scan", "bathe", "zzz", "xylophone")
+    got = (fuzzy_term_match(path, queries=queries).to_pandas()
+           .sort_values(["query", "term"]).reset_index(drop=True))
+
+    vocab = {}
+    for i, t in enumerate(vocab_docs):
+        for w in set(t.split()):
+            vocab[w] = vocab.get(w, 0) + 1
+    rows = [(q, t, df, _levenshtein(q, t))
+            for q in queries for t, df in vocab.items()
+            if _levenshtein(q, t) <= 1]
+    import pandas as pd
+    want = (pd.DataFrame(rows, columns=["query", "term", "df", "dist"])
+            .sort_values(["query", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the false-candidate pair is excluded
+    assert not ((got["query"] == "ab") & (got["term"] == "ba")).any()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=4),
+                min_size=2, max_size=6))
+def test_levenshtein_dp_properties(words):
+    """DP metric sanity: symmetry, identity, triangle vs single edits."""
+    from searchenginepp_ray.pipelines.text_stats import _levenshtein
+
+    for a in words:
+        assert _levenshtein(a, a) == 0
+        for b in words:
+            d = _levenshtein(a, b)
+            assert d == _levenshtein(b, a)
+            assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
