@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-stack training-data composition: quality/lang floors +
         # exact dedup -> cleaned parquet -> index build -> BM25 serving
         "search_bm25_cleaned_topk": lambda sf: search_docs.search_topk_cleaned(sf, mode="bmm"),
+        # result presentation: top-k + first-match position + ±3-token
+        # snippet (hit-set-pruned parquet re-read, vectorized positions)
+        "search_snippets": lambda sf: search_docs.search_snippets(sf),
         "index_stats": lambda sf: search_docs.index_stats(sf),
         "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
@@ -276,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": osql.doc_fingerprint_sql(),
         "unigram_logprob": osql.unigram_logprob_sql(),
         "fuzzy_term_match": osql.fuzzy_term_match_sql(),
+        "search_snippets": osql.search_snippets_sql(),
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),

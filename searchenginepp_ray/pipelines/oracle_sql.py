@@ -1307,3 +1307,53 @@ SELECT q.query, v.term, v.df,
        CAST(levenshtein(q.query, v.term) AS BIGINT) AS dist
 FROM vocab v CROSS JOIN q
 WHERE levenshtein(q.query, v.term) <= {int(max_dist)}"""
+
+
+def search_snippets_sql(k: int = 10, n_ctx: int = 3) -> str:
+    """Oracle for search_docs.search_snippets: the full BM25 scoring
+    stack of search_topk_sql plus first-match position + array-slice
+    snippet (1-based list positions; w[max(p-n,1):p+n] is the inclusive
+    twin of the pipeline's tokens[max(0,p0-n):p0+n+1])."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    cls = _regex_class().replace("'", "''")
+    return f"""WITH {tok_cte()},
+tarr AS (SELECT doc_id,
+                list_filter(string_split_regex(
+                    trim(regexp_replace(lower(text), '{cls}', ' ', 'g')),
+                    ' +'), x -> x <> '') AS w
+         FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+),
+tpos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM tarr),
+tterm AS (SELECT doc_id, i, w[i] AS term FROM tpos),
+fp AS (SELECT q.query_id, t.doc_id, MIN(t.i) AS first_pos
+       FROM q JOIN tterm t ON t.term = q.term
+       GROUP BY q.query_id, t.doc_id)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS BIGINT) AS rank,
+       r.doc_id, ROUND(r.s, 6) AS score,
+       CAST(fp.first_pos AS BIGINT) AS first_pos,
+       array_to_string(ta.w[greatest(fp.first_pos - {int(n_ctx)}, 1):fp.first_pos + {int(n_ctx)}], ' ') AS snippet
+FROM ranked r
+JOIN fp ON fp.query_id = r.query_id AND fp.doc_id = r.doc_id
+JOIN tarr ta ON ta.doc_id = r.doc_id
+WHERE r.rank <= {int(k)}"""

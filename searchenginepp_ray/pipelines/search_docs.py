@@ -205,3 +205,93 @@ def term_postings_global(sf_dir: str) -> pd.DataFrame:
     v = verify_term_postings(out_dir)
     assert v["violations"] == 0, v
     return term_postings_stats(out_dir)
+
+
+def search_snippets(sf_dir: str, k: int = 10, mode: str = "bmm",
+                    n_ctx: int = 3) -> pd.DataFrame:
+    """BM25 top-k with deterministic hit highlighting: for each result
+    doc, the 1-based token position of the FIRST occurrence of any query
+    term and a ±``n_ctx``-token snippet around it — the search-result
+    presentation layer (query → ranked hits → highlighted context).
+
+    Scale shape: stage 1 is the segment-actor engine (top-k only — the
+    hit set is k×|queries| rows). Stage 2 re-reads ONLY the hit docs'
+    text: the hit-id set rides the read as a parquet filter expression
+    (row-group statistics pruning — point-lookup-ish, never a full
+    scan), and per batch the first-match positions come from one
+    vectorized token pass (the build's order-preserving batch tokenizer
+    + one ``is_in`` per query); per-ROW Python runs only on the ≤ k×Q
+    final snippet rows. Reference parity: none (the reference emits
+    TREC id/score runs only; this is beyond-reference)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..normalizer.batch import ordered_tokens_batch
+    from .oracle_sql import _query_values
+
+    hits = search_topk(sf_dir, k=k, mode=mode)
+    _, per_q = _query_values()
+    q_docs: dict[int, set[int]] = {
+        qi: set(g["doc_id"].tolist()) for qi, g in hits.groupby("query_id")
+    }
+    all_docs = sorted(set(hits["doc_id"].tolist()))
+
+    reader = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(all_docs),
+    )
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "first_pos": pa.array([], pa.int64()),
+                      "snippet": pa.array([], pa.string())})
+
+    def snip(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = ordered_tokens_batch(t["text"].to_pylist(), SIMPLE_PROFILE)
+        counts = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        fdoc = np.repeat(np.arange(len(doc_ids)), counts)
+        rows_q, rows_d, rows_p, rows_s = [], [], [], []
+        sentinel = np.iinfo(np.int64).max
+        for qi, terms in per_q.items():
+            qset = q_docs.get(qi)
+            if not qset:
+                continue
+            in_q = np.isin(doc_ids, np.fromiter(qset, np.int64))
+            if not in_q.any():
+                continue
+            mask = np.asarray(pc.is_in(flat, value_set=pa.array(terms)))
+            sel = np.flatnonzero(mask & in_q[fdoc])
+            if sel.size == 0:
+                continue
+            firsts = np.full(len(doc_ids), sentinel)
+            np.minimum.at(firsts, fdoc[sel], sel - offsets[fdoc[sel]])
+            for d in np.flatnonzero(firsts != sentinel):
+                p0 = int(firsts[d])
+                lo = max(0, p0 - n_ctx)
+                hi = min(int(counts[d]), p0 + n_ctx + 1)
+                words = flat.slice(int(offsets[d]) + lo, hi - lo).to_pylist()
+                rows_q.append(qi)
+                rows_d.append(int(doc_ids[d]))
+                rows_p.append(p0 + 1)
+                rows_s.append(" ".join(words))
+        if not rows_q:
+            return empty
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "doc_id": pa.array(rows_d, pa.int64()),
+                         "first_pos": pa.array(rows_p, pa.int64()),
+                         "snippet": pa.array(rows_s, pa.string())})
+
+    snips = reader.map_batches(snip, batch_format="pyarrow").to_pandas()
+    out = hits.merge(snips, on=["query_id", "doc_id"], how="inner")
+    return out[["query_id", "rank", "doc_id", "score", "first_pos",
+                "snippet"]].sort_values(["query_id", "rank"]).reset_index(drop=True)

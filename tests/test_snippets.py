@@ -1,0 +1,73 @@
+"""search_snippets: constructed-corpus edge pins (match at doc start, at
+doc end, mid-doc window) plus full oracle agreement on the same corpus."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_snippet_window_edges(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.search_docs import search_snippets
+
+    # DOC_QUERIES[0] = "table scan filter join"
+    texts = [
+        "xxx yyy table zzz www vvv uuu",       # mid-doc: first_pos 3
+        "scan aaa bbb ccc ddd",                # doc start: first_pos 1
+        "aaa bbb ccc ddd eee fff join",        # doc end: first_pos 7
+        "nothing matching here at all",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = search_snippets(sf, k=10, mode="bmm")
+    q0 = got[got["query_id"] == 0].set_index("doc_id")
+    assert int(q0.loc[0, "first_pos"]) == 3
+    assert q0.loc[0, "snippet"] == "xxx yyy table zzz www vvv"
+    assert int(q0.loc[1, "first_pos"]) == 1
+    assert q0.loc[1, "snippet"] == "scan aaa bbb ccc"
+    assert int(q0.loc[2, "first_pos"]) == 7
+    assert q0.loc[2, "snippet"] == "ddd eee fff join"
+    assert 3 not in q0.index
+
+
+def test_snippets_match_oracle_constructed(ray_session, tmp_path):
+    import sys
+
+    sys.path.insert(0, ".")
+    from searchenginepp_ray.pipelines import oracle_sql as osql
+    from searchenginepp_ray.pipelines.search_docs import search_snippets
+
+    texts = [
+        "table scan filter join window agg spark",
+        "merge sort hash key value row",
+        "customer query row table scan",
+        "spark window agg spark window agg",
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = search_snippets(sf)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(osql.search_snippets_sql()).df()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns], check_dtype=False, atol=1e-9)
