@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
+        # per-type z-score anomaly flags (exact integer-cent moments,
+        # broadcast stats, outlier-rows-only output) and a pivot/wide
+        # reshape that runs on the bounded aggregate, never raw rows
+        "event_outliers": lambda sf: events.event_outliers(sf),
+        "event_weekday_pivot": lambda sf: events.event_weekday_pivot(sf),
         # event-time joins Ray Data lacks natively (hash exchange on the
         # equality key + vectorized per-partition temporal kernel)
         "asof_join": lambda sf: events.asof_join(sf),
@@ -280,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": osql.unigram_logprob_sql(),
         "fuzzy_term_match": osql.fuzzy_term_match_sql(),
         "search_snippets": osql.search_snippets_sql(),
+        "event_outliers": osql.event_outliers_sql(),
+        "event_weekday_pivot": osql.event_weekday_pivot_sql(),
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),

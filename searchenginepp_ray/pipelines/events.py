@@ -495,3 +495,83 @@ def global_value_rank(sf_dir: str):
 
     return events_ds(sf_dir, ["event_id", "value"]).map_batches(
         attach, batch_format="pandas")
+
+
+def event_outliers(sf_dir: str, z_thresh: float = 3.0):
+    """Per-type z-score anomaly flagging: events whose value deviates
+    from their event_type's mean by ≥ ``z_thresh`` population standard
+    deviations — (event_id, event_type, value, z).
+
+    Exactness stance: values are 2-decimal fixed-point, so the moment
+    sums run in EXACT integer cents (Σc, Σc² int64 — at true 100 TB row
+    counts Σc² wants int128/HUGEINT; the partial/final split localizes
+    that change to one dtype) and both engines derive mean/σ/z from
+    identical integers with the identical operand order
+    (mean = Σc/n; σ = sqrt(Σc²/n − mean·mean); z = (c − mean)/σ), so
+    the 6-dp floor-rounded z is hash-exact. Scale shape: per-batch
+    map-side moment partials → tiny per-type aggregate broadcast back
+    into a second streaming pass that emits only outlier rows."""
+    import ray
+
+    from .agg import hash_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"], "c": cents,
+                           "cc": cents * cents})
+             .groupby("event_type", sort=False)
+             .agg(n_part=("c", "size"), s_part=("c", "sum"),
+                  ss_part=("cc", "sum")).reset_index())
+        return g
+
+    stats = hash_groupby_sum(
+        events_ds(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n_part", "sum"), "s": ("s_part", "sum"),
+         "ss": ("ss_part", "sum")},
+    ).to_pandas()
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    sd = np.sqrt(stats["ss"].to_numpy() / stats["n"].to_numpy() - mean * mean)
+    lookup = {t: (m, s) for t, m, s in zip(stats["event_type"], mean, sd)}
+    lk = ray.put(lookup)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lk)
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        ms = np.array([table[t] for t in df["event_type"]], dtype=np.float64)
+        z = (cents - ms[:, 0]) / ms[:, 1]
+        keep = np.abs(z) >= z_thresh
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = np.floor(z[keep] * 1e6 + 0.5) / 1e6
+        return out
+
+    return (events_ds(sf_dir, ["event_id", "event_type", "value"])
+            .map_batches(flag, batch_format="pandas"))
+
+
+def event_weekday_pivot(sf_dir: str):
+    """Pivot/wide aggregate: event counts per type × ISO weekday —
+    (event_type, dow1..dow7). The long→wide reshape runs on the TINY
+    aggregate (|types|×7 rows), never the raw events: per-batch
+    map-side (type, isodow) count partials, one bounded exchange, then
+    a driver-side pivot of the aggregate only."""
+    from .agg import hash_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = df["ts"].dt.dayofweek.to_numpy() + 1  # pandas Mon=0 → ISO 1..7
+        g = (pd.DataFrame({"event_type": df["event_type"], "dow": dow})
+             .groupby(["event_type", "dow"], sort=False)
+             .size().reset_index(name="n_part"))
+        return g
+
+    agg = hash_groupby_sum(
+        events_ds(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "dow"], {"n": ("n_part", "sum")},
+    ).to_pandas()
+    wide = agg.pivot_table(index="event_type", columns="dow", values="n",
+                           fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=range(1, 8), fill_value=0).astype(np.int64)
+    wide.columns = [f"dow{int(c)}" for c in wide.columns]
+    return wide.reset_index().sort_values("event_type").reset_index(drop=True)

@@ -1357,3 +1357,33 @@ FROM ranked r
 JOIN fp ON fp.query_id = r.query_id AND fp.doc_id = r.doc_id
 JOIN tarr ta ON ta.doc_id = r.doc_id
 WHERE r.rank <= {int(k)}"""
+
+
+def event_outliers_sql(z_thresh: float = 3.0) -> str:
+    """Oracle for events.event_outliers: identical integer-cent moment
+    sums and the identical mean/σ/z operand order."""
+    return f"""WITH c AS (
+    SELECT event_id, event_type, value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+st AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS s,
+              CAST(SUM(cents * cents) AS BIGINT) AS ss
+       FROM c GROUP BY event_type),
+z AS (SELECT c.event_id, c.event_type, c.value,
+             (c.cents - s * 1.0 / n)
+               / sqrt(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) AS z
+      FROM c JOIN st USING (event_type))
+SELECT event_id, event_type, value, floor(z * 1e6 + 0.5) / 1e6 AS z
+FROM z WHERE abs(z) >= {float(z_thresh)}"""
+
+
+def event_weekday_pivot_sql() -> str:
+    """Oracle for events.event_weekday_pivot (ISO weekday columns)."""
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN isodow(ts) = {d} THEN 1 ELSE 0 END) AS BIGINT) AS dow{d}"
+        for d in range(1, 8))
+    return f"""SELECT event_type,
+       {cols}
+FROM events GROUP BY event_type"""

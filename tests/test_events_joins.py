@@ -200,3 +200,53 @@ def test_global_value_rank_tie_semantics(ray_session, tmp_path):
     out = (global_value_rank(str(d)).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert list(out["rnk"]) == [1, 1, 3, 3, 3, 6, 7, 7]
+
+
+def test_event_outliers_planted_anomaly(ray_session, tmp_path):
+    """Tight cluster + one planted spike: only the spike is flagged and
+    its z matches the closed-form value."""
+    import numpy as np
+
+    n = 50
+    vals = [10.0] * n + [10.02] * n + [1000.0]   # spike
+    df = pd.DataFrame({
+        "event_id": range(len(vals)),
+        "ts": pd.to_datetime(range(len(vals)), unit="s").astype("datetime64[us]"),
+        "user_id": [1] * len(vals),
+        "event_type": ["a"] * len(vals),
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    })
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    from searchenginepp_ray.pipelines.events import event_outliers
+
+    got = event_outliers(str(tmp_path)).to_pandas()
+    assert got["event_id"].tolist() == [100]
+    cents = np.rint(np.array(vals) * 100).astype(np.int64)
+    mean = cents.sum() / len(cents)
+    sd = np.sqrt((cents * cents).sum() / len(cents) - mean * mean)
+    want_z = np.floor((cents[-1] - mean) / sd * 1e6 + 0.5) / 1e6
+    assert got["z"].iloc[0] == want_z
+
+
+def test_event_weekday_pivot_counts(ray_session, tmp_path):
+    # 2026-08-17 is a Monday (ISO dow 1)
+    ts = pd.to_datetime([
+        "2026-08-17 01:00", "2026-08-17 02:00",        # Mon x2 type a
+        "2026-08-23 01:00",                            # Sun type a
+        "2026-08-18 01:00",                            # Tue type b
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": range(4), "ts": ts, "user_id": [1] * 4,
+        "event_type": ["a", "a", "a", "b"],
+        "value": [1.0] * 4, "props": ["{}"] * 4,
+    })
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    from searchenginepp_ray.pipelines.events import event_weekday_pivot
+
+    got = event_weekday_pivot(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "dow1"] == 2
+    assert got.loc["a", "dow7"] == 1
+    assert got.loc["a", "dow2"] == 0
+    assert got.loc["b", "dow2"] == 1
+    assert int(got.sum().sum()) == 4
