@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
+        # exact distributed triangle census (degree-ordered wedge
+        # generation + pair-key co-partition closing)
+        "part_triangles": lambda sf: _graph().part_triangles(sf),
         # same recurrence through the edge-STATIONARY raw-actor BSP
         # engine (edges and rank shards pinned per actor; only
         # contribution partials move per superstep)
@@ -336,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
+        "part_triangles": osql.part_triangles_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "doc_keywords": osql.doc_keywords_sql(),

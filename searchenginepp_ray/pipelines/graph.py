@@ -574,3 +574,143 @@ def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
         })
 
     return pr.map_batches(fmt, batch_format="pyarrow")
+
+
+def triangle_count(edges: ray.data.Dataset) -> dict:
+    """Exact triangle counting over an undirected edge Dataset
+    (columns ``a`` < ``b``, distinct) — the degree-ordered
+    node-iterator ("compact-forward") algorithm, fully distributed:
+
+    1. degrees: explode endpoints, one node-keyed exchange;
+    2. orientation: two co-partition joins attach (deg_a, deg_b); each
+       edge is oriented low→high in the total order (deg, node), which
+       bounds every out-degree by O(√E) — the step that tames hot
+       vertices (a celebrity node's star produces NO wedges because all
+       its edges point INTO it);
+    3. wedges: one exchange on the oriented source; per-source pair
+       enumeration is a vectorized per-partition self-merge;
+    4. closing: wedges and edges co-partition on the (v, w) pair key;
+       a wedge closes iff its pair is an edge. One scalar per partition
+       returns to the driver.
+
+    Exchange traffic is edges + wedges (≤ E^1.5 worst case, tiny on
+    real skewed graphs); nothing graph-sized ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    def degs(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+            t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"],
+        ])
+        vc = both.value_counts()
+        return pa.table({"node": vc.field("values"),
+                         "deg_part": vc.field("counts").cast(pa.int64())})
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    deg = hash_groupby_sum(
+        edges.map_batches(degs, batch_format="pyarrow"),
+        ["node"], {"deg": ("deg_part", "sum")})
+
+    # tag union: edge rows keyed by endpoint a, degree rows by node
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["a"], "b": t["b"],
+                         "deg": pa.array(np.zeros(len(t), np.int64)),
+                         "kind": pa.array(np.ones(len(t), np.int8))})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["node"], "b": pa.array(np.zeros(len(t), np.int64)),
+                         "deg": t["deg"],
+                         "kind": pa.array(np.zeros(len(t), np.int8))})
+
+    u1 = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+        deg.map_batches(tag_deg, batch_format="pyarrow"))
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0][["k", "deg"]].rename(columns={"deg": "deg_a"})
+        e = df[df["kind"] == 1][["k", "b"]]
+        j = e.merge(d, on="k")
+        # rekey on b for the second attach; forward degree rows
+        out_e = pd.DataFrame({"k": j["b"], "b": j["k"],
+                              "deg": j["deg_a"], "kind": 1})
+        return pd.concat([out_e, df[df["kind"] == 0]], ignore_index=True)
+
+    u2 = hash_groupby_apply(u1, ["k"], attach_a)
+
+    def attach_b_orient(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0][["k", "deg"]].rename(columns={"deg": "deg_k"})
+        e = df[df["kind"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        j = e.merge(d, on="k")
+        # here k carries endpoint b (deg_k its degree), b carries a,
+        # deg carries deg_a. Orient low→high by (deg, node).
+        a = j["b"].to_numpy(np.int64)
+        b = j["k"].to_numpy(np.int64)
+        da = j["deg"].to_numpy(np.int64)
+        db = j["deg_k"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({"u": np.where(a_first, a, b),
+                             "v": np.where(a_first, b, a)})
+
+    oriented = hash_groupby_apply(u2, ["k"], attach_b_orient)
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        return pd.DataFrame({"v": m["v_x"].to_numpy(np.int64),
+                             "w": m["v_y"].to_numpy(np.int64),
+                             "kind": np.zeros(len(m), np.int8)})
+
+    wedge_ds = hash_groupby_apply(oriented, ["u"], wedges)
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"].cast(pa.int64()), "w": t["b"].cast(pa.int64()),
+                         "kind": pa.array(np.ones(len(t), np.int8))})
+
+    both = wedge_ds.union(edges.map_batches(tag_pair, batch_format="pyarrow"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["kind"] == 0]
+        e = df[df["kind"] == 1][["v", "w"]]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame({"tri_part": pd.Series([0], dtype=np.int64)})
+        j = w.merge(e, on=["v", "w"])
+        return pd.DataFrame({"tri_part": pd.Series([len(j)], dtype=np.int64)})
+
+    parts = hash_groupby_apply(both, ["v", "w"], close).to_pandas()
+    n_tri = int(parts["tri_part"].sum())
+    n_edges = edges.count()
+    n_nodes = deg.count()
+    return {"n_nodes": n_nodes, "n_edges": n_edges, "n_triangles": n_tri}
+
+
+def copurchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct undirected co-purchase edges (a < b) — one exchange on
+    l_orderkey for per-order pair enumeration, one on the pair key for
+    cross-order dedup."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({
+            "a": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "b": m["l_partkey_y"].to_numpy(dtype=np.int64),
+        })
+
+    pairs = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    return hash_groupby_sum(pairs, ["a", "b"], {"n": ("a", "size")}) \
+        .drop_columns(["n"])
+
+
+def part_triangles(sf_dir: str):
+    """Triangle census of the part co-purchase graph —
+    (n_nodes, n_edges, n_triangles), all exact integers."""
+    stats = triangle_count(copurchase_edges(sf_dir))
+    return pd.DataFrame([{k: np.int64(v) for k, v in stats.items()}])

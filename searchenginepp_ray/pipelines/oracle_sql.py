@@ -1387,3 +1387,19 @@ def event_weekday_pivot_sql() -> str:
     return f"""SELECT event_type,
        {cols}
 FROM events GROUP BY event_type"""
+
+
+def part_triangles_sql() -> str:
+    """Oracle for graph.part_triangles: naive 3-way self-join triangle
+    count over the distinct a<b co-purchase edge set."""
+    return """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey < y.l_partkey)
+SELECT (SELECT CAST(COUNT(DISTINCT n) AS BIGINT)
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
