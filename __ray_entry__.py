@@ -188,6 +188,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pushed to the scans, exact-integer revenue, global top-k
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
+        # TPC-H Q5: the DEEPEST chain (6 tables, three different join
+        # keys back-to-back) with the c_nation == s_nation locality
+        # predicate applied at co-location; region filters pushed to
+        # the customer/supplier scans, exact-integer revenue
+        "local_supplier_volume":
+            lambda sf: relational.local_supplier_volume(sf),
         # data profiling: per-column exact ndv/nulls/min/max/mean over
         # lineitem — partials for the algebraic stats, ONE shared
         # (colid, key64) exchange for every column's distinct count
@@ -335,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": osql.order_rollup_sql(),
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "order_shipping_priority": osql.order_shipping_priority_sql(),
+        "local_supplier_volume": osql.local_supplier_volume_sql(),
         "table_profile": osql.table_profile_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),

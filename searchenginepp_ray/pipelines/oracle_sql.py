@@ -1403,3 +1403,26 @@ SELECT (SELECT CAST(COUNT(DISTINCT n) AS BIGINT)
         FROM e e1
         JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
+
+
+def local_supplier_volume_sql(region: str = "ASIA",
+                              date_from: str = "1996-01-01",
+                              date_to: str = "1997-01-01") -> str:
+    """Oracle for relational.local_supplier_volume (TPC-H Q5 shape):
+    6-table chain with the c_nationkey = s_nationkey locality predicate;
+    revenue in the shared exact-integer 1e-4 rule."""
+    return f"""SELECT n_name,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY n_name"""

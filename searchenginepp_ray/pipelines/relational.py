@@ -663,3 +663,117 @@ def table_profile(sf_dir: str):
             out[f"{c}_min"] = np.int64(p[f"{c}_min"].min())
             out[f"{c}_max"] = np.int64(p[f"{c}_max"].max())
     return pd.DataFrame([out])
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01"):
+    """TPC-H Q5 (local supplier volume): revenue per nation of ``region``
+    from orders placed in ``[date_from, date_to)`` where the lineitem's
+    supplier sits in the SAME nation as the ordering customer — the
+    deepest join chain in the suite (customer ⋈ orders ⋈ lineitem ⋈
+    supplier ⋈ nation ⋈ region), three DIFFERENT join keys back-to-back.
+
+    Scale shape: nation⋈region resolves driver-side (≤25 rows) into a
+    broadcast nationkey→name lut; the region membership filter is pushed
+    into the customer and supplier SCANS (``isin`` on the pruned
+    nationkey column), the date range into the orders scan. Each hop is
+    one hash exchange on its key (custkey → orderkey → suppkey); the
+    c_nationkey == s_nationkey locality predicate is applied the moment
+    both sides co-locate, BEFORE the aggregate. Revenue rides as exact
+    integer 1e-4 currency units (the shared floor(x*100+0.5) rule), so
+    the final per-nation sums are float-hazard-free. The terminal
+    aggregate is map-side-combined into ≤25 keys per batch.
+
+    Reference anchor: the engine's own J-family joins are term/docid
+    semi-joins (SURVEY §2 J1-J4); this is the general N-hop relational
+    composition a training-data warehouse needs beside them."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .agg import hash_groupby_sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = [r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region]
+    nrows = [r for r in nat.to_pylist() if r["n_regionkey"] in set(rkeys)]
+    valid = sorted(r["n_nationkey"] for r in nrows)
+    if not valid:  # unknown region: nothing qualifies
+        return ray.data.from_arrow(pa.table({
+            "n_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64())}))
+    names = np.empty(max(valid) + 1, dtype=object)
+    for r in nrows:
+        names[r["n_nationkey"]] = r["n_name"]
+    names_ref = ray.put(names)
+
+    lo = pd.Timestamp(date_from)
+    hi = pd.Timestamp(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us"))),
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(valid),
+    )
+    # hop 1 (custkey): order rows pick up their customer's nation
+    j1 = shuffle_join(orders, cust, "o_custkey", "c_custkey",
+                      ["o_orderkey"], ["c_nationkey"])
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "rev_e4": p * (100 - d),
+        })
+
+    # hop 2 (orderkey): lineitems pick up the order's customer nation
+    j2 = shuffle_join(j1, li.map_batches(li_rev, batch_format="pandas"),
+                      "o_orderkey", "l_orderkey",
+                      ["c_nationkey"], ["l_suppkey", "rev_e4"])
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(valid),
+    )
+    # hop 3 (suppkey): attach the supplier's nation
+    j3 = shuffle_join(j2, supp, "l_suppkey", "s_suppkey",
+                      ["c_nationkey", "rev_e4"], ["s_nationkey"])
+
+    def local_partials(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(names_ref)
+        m = df["c_nationkey"].to_numpy(np.int64) == \
+            df["s_nationkey"].to_numpy(np.int64)
+        # rev_e4 may arrive float64 after the padded-union pandas
+        # roundtrip; per-row values fit exactly (≤1e9) but partition
+        # sums would not at scale — restore int64 BEFORE summing
+        g = df.loc[m, ["s_nationkey", "rev_e4"]].copy()
+        g["rev_e4"] = g["rev_e4"].to_numpy(np.float64).astype(np.int64)
+        g = g.groupby("s_nationkey", as_index=False)["rev_e4"].sum()
+        g["n_name"] = lut[g["s_nationkey"].to_numpy().astype(np.int64)]
+        return g[["n_name", "rev_e4"]]
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pc.divide(t["rev_e4"].cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return hash_groupby_sum(
+        j3.map_batches(local_partials, batch_format="pandas"),
+        ["n_name"], {"rev_e4": ("rev_e4", "sum")},
+    ).map_batches(finish, batch_format="pyarrow")

@@ -201,3 +201,25 @@ def test_table_profile_counts_nulls(ray_session, tmp_path):
     assert out[f"{_PROFILE_DEC[0]}_nulls"].iloc[0] == 4
     assert out[f"{_PROFILE_STR[0]}_nulls"].iloc[0] == 2
     assert out[f"{_PROFILE_TS[0]}_nulls"].iloc[0] == 5
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import local_supplier_volume_sql
+    from searchenginepp_ray.pipelines.relational import local_supplier_volume
+
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    got = (local_supplier_volume(sf_dir).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    want = (con.sql(local_supplier_volume_sql()).df()
+            .sort_values("n_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_local_supplier_volume_empty_region(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import local_supplier_volume
+
+    out = local_supplier_volume(sf_dir, region="NO-SUCH-REGION",
+                                date_from="1996-01-01", date_to="1996-02-01")
+    assert out.count() == 0
