@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the customer/supplier scans, exact-integer revenue
         "local_supplier_volume":
             lambda sf: relational.local_supplier_volume(sf),
+        # exact quantiles over an UNBOUNDED value domain: distributed
+        # selection by iterative histogram refinement (2-3 broadcast-
+        # edge passes + one bounded band collect; no exchange, no sort)
+        "price_quantiles": lambda sf: relational.price_quantiles(sf),
         # data profiling: per-column exact ndv/nulls/min/max/mean over
         # lineitem — partials for the algebraic stats, ONE shared
         # (colid, key64) exchange for every column's distinct count
@@ -342,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "order_shipping_priority": osql.order_shipping_priority_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
+        "price_quantiles": osql.price_quantiles_sql(),
         "table_profile": osql.table_profile_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),

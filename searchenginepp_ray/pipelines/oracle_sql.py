@@ -1426,3 +1426,25 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate >= TIMESTAMP '{date_from}'
   AND o_orderdate <  TIMESTAMP '{date_to}'
 GROUP BY n_name"""
+
+
+def price_quantiles_sql(qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99)) -> str:
+    """Oracle for relational.price_quantiles: explicit rank selection
+    (k = max(1, ceil(q*N)), 1-indexed k-th smallest) over exact integer
+    cents — no quantile-function interpolation-semantics guessing."""
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+       GREATEST(1, CAST(ceil({q} * n) AS BIGINT)) AS rank,
+       cents, cents / 100.0 AS price
+FROM r WHERE rk = GREATEST(1, CAST(ceil({q} * n) AS BIGINT))"""
+        for q in qs
+    )
+    return f"""WITH c AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders),
+r AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents) AS rk,
+           COUNT(*) OVER () AS n
+    FROM c)
+{arms}"""

@@ -777,3 +777,148 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         j3.map_batches(local_partials, batch_format="pandas"),
         ["n_name"], {"rev_e4": ("rev_e4", "sum")},
     ).map_batches(finish, batch_format="pyarrow")
+
+
+def price_quantiles(sf_dir: str, qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
+                    band_cap: int = 8192, fanout: int = 128):
+    """EXACT order-price quantiles over an UNBOUNDED value domain —
+    distributed selection by iterative histogram refinement (the
+    classic multi-pass k-th-smallest).
+
+    :func:`~searchenginepp_ray.pipelines.events.value_quantiles` exploits
+    a domain-bounded histogram; this is the complementary shape for
+    domains too large to histogram at once. Each round broadcasts ≤
+    ``fanout × len(qs)`` integer band edges, streams ONE pruned-column
+    pass that bins values into its target's band (everything outside all
+    bands is dropped at the batch), and returns only per-(target, bin)
+    count partials — the driver state is O(fanout × targets), never rows.
+    Bands shrink ×``fanout`` per round, so 2-3 rounds bracket each rank
+    into a band of ≤ ``band_cap`` values; one final pass collects exactly
+    those bands and selects the rank locally. Total cost: ~4-5 streaming
+    passes over ONE int64 column, zero all-to-all exchanges.
+
+    Rank rule (shared verbatim with the SQL oracle): the k-th smallest
+    with k = max(1, ceil(q·N)), 1-indexed; prices as exact integer cents
+    under the shared floor(x·100+0.5) rule."""
+    path = f"{sf_dir}/orders.parquet"
+
+    def cents_ds():
+        return ray.data.read_parquet(
+            path, columns=["o_totalprice"],
+            override_num_blocks=_read_blocks(path, target_rows=20_000),
+        )
+
+    def to_cents(df: pd.DataFrame) -> np.ndarray:
+        return np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+    # pass 0: N + global band (tiny per-batch partials)
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = to_cents(df)
+        return pd.DataFrame({"n": [len(v)],
+                             "lo": [v.min() if len(v) else np.iinfo(np.int64).max],
+                             "hi": [v.max() if len(v) else np.iinfo(np.int64).min]})
+
+    st = cents_ds().map_batches(stats, batch_format="pandas").to_pandas()
+    n_total = int(st["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"q": pd.Series(list(qs), dtype=np.float64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "cents": pd.Series([], dtype=np.int64),
+                             "price": pd.Series([], dtype=np.float64)}).iloc[:0]
+    gmin, gmax = int(st["lo"].min()), int(st["hi"].max())
+
+    # per-target state: inclusive band [lo, hi], rows strictly below lo
+    targets = []
+    for q in qs:
+        k = max(1, int(np.ceil(q * n_total)))
+        targets.append({"q": q, "rank": k, "lo": gmin, "hi": gmax,
+                        "below": 0, "count": n_total, "value": None})
+
+    def hist_pass(bands: list[tuple[int, np.ndarray]]):
+        """bands: [(tid, edges)] — one streaming pass, partial counts per
+        (tid, bin). Driver reduce is bounded by targets × fanout."""
+        bands_ref = ray.put(bands)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            v = to_cents(df)
+            out_t, out_b, out_c = [], [], []
+            for tid, edges in ray.get(bands_ref):
+                sel = v[(v >= edges[0]) & (v < edges[-1])]
+                if len(sel) == 0:
+                    continue
+                c = np.bincount(np.searchsorted(edges, sel, side="right") - 1,
+                                minlength=len(edges) - 1)
+                nz = np.nonzero(c)[0]
+                out_t.append(np.full(len(nz), tid, np.int64))
+                out_b.append(nz.astype(np.int64))
+                out_c.append(c[nz])
+            if not out_t:
+                return pd.DataFrame({"tid": pd.Series([], dtype=np.int64),
+                                     "bin": pd.Series([], dtype=np.int64),
+                                     "cnt": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame({"tid": np.concatenate(out_t),
+                                 "bin": np.concatenate(out_b),
+                                 "cnt": np.concatenate(out_c)})
+
+        p = cents_ds().map_batches(part, batch_format="pandas").to_pandas()
+        return p.groupby(["tid", "bin"], as_index=False)["cnt"].sum()
+
+    for _round in range(8):
+        open_t = [t for t in targets if t["value"] is None
+                  and (t["count"] > band_cap and t["lo"] < t["hi"])]
+        if not open_t:
+            break
+        bands = []
+        for tid, t in enumerate(targets):
+            if t not in open_t:
+                continue
+            # integer edges spanning [lo, hi+1); ≥2 distinct by lo<hi
+            e = np.unique(np.linspace(t["lo"], t["hi"] + 1, fanout + 1)
+                          .astype(np.int64))
+            bands.append((tid, e))
+        counts = hist_pass(bands)
+        for tid, edges in bands:
+            t = targets[tid]
+            c = np.zeros(len(edges) - 1, np.int64)
+            g = counts[counts["tid"] == tid]
+            c[g["bin"].to_numpy()] = g["cnt"].to_numpy()
+            cum = np.cumsum(c)
+            rel = t["rank"] - t["below"]  # 1-indexed rank inside the band
+            i = int(np.searchsorted(cum, rel, side="left"))
+            t["below"] += int(cum[i - 1]) if i > 0 else 0
+            t["lo"], t["hi"] = int(edges[i]), int(edges[i + 1]) - 1
+            t["count"] = int(c[i])
+            if t["lo"] == t["hi"]:
+                t["value"] = t["lo"]
+
+    # final pass: collect the (≤ band_cap per target) band values
+    open_bands = [(tid, t["lo"], t["hi"]) for tid, t in enumerate(targets)
+                  if t["value"] is None]
+    if open_bands:
+        ob_ref = ray.put(open_bands)
+
+        def collect(df: pd.DataFrame) -> pd.DataFrame:
+            v = to_cents(df)
+            ts, vs = [], []
+            for tid, lo, hi in ray.get(ob_ref):
+                sel = v[(v >= lo) & (v <= hi)]
+                ts.append(np.full(len(sel), tid, np.int64))
+                vs.append(sel)
+            return pd.DataFrame({"tid": np.concatenate(ts) if ts else
+                                 np.array([], np.int64),
+                                 "v": np.concatenate(vs) if vs else
+                                 np.array([], np.int64)})
+
+        vals = cents_ds().map_batches(collect, batch_format="pandas").to_pandas()
+        for tid, lo, hi in open_bands:
+            t = targets[tid]
+            band = np.sort(vals.loc[vals["tid"] == tid, "v"].to_numpy())
+            t["value"] = int(band[t["rank"] - t["below"] - 1])
+
+    return pd.DataFrame({
+        "q": pd.Series([t["q"] for t in targets], dtype=np.float64),
+        "rank": pd.Series([t["rank"] for t in targets], dtype=np.int64),
+        "cents": pd.Series([t["value"] for t in targets], dtype=np.int64),
+        "price": pd.Series([t["value"] / 100.0 for t in targets],
+                           dtype=np.float64),
+    })

@@ -223,3 +223,43 @@ def test_local_supplier_volume_empty_region(ray_session, sf_dir):
     out = local_supplier_volume(sf_dir, region="NO-SUCH-REGION",
                                 date_from="1996-01-01", date_to="1996-02-01")
     assert out.count() == 0
+
+
+def test_price_quantiles_matches_duckdb(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.oracle_sql import price_quantiles_sql
+    from searchenginepp_ray.pipelines.relational import price_quantiles
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    got = price_quantiles(sf_dir).sort_values("q").reset_index(drop=True)
+    want = (con.sql(price_quantiles_sql()).df()
+            .sort_values("q").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_price_quantiles_forced_iteration(ray_session, tmp_path):
+    """Tiny fanout + band_cap force several refinement rounds; the
+    result must equal the rank rule applied to the sorted array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    # heavy ties + wide spread + negatives-free price-like values
+    v = np.concatenate([
+        rng.integers(1, 10_000_000, 50_000),
+        np.full(5_000, 123_456),
+    ]) / 100.0
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"o_totalprice": v}), str(d / "orders.parquet"),
+                   row_group_size=4096)
+
+    from searchenginepp_ray.pipelines.relational import price_quantiles
+    qs = (0.001, 0.25, 0.5, 0.9, 0.999)
+    got = price_quantiles(str(d), qs=qs, band_cap=64, fanout=8)
+    cents = np.sort(np.floor(v * 100 + 0.5).astype(np.int64))
+    n = len(cents)
+    for _, row in got.iterrows():
+        k = max(1, int(np.ceil(row["q"] * n)))
+        assert row["rank"] == k
+        assert row["cents"] == cents[k - 1], row["q"]
