@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed vocabulary (spelling correction; broadcast query
         # deletion keys, exact DP verify on candidates only)
         "fuzzy_term_match": lambda sf: text_stats.fuzzy_term_match(sf),
+        # query autocompletion: prefix-filtered df top-k (filter runs
+        # BEFORE the exchange; per-partition partial top-k; P*k merge)
+        "term_complete": lambda sf: text_stats.term_complete(sf),
         # --- training-data filters (Gopher repetition / PII scrub /
         # benchmark decontamination with a broadcast gram set) ---
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "order_shipping_priority": osql.order_shipping_priority_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
+        "term_complete": osql.term_complete_sql(),
         "table_profile": osql.table_profile_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),

@@ -1448,3 +1448,19 @@ r AS (
            COUNT(*) OVER () AS n
     FROM c)
 {arms}"""
+
+
+def term_complete_sql(prefix: str = "s", k: int = 10) -> str:
+    """Oracle for text_stats.term_complete: prefix-filtered df top-k with
+    (df DESC, term ASC) ranking."""
+    esc = prefix.replace("'", "''")
+    return f"""WITH {tok_cte()},
+d AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks
+      WHERE term LIKE '{esc}%'
+      GROUP BY term)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank,
+       term, df
+FROM d
+ORDER BY df DESC, term ASC
+LIMIT {int(k)}"""

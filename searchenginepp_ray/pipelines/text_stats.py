@@ -509,3 +509,46 @@ def fuzzy_term_match(sf_dir: str, queries: tuple[str, ...] = FUZZY_QUERIES,
                          "dist": pa.array(out_d, pa.int64())})
 
     return term_df(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+def term_complete(sf_dir: str, prefix: str = "s", k: int = 10):
+    """Query autocompletion: top-``k`` vocabulary terms with ``prefix``,
+    ranked by document frequency (ties → term ASC) with a 1-based rank.
+
+    Scale shape: the prefix filter runs on each batch's flattened term
+    column BEFORE the df exchange (``pc.starts_with`` — non-matching
+    terms never cross), the exchange carries prefix-vocabulary-sized
+    partials only, each partition contributes a partial top-k, and the
+    driver merges ≤ P×k rows. The reference's lexicon is an ordered
+    diskmap whose range scan would serve the same query
+    (src/index/index.cpp lexicon iteration); here the ordered-prefix
+    semantics ride the hash-partitioned vocabulary instead."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms = pc.list_flatten(t["terms"])
+        vc = terms.filter(pc.starts_with(terms, prefix)).value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "df_part": vc.field("counts").cast(pa.int64())})
+
+    def partition_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["df_part"].sum()
+        return g.sort_values(["df_part", "term"],
+                             ascending=[False, True]).head(k)
+
+    survivors = hash_groupby_apply(
+        term_counts_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["term"], partition_topk,
+    ).to_pandas()  # <= P*k rows
+
+    if survivors.empty:  # no vocabulary term has the prefix
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             "term": pd.Series([], dtype=str),
+                             "df": pd.Series([], dtype=np.int64)})
+    out = survivors.sort_values(["df_part", "term"],
+                                ascending=[False, True]).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["df"] = out.pop("df_part").astype(np.int64)
+    return out[["rank", "term", "df"]].reset_index(drop=True)

@@ -222,3 +222,18 @@ def test_levenshtein_dp_properties(words):
             d = _levenshtein(a, b)
             assert d == _levenshtein(b, a)
             assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+
+def test_term_complete_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from searchenginepp_ray.pipelines.oracle_sql import term_complete_sql
+    from searchenginepp_ray.pipelines.text_stats import term_complete
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    for prefix, k in [("s", 3), ("s", 100), ("w", 2), ("zzz", 5)]:
+        got = term_complete(sf_dir, prefix=prefix, k=k).reset_index(drop=True)
+        want = con.sql(term_complete_sql(prefix=prefix, k=k)).df()
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
