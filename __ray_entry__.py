@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # result presentation: top-k + first-match position + ±3-token
         # snippet (hit-set-pruned parquet re-read, vectorized positions)
         "search_snippets": lambda sf: search_docs.search_snippets(sf),
+        # boolean retrieval: MUST-conjunction + MUST-NOT anti-join
+        # (block-lazy skip decode on the negative lists), BM25 over
+        # the positive terms only
+        "search_boolean": lambda sf: search_docs.search_boolean(sf),
         "index_stats": lambda sf: search_docs.index_stats(sf),
         "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
@@ -351,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
         "term_complete": osql.term_complete_sql(),
+        "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),

@@ -395,6 +395,57 @@ class SegmentSearcher:
                 return []
         return self._topk(cand, acc[cand], k)
 
+    def query_boolean(self, qterms: list[str], k: int, scorer=None):
+        """Boolean retrieval with negation: a term prefixed ``-`` is a
+        MUST-NOT. Positive terms are conjunctive (MUST — the reference's
+        ``daat_conj``); surviving candidates are anti-joined against each
+        negative term's postings and ranked by the scorer over the
+        positive terms only (a negative term never contributes score).
+
+        The ``-`` prefix is a safe in-band encoding: the normalizer's
+        punctuation pass strips ``-`` from every indexed/queried token,
+        so no vocabulary term can start with it.
+
+        The anti-join is BLOCK-LAZY: the negative list decodes only the
+        skip blocks that can contain a surviving candidate (per-block
+        last-docid fences, the same nextGEQ machinery as the reference's
+        co-traversal, src/index/Index.cpp:169-214) — a hot negative term
+        (huge df) costs candidate-proportional block decodes, not a full
+        list decode."""
+        scorer = scorer or self.default_scorer
+        pos = [t for t in qterms if not t.startswith("-")]
+        neg = sorted({t[1:] for t in qterms if t.startswith("-")})
+        idxs = self._resolve_terms(pos, conj=True)
+        if not idxs:
+            return []
+        acc = np.zeros(self.n_docs_seg, dtype=np.float64)
+        cnt = np.zeros(self.n_docs_seg, dtype=np.int32)
+        touched = []
+        for i in idxs:
+            _, local, s = self.scored_postings(i, scorer)
+            acc[local] += s
+            cnt[local] += 1
+            touched.append(local)
+        cand = np.unique(np.concatenate(touched))
+        cand = cand[cnt[cand] == len(idxs)]
+        for t in neg:
+            if len(cand) == 0:
+                return []
+            ti = self.term_index.get(t)
+            if ti is None:
+                continue
+            cand_glob = (cand + self.base_docid).astype(np.uint64)
+            sl = self._skip_last_v[self._skip_offs[ti]: self._skip_offs[ti + 1]]
+            blocks = np.unique(np.searchsorted(sl, cand_glob, side="left"))
+            blocks = blocks[blocks < self.n_blocks(ti)]
+            hit = np.zeros(len(cand), dtype=bool)
+            for b in blocks:
+                hit |= np.isin(cand_glob, self.block(ti, int(b))[0])
+            cand = cand[~hit]
+        if len(cand) == 0:
+            return []
+        return self._topk(cand, acc[cand], k)
+
     def _topk(self, local_ids: np.ndarray, scores: np.ndarray, k: int):
         k_eff = min(k, len(local_ids))
         if len(local_ids) > 4 * k_eff:
@@ -663,6 +714,8 @@ class SegmentSearcher:
             return self.query_daat(qterms, k, conj=False, scorer=scorer)
         if mode == "daat_conj":
             return self.query_daat(qterms, k, conj=True, scorer=scorer)
+        if mode == "boolean":
+            return self.query_boolean(qterms, k, scorer=scorer)
         if mode == "bmm":
             # cost-based dispatch: Maxscore's pruning cannot pay on tiny
             # segments (every list is a block or two), while its per-rank

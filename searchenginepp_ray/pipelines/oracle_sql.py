@@ -1464,3 +1464,50 @@ SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank,
 FROM d
 ORDER BY df DESC, term ASC
 LIMIT {int(k)}"""
+
+
+def search_boolean_sql(k: int = 10) -> str:
+    """Oracle for search_docs.search_boolean: conjunctive BM25 over the
+    MUST terms with a NOT-EXISTS anti-join on the MUST-NOT terms."""
+    from ..config import BuildConfig
+    from ..pipelines.search_docs import BOOL_QUERIES
+
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    prow, nrow = [], []
+    counts = []
+    for qi, (pos, neg) in enumerate(BOOL_QUERIES):
+        pos_u, neg_u = sorted(set(pos)), sorted(set(neg))
+        counts.append(f"WHEN q.query_id = {qi} THEN {len(pos_u)}")
+        prow += [f"({qi}, '{t}')" for t in pos_u]
+        nrow += [f"({qi}, '{t}')" for t in neg_u]
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(prow)}),
+nq(query_id, term) AS (VALUES {", ".join(nrow)}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    WHERE NOT EXISTS (
+        SELECT 1 FROM toks x
+        JOIN nq ON nq.term = x.term AND nq.query_id = q.query_id
+        WHERE x.doc_id = tf.doc_id)
+    GROUP BY q.query_id, tf.doc_id
+    HAVING COUNT(DISTINCT q.term) = MAX(CASE {" ".join(counts)} END)
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""

@@ -295,3 +295,26 @@ def search_snippets(sf_dir: str, k: int = 10, mode: str = "bmm",
     out = hits.merge(snips, on=["query_id", "doc_id"], how="inner")
     return out[["query_id", "rank", "doc_id", "score", "first_pos",
                 "snippet"]].sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+#: boolean query set: (MUST terms, MUST-NOT terms) over the documents
+#: vocabulary — negations chosen so each query actually excludes docs
+BOOL_QUERIES: list[tuple[list[str], list[str]]] = [
+    (["table", "scan"], ["join"]),
+    (["spark", "window"], ["agg"]),
+    (["merge", "sort", "hash"], ["slow", "dup"]),
+    (["customer"], ["query", "filter"]),
+]
+
+
+def search_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Boolean retrieval (AND over MUST terms, NOT over MUST-NOT terms,
+    BM25 ranking over the MUST terms) through the segment-actor engine.
+    Negated terms ride the token list with a ``-`` prefix (in-band-safe:
+    the normalizer strips ``-`` from every vocabulary term); the
+    searcher's anti-join decodes only the negative list's skip blocks
+    that can contain a surviving candidate."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    toks = [sorted(set(pos)) + ["-" + t for t in sorted(set(neg))]
+            for pos, neg in BOOL_QUERIES]
+    return _to_frame(eng.search_batch(toks, k=k, mode="boolean"))

@@ -736,3 +736,72 @@ def test_append_incremental_build(ray_session, tmp_path):
     write_part(corpus / "0early.parquet", 420, 460)
     summary = build_index(str(corpus), str(idx), cfg, spec)
     assert summary["n_docs"] == 460
+
+
+def test_boolean_query_equals_set_logic(built):
+    """Boolean mode == conjunctive DAAT over MUST terms minus every doc
+    containing any MUST-NOT term, across the multi-segment engine."""
+    _, oracle, engine = built
+    cases = [
+        (["return", "if"], ["else"]),
+        (["hash", "index"], ["query", "search"]),
+        (["merge"], ["zzzunknownterm"]),   # unknown negation: no-op
+        (["vector"], ["vector"]),          # self-negation: empty
+        ([], ["return"]),                  # no MUST terms: empty
+    ]
+    for pos, neg in cases:
+        toks = sorted(set(pos)) + ["-" + t for t in sorted(set(neg))]
+        got = engine.search(toks, k=50, mode="boolean")
+        # set-logic reference from the conjunctive oracle + full scan
+        conj = engine.search(sorted(set(pos)), k=10_000, mode="daat_conj") \
+            if pos else []
+        banned = set()
+        for t in set(neg):
+            for d, _, _ in engine.search([t], k=10_000, mode="daat"):
+                banned.add(d)
+        want = [(d, n, s) for d, n, s in conj if d not in banned][:50]
+        assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want], \
+            (pos, neg)
+
+
+def test_boolean_negative_decode_is_block_lazy(ray_session, tmp_path_factory):
+    """With few candidates, the negative term's list must decode only
+    the skip blocks that can contain them — strictly fewer postings than
+    its df (the anti-join never does a full-list decode)."""
+    import pyarrow as pa
+
+    from searchenginepp_ray.index.searcher import SegmentSearcher
+    from searchenginepp_ray.sources.parquet_corpus import ColumnSpec
+
+    tmp = tmp_path_factory.mktemp("boolneg")
+    # "common" appears in EVERY doc (big negative list, many blocks);
+    # "rare" appears in 3 docs; half the rare docs also have "common2"
+    rows = []
+    for i in range(600):
+        parts = ["common"]
+        if i in (5, 250, 590):
+            parts.append("rare")
+        if i in (250,):
+            parts.append("banned")
+        rows.append(" ".join(parts))
+    t = pa.table({"docno": [str(i) for i in range(600)], "text": rows})
+    pq.write_table(t, str(tmp / "c.parquet"))
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+
+    # simple profile: query tokens hit the lexicon verbatim (no stemming)
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=1000,
+                      skip_block_size=16)
+    out = str(tmp / "idx")
+    build_index(str(tmp / "c.parquet"), out, cfg,
+                ColumnSpec(text_col="text", docno_cols=("docno",)))
+    seg = QueryEngine(out, use_actors=False, cfg=cfg).workers[0].searchers[0]
+    before = seg.decoded_postings
+    res = seg.query_boolean(["rare", "-banned"], k=10)
+    assert sorted(r[0] - seg.base_docid for r in res) == [5, 590]
+    # banned's df is 1 but common's list is irrelevant; re-run against
+    # the big list: candidates (3 docs) ⇒ ≤ 3 blocks of 16 decoded
+    before = seg.decoded_postings
+    res = seg.query_boolean(["rare", "-common"], k=10)
+    assert res == []
+    decoded_for_common = seg.decoded_postings - before
+    assert decoded_for_common <= 3 * 16  # not the 600-posting full list
