@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchanges, only hit rows leave each task)
         "phrase_search": lambda sf: _filters().phrase_search(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
+        # DSIR-shaped data selection: per-doc log importance weight
+        # under hashed-unigram target-vs-source LMs (two streaming
+        # passes, a 64-row exchange, broadcast log-ratio vector)
+        "importance_weights": lambda sf: _filters().importance_weights(sf),
         # tokenizer TRAINING: BPE iteration-0 pair statistics (oracle-
         # checked) and the full merge-learning loop (rows-only; pinned
         # by a pytest vs a sequential Sennrich reference)
@@ -314,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": osql.collocations_sql(),
         "phrase_search": osql.phrase_search_sql(),
         "regex_search": osql.regex_search_sql(),
+        "importance_weights": osql.importance_weights_sql(),
         "bpe_pair_counts": osql.bpe_pair_counts_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),

@@ -545,3 +545,95 @@ def regex_search(sf_dir: str, patterns: tuple[str, ...] = GREP_PATTERNS):
         })
 
     return documents_ds(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+def importance_weights(sf_dir: str, target_lang: str = "en",
+                       n_buckets: int = 64):
+    """DSIR-shaped importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    per-doc log importance weight under hashed-unigram bag-of-words LMs
+    of a TARGET slice (here ``lang == target_lang``) vs the SOURCE (the
+    whole corpus), with add-one smoothing over ``n_buckets`` hash
+    buckets. Resampling by these weights tilts a corpus toward the
+    target domain.
+
+    Scale shape: pass 1 streams once, dictionary-encodes each batch and
+    md5-buckets only the batch VOCABULARY (the shared
+    :func:`~searchenginepp_ray.pipelines.duck.md5_bucket` rule the SQL
+    oracle evaluates verbatim), emitting ≤ ``n_buckets`` (bucket,
+    target, source) count partials per batch into a tiny exchange. The
+    per-bucket log-ratio vector (64 doubles) is broadcast; pass 2
+    streams once more and each doc's weight is one dot product. Nothing
+    data-scaling ever leaves the workers."""
+    import pandas as pd
+
+    from ..config import SIMPLE_PROFILE
+    from ..normalizer.batch import tokenize_batch
+    from .agg import hash_groupby_sum
+    from .duck import md5_bucket
+    from .text_stats import documents_ds, round6_half_up
+
+    B = int(n_buckets)
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        doclens, terms_list, tfs_list = tokenize_batch(
+            t["text"].to_pylist(), SIMPLE_PROFILE)
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang": t["lang"],
+                         "terms": terms_list, "tfs": tfs_list})
+
+    def term_bucket_tfs(t: pa.Table):
+        """(bucket per (doc,term) entry, tf, doc_idx) — vocabulary-sized
+        md5 work via dictionary encoding."""
+        terms = t["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        flat = pc.list_flatten(terms)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        d = flat.dictionary_encode()
+        vocab_b = np.asarray(md5_bucket(d.dictionary, B), dtype=np.int64)
+        bucket = vocab_b[np.asarray(d.indices, dtype=np.int64)] \
+            if len(flat) else np.empty(0, np.int64)
+        tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        counts = np.asarray(pc.list_value_length(terms)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        return bucket, tfs, doc_idx, counts
+
+    ds = documents_ds(sf_dir, ("doc_id", "text", "lang")) \
+        .map_batches(doc_terms, batch_format="pyarrow")
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        bucket, tfs, doc_idx, _ = term_bucket_tfs(t)
+        is_tgt = np.asarray(pc.equal(t["lang"], target_lang))[doc_idx]
+        s = np.bincount(bucket, weights=tfs, minlength=B).astype(np.int64)
+        tg = np.bincount(bucket, weights=tfs * is_tgt, minlength=B).astype(np.int64)
+        nz = np.flatnonzero(s)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "t_part": pa.array(tg[nz]), "s_part": pa.array(s[nz])})
+
+    bc = hash_groupby_sum(
+        ds.map_batches(bucket_partials, batch_format="pyarrow"),
+        ["bucket"], {"t_cnt": ("t_part", "sum"), "s_cnt": ("s_part", "sum")},
+    ).to_pandas()  # ≤ n_buckets rows
+    t_vec = np.zeros(B, np.int64)
+    s_vec = np.zeros(B, np.int64)
+    t_vec[bc["bucket"].to_numpy()] = bc["t_cnt"].to_numpy()
+    s_vec[bc["bucket"].to_numpy()] = bc["s_cnt"].to_numpy()
+    t_tot, s_tot = float(t_vec.sum()), float(s_vec.sum())
+    # single-log2 ratio, operand order shared verbatim with the oracle
+    w = np.log2((t_vec + 1.0) * (s_tot + B) / ((s_vec + 1.0) * (t_tot + B)))
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        bucket, tfs, doc_idx, counts = term_bucket_tfs(t)
+        logw = np.zeros(len(counts), np.float64)
+        np.add.at(logw, doc_idx, tfs * wv[bucket])
+        n_tokens = np.zeros(len(counts), np.int64)
+        np.add.at(n_tokens, doc_idx, tfs)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tokens),
+                         "logw": pa.array(round6_half_up(logw))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

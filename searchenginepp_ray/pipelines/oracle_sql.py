@@ -1511,3 +1511,42 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {k}"""
+
+
+def importance_weights_sql(target_lang: str = "en",
+                           n_buckets: int = 64) -> str:
+    """Oracle for filters.importance_weights: DSIR hashed-unigram
+    importance weights. The bucket expression is the verbatim
+    ``duck.md5_bucket`` rule (both engines run DuckDB md5); the
+    per-bucket log-ratio uses the single-log2 operand order the Ray
+    kernel evaluates — ``log2(((t+1)*(s_tot+B)) / ((s+1)*(t_tot+B)))``
+    on identical doubles — so only the per-doc Σ tf·w summation order
+    differs, absorbed by the shared floor(x*1e6+0.5)/1e6 rounding."""
+    B = int(n_buckets)
+    lang = target_lang.replace("'", "''")
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+tb AS (SELECT term,
+              CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {B} AS bucket
+       FROM (SELECT DISTINCT term FROM tf)),
+bc AS (SELECT b.bucket,
+              CAST(SUM(CASE WHEN d.lang = '{lang}' THEN t.tf ELSE 0 END)
+                   AS DOUBLE) AS t_cnt,
+              CAST(SUM(t.tf) AS DOUBLE) AS s_cnt
+       FROM tf t JOIN tb b USING (term) JOIN documents d USING (doc_id)
+       GROUP BY b.bucket),
+tot AS (SELECT CAST(SUM(t_cnt) AS DOUBLE) AS t_tot,
+               CAST(SUM(s_cnt) AS DOUBLE) AS s_tot FROM bc),
+w AS (SELECT bucket,
+             log2(((t_cnt + 1.0) * ((SELECT s_tot FROM tot) + {B}))
+                  / ((s_cnt + 1.0) * ((SELECT t_tot FROM tot) + {B}))) AS w
+      FROM bc),
+per_doc AS (
+    SELECT t.doc_id, SUM(t.tf) AS n_tokens, SUM(t.tf * w.w) AS logw
+    FROM tf t JOIN tb b USING (term) JOIN w USING (bucket)
+    GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       floor(COALESCE(p.logw, 0.0) * 1e6 + 0.5) / 1e6 AS logw
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

@@ -386,3 +386,102 @@ def test_phrase_regex_match_oracle_sf0001(ray_session, sf_dir):
         got = got.sort_values(list(got.columns)).reset_index(drop=True)
         want = want.sort_values(list(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def _write_docs_lang(tmp_path, texts, langs):
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        path,
+    )
+    return path
+
+
+def test_importance_weights_directional(ray_session, tmp_path):
+    """Docs made of target-slice vocabulary score above docs made of
+    source-only vocabulary; empty docs get (0 tokens, 0.0)."""
+    from searchenginepp_ray.pipelines.filters import importance_weights
+
+    texts = (["alpha alpine amber anchor"] * 4          # en (target)
+             + ["beta birch boulder basket"] * 4        # de
+             + [""])                                    # empty
+    langs = ["en"] * 4 + ["de"] * 4 + ["en"]
+    path = _write_docs_lang(tmp_path, texts, langs)
+    got = (importance_weights(path).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.columns) == ["doc_id", "n_tokens", "logw"]
+    en_w = got.loc[:3, "logw"]
+    de_w = got.loc[4:7, "logw"]
+    assert (en_w > de_w.max()).all()
+    assert got.loc[8, "n_tokens"] == 0 and got.loc[8, "logw"] == 0.0
+
+
+def test_importance_weights_matches_naive(ray_session, tmp_path):
+    """Pin the DSIR math against a direct per-doc reference that shares
+    only the tokenizer and the md5-bucket rule (no shared aggregation
+    code)."""
+    import math
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.pipelines.duck import md5_bucket
+    from searchenginepp_ray.pipelines.filters import importance_weights
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 25)))
+             for _ in range(30)]
+    langs = [rng.choice(["en", "de", "fr"]) for _ in range(30)]
+    path = _write_docs_lang(tmp_path, texts, langs)
+    B = 16
+    got = (importance_weights(path, n_buckets=B).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    _, terms_l, tfs_l = tokenize_batch(texts, SIMPLE_PROFILE)
+    per_doc = [list(zip(terms_l[i].as_py(), tfs_l[i].as_py()))
+               for i in range(len(texts))]
+    t_vec = [0] * B
+    s_vec = [0] * B
+    bkt = {}
+    for i, doc in enumerate(per_doc):
+        for term, tf in doc:
+            if term not in bkt:
+                bkt[term] = md5_bucket(pa.array([term]), B)[0].as_py()
+            s_vec[bkt[term]] += tf
+            if langs[i] == "en":
+                t_vec[bkt[term]] += tf
+    t_tot, s_tot = float(sum(t_vec)), float(sum(s_vec))
+    w = [math.log2((t_vec[b] + 1.0) * (s_tot + B)
+                   / ((s_vec[b] + 1.0) * (t_tot + B))) for b in range(B)]
+    for i, doc in enumerate(per_doc):
+        want_n = sum(tf for _, tf in doc)
+        want_w = math.floor(sum(tf * w[bkt[t]] for t, tf in doc)
+                            * 1e6 + 0.5) / 1e6
+        assert got.loc[i, "n_tokens"] == want_n
+        assert got.loc[i, "logw"] == pytest.approx(want_w, abs=2e-6)
+
+
+def test_importance_weights_oracle_sf0001(ray_session, sf_dir):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = e.queries()["importance_weights"](sf_dir).to_pandas()
+    want = con.execute(e.oracle_sql()["importance_weights"]).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, atol=1e-9)
