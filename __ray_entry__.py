@@ -102,6 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_neardup": lambda sf: clean.corpus_clean_neardup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
+        # exact-substring dedup transformation on the aligned span
+        # grid (Lee et al.): keep-first globally, docs reassembled
+        # from kept spans — int-only line exchange + tagged-union
+        # doc-keyed rebuild
+        "span_dedup": lambda sf: dedup.span_dedup(sf),
         # distributed label-propagation CC over the exact-Jaccard pair
         # graph — oracle = recursive-CTE reachability closure
         "dup_components": lambda sf: dedup.dup_components(sf),
@@ -327,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": osql.exact_dedup_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
+        "span_dedup": osql.span_dedup_sql(),
         "dup_components": osql.dup_components_sql(),
         "dup_components_best": osql.dup_components_best_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),

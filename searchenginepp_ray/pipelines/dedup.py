@@ -1060,3 +1060,149 @@ def dup_components_best(
         return out[["component", "keep_doc_id", "n_tokens", "n_members"]]
 
     return hash_groupby_apply(members, ["component"], best)
+
+
+def _span_grid(texts, width: int):
+    """Non-overlapping ``width``-word span strings per doc (the aligned
+    span grid shared by :func:`span_dedup`'s two passes and its SQL
+    oracle). Splits on the single-space separator — lossless under
+    ``' '.join`` reassembly — and the last span of a doc keeps the
+    remainder words. Returns ``(spans, doc_idx, pos, n_spans)`` where
+    ``spans`` is a string Array of span texts, ``doc_idx``/``pos`` are
+    per-span int64 (pos 1-based within its doc) and ``n_spans`` is the
+    per-doc span count (an empty text is one empty span)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ws = pc.split_pattern(texts, " ")
+    if isinstance(ws, pa.ChunkedArray):
+        ws = ws.combine_chunks()
+    n_words = pc.list_value_length(ws).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(ws)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_spans = -(-n_words // width)
+    ndocs = len(n_words)
+    total = int(n_spans.sum())
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n_spans)
+    span_starts = np.concatenate(([0], np.cumsum(n_spans)))
+    within = np.arange(total, dtype=np.int64) - span_starts[doc_idx]
+    doc_word_starts = np.concatenate(([0], np.cumsum(n_words)))
+    # spans tile each doc's word range contiguously, and docs tile the
+    # flat word array, so span starts alone are valid list offsets
+    starts = doc_word_starts[doc_idx] + width * within
+    offsets = np.append(starts, doc_word_starts[-1]).astype(np.int64)
+    la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                       flat.cast(pa.large_string()))
+    spans = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    return spans.cast(pa.string()), doc_idx, within + 1, n_spans
+
+
+def span_dedup(sf_dir: str, width: int = 10):
+    """Exact SPAN deduplication — the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better") exact-substring-dedup
+    transformation on an aligned span grid, the form that distributes
+    (a corpus-wide suffix array does not): segment every doc into
+    non-overlapping ``width``-word spans; every span whose exact text
+    already occurred earlier in the corpus (global (doc_id, pos) order)
+    is REMOVED; the doc is reassembled from its kept spans. Returns
+    (doc_id, n_spans, n_kept, clean_md5) for every doc, ``clean_md5``
+    the md5 of the reassembled text — small rows, value-checkable,
+    while the kernel does the full text reassembly.
+
+    Scale shape: pass 1 streams once, builds the span grid with one
+    Arrow split + one list-offset construction + one ``binary_join``
+    per batch, and sends only (span_hash64, doc_id, pos) int rows —
+    never span text — through ONE hash exchange; each h-partition holds
+    every instance of its spans, so a vectorized lexsort emits exactly
+    the non-first instances as (doc_id, pos) drop rows. Pass 2 is one
+    tagged-union doc-keyed exchange (corpus rows ⊎ drop rows) whose
+    per-partition kernel rebuilds the grid, filters dropped spans and
+    reassembles + md5s with Arrow/DuckDB C kernels. Matching is by
+    64-bit xxhash (the :func:`decontaminate` stance: a false drop needs
+    a collision between distinct corpus spans; the exact-string SQL
+    oracle pins the assumption at gate scale). Empty spans (empty docs)
+    never enter the dedup flow — always kept."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
+
+    W = int(width)
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans, doc_idx, pos, _ = _span_grid(t["text"], W)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx]
+        ne = pc.not_equal(spans, "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(_hash_strings(spans)[ne], pa.uint64()),
+            "doc_id": pa.array(doc_ids[ne]),
+            "pos": pa.array(pos[ne]),
+        })
+
+    def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        o = np.lexsort((p, d, h))
+        h = h[o]
+        first = np.ones(len(h), bool)
+        first[1:] = h[1:] != h[:-1]
+        return pd.DataFrame({"doc_id": d[o][~first], "pos": p[o][~first]})
+
+    drops = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["h"], emit_drops)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": t["text"],
+            "pos": pa.array(np.zeros(n, np.int64)),
+            "kind": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": pa.array([""] * n, pa.string()),
+            "pos": t["pos"].cast(pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8)),
+        })
+
+    u = documents_ds(sf_dir).map_batches(tag_docs, batch_format="pyarrow") \
+        .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["kind"] == 0]
+        dr = df[df["kind"] == 1]
+        doc_ids = docs["doc_id"].to_numpy().astype(np.int64)
+        texts = pa.array(docs["text"].tolist(), pa.string())
+        spans, _, _, n_spans = _span_grid(texts, W)
+        order = np.argsort(doc_ids, kind="mergesort")
+        row = order[np.searchsorted(doc_ids[order],
+                                    dr["doc_id"].to_numpy().astype(np.int64))]
+        span_starts = np.concatenate(([0], np.cumsum(n_spans)))
+        drop_idx = span_starts[row] + dr["pos"].to_numpy().astype(np.int64) - 1
+        keep = np.ones(len(spans), bool)
+        keep[drop_idx] = False
+        kept_per_doc = n_spans - np.bincount(row, minlength=len(docs)) \
+            .astype(np.int64)
+        flat_kept = spans.filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), flat_kept.cast(pa.large_string()))
+        clean = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "n_spans": n_spans,
+            "n_kept": kept_per_doc,
+            "clean_md5": md5_hex(clean.cast(pa.string())).to_pylist(),
+        })
+
+    return hash_groupby_apply(u, ["doc_id"], rebuild)

@@ -1550,3 +1550,30 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
        floor(COALESCE(p.logw, 0.0) * 1e6 + 0.5) / 1e6 AS logw
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def span_dedup_sql(width: int = 10) -> str:
+    """Oracle for dedup.span_dedup: exact span dedup on the aligned
+    ``width``-word grid, keep-first in global (doc_id, pos) order.
+    Matches exact span STRINGS (the Ray side matches 64-bit xxhashes,
+    so a green gate also pins the no-collision stance); the reassembly
+    is ``string_agg(line, ' ' ORDER BY pos)`` — the verbatim twin of
+    the Ray kernel's offset-filtered ``binary_join``."""
+    W = int(width)
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[(i-1)*{W}+1 : i*{W}], ' ') AS line
+  FROM w, LATERAL (SELECT unnest(generate_series(
+       1, CAST(ceil(len(ws)/{W}.0) AS BIGINT))) AS i)),
+k AS (
+  SELECT doc_id, pos, line,
+         (line = '' OR row_number() OVER
+            (PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+  FROM g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                               ' ' ORDER BY pos), '')) AS clean_md5
+FROM k GROUP BY doc_id"""

@@ -383,3 +383,71 @@ def test_dup_components_best_keeps_longest(ray_session):
             n_d = counts.get(d, 0)
             assert (n_d, -d) <= (row["n_tokens"], -row["keep_doc_id"]), (
                 row["component"], d)
+
+
+def _naive_span_dedup(texts, width):
+    """Sequential keep-first span dedup reference."""
+    import math
+
+    seen = set()
+    out = []
+    for doc_id, t in enumerate(texts):
+        ws = t.split(" ")
+        n_spans = math.ceil(len(ws) / width)
+        kept = []
+        for i in range(n_spans):
+            line = " ".join(ws[i * width:(i + 1) * width])
+            if line == "" or line not in seen:
+                kept.append(line)
+            if line != "":
+                seen.add(line)
+        clean = " ".join(kept)
+        out.append((doc_id, n_spans, len(kept),
+                    hashlib.md5(clean.encode()).hexdigest()))
+    return pd.DataFrame(out, columns=["doc_id", "n_spans", "n_kept",
+                                      "clean_md5"])
+
+
+def test_span_dedup_constructed(ray_session, tmp_path):
+    """Planted duplicates: cross-doc, within-doc, remainder spans,
+    empty docs — vs the sequential keep-first reference."""
+    from searchenginepp_ray.pipelines.dedup import span_dedup
+
+    texts = [
+        "a b c d e f",            # spans: "a b c", "d e f"
+        "a b c x y z",            # "a b c" dup -> dropped
+        "d e f d e f a b c",      # within-doc dup + cross-doc dups
+        "",                       # empty doc: one empty span, kept
+        "q r",                    # remainder-only span
+        "q r",                    # whole doc duplicated
+        "x y z q r",              # both spans seen before
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+    got = (span_dedup(path, width=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _naive_span_dedup(texts, 3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_span_dedup_matches_naive_random(ray_session, tmp_path):
+    """Word-salad fuzz vs the sequential reference (order matters:
+    keep-first is defined over the global (doc_id, pos) order)."""
+    from searchenginepp_ray.pipelines.dedup import span_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 18)))
+             for _ in range(60)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=7)
+    got = (span_dedup(path, width=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _naive_span_dedup(texts, 2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
