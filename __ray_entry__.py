@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank_bsp": lambda sf: _graph().part_pagerank_bsp(sf),
         # deterministic content-addressed shard export + manifest
         # checksums (the terminal training-export stage)
+        # sequence-packing planner: every doc's position in the
+        # fixed-length packed token stream — exact global prefix sum
+        # via range partials + broadcast offsets (no sort)
+        "sequence_pack": lambda sf: _export().sequence_pack(sf),
         "shard_export": lambda sf: _export().shard_export(sf),
         # context-window chunking (fixed-size overlapping word chunks,
         # md5-checksummed content) — streaming flat-map, no exchange
@@ -325,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "bpe_pair_counts": osql.bpe_pair_counts_sql(),
+        "sequence_pack": osql.sequence_pack_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
         "training_export": osql.training_export_sql(),

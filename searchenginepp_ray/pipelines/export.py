@@ -252,3 +252,83 @@ def training_export(sf_dir: str, n_shards: int = 8,
         chunks.map_batches(assign, batch_format="pyarrow"),
         ["shard_id"], write_shards,
     )
+
+
+def sequence_pack(sf_dir: str, seq_len: int = 512,
+                  range_size: int = 65_536):
+    """Sequence-PACKING planner — the LM-training last mile: treat the
+    corpus as one token stream in doc_id order, cut it into fixed
+    ``seq_len``-token training sequences, and assign every doc its
+    position: (doc_id, n_tokens, start_tok, first_seq, last_seq), with
+    first/last = -1 for token-less docs. A trainer (or
+    :func:`shard_export`-style writer) uses the assignment to emit
+    packed sequences with documents split across sequence boundaries —
+    the standard GPT-style packing layout.
+
+    This is an exact GLOBAL ordered prefix sum computed without any
+    sort or row numbering: docs are range-partitioned by
+    ``doc_id // range_size``; one streaming pass emits per-range token
+    sums (corpus_size / range_size rows — the only driver-side
+    materialization, ~150k rows at 10^10 docs); the cumulative range
+    offsets broadcast via ``ray.put``; a range-keyed exchange then
+    computes each doc's exact start as range_offset + an in-partition
+    vectorized cumsum. Two token-count passes (the partials pass and
+    the exchange pass re-execute the tokenize lineage) — int-only rows
+    otherwise."""
+    import ray
+
+    from .agg import hash_groupby_sum
+    from .text_stats import token_count
+
+    L, R = int(seq_len), int(range_size)
+
+    def with_range(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "range_id": pa.array(doc // R),
+            "doc_id": pa.array(doc),
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+        })
+
+    tc = token_count(sf_dir).map_batches(with_range, batch_format="pyarrow")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        r = t["range_id"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(r, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"range_id": pa.array(u), "t_part": pa.array(s)})
+
+    sums = hash_groupby_sum(
+        tc.map_batches(range_partial, batch_format="pyarrow"),
+        ["range_id"], {"tok": ("t_part", "sum")}).to_pandas()
+    n_ranges = int(sums["range_id"].max()) + 1 if len(sums) else 1
+    per_range = np.zeros(n_ranges, np.int64)
+    per_range[sums["range_id"].to_numpy()] = sums["tok"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(per_range)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        df = df.sort_values("doc_id", kind="mergesort")
+        r = df["range_id"].to_numpy()
+        n = df["n_tokens"].to_numpy()
+        # in-partition doc order == in-range doc order (one range maps
+        # to exactly one partition), so a range-boundary-reset cumsum
+        # gives each doc's offset within its range
+        cum = np.cumsum(n) - n
+        range_first = np.ones(len(r), bool)
+        range_first[1:] = r[1:] != r[:-1]
+        base = np.repeat(cum[range_first], np.diff(
+            np.flatnonzero(np.append(range_first, True))))
+        start = offs[r] + (cum - base)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "start_tok": start,
+            "first_seq": np.where(n > 0, start // L, -1),
+            "last_seq": np.where(n > 0, (start + n - 1) // L, -1),
+        })
+
+    return hash_groupby_apply(tc, ["range_id"], pack)

@@ -1577,3 +1577,28 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
                                ' ' ORDER BY pos), '')) AS clean_md5
 FROM k GROUP BY doc_id"""
+
+
+def sequence_pack_sql(seq_len: int = 512) -> str:
+    """Oracle for export.sequence_pack: the global ordered prefix sum
+    as a window cumulative SUM over doc_id order, sequence ids by
+    integer division."""
+    L = int(seq_len)
+    return f"""WITH {tok_cte()},
+tc AS (
+  SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+  ) t USING (doc_id)),
+s AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM tc)
+SELECT doc_id, n AS n_tokens, start_tok,
+       CAST(CASE WHEN n > 0 THEN start_tok // {L} ELSE -1 END
+            AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n > 0 THEN (start_tok + n - 1) // {L} ELSE -1 END
+            AS BIGINT) AS last_seq
+FROM s"""

@@ -142,3 +142,42 @@ def test_training_export_shards_and_exclusions(ray_session, sf_dir, tmp_path):
     assert not (set(docs) & cont_ids)
     keep_ids = set(corpus_clean(sf_dir).to_pandas()["doc_id"])
     assert set(docs) <= keep_ids
+
+
+def test_sequence_pack_matches_naive(ray_session, tmp_path):
+    """Multi-range prefix sum vs a sequential cumsum reference,
+    including empty docs and docs spanning sequence boundaries."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.pipelines.export import sequence_pack
+
+    rng = np.random.RandomState(5)
+    texts = [" ".join(rng.choice(["aa", "bb", "cc"], rng.randint(0, 30)))
+             for _ in range(40)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=7)
+    L = 16
+    got = (sequence_pack(path, seq_len=L, range_size=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    doclens, _, _ = tokenize_batch(texts, SIMPLE_PROFILE)
+    start = 0
+    rows = []
+    for i, n in enumerate(int(x) for x in doclens):
+        rows.append((i, n, start,
+                     start // L if n else -1,
+                     (start + n - 1) // L if n else -1))
+        start += n
+    want = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "start_tok",
+                                       "first_seq", "last_seq"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # stream coverage: consecutive docs tile the token stream
+    nz = want
+    assert (nz["start_tok"].to_numpy()[1:]
+            == (nz["start_tok"] + nz["n_tokens"]).to_numpy()[:-1]).all()
