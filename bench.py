@@ -374,6 +374,10 @@ def run_default() -> None:
     from searchenginepp_ray.pipelines import tokenizer
 
     timed("bpe_train", lambda: tokenizer.bpe_train(sf_dir))
+    # round-3 session 4: data-selection + span dedup + packing
+    timed("importance_weights", lambda: filters.importance_weights(sf_dir))
+    timed("span_dedup", lambda: dedup.span_dedup(sf_dir))
+    timed("sequence_pack", lambda: export.sequence_pack(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
