@@ -219,6 +219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (colid, key64) exchange for every column's distinct count
         "table_profile": lambda sf: relational.table_profile(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
+        # budgeted per-group curation: exact top-q% per lang by
+        # quality score — grouped selection at scaling k with NO sort
+        # (grid histogram threshold + tie-only exchange)
+        "quality_select": lambda sf: sample.quality_select(sf),
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
         # deterministic salted train/val/test split (disjoint +
         # exhaustive by construction; stable across reruns/clusters)
@@ -373,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "term_complete": osql.term_complete_sql(),
         "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),
+        "quality_select": osql.quality_select_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),

@@ -1602,3 +1602,26 @@ SELECT doc_id, n AS n_tokens, start_tok,
        CAST(CASE WHEN n > 0 THEN (start_tok + n - 1) // {L} ELSE -1 END
             AS BIGINT) AS last_seq
 FROM s"""
+
+
+def quality_select_sql(q_num: int = 1, q_den: int = 2) -> str:
+    """Oracle for sample.quality_select: per-lang top-q% by the round6
+    distinct-ratio GRID (both engines rank on the identical integer
+    grid value), ties → lowest doc_id, k in integer math."""
+    return f"""WITH {tok_cte()},
+sc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(COALESCE(t.nd, 0) * 1.0
+                    / GREATEST(COALESCE(t.n, 0), 1) * 1000000 + 0.5)
+              AS BIGINT) AS s
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(DISTINCT term) AS nd, COUNT(*) AS n
+    FROM toks GROUP BY doc_id
+  ) t USING (doc_id)),
+r AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM sc)
+SELECT doc_id, lang, s / 1000000.0 AS distinct_ratio
+FROM r WHERE rn <= (cnt * {int(q_num)} + {int(q_den)} - 1) // {int(q_den)}"""

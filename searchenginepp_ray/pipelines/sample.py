@@ -197,3 +197,111 @@ def dataset_split(sf_dir: str, val_frac: float = 0.1,
 
     return documents_ds(sf_dir, columns=("doc_id",)).map_batches(
         tag, batch_format="pyarrow")
+
+
+def quality_select(sf_dir: str, q_num: int = 1, q_den: int = 2):
+    """Budgeted per-group quality selection: keep the top
+    ``q_num/q_den`` fraction of each language's docs by quality score
+    (distinct-token ratio; ties → lowest doc_id) — the "keep the best
+    q% per language" curation step run with a fixed token budget.
+    Returns (doc_id, lang, distinct_ratio) for exactly
+    ``ceil(n_lang * q_num / q_den)`` docs per language.
+
+    Exact grouped top-q% at SCALING k, computed with NO sort and no
+    per-group row numbering: the score lives on the shared round6 grid
+    (≤ 1e6+1 distinct values), so one streaming pass emits per-(lang,
+    grid-score) histogram partials through a tiny exchange — the
+    driver-side aggregate is bounded by #langs × grid size, independent
+    of corpus size. The per-lang threshold score s* and the number of
+    ties to admit at s* follow from the cumulative histogram in integer
+    math ((n·q_num + q_den − 1) // q_den — no float k). A second
+    streaming pass keeps score > s* rows outright (no exchange) and
+    routes only the score == s* ties through a lang-keyed exchange
+    whose kernel admits the lowest-doc_id ``need`` of them. Tie traffic
+    is bounded by the docs at exactly the threshold score."""
+    import pandas as pd
+    import ray
+
+    from ..config import SIMPLE_PROFILE
+    from ..normalizer.batch import tokenize_batch
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .text_stats import documents_ds
+
+    def score(t: pa.Table) -> pa.Table:
+        doclens, terms_list, _ = tokenize_batch(
+            t["text"].to_pylist(), SIMPLE_PROFILE)
+        n_dis = pc.list_value_length(terms_list) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        safe = np.maximum(doclens.astype(np.int64), 1)
+        s = np.floor(n_dis / safe * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "lang": t["lang"], "s": pa.array(s)})
+
+    scored = documents_ds(sf_dir, ("doc_id", "text", "lang")) \
+        .map_batches(score, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "s": t["s"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "s"], as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "s": pa.array(g["s"].to_numpy()),
+                         "c_part": pa.array(
+                             g["size"].to_numpy().astype(np.int64))})
+
+    hist = hash_groupby_sum(
+        scored.map_batches(hist_partial, batch_format="pyarrow"),
+        ["lang", "s"], {"c": ("c_part", "sum")}).to_pandas()
+
+    # per-lang threshold from the cumulative histogram (integer math)
+    plan: dict[str, tuple[int, int]] = {}  # lang -> (s_star, need_at)
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("s", ascending=False)
+        c = g["c"].to_numpy()
+        n = int(c.sum())
+        k = (n * q_num + q_den - 1) // q_den
+        cum = np.cumsum(c)
+        i = int(np.searchsorted(cum, k))  # first row reaching k
+        s_star = int(g["s"].to_numpy()[i])
+        above = int(cum[i - 1]) if i else 0
+        plan[lang] = (s_star, k - above)
+    plan_ref = ray.put(plan)
+
+    def _thresholds(t: pa.Table) -> np.ndarray:
+        # vocabulary-sized dict lookups fanned out through dictionary
+        # codes — no per-row Python
+        p = ray.get(plan_ref)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        d = lang.dictionary_encode()
+        per_code = np.array([p[v][0] for v in d.dictionary.to_pylist()],
+                            dtype=np.int64)
+        return per_code[np.asarray(d.indices, dtype=np.int64)]
+
+    def split_keep(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s > _thresholds(t)))
+
+    def split_ties(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s == _thresholds(t)))
+
+    def admit(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(plan_ref)
+        out = []
+        for lang, g in df.groupby("lang"):
+            out.append(g.sort_values("doc_id").head(p[lang][1]))
+        return pd.concat(out) if out else df
+
+    kept = scored.map_batches(split_keep, batch_format="pyarrow").union(
+        hash_groupby_apply(
+            scored.map_batches(split_ties, batch_format="pyarrow"),
+            ["lang"], admit))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "distinct_ratio": pa.array(s / 1e6)})
+
+    return kept.map_batches(finish, batch_format="pyarrow")

@@ -85,3 +85,50 @@ def test_dataset_split_disjoint_stable_salted(ray_session):
     c = dataset_split(sf, salt="other").to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert (c["split"] != a["split"]).any()
+
+
+def test_quality_select_exact_counts_and_ties(ray_session, tmp_path):
+    """Per-lang ceil(n·q) selection with tie admission by lowest
+    doc_id, vs a sequential rank reference over the same score grid."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.pipelines.sample import quality_select
+
+    rng = np.random.RandomState(9)
+    vocab = ["aa", "bb", "cc", "dd"]
+    # many docs share score grids (short word-salad) => real tie sets
+    texts = [" ".join(rng.choice(vocab, rng.randint(1, 8)))
+             for _ in range(60)]
+    langs = [rng.choice(["en", "de"]) for _ in range(60)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs),
+    }), path, row_group_size=11)
+    got = (quality_select(path, 1, 3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    doclens, terms_l, _ = tokenize_batch(texts, SIMPLE_PROFILE)
+    rows = []
+    for i in range(len(texts)):
+        nd = len(terms_l[i])
+        n = max(int(doclens[i]), 1)
+        rows.append((i, langs[i], int(math.floor(nd / n * 1e6 + 0.5))))
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "s"])
+    want = []
+    for lang, g in df.groupby("lang"):
+        k = (len(g) * 1 + 3 - 1) // 3
+        g = g.sort_values(["s", "doc_id"], ascending=[False, True])
+        want.append(g.head(k))
+    want = pd.concat(want).sort_values("doc_id").reset_index(drop=True)
+    want["distinct_ratio"] = want["s"] / 1e6
+    pd.testing.assert_frame_equal(
+        got, want[["doc_id", "lang", "distinct_ratio"]],
+        check_dtype=False)
