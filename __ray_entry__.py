@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SymSpell deletion-neighborhood fuzzy term lookup over the
         # distributed vocabulary (spelling correction; broadcast query
         # deletion keys, exact DP verify on candidates only)
+        # add-one bigram LM quality filter (higher-order sibling
+        # of unigram_logprob; one shared gram-keyed exchange)
+        "bigram_logprob": lambda sf: text_stats.bigram_logprob(sf),
         "fuzzy_term_match": lambda sf: text_stats.fuzzy_term_match(sf),
         # query autocompletion: prefix-filtered df top-k (filter runs
         # BEFORE the exchange; per-partition partial top-k; P*k merge)
@@ -320,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": osql.lang_id_sql(),
         "doc_fingerprint": osql.doc_fingerprint_sql(),
         "unigram_logprob": osql.unigram_logprob_sql(),
+        "bigram_logprob": osql.bigram_logprob_sql(),
         "fuzzy_term_match": osql.fuzzy_term_match_sql(),
         "search_snippets": osql.search_snippets_sql(),
         "event_outliers": osql.event_outliers_sql(),

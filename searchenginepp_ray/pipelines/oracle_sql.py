@@ -1625,3 +1625,34 @@ r AS (
   FROM sc)
 SELECT doc_id, lang, s / 1000000.0 AS distinct_ratio
 FROM r WHERE rn <= (cnt * {int(q_num)} + {int(q_den)} - 1) // {int(q_den)}"""
+
+
+def bigram_logprob_sql() -> str:
+    """Oracle for text_stats.bigram_logprob: exact bigram/context
+    STRING counts (pins the Ray side's 64-bit-hash stance), identical
+    add-one expression log2(c_ab + 1) − log2(c_ctx + V), shared floor
+    half-up rounding."""
+    cls = _regex_class().replace("'", "''")
+    return f"""WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             trim(regexp_replace(lower(text), '{cls}', ' ', 'g')), ' +'),
+             x -> x <> '') AS toks
+  FROM documents),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS t FROM tl)),
+bi AS (
+  SELECT doc_id, toks[i] AS a, array_to_string(toks[i:i+1], ' ') AS ab
+  FROM tl, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2),
+cb AS (SELECT ab, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY ab),
+cc AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY a),
+per AS (
+  SELECT bi.doc_id,
+         SUM(log2(cb.c + 1.0) - log2(cc.c + (SELECT v FROM v))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bi JOIN cb USING (ab) JOIN cc USING (a)
+  GROUP BY bi.doc_id)
+SELECT doc_id, n AS n_bigrams,
+       floor(s / n * 1e6 + 0.5) / 1e6 AS avg_logprob
+FROM per"""

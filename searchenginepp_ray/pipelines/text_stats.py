@@ -552,3 +552,95 @@ def term_complete(sf_dir: str, prefix: str = "s", k: int = 10):
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["df"] = out.pop("df_part").astype(np.int64)
     return out[["rank", "term", "df"]].reset_index(drop=True)
+
+
+def bigram_logprob(sf_dir: str):
+    """Per-doc average log2 BIGRAM probability under the corpus's own
+    add-one-smoothed bigram LM — the higher-order sibling of
+    :func:`unigram_logprob` (bigram surprisal separates shuffled-token
+    garbage from fluent text that unigram stats score identically):
+
+        p(b|a) = (c(ab) + 1) / (c_ctx(a) + V)
+        score_d = (1/(|d|-1)) Σ log2 p(b|a) over d's bigrams
+
+    where c(ab) is the corpus bigram count, c_ctx(a) the count of ``a``
+    as a bigram CONTEXT (= Σ_b c(ab), the correct normalizer), and V
+    the corpus distinct-token count. Docs with < 2 tokens are absent
+    (no bigrams), mirroring the SQL side's join semantics.
+
+    Scale shape: V is one distributed distinct count (scalar to the
+    driver); then ONE gram-keyed exchange carries (hash64, side, doc,
+    tf) instance partials for bigrams AND contexts together — bigram
+    keys ("a b") and context keys ("a") are disjoint string spaces, so
+    they share the exchange; every instance of a key lands in one
+    partition, which therefore knows the exact global count and
+    map-side-combines per-doc Σ tf·log2(·) partials; one doc-keyed
+    exchange sums. The 64-bit-hash no-collision stance is
+    :func:`~searchenginepp_ray.pipelines.filters.decontaminate`'s,
+    pinned by the exact-string SQL oracle at gate scale."""
+    import pandas as pd
+
+    from ..config import SIMPLE_PROFILE
+    from ..normalizer.batch import ordered_tokens_batch
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .dedup import _hash_strings
+
+    V = float(term_df(sf_dir).count())
+
+    def explode(t: pa.Table) -> pa.Table:
+        la = ordered_tokens_batch(t["text"].to_pylist(), SIMPLE_PROFILE)
+        n = np.diff(np.asarray(la.offsets, dtype=np.int64))
+        flat = la.values
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+        within = np.arange(total, dtype=np.int64) - starts[doc_idx]
+        a_idx = np.flatnonzero(within < n[doc_idx] - 1)
+        a = flat.take(pa.array(a_idx, pa.int64()))
+        b = flat.take(pa.array(a_idx + 1, pa.int64()))
+        bi = pc.binary_join_element_wise(a, b, " ")
+        d = doc_ids[doc_idx[a_idx]]
+        hb = _hash_strings(bi)
+        hc = _hash_strings(a)
+        g = (pd.DataFrame({
+            "h": np.concatenate((hb, hc)),
+            "side": np.concatenate((np.zeros(len(hb), np.int8),
+                                    np.ones(len(hc), np.int8))),
+            "doc_id": np.concatenate((d, d)),
+        }).groupby(["h", "side", "doc_id"], as_index=False).size())
+        return pa.table({"h": pa.array(g["h"].to_numpy(), pa.uint64()),
+                         "side": pa.array(g["side"].to_numpy()),
+                         "doc_id": pa.array(g["doc_id"].to_numpy()),
+                         "tf": pa.array(g["size"].to_numpy()
+                                        .astype(np.int64))})
+
+    ds = documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        C = df.groupby(["h", "side"])["tf"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        side = df["side"].to_numpy()
+        lp = np.where(side == 0, np.log2(C + 1.0), -np.log2(C + V))
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "s": tf * lp,
+            "n": np.where(side == 0, df["tf"].to_numpy(), 0),
+        }).groupby("doc_id", as_index=False).sum()
+        return g.rename(columns={"s": "s_part", "n": "n_part"})
+
+    partials = hash_groupby_apply(ds, ["h"], per_gram)
+    per_doc = hash_groupby_sum(
+        partials, ["doc_id"],
+        {"s": ("s_part", "sum"), "n": ("n_part", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(n),
+                         "avg_logprob": pa.array(
+                             round6_half_up(s / np.maximum(n, 1)))})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

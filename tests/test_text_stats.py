@@ -237,3 +237,61 @@ def test_term_complete_matches_duckdb(ray_session, sf_dir):
         want = con.sql(term_complete_sql(prefix=prefix, k=k)).df()
         import pandas as pd
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_logprob_matches_naive(ray_session, tmp_path):
+    """Sequential add-one bigram LM reference over the same normalized
+    token streams; <2-token docs absent; repeated fluent bigrams score
+    above never-seen transitions."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import ordered_tokens_batch
+    from searchenginepp_ray.pipelines.text_stats import bigram_logprob
+
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    vocab = ["the", "cat", "sat", "mat", "dog"]
+    texts = (["the cat sat"] * 6
+             + [" ".join(rng.choice(vocab, rng.randint(0, 9)))
+                for _ in range(30)]
+             + ["solo", ""])
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=9)
+    got = (bigram_logprob(path).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    la = ordered_tokens_batch(texts, SIMPLE_PROFILE)
+    streams = [la[i].as_py() for i in range(len(texts))]
+    cb, cc, vocab_set = {}, {}, set()
+    for s in streams:
+        vocab_set.update(s)
+        for a, b in zip(s, s[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cc[a] = cc.get(a, 0) + 1
+    V = float(len(vocab_set))
+    rows = []
+    for i, s in enumerate(streams):
+        if len(s) < 2:
+            continue
+        lp = sum(math.log2(cb[(a, b)] + 1.0) - math.log2(cc[a] + V)
+                 for a, b in zip(s, s[1:]))
+        n = len(s) - 1
+        rows.append((i, n, math.floor(lp / n * 1e6 + 0.5) / 1e6))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams",
+                                       "avg_logprob"])
+    assert set(got["doc_id"]) == set(want["doc_id"])  # short docs absent
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  atol=2e-6)
+    # fluent repeated docs outscore the word salad on average
+    fluent = got[got["doc_id"] < 6]["avg_logprob"].mean()
+    salad = got[got["doc_id"] >= 6]["avg_logprob"].mean()
+    assert fluent > salad
