@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd's k-means (deterministic init + shared
         # rounding rule => the unrolled-CTE oracle is hash-exact); one
         # streaming pass + one k×dims exchange per iteration
+        # product quantization: m sub-space codebooks trained in
+        # one shared streaming pass + (vec_id, block, code) encoding —
+        # the vector-compression scale path
+        "pq_encode": lambda sf: similarity.pq_encode(sf),
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # distributed covariance (augmented-Gram map-side partials, one
         # dims^2 exchange) — the PCA/whitening primitive; eigensolve of
@@ -391,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": osql.doc_keywords_sql(),
         "text_knn": osql.text_knn_sql(),
         "label_centroids": osql.label_centroids_sql(),
+        "pq_encode": osql.pq_encode_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
         "embedding_covariance": osql.embedding_covariance_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float

@@ -1656,3 +1656,54 @@ per AS (
 SELECT doc_id, n AS n_bigrams,
        floor(s / n * 1e6 + 0.5) / 1e6 AS avg_logprob
 FROM per"""
+
+
+def pq_encode_sql(m: int = 4, k: int = 4, iters: int = 2) -> str:
+    """Oracle for similarity.pq_encode: m independent Lloyd recurrences
+    over the block sub-slices, unrolled as chained CTEs with the same
+    deterministic contract as kmeans_embeddings_sql (block carried
+    through every CTE)."""
+    sub = f"(SELECT dims FROM dd)"
+
+    def assign_cte(i: int, csrc: str) -> str:
+        return f"""a{i} AS (SELECT vec_id, block, cluster FROM (
+    SELECT e.vec_id, e.block, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id, e.block
+                              ORDER BY list_distance(e.v, c.v) ASC,
+                                       c.cluster ASC) AS rn
+    FROM e JOIN {csrc} c USING (block)) WHERE rn = 1)"""
+
+    def update_cte(i: int) -> str:
+        return f"""x{i} AS (SELECT a.block, a.cluster,
+           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
+           unnest(e.v) AS x
+    FROM a{i} a JOIN e USING (vec_id, block)),
+g{i} AS (SELECT block, cluster,
+                list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
+    FROM (SELECT block, cluster, dim, AVG(x) AS mx
+          FROM x{i} GROUP BY block, cluster, dim)
+    GROUP BY block, cluster),
+c{i} AS (SELECT p.block, p.cluster, COALESCE(g.v, p.v) AS v
+    FROM c{i - 1} p LEFT JOIN g{i} g USING (block, cluster))"""
+
+    parts = [
+        f"""dd AS (SELECT len(embedding) // {int(m)} AS dims
+    FROM embeddings LIMIT 1)""",
+        f"""e AS (SELECT vec_id, b.block,
+           (CAST(embedding AS DOUBLE[]))
+               [b.block * {sub} + 1 : (b.block + 1) * {sub}] AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(0, {int(m) - 1}))
+                  AS block) b)""",
+        f"""c0 AS (SELECT block,
+           CAST(row_number() OVER (PARTITION BY block ORDER BY vec_id) - 1
+                AS BIGINT) AS cluster, v
+    FROM e QUALIFY row_number() OVER (PARTITION BY block ORDER BY vec_id)
+         <= {int(k)})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(i, f"c{i - 1}"))
+        parts.append(update_cte(i))
+    parts.append(assign_cte(iters + 1, f"c{iters}"))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, block, cluster AS code FROM a{iters + 1}")

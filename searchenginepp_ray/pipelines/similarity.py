@@ -651,3 +651,111 @@ def embedding_covariance(sf_dir: str):
     return pd.DataFrame({"dim_i": iu.astype(np.int64),
                          "dim_j": ju.astype(np.int64),
                          "cov": round6_half_up(cov)})
+
+
+def pq_encode(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
+    """Product quantization — train ``m`` sub-space codebooks of ``k``
+    centroids each (independent Lloyd's k-means per ``dims/m``-wide
+    block) and encode every vector as ``m`` small codes: the vector
+    COMPRESSION path for corpora whose raw embeddings don't fit the
+    serving tier (m×log2(k) bits per vector vs dims×32). Returns long
+    (vec_id, block, code) — the layout an ADC scanner consumes.
+
+    Same deterministic contract as :func:`kmeans_embeddings` so the
+    unrolled-CTE oracle is hash-exact (init = k lowest-vec_id vectors'
+    sub-slices, argmin ties → lowest cluster, shared 9 dp half-up
+    centroid rounding, empty clusters keep their previous centroid) —
+    and the same scale shape, with all ``m`` blocks trained in the SAME
+    streaming pass: per iteration one pass reduces each batch to
+    (block, cluster, dim) partials (≤ m·k·dims rows — key-space
+    bounded), one tiny exchange, centroids broadcast via ``ray.put``."""
+    from .agg import hash_groupby_sum
+
+    path = f"{sf_dir}/embeddings.parquet"
+    t0 = _head_table(path, k, ["vec_id", "embedding"])
+    init_ids = t0["vec_id"].to_numpy()
+    init = _vec_matrix(t0["embedding"])[np.argsort(init_ids)]
+    dims = init.shape[1]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    cents = np.ascontiguousarray(
+        init.reshape(k, m, sub).transpose(1, 0, 2))  # (m, k, sub)
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _vec_matrix(t["embedding"])
+            if mat.size == 0:
+                return pa.table({"block": pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s_part": pa.array([], pa.float64()),
+                                 "n_part": pa.array([], pa.int64())})
+            n = mat.shape[0]
+            mb = mat.reshape(n, m, sub)
+            blocks, clusters, dim_col, s_col, n_col = [], [], [], [], []
+            for b in range(m):
+                d2 = ((mb[:, b, None, :] - c[b][None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                sums = np.zeros((k, sub), np.float64)
+                np.add.at(sums, a, mb[:, b, :])
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                occ = np.flatnonzero(cnt)
+                blocks.append(np.full(len(occ) * sub, b, np.int64))
+                clusters.append(np.repeat(occ.astype(np.int64), sub))
+                dim_col.append(np.tile(np.arange(sub, dtype=np.int64),
+                                       len(occ)))
+                s_col.append(sums[occ].ravel())
+                n_col.append(np.repeat(cnt[occ], sub))
+            return pa.table({
+                "block": pa.array(np.concatenate(blocks)),
+                "cluster": pa.array(np.concatenate(clusters)),
+                "dim": pa.array(np.concatenate(dim_col)),
+                "s_part": pa.array(np.concatenate(s_col)),
+                "n_part": pa.array(np.concatenate(n_col)),
+            })
+
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        agg = hash_groupby_sum(
+            embeddings_ds(sf_dir).map_batches(
+                make_partial(cref), batch_format="pyarrow"),
+            ["block", "cluster", "dim"],
+            {"s": ("s_part", "sum"), "n": ("n_part", "sum")},
+        ).to_pandas()  # ≤ m·k·sub rows
+        new = cents.copy()
+        bl = agg["block"].to_numpy()
+        cl = agg["cluster"].to_numpy()
+        dm = agg["dim"].to_numpy()
+        new[bl, cl, dm] = agg["s"].to_numpy() / agg["n"].to_numpy()
+        occ = np.unique(np.stack((bl, cl)), axis=1)
+        new[occ[0], occ[1]] = _round9_half_up(new[occ[0], occ[1]])
+        cents = new
+
+    cref = ray.put(cents)
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _vec_matrix(t["embedding"])
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "block": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        n = mat.shape[0]
+        mb = mat.reshape(n, m, sub)
+        codes = np.empty((n, m), np.int64)
+        for b in range(m):
+            codes[:, b] = ((mb[:, b, None, :] - c[b][None, :, :]) ** 2) \
+                .sum(-1).argmin(1)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vec_ids, m)),
+            "block": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+            "code": pa.array(codes.ravel()),
+        })
+
+    return embeddings_ds(sf_dir).map_batches(encode, batch_format="pyarrow")

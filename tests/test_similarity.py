@@ -193,3 +193,48 @@ def test_knn_graph_small_pool_excludes_self(ray_session, tmp_path):
     assert np.isfinite(df["cosine"]).all()
     # each vector sees exactly the 3 others
     assert df.groupby("vec_id").size().eq(3).all()
+
+
+def test_pq_encode_matches_per_block_kmeans(ray_session):
+    """PQ == m INDEPENDENT sequential Lloyd runs on the sub-slices
+    (same determinism contract), and the codebook actually compresses:
+    reconstruction beats the global-mean baseline."""
+    import pyarrow.parquet as pq
+
+    m_blocks, k, iters = 4, 4, 2
+    got = (similarity.pq_encode(SF, m=m_blocks, k=k, iters=iters)
+           .to_pandas().sort_values(["vec_id", "block"])
+           .reset_index(drop=True))
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = (t["embedding"].combine_chunks().flatten().to_numpy()
+           .reshape(len(ids), -1).astype(np.float64))
+    order = np.argsort(ids)
+    mat = mat[order]
+    sub = mat.shape[1] // m_blocks
+    codes_ref = np.empty((len(ids), m_blocks), np.int64)
+    cents_all = []
+    for b in range(m_blocks):
+        mb = mat[:, b * sub:(b + 1) * sub]
+        cents = mb[:k].copy()
+        for _ in range(iters):
+            a = ((mb[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k):
+                mem = mb[a == c]
+                if len(mem):
+                    cents[c] = np.floor(mem.mean(0) * 1e9 + 0.5) / 1e9
+        codes_ref[:, b] = ((mb[:, None, :] - cents[None, :, :]) ** 2) \
+            .sum(-1).argmin(1)
+        cents_all.append(cents)
+    # got is sorted by vec_id; codes_ref rows are in sorted-vec_id order
+    got_codes = got["code"].to_numpy().reshape(len(ids), m_blocks)
+    assert (got_codes == codes_ref).all()
+    assert (got["block"].to_numpy().reshape(len(ids), m_blocks)
+            == np.arange(m_blocks)).all()
+    # compression sanity: PQ reconstruction error < global-mean error
+    rec = np.concatenate(
+        [cents_all[b][codes_ref[:, b]] for b in range(m_blocks)], axis=1)
+    err_pq = ((mat - rec) ** 2).sum()
+    err_mean = ((mat - mat.mean(0)) ** 2).sum()
+    assert err_pq < err_mean
