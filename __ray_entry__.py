@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one shared streaming pass + (vec_id, block, code) encoding —
         # the vector-compression scale path
         "pq_encode": lambda sf: similarity.pq_encode(sf),
+        # ADC serving over the PQ codes (approximate; recall pytest)
+        "knn_pq": lambda sf: similarity.knn_pq(sf),
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # distributed covariance (augmented-Gram map-side partials, one
         # dims^2 exchange) — the PCA/whitening primitive; eigensolve of

@@ -653,22 +653,10 @@ def embedding_covariance(sf_dir: str):
                          "cov": round6_half_up(cov)})
 
 
-def pq_encode(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
-    """Product quantization — train ``m`` sub-space codebooks of ``k``
-    centroids each (independent Lloyd's k-means per ``dims/m``-wide
-    block) and encode every vector as ``m`` small codes: the vector
-    COMPRESSION path for corpora whose raw embeddings don't fit the
-    serving tier (m×log2(k) bits per vector vs dims×32). Returns long
-    (vec_id, block, code) — the layout an ADC scanner consumes.
-
-    Same deterministic contract as :func:`kmeans_embeddings` so the
-    unrolled-CTE oracle is hash-exact (init = k lowest-vec_id vectors'
-    sub-slices, argmin ties → lowest cluster, shared 9 dp half-up
-    centroid rounding, empty clusters keep their previous centroid) —
-    and the same scale shape, with all ``m`` blocks trained in the SAME
-    streaming pass: per iteration one pass reduces each batch to
-    (block, cluster, dim) partials (≤ m·k·dims rows — key-space
-    bounded), one tiny exchange, centroids broadcast via ``ray.put``."""
+def _pq_train(sf_dir: str, m: int, k: int, iters: int) -> np.ndarray:
+    """Train the (m, k, dims/m) product-quantization codebooks —
+    m independent Lloyd runs executed in ONE shared streaming pass per
+    iteration (see :func:`pq_encode` for the contract)."""
     from .agg import hash_groupby_sum
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -735,6 +723,28 @@ def pq_encode(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
         new[occ[0], occ[1]] = _round9_half_up(new[occ[0], occ[1]])
         cents = new
 
+    return cents
+
+
+def pq_encode(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
+    """Product quantization — train ``m`` sub-space codebooks of ``k``
+    centroids each (independent Lloyd's k-means per ``dims/m``-wide
+    block) and encode every vector as ``m`` small codes: the vector
+    COMPRESSION path for corpora whose raw embeddings don't fit the
+    serving tier (m×log2(k) bits per vector vs dims×32). Returns long
+    (vec_id, block, code) — the layout :func:`knn_pq`'s ADC scanner
+    consumes.
+
+    Same deterministic contract as :func:`kmeans_embeddings` so the
+    unrolled-CTE oracle is hash-exact (init = k lowest-vec_id vectors'
+    sub-slices, argmin ties → lowest cluster, shared 9 dp half-up
+    centroid rounding, empty clusters keep their previous centroid) —
+    and the same scale shape, with all ``m`` blocks trained in the SAME
+    streaming pass: per iteration one pass reduces each batch to
+    (block, cluster, dim) partials (≤ m·k·dims rows — key-space
+    bounded), one tiny exchange, centroids broadcast via ``ray.put``."""
+    cents = _pq_train(sf_dir, m, k, iters)
+    k_, sub = cents.shape[1], cents.shape[2]
     cref = ray.put(cents)
 
     def encode(t: pa.Table) -> pa.Table:
@@ -759,3 +769,85 @@ def pq_encode(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
         })
 
     return embeddings_ds(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5,
+           m: int = 4, codebook_k: int = 16, iters: int = 2,
+           rerank: int = 8):
+    """Approximate k-NN by PQ asymmetric distance computation with
+    exact re-ranking (ADC+R, Jégou et al.) — the SERVING half of
+    :func:`pq_encode`: each query precomputes an (m × codebook_k)
+    lookup table of squared sub-distances to every codeword; a database
+    vector's approximate distance is then m table GATHERS and a sum —
+    no float math against the raw vector, which is the whole point at
+    100 TB where only the m-byte codes live in the serving tier. The
+    ADC scan shortlists ``rerank·k`` candidates per batch and only
+    THOSE rows' raw floats are touched for an exact re-rank — the
+    standard accuracy/IO trade. Approximate by design → no SQL oracle;
+    the recall pytest pins it against the exact scan.
+
+    Scale shape: codebooks from :func:`_pq_train` (streaming, bounded
+    exchanges), LUTs broadcast once via ``ray.put``; one streaming pass
+    computes per-batch codes, ADC distances, and the exact-reranked
+    tie-safe partial top-k per query (the codes would be the
+    precomputed serving artifact at scale — recomputing them per batch
+    keeps the op self-contained over the raw table); final merge is
+    n_queries × k × n_batches rows. Returns (query_id, neighbor_id,
+    rank, dist) with ``dist`` the exact squared L2 of the survivors."""
+    cents = _pq_train(sf_dir, m, codebook_k, iters)
+    sub = cents.shape[2]
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    qb = q.reshape(len(q_ids), m, sub)
+    # luts[qi, b, code] = ||q_sub - codeword||^2
+    luts = ((qb[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(-1)
+    lut_ref = ray.put(luts)
+    c_ref = ray.put(cents)
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        c = ray.get(c_ref)
+        qm = ray.get(q_ref)
+        mat = _vec_matrix(t["embedding"])
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        n = mat.shape[0]
+        mb = mat.reshape(n, m, sub)
+        codes = np.empty((n, m), np.int64)
+        for b in range(m):
+            codes[:, b] = ((mb[:, b, None, :] - c[b][None, :, :]) ** 2) \
+                .sum(-1).argmin(1)
+        # ADC: (nq, n) distances via m gathers per query
+        blocks = np.arange(m)
+        adc = lut[:, blocks[None, :], codes].sum(-1)  # (nq, n)
+        out_q, out_n, out_d = [], [], []
+        short = min(rerank * k, n)
+        kk = min(k, n)
+        for qi in range(adc.shape[0]):
+            # ADC shortlist, then exact squared L2 on those rows only
+            cand = np.argpartition(adc[qi], short - 1)[:short]
+            d = ((mat[cand] - qm[qi]) ** 2).sum(1)
+            thresh = np.partition(d, kk - 1)[kk - 1]
+            keep = cand[np.flatnonzero(d <= thresh)]
+            out_q.extend([int(q_ids[qi])] * len(keep))
+            out_n.extend(vec_ids[keep].tolist())
+            out_d.extend(d[np.flatnonzero(d <= thresh)].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dist": pa.array(out_d, pa.float64())})
+
+    partials = embeddings_ds(sf_dir).map_batches(
+        partial_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist", "neighbor_id"],
+                            ascending=[True, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["dist"] = np.floor(df["dist"].to_numpy() * 1e6 + 0.5) / 1e6
+        return df[["query_id", "neighbor_id", "rank", "dist"]]
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas")

@@ -238,3 +238,32 @@ def test_pq_encode_matches_per_block_kmeans(ray_session):
     err_pq = ((mat - rec) ** 2).sum()
     err_mean = ((mat - mat.mean(0)) ** 2).sum()
     assert err_pq < err_mean
+
+
+def test_knn_pq_recall_vs_exact(ray_session):
+    """ADC top-k over PQ codes recalls most of the exact L2 top-k, and
+    self is always the nearest neighbor (its reconstruction is the
+    closest codeword combination by construction of the LUT)."""
+    import pyarrow.parquet as pq
+
+    k = 5
+    got = (similarity.knn_pq(SF, n_queries=5, k=k,
+                             m=8, codebook_k=32, iters=3)
+           .to_pandas())
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = (t["embedding"].combine_chunks().flatten().to_numpy()
+           .reshape(len(ids), -1).astype(np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    recalls = []
+    for qid in got["query_id"].unique():
+        qv = mat[np.searchsorted(ids, qid)]
+        d = ((mat - qv) ** 2).sum(1)
+        exact = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+        approx = set(got[got["query_id"] == qid]["neighbor_id"].tolist())
+        recalls.append(len(exact & approx) / k)
+        top1 = got[(got["query_id"] == qid) & (got["rank"] == 1)]
+        assert top1["neighbor_id"].iloc[0] == qid
+    assert np.mean(recalls) >= 0.8, recalls
