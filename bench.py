@@ -378,6 +378,12 @@ def run_default() -> None:
     timed("importance_weights", lambda: filters.importance_weights(sf_dir))
     timed("span_dedup", lambda: dedup.span_dedup(sf_dir))
     timed("sequence_pack", lambda: export.sequence_pack(sf_dir))
+    from searchenginepp_ray.pipelines import sample
+
+    timed("quality_select", lambda: sample.quality_select(sf_dir))
+    timed("bigram_logprob", lambda: text_stats.bigram_logprob(sf_dir))
+    timed("pq_encode", lambda: similarity.pq_encode(sf_dir))
+    timed("knn_pq", lambda: similarity.knn_pq(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total

@@ -237,8 +237,12 @@ def quality_select(sf_dir: str, q_num: int = 1, q_den: int = 2):
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "lang": t["lang"], "s": pa.array(s)})
 
+    # materialized once: three consumers (histogram, keep split, tie
+    # split) would otherwise re-execute the tokenize lineage 3×. The
+    # rows are ~20 bytes/doc (ints + lang) — object-store-resident with
+    # spill, never on the driver.
     scored = documents_ds(sf_dir, ("doc_id", "text", "lang")) \
-        .map_batches(score, batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow").materialize()
 
     def hist_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": t["lang"].to_pandas(),
