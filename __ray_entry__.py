@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by a pytest vs a sequential Sennrich reference)
         "bpe_pair_counts": lambda sf: _tokenizer().bpe_pair_counts(sf),
         "bpe_train": lambda sf: _tokenizer().bpe_train(sf),
+        # tokenizer APPLICATION: encode the corpus with the learned
+        # merges (vocabulary-sided; rows-only — iterative semantics,
+        # pinned by a pytest vs a sequential Sennrich encode)
+        "bpe_tokenize": lambda sf: _tokenizer().bpe_tokenize(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),

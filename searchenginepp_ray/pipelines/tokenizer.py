@@ -183,3 +183,69 @@ def bpe_train(sf_dir: str, n_merges: int = 8):
         "b": [m[1] for m in merges],
         "merged": [m[0] + m[1] for m in merges],
         "n": np.array([m[2] for m in merges], dtype=np.int64)})
+
+
+def bpe_tokenize(sf_dir: str, n_merges: int = 8):
+    """Tokenizer APPLICATION — encode the corpus with the merges
+    :func:`bpe_train` learned: per doc the word count, subword count
+    under the learned vocabulary, and the md5 of the space-joined
+    subword stream (small rows; the md5 value-pins the full encoding).
+    Train + apply is the complete tokenizer lifecycle a training-data
+    pipeline needs.
+
+    Scale shape: the merge list is driver-held (n_merges rows) and
+    broadcast; encoding runs at VOCABULARY cardinality — each batch
+    dictionary-encodes its words, applies the m merge regexes to the
+    distinct words only, then fans the encoded strings back out through
+    the dictionary codes (Arrow ``take``) and reassembles per-doc
+    streams with offset-preserving ``binary_join``. No exchange at all
+    on the encode pass. Iterative merge semantics are not
+    SQL-expressible → rows-only gate; the pytest pins the encoding
+    against a sequential Sennrich reference."""
+    import ray
+
+    from .duck import md5_hex
+    from .filters import _words_flat
+    from .text_stats import documents_ds
+
+    merges = bpe_train(sf_dir, n_merges)
+    pairs = list(zip(merges["a"], merges["b"]))
+    pairs_ref = ray.put(pairs)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ps = ray.get(pairs_ref)
+        doc_idx, flat, n_words = _words_flat(t["text"])
+        n_docs = len(t)
+        if len(flat) == 0:
+            empty_md5 = md5_hex(pa.array([""] * n_docs, pa.string()))
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(np.zeros(n_docs, np.int64)),
+                "n_subwords": pa.array(np.zeros(n_docs, np.int64)),
+                "enc_md5": empty_md5,
+            })
+        d = flat.dictionary_encode()
+        vocab = pd.Series(d.dictionary.to_pandas())
+        # symbolize + apply every merge over the DISTINCT words only
+        sym = vocab.str.replace("(.)", "\\1 ", regex=True).str.strip()
+        for a, b in ps:
+            sym = sym.str.replace(_merge_pattern(a, b), a + b, regex=True)
+        n_sub_vocab = (sym.str.count(" ") + 1).to_numpy(np.int64)
+        codes = np.asarray(d.indices, dtype=np.int64)
+        n_subwords = np.zeros(n_docs, np.int64)
+        np.add.at(n_subwords, doc_idx, n_sub_vocab[codes])
+        # per-doc encoded stream: gather encoded words, rejoin per doc
+        enc_flat = pa.array(sym.to_numpy(), pa.large_string()) \
+            .take(pa.array(codes, pa.int64()))
+        offs = np.concatenate(([0], np.cumsum(n_words))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()),
+                                           enc_flat)
+        stream = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_subwords": pa.array(n_subwords),
+            "enc_md5": md5_hex(stream.cast(pa.string())),
+        })
+
+    return documents_ds(sf_dir).map_batches(encode, batch_format="pyarrow")

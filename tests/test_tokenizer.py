@@ -70,3 +70,57 @@ def test_bpe_pair_counts_matches_first_merge(ray_session):
     assert (top["a"], top["b"], top["n"]) == (
         first["a"], first["b"], first["n"])
     assert np.all(pairs["n"].to_numpy()[:-1] >= pairs["n"].to_numpy()[1:])
+
+
+def test_bpe_tokenize_matches_sequential_encode(ray_session, tmp_path):
+    """Distributed encode == sequential Sennrich apply of the SAME
+    learned merges, per doc (counts + stream md5); merged symbols
+    actually shrink the stream."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.tokenizer import (bpe_tokenize,
+                                                        bpe_train)
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new low new",
+        "",
+        "zzz",
+    ] * 3
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=4)
+
+    n_merges = 6
+    got = (bpe_tokenize(path, n_merges=n_merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    merges = bpe_train(path, n_merges=n_merges)
+    pairs = list(zip(merges["a"], merges["b"]))
+
+    def enc_word(w):
+        s = " ".join(w)
+        for a, b in pairs:
+            s = re.sub(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)",
+                       a + b, s)
+        return s
+
+    for i, text in enumerate(texts):
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        enc = [enc_word(w) for w in words]
+        stream = " ".join(enc)
+        assert got.loc[i, "n_words"] == len(words)
+        want_sub = sum(e.count(" ") + 1 for e in enc) if enc else 0
+        assert got.loc[i, "n_subwords"] == want_sub
+        assert got.loc[i, "enc_md5"] == hashlib.md5(
+            stream.encode()).hexdigest()
+    # merges learned something: fewer subwords than characters
+    total_chars = sum(len(w) for t in texts
+                      for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    assert got["n_subwords"].sum() < total_chars
