@@ -381,9 +381,12 @@ def run_default() -> None:
     from searchenginepp_ray.pipelines import sample
 
     timed("quality_select", lambda: sample.quality_select(sf_dir))
+    timed("bpe_tokenize", lambda: tokenizer.bpe_tokenize(sf_dir))
     timed("bigram_logprob", lambda: text_stats.bigram_logprob(sf_dir))
     timed("pq_encode", lambda: similarity.pq_encode(sf_dir))
     timed("knn_pq", lambda: similarity.knn_pq(sf_dir))
+    timed("search_hybrid_rrf",
+          lambda: search_docs.search_hybrid_rrf(sf_dir))
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
