@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # under hashed-unigram target-vs-source LMs (two streaming
         # passes, a 64-row exchange, broadcast log-ratio vector)
         "importance_weights": lambda sf: _filters().importance_weights(sf),
+        # ...and its SELECTION step: deterministic Gumbel-top-k
+        # importance resampling (content-addressed md5 uniforms)
+        "importance_resample": lambda sf: _filters().importance_resample(sf),
         # tokenizer TRAINING: BPE iteration-0 pair statistics (oracle-
         # checked) and the full merge-learning loop (rows-only; pinned
         # by a pytest vs a sequential Sennrich reference)
@@ -351,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": osql.phrase_search_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
+        "importance_resample": osql.importance_resample_sql(),
         "bpe_pair_counts": osql.bpe_pair_counts_sql(),
         "sequence_pack": osql.sequence_pack_sql(),
         "shard_export": osql.shard_export_sql(),

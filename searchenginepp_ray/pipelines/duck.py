@@ -95,3 +95,22 @@ def md5_string_agg(values) -> str:
     return con.execute(
         "SELECT md5(string_agg(v, ',' ORDER BY i)) FROM _sepp_agg_in"
     ).fetchone()[0]
+
+
+def md5_prefix_int(arr, n_hex: int = 13) -> np.ndarray:
+    """Vectorized ``CAST('0x' || first n_hex md5 hex chars AS BIGINT)``
+    — the integer md5 prefix both engines can evaluate verbatim
+    (n_hex ≤ 15 keeps it inside BIGINT). 13 hex chars = 52 bits: the
+    largest prefix that converts to an exact double, the uniform-key
+    kernel for deterministic (content-addressed) randomness."""
+    import numpy as np
+
+    arr = _plain(arr)
+    if len(arr) == 0:
+        return np.empty(0, np.int64)
+    con = connection()
+    con.register("_sepp_pfx_in", pa.table({"s": arr}))
+    out = con.execute(
+        f"SELECT CAST(('0x' || substr(md5(s), 1, {int(n_hex)})) AS BIGINT)"
+        " AS v FROM _sepp_pfx_in").arrow()
+    return _plain(out["v"]).to_numpy(zero_copy_only=False).astype(np.int64)

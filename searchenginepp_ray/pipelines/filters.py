@@ -637,3 +637,56 @@ def importance_weights(sf_dir: str, target_lang: str = "en",
                          "logw": pa.array(round6_half_up(logw))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def importance_resample(sf_dir: str, n_out: int = 100,
+                        target_lang: str = "en", n_buckets: int = 64,
+                        salt: str = "dsir"):
+    """DSIR's SELECTION step — importance RESAMPLING via deterministic
+    Gumbel-top-k (the Gumbel-max trick: top-k of ``logw + Gumbel(0,1)``
+    is an exact sample-without-replacement ∝ exp(logw)): draw the
+    ``n_out`` documents that tilt the corpus toward the target domain,
+    completing :func:`importance_weights` into the actual curation
+    output. The "randomness" is content-addressed — each doc's uniform
+    is its salted md5 prefix (13 hex chars = 52 bits, an exact double),
+    so the sample is reproducible across reruns/cluster sizes, salt-
+    decorrelated from every other md5 decision, and SQL-expressible.
+
+    Key arithmetic contract: the key is rounded-logw (the
+    importance_weights output grid, bit-identical across engines) plus
+    ``-ln(-ln((v + 0.5) / 2^52))`` evaluated with the identical operand
+    order; ranking is on the unrounded key (distinct keys differ at the
+    1e-3 scale — ULP wobble can't flip them), ties → doc_id.
+
+    Scale shape: importance_weights' two streaming passes, then one
+    more streaming pass computes keys and a per-batch partial top-k;
+    the driver merges ≤ n_out × n_blocks survivor rows."""
+    import pandas as pd
+
+    from .duck import md5_prefix_int
+
+    TWO52 = float(1 << 52)
+    iw = importance_weights(sf_dir, target_lang, n_buckets)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        logw = t["logw"].to_numpy(zero_copy_only=False)
+        keys_s = pc.binary_join_element_wise(
+            pa.array([salt + ":"] * len(ids), pa.string()),
+            pc.cast(t["doc_id"], pa.string()), "")
+        v = md5_prefix_int(keys_s, 13)
+        u = (v + 0.5) / TWO52
+        key = logw + -np.log(-np.log(u))
+        order = np.lexsort((ids, -key))[:n_out]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "logw": pa.array(logw[order]),
+                         "key": pa.array(key[order])})
+
+    survivors = iw.map_batches(
+        partial_topk, batch_format="pyarrow").to_pandas()
+    out = survivors.sort_values(["key", "doc_id"],
+                                ascending=[False, True]).head(n_out)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["key"] = np.floor(out["key"].to_numpy() * 1e6 + 0.5) / 1e6
+    return out[["rank", "doc_id", "logw", "key"]]

@@ -1775,3 +1775,27 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id,
        floor(f * 1e6 + 0.5) / 1e6 AS rrf
 FROM fused WHERE rank <= {int(k_out)}"""
+
+
+def importance_resample_sql(n_out: int = 100, target_lang: str = "en",
+                            n_buckets: int = 64,
+                            salt: str = "dsir") -> str:
+    """Oracle for filters.importance_resample: the importance_weights
+    statement as a CTE, then the identical deterministic Gumbel key —
+    rounded logw + (-ln(-ln((prefix + 0.5) / 2^52))) — and a window
+    top-n_out on the unrounded key, ties → doc_id."""
+    iw = importance_weights_sql(target_lang, n_buckets)
+    s = salt.replace("'", "''")
+    return f"""WITH iw AS ({iw}),
+u AS (SELECT doc_id, logw,
+             (CAST(('0x' || substr(md5('{s}:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT) + 0.5)
+               / 4503599627370496.0 AS uu
+      FROM iw),
+k AS (SELECT doc_id, logw, logw + (-ln(-ln(uu))) AS key FROM u),
+r AS (SELECT doc_id, logw, key,
+             row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+      FROM k)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, logw,
+       floor(key * 1e6 + 0.5) / 1e6 AS key
+FROM r WHERE rank <= {int(n_out)}"""

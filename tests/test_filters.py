@@ -485,3 +485,30 @@ def test_importance_weights_oracle_sf0001(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False, atol=1e-9)
+
+
+def test_importance_resample_oracle_and_properties(ray_session, sf_dir):
+    """Oracle agreement at sf0.001 plus Gumbel-top-k properties: ranks
+    dense, keys non-increasing, unique docs, and the selected set tilts
+    toward high-logw docs (the whole point of DSIR resampling)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    got = e.queries()["importance_resample"](sf_dir)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["importance_resample"]).df()
+    got = got.sort_values("rank").reset_index(drop=True)
+    want = want.sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, atol=1e-9)
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    assert (np.diff(got["key"].to_numpy()) <= 1e-9).all()
+    assert got["doc_id"].is_unique
+    iw = e.queries()["importance_weights"](sf_dir).to_pandas()
+    assert got["logw"].mean() > iw["logw"].mean()
