@@ -303,14 +303,16 @@ def sequence_pack(sf_dir: str, seq_len: int = 512,
     sums = hash_groupby_sum(
         tc.map_batches(range_partial, batch_format="pyarrow"),
         ["range_id"], {"tok": ("t_part", "sum")}).to_pandas()
-    n_ranges = int(sums["range_id"].max()) + 1 if len(sums) else 1
-    per_range = np.zeros(n_ranges, np.int64)
-    per_range[sums["range_id"].to_numpy()] = sums["tok"].to_numpy()
-    offsets = np.concatenate(([0], np.cumsum(per_range)[:-1]))
-    off_ref = ray.put(offsets)
+    # offsets keyed by the OCCUPIED ranges only — a sparse doc_id space
+    # must not allocate max(doc_id)/R driver memory
+    sums = sums.sort_values("range_id")
+    occ_ranges = sums["range_id"].to_numpy()
+    tok = sums["tok"].to_numpy()
+    occ_offsets = np.concatenate(([0], np.cumsum(tok)[:-1]))         if len(tok) else np.zeros(0, np.int64)
+    off_ref = ray.put((occ_ranges, occ_offsets))
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(off_ref)
+        occ_ranges, occ_offsets = ray.get(off_ref)
         df = df.sort_values("doc_id", kind="mergesort")
         r = df["range_id"].to_numpy()
         n = df["n_tokens"].to_numpy()
@@ -322,7 +324,8 @@ def sequence_pack(sf_dir: str, seq_len: int = 512,
         range_first[1:] = r[1:] != r[:-1]
         base = np.repeat(cum[range_first], np.diff(
             np.flatnonzero(np.append(range_first, True))))
-        start = offs[r] + (cum - base)
+        # every range in this partition is occupied by construction
+        start = occ_offsets[np.searchsorted(occ_ranges, r)] + (cum - base)
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "n_tokens": n,
