@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
+        # conversion-funnel analysis: ordered step completion per user
+        # (earliest-completion chain), one user-keyed exchange
+        "funnel_analysis": lambda sf: events.funnel_analysis(sf),
         # per-type z-score anomaly flags (exact integer-cent moments,
         # broadcast stats, outlier-rows-only output) and a pivot/wide
         # reshape that runs on the bounded aggregate, never raw rows
@@ -383,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
+        "funnel_analysis": osql.funnel_analysis_sql(),
         "asof_join": osql.asof_join_sql(),
         "range_join": osql.range_join_sql(),
         "top_events_per_user": osql.top_events_per_user_sql(),

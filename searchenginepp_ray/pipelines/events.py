@@ -575,3 +575,76 @@ def event_weekday_pivot(sf_dir: str):
     wide = wide.reindex(columns=range(1, 8), fill_value=0).astype(np.int64)
     wide.columns = [f"dow{int(c)}" for c in wide.columns]
     return wide.reset_index().sort_values("event_type").reset_index(drop=True)
+
+
+def funnel_analysis(sf_dir: str,
+                    steps: tuple[str, ...] = ("view", "click", "purchase")):
+    """Ordered-funnel analysis — for each user, how deep they progress
+    through ``steps`` with strictly increasing timestamps under the
+    earliest-completion rule (step 1 at its earliest ts t₁, step 2 at
+    the earliest ts > t₁, ...). Returns one row per funnel step:
+    (step, event_type, n_users) — the conversion-funnel query every
+    event-analytics stack ships.
+
+    Scale shape: ONE hash exchange on user_id (only rows of the funnel's
+    event types cross — the type filter pushes into the scan), then a
+    vectorized per-partition kernel: per user the step-1 min via a
+    boundary ``minimum.reduceat``, then for each later step one masked
+    reduceat over rows later than the per-user previous-step time — s-1
+    vector passes total, no per-user Python. The s output counts are
+    map-side partials summed through a tiny exchange (here: driver sum
+    of P×s ints)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .agg import hash_groupby_apply
+
+    steps = tuple(steps)
+
+    def pick(t: pa.Table) -> pa.Table:
+        vs = pa.array(list(steps), pa.string())
+        t = t.filter(pc.is_in(t["event_type"], value_set=vs))
+        code = pc.index_in(t["event_type"], value_set=vs).cast(pa.int8())
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "step": code,
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(steps), np.int64)
+        if len(df):
+            df = df.sort_values(["user_id", "ts_us"], kind="stable")
+            user = df["user_id"].to_numpy()
+            ts = df["ts_us"].to_numpy()
+            st = df["step"].to_numpy()
+            starts = np.concatenate(
+                ([0], np.flatnonzero(user[1:] != user[:-1]) + 1))
+            uidx = np.repeat(np.arange(len(starts)),
+                             np.diff(np.append(starts, len(user))))
+            BIG = np.iinfo(np.int64).max
+            prev_t = None
+            for i in range(len(steps)):
+                ok = st == i
+                if prev_t is not None:
+                    ok &= ts > prev_t[uidx]
+                    ok &= prev_t[uidx] != BIG
+                # per-user min ts among qualifying rows of this step
+                cand = np.where(ok, ts, BIG)
+                cur = np.minimum.reduceat(cand, starts)
+                out[i] = int((cur != BIG).sum())
+                prev_t = cur
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype=np.int64),
+                             "n_part": out})
+
+    parts = hash_groupby_apply(
+        events_ds(sf_dir, columns=["user_id", "ts", "event_type"])
+        .map_batches(pick, batch_format="pyarrow"),
+        ["user_id"], per_partition).to_pandas()
+    g = parts.groupby("step", as_index=False)["n_part"].sum()
+    g = g.sort_values("step").reset_index(drop=True)
+    g["event_type"] = [steps[i - 1] for i in g["step"]]
+    g = g.rename(columns={"n_part": "n_users"})
+    g["n_users"] = g["n_users"].astype(np.int64)
+    return g[["step", "event_type", "n_users"]]

@@ -1799,3 +1799,24 @@ r AS (SELECT doc_id, logw, key,
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, logw,
        floor(key * 1e6 + 0.5) / 1e6 AS key
 FROM r WHERE rank <= {int(n_out)}"""
+
+
+def funnel_analysis_sql(
+        steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Oracle for events.funnel_analysis: the earliest-completion chain
+    as s chained per-user MIN CTEs with strict ts inequality."""
+    steps = tuple(steps)
+    esc = [s.replace("'", "''") for s in steps]
+    parts = [f"""s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{esc[0]}' GROUP BY user_id)"""]
+    for i in range(1, len(steps)):
+        parts.append(f"""s{i + 1} AS (
+    SELECT e.user_id, MIN(e.ts) AS t{i + 1}
+    FROM events e JOIN s{i} USING (user_id)
+    WHERE e.event_type = '{esc[i]}' AND e.ts > s{i}.t{i}
+    GROUP BY e.user_id)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, '{esc[i]}' AS event_type,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i in range(len(steps)))
+    return "WITH " + ",\n".join(parts) + "\n" + unions

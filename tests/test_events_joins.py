@@ -250,3 +250,54 @@ def test_event_weekday_pivot_counts(ray_session, tmp_path):
     assert got.loc["a", "dow2"] == 0
     assert got.loc["b", "dow2"] == 1
     assert int(got.sum().sum()) == 4
+
+
+def test_funnel_analysis_matches_naive(ray_session, tmp_path):
+    """Constructed event log: strict-order chains, out-of-order decoys,
+    step-skippers, and ties — vs a sequential earliest-completion
+    reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.events import funnel_analysis
+
+    rng = np.random.RandomState(23)
+    rows = []
+    eid = 0
+    for user in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((eid, rng.randint(0, 1000),
+                         user, rng.choice(["view", "click", "purchase",
+                                           "error"])))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts_s", "user_id",
+                                     "event_type"])
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(pd.to_datetime(df["ts_s"], unit="s")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "value": pa.array(np.zeros(len(df))),
+        "props": pa.array([""] * len(df)),
+    }), path, row_group_size=37)
+
+    got = funnel_analysis(str(tmp_path)).sort_values("step") \
+        .reset_index(drop=True)
+
+    steps = ["view", "click", "purchase"]
+    counts = [0, 0, 0]
+    for user, g in df.groupby("user_id"):
+        prev = -1
+        for i, s in enumerate(steps):
+            cand = g[(g["event_type"] == s) & (g["ts_s"] > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand["ts_s"].min()
+            counts[i] += 1
+    want = pd.DataFrame({"step": [1, 2, 3], "event_type": steps,
+                         "n_users": counts})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert counts[0] >= counts[1] >= counts[2]  # funnel monotonicity
