@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keys back-to-back) with the c_nation == s_nation locality
         # predicate applied at co-location; region filters pushed to
         # the customer/supplier scans, exact-integer revenue
+        # TPC-H Q6: the fully pushed-down filter aggregate (all
+        # predicates at the scan, exact-integer revenue)
+        "revenue_forecast": lambda sf: relational.revenue_forecast(sf),
         "local_supplier_volume":
             lambda sf: relational.local_supplier_volume(sf),
         # exact quantiles over an UNBOUNDED value domain: distributed
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": osql.order_rollup_sql(),
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "order_shipping_priority": osql.order_shipping_priority_sql(),
+        "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
         "term_complete": osql.term_complete_sql(),

@@ -1820,3 +1820,21 @@ def funnel_analysis_sql(
         f" CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i + 1}"
         for i in range(len(steps)))
     return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+def revenue_forecast_sql(year: int = 1995, disc_lo: int = 5,
+                         disc_hi: int = 7, max_qty: int = 24) -> str:
+    """Oracle for relational.revenue_forecast: TPC-H Q6 on the exact
+    cents grid (identical floor half-up cents conversion, integer
+    product sum)."""
+    return f"""SELECT
+  CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0)
+       AS BIGINT) AS revenue_e4,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+      BETWEEN {int(disc_lo)} AND {int(disc_hi)}
+  AND l_quantity < {int(max_qty)}"""

@@ -922,3 +922,51 @@ def price_quantiles(sf_dir: str, qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
         "price": pd.Series([t["value"] / 100.0 for t in targets],
                            dtype=np.float64),
     })
+
+
+def revenue_forecast(sf_dir: str, year: int = 1995,
+                     disc_lo: int = 5, disc_hi: int = 7,
+                     max_qty: int = 24):
+    """TPC-H Q6 (forecast revenue change): the fully PUSHED-DOWN filter
+    aggregate — SUM(extendedprice × discount) over one shipdate year,
+    a discount band and a quantity cap. Every predicate lands in the
+    parquet scan (row-group pruning + no filtered rows enter the
+    pipeline); the float predicates are evaluated on the exact cents
+    grid (discount cents ∈ [lo, hi]) so both engines select the
+    identical row set. Revenue is exact integer 1e-4 currency units
+    (cents × cents) — no float ranking or summation hazard anywhere.
+
+    Scale shape: one streaming pass, one int64 partial per batch, a
+    scalar to the driver."""
+    import pyarrow.dataset as pads
+
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/lineitem.parquet"
+    lo_ts = pd.Timestamp(f"{year}-01-01")
+    hi_ts = pd.Timestamp(f"{year + 1}-01-01")
+    # the discount band on the exact cents grid: cents in [lo, hi] ⟺
+    # raw double in [lo/100 - 0.005, hi/100 + 0.005) — push a safe
+    # superset predicate to the scan, refine on the grid per batch
+    flt = ((pads.field("l_shipdate") >= lo_ts)
+           & (pads.field("l_shipdate") < hi_ts)
+           & (pads.field("l_discount") >= (disc_lo - 0.6) / 100)
+           & (pads.field("l_discount") <= (disc_hi + 0.6) / 100)
+           & (pads.field("l_quantity") < max_qty))
+    ds = ray.data.read_parquet(
+        path, columns=["l_extendedprice", "l_discount"], filter=flt,
+        override_num_blocks=_read_blocks(path, target_rows=20_000))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        keep = (d >= disc_lo) & (d <= disc_hi)
+        return pd.DataFrame({"rev_part": [int((p[keep] * d[keep]).sum())],
+                             "n_part": [int(keep.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rev = int(parts["rev_part"].sum())
+    return pd.DataFrame({"revenue_e4": [np.int64(rev)],
+                         "n_lineitems": [np.int64(parts["n_part"].sum())]})
