@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed triangle census (degree-ordered wedge
         # generation + pair-key co-partition closing)
         "part_triangles": lambda sf: _graph().part_triangles(sf),
+        # per-node local clustering coefficient (census machinery with
+        # per-corner triangle attribution + a degree join)
+        "part_clustering": lambda sf: _graph().part_clustering(sf),
         # same recurrence through the edge-STATIONARY raw-actor BSP
         # engine (edges and rank shards pinned per actor; only
         # contribution partials move per superstep)
@@ -413,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_triangles": osql.part_triangles_sql(),
+        "part_clustering": osql.part_clustering_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "doc_keywords": osql.doc_keywords_sql(),

@@ -576,10 +576,13 @@ def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
     return pr.map_batches(fmt, batch_format="pyarrow")
 
 
-def triangle_count(edges: ray.data.Dataset) -> dict:
-    """Exact triangle counting over an undirected edge Dataset
+def _oriented_wedges(edges: ray.data.Dataset):
+    """Shared triangle machinery over an undirected edge Dataset
     (columns ``a`` < ``b``, distinct) — the degree-ordered
-    node-iterator ("compact-forward") algorithm, fully distributed:
+    node-iterator ("compact-forward") algorithm, fully distributed.
+    Returns ``(deg, both)``: the node-degree Dataset and the union of
+    apex-carrying wedge rows (kind 0) with edge rows (kind 1), both
+    keyed for the (v, w) closing co-partition:
 
     1. degrees: explode endpoints, one node-keyed exchange;
     2. orientation: two co-partition joins attach (deg_a, deg_b); each
@@ -659,17 +662,31 @@ def triangle_count(edges: ray.data.Dataset) -> dict:
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="u")
         m = m[m["v_x"] < m["v_y"]]
+        # the apex u rides along so closers can attribute the triangle
+        # to all three corners (clustering_coefficients needs it; the
+        # census ignores it)
         return pd.DataFrame({"v": m["v_x"].to_numpy(np.int64),
                              "w": m["v_y"].to_numpy(np.int64),
+                             "u": m["u"].to_numpy(np.int64),
                              "kind": np.zeros(len(m), np.int8)})
 
     wedge_ds = hash_groupby_apply(oriented, ["u"], wedges)
 
     def tag_pair(t: pa.Table) -> pa.Table:
         return pa.table({"v": t["a"].cast(pa.int64()), "w": t["b"].cast(pa.int64()),
+                         "u": pa.array(np.zeros(len(t), np.int64)),
                          "kind": pa.array(np.ones(len(t), np.int8))})
 
     both = wedge_ds.union(edges.map_batches(tag_pair, batch_format="pyarrow"))
+    return deg, both
+
+
+def triangle_count(edges: ray.data.Dataset) -> dict:
+    """Exact triangle census over an undirected edge Dataset — see
+    :func:`_oriented_wedges` for the distributed shape."""
+    from .agg import hash_groupby_apply
+
+    deg, both = _oriented_wedges(edges)
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
         w = df[df["kind"] == 0]
@@ -714,3 +731,72 @@ def part_triangles(sf_dir: str):
     (n_nodes, n_edges, n_triangles), all exact integers."""
     stats = triangle_count(copurchase_edges(sf_dir))
     return pd.DataFrame([{k: np.int64(v) for k, v in stats.items()}])
+
+
+def clustering_coefficients(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node LOCAL clustering coefficient over an undirected edge
+    Dataset: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    node's neighbor pairs that are themselves connected — the local
+    density signal community detection and graph-quality pipelines cut
+    on. Returns (node, degree, n_triangles, cc) for EVERY node (cc = 0
+    when degree < 2), cc on the shared round6 grid.
+
+    Scale shape: the census machinery (:func:`_oriented_wedges`) with
+    per-corner attribution — each closed (u; v, w) wedge emits one
+    count partial for u, v AND w from the closing partition, so the
+    per-node counts ride one node-keyed exchange; a tagged-union join
+    with the degree Dataset finishes with integer-exact arithmetic."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    deg, both = _oriented_wedges(edges)
+
+    def close_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["kind"] == 0]
+        e = df[df["kind"] == 1][["v", "w"]]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "t_part": pd.Series([], dtype=np.int64)})
+        j = w.merge(e, on=["v", "w"])
+        nodes = np.concatenate([j["u"].to_numpy(np.int64),
+                                j["v"].to_numpy(np.int64),
+                                j["w"].to_numpy(np.int64)])
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": un, "t_part": cnt.astype(np.int64)})
+
+    tri = hash_groupby_sum(
+        hash_groupby_apply(both, ["v", "w"], close_nodes),
+        ["node"], {"t": ("t_part", "sum")})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].cast(pa.int64()),
+                         "x": t["deg"].cast(pa.int64()),
+                         "kind": pa.array(np.zeros(len(t), np.int8))})
+
+    def tag_tri(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].cast(pa.int64()),
+                         "x": t["t"].cast(pa.int64()),
+                         "kind": pa.array(np.ones(len(t), np.int8))})
+
+    u = deg.map_batches(tag_deg, batch_format="pyarrow").union(
+        tri.map_batches(tag_tri, batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0][["node", "x"]].rename(columns={"x": "degree"})
+        t = df[df["kind"] == 1][["node", "x"]].rename(
+            columns={"x": "n_triangles"})
+        j = d.merge(t, on="node", how="left")
+        j["n_triangles"] = j["n_triangles"].fillna(0).astype(np.int64)
+        dv = j["degree"].to_numpy(np.int64)
+        tv = j["n_triangles"].to_numpy(np.int64)
+        denom = dv * (dv - 1)
+        cc = np.where(denom > 0, 2.0 * tv / np.maximum(denom, 1), 0.0)
+        j["cc"] = np.floor(cc * 1e6 + 0.5) / 1e6
+        return j
+
+    return hash_groupby_apply(u, ["node"], finish)
+
+
+def part_clustering(sf_dir: str) -> ray.data.Dataset:
+    """Local clustering coefficient of every part in the co-purchase
+    graph."""
+    return clustering_coefficients(copurchase_edges(sf_dir))

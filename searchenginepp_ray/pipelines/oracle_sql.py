@@ -1838,3 +1838,32 @@ WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
   AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
       BETWEEN {int(disc_lo)} AND {int(disc_hi)}
   AND l_quantity < {int(max_qty)}"""
+
+
+def part_clustering_sql() -> str:
+    """Oracle for graph.part_clustering: per-node triangle membership
+    from the 3-way self-join (each triangle counted once via
+    e1.a < e1.b < e2.b, attributed to all three corners), degree from
+    the edge union, cc on the shared round6 grid."""
+    return """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey < y.l_partkey),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN floor(2.0 * COALESCE(tn.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS cc
+FROM deg d LEFT JOIN tn USING (node)"""

@@ -134,3 +134,30 @@ def test_pagerank_bsp_equals_dataset_pagerank(ray_session):
             .to_pandas().sort_values("node").reset_index(drop=True))
     assert got["node"].tolist() == want["node"].tolist()
     np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
+
+
+def test_clustering_coefficients_constructed(ray_session):
+    """Hand-checkable graph: K3 with a pendant + isolated edge.
+    cc(K3 member with pendant) = 2·1/(3·2) = 1/3; pure K3 members = 1;
+    pendant & isolated-edge nodes (deg < 2) = 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from searchenginepp_ray.pipelines.graph import clustering_coefficients
+
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, 1, 5], pa.int64()),
+        "b": pa.array([2, 3, 3, 4, 6], pa.int64()),
+    }))
+    got = (clustering_coefficients(edges).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    want = pd.DataFrame({
+        "node": [1, 2, 3, 4, 5, 6],
+        "degree": [3, 2, 2, 1, 1, 1],
+        "n_triangles": [1, 1, 1, 0, 0, 0],
+        "cc": [1 / 3, 1.0, 1.0, 0.0, 0.0, 0.0],
+    })
+    want["cc"] = np.floor(want["cc"] * 1e6 + 0.5) / 1e6
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
