@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query autocompletion: prefix-filtered df top-k (filter runs
         # BEFORE the exchange; per-partition partial top-k; P*k merge)
         "term_complete": lambda sf: text_stats.term_complete(sf),
+        # exact heavy hitters in bounded memory: Misra-Gries candidate
+        # pass + exact verify pass (never materializes the vocabulary)
+        "term_heavy_hitters":
+            lambda sf: text_stats.term_heavy_hitters(sf),
         # --- training-data filters (Gopher repetition / PII scrub /
         # benchmark decontamination with a broadcast gram set) ---
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
@@ -409,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
         "term_complete": osql.term_complete_sql(),
+        "term_heavy_hitters": osql.term_heavy_hitters_sql(),
         "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),
         "quality_select": osql.quality_select_sql(),

@@ -1867,3 +1867,13 @@ SELECT d.node, d.degree,
                        / (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS cc
 FROM deg d LEFT JOIN tn USING (node)"""
+
+
+def term_heavy_hitters_sql(k: int = 2000) -> str:
+    """Oracle for text_stats.term_heavy_hitters: exact grouped counts
+    with the identical integer threshold (freq · k > T)."""
+    return f"""WITH {tok_cte()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+FROM toks GROUP BY term
+HAVING CAST(COUNT(*) AS BIGINT) * {int(k)} > (SELECT t FROM tot)"""

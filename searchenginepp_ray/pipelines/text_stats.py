@@ -644,3 +644,84 @@ def bigram_logprob(sf_dir: str):
                              round6_half_up(s / np.maximum(n, 1)))})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def term_heavy_hitters(sf_dir: str, k: int = 2000):
+    """EXACT corpus heavy hitters in BOUNDED memory — every term whose
+    total frequency exceeds T/k (T = total tokens), with its exact
+    count, found WITHOUT ever materializing the full term distribution:
+
+    pass 1 (candidates): each batch reduces its exact term counts to a
+    Misra-Gries summary of ≤ k counters (subtract the (k+1)-th largest
+    count, keep the positive residue). Per-batch decrements total ≤
+    n_batch/k, so summed residues underestimate true frequencies by at
+    most T/k — every true heavy hitter survives with residue > 0. One
+    term-keyed exchange sums residues; the surviving candidate set is
+    bounded by k · n_batches, not the vocabulary.
+
+    pass 2 (verify): candidates broadcast via ``ray.put``; one more
+    streaming pass counts ONLY candidate terms exactly (map-side
+    ``is_in`` filter + partials), and the exact threshold cut makes the
+    result deterministic and oracle-checkable — unlike a raw merged
+    sketch, whose residues depend on merge order. Returns (term, freq)
+    for freq > T/k, exact."""
+    import pandas as pd
+    import ray
+
+    from .agg import hash_groupby_sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        vc = pc.list_flatten(t["terms"])
+        tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        d = vc.dictionary_encode() if not pa.types.is_dictionary(vc.type) \
+            else vc
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        if len(codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "r_part": pa.array([], pa.int64())})
+        cnt = np.zeros(len(d.dictionary), np.int64)
+        np.add.at(cnt, codes, tfs)
+        if len(cnt) > k:
+            thresh = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+            cnt = cnt - thresh
+        keep = np.flatnonzero(cnt > 0)
+        return pa.table({"term": d.dictionary.take(pa.array(keep)),
+                         "r_part": pa.array(cnt[keep])})
+
+    tc = term_counts_ds(sf_dir)
+    T = int(tc.map_batches(
+        lambda t: pa.table({"doclen": t["doclen"]}),
+        batch_format="pyarrow").sum("doclen"))
+    cand = hash_groupby_sum(
+        tc.map_batches(mg_partial, batch_format="pyarrow"),
+        ["term"], {"r": ("r_part", "sum")}).to_pandas()
+    cand_set = pa.array(cand["term"].to_numpy(), pa.string())
+    cand_ref = ray.put(cand_set)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        flat = pc.list_flatten(t["terms"])
+        tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        m = pc.is_in(flat, value_set=cs).to_numpy(zero_copy_only=False)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        sub = flat.filter(pa.array(m))
+        d = sub.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        cnt = np.zeros(len(d.dictionary), np.int64)
+        np.add.at(cnt, np.asarray(d.indices, dtype=np.int64), tfs[m])
+        return pa.table({"term": d.dictionary,
+                         "f_part": pa.array(cnt)})
+
+    exact = hash_groupby_sum(
+        tc.map_batches(exact_partial, batch_format="pyarrow"),
+        ["term"], {"freq": ("f_part", "sum")})
+
+    def cut(t: pa.Table) -> pa.Table:
+        f = t["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(f * k > T))
+
+    return exact.map_batches(cut, batch_format="pyarrow")

@@ -295,3 +295,49 @@ def test_bigram_logprob_matches_naive(ray_session, tmp_path):
     fluent = got[got["doc_id"] < 6]["avg_logprob"].mean()
     salad = got[got["doc_id"] >= 6]["avg_logprob"].mean()
     assert fluent > salad
+
+
+def test_term_heavy_hitters_prunes_and_stays_exact(ray_session, tmp_path):
+    """Vocabulary ≫ k forces real Misra-Gries pruning in every batch;
+    the two-pass result must still be the EXACT set + exact counts
+    (planted heavy terms among a long random tail)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.pipelines.text_stats import term_heavy_hitters
+
+    rng = np.random.RandomState(31)
+    tail = [f"t{i}" for i in range(3000)]
+    heavy = ["alpha", "beta", "gamma"]
+    texts = []
+    for _ in range(120):
+        words = list(rng.choice(tail, 40))
+        for h in heavy:
+            words += [h] * rng.randint(2, 6)
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=10)
+
+    k = 50  # vocabulary ~3000 >> k: every batch prunes
+    got = (term_heavy_hitters(path, k=k).to_pandas()
+           .sort_values("term").reset_index(drop=True))
+
+    cnt = {}
+    T = 0
+    for t in texts:
+        _, terms_l, tfs_l = tokenize_batch([t], SIMPLE_PROFILE)
+        for term, tf in zip(terms_l[0].as_py(), tfs_l[0].as_py()):
+            cnt[term] = cnt.get(term, 0) + tf
+            T += tf
+    want = (pd.DataFrame([(t, c) for t, c in cnt.items() if c * k > T],
+                         columns=["term", "freq"])
+            .sort_values("term").reset_index(drop=True))
+    assert set(want["term"]) >= set(heavy)  # the plant worked
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
