@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversion-funnel analysis: ordered step completion per user
         # (earliest-completion chain), one user-keyed exchange
         "funnel_analysis": lambda sf: events.funnel_analysis(sf),
+        # cohort retention matrix (first-active-period cohorts ×
+        # return offsets; one user-keyed exchange, grid-bounded agg)
+        "cohort_retention": lambda sf: events.cohort_retention(sf),
         # per-type z-score anomaly flags (exact integer-cent moments,
         # broadcast stats, outlier-rows-only output) and a pivot/wide
         # reshape that runs on the bounded aggregate, never raw rows
@@ -397,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         "funnel_analysis": osql.funnel_analysis_sql(),
+        "cohort_retention": osql.cohort_retention_sql(),
         "asof_join": osql.asof_join_sql(),
         "range_join": osql.range_join_sql(),
         "top_events_per_user": osql.top_events_per_user_sql(),

@@ -607,7 +607,7 @@ def funnel_analysis(sf_dir: str,
         code = pc.index_in(t["event_type"], value_set=vs).cast(pa.int8())
         return pa.table({
             "user_id": t["user_id"].cast(pa.int64()),
-            "ts_us": t["ts"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
             "step": code,
         })
 
@@ -648,3 +648,60 @@ def funnel_analysis(sf_dir: str,
     g = g.rename(columns={"n_part": "n_users"})
     g["n_users"] = g["n_users"].astype(np.int64)
     return g[["step", "event_type", "n_users"]]
+
+
+def cohort_retention(sf_dir: str, bucket_s: int = 7 * 86400):
+    """Cohort retention matrix — users bucketed by their FIRST active
+    period (the cohort), counted in every later period they return:
+    (cohort_week, week_offset, n_users). The product-analytics staple
+    next to :func:`funnel_analysis`.
+
+    Scale shape: one hash exchange on user_id (only (user, ts) ints
+    cross); the per-partition kernel derives each user's distinct
+    active weeks and cohort with one lexsort + run-length pass (no
+    per-user Python) and map-side-combines (cohort, offset) counts, so
+    the final exchange is bounded by the period-grid square, not by
+    users."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401  (symmetry with siblings)
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    def pick(t: pa.Table) -> pa.Table:
+        # normalize the timestamp unit first: parquet writers vary
+        # (µs for the testdata tables, ns from pandas round-trips)
+        wk = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 1_000_000 // bucket_s)
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "wk": pa.array(wk)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cohort_week": pd.Series([], dtype=np.int64),
+                                 "week_offset": pd.Series([], dtype=np.int64),
+                                 "n_part": pd.Series([], dtype=np.int64)})
+        user = df["user_id"].to_numpy()
+        wk = df["wk"].to_numpy()
+        o = np.lexsort((wk, user))
+        user, wk = user[o], wk[o]
+        # distinct (user, week) rows via run-length on the sorted pairs
+        first = np.ones(len(user), bool)
+        first[1:] = (user[1:] != user[:-1]) | (wk[1:] != wk[:-1])
+        user, wk = user[first], wk[first]
+        new_user = np.ones(len(user), bool)
+        new_user[1:] = user[1:] != user[:-1]
+        # cohort = each user's first (minimum) week, fanned out
+        uidx = np.cumsum(new_user) - 1
+        cohort = wk[new_user][uidx]
+        g = (pd.DataFrame({"cohort_week": cohort,
+                           "week_offset": wk - cohort})
+             .groupby(["cohort_week", "week_offset"], as_index=False)
+             .size())
+        return g.rename(columns={"size": "n_part"})
+
+    parts = hash_groupby_apply(
+        events_ds(sf_dir, columns=["user_id", "ts"])
+        .map_batches(pick, batch_format="pyarrow"),
+        ["user_id"], per_partition)
+    return hash_groupby_sum(parts, ["cohort_week", "week_offset"],
+                            {"n_users": ("n_part", "sum")})

@@ -1877,3 +1877,19 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks)
 SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
 FROM toks GROUP BY term
 HAVING CAST(COUNT(*) AS BIGINT) * {int(k)} > (SELECT t FROM tot)"""
+
+
+def cohort_retention_sql(bucket_s: int = 7 * 86400) -> str:
+    """Oracle for events.cohort_retention: distinct (user, period) grid
+    joined to each user's minimum period."""
+    b = int(bucket_s)
+    return f"""WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 1000000 // {b} AS wk
+  FROM events),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(uw.wk - c.cohort AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY cohort_week, week_offset"""

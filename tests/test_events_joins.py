@@ -301,3 +301,39 @@ def test_funnel_analysis_matches_naive(ray_session, tmp_path):
                          "n_users": counts})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert counts[0] >= counts[1] >= counts[2]  # funnel monotonicity
+
+
+def test_cohort_retention_constructed(ray_session, tmp_path):
+    """Hand-checkable cohorts: week-0 cohort of 3 users (one returns in
+    weeks 1 and 2, one only week 2, one never), week-1 cohort of 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.events import cohort_retention
+
+    W = 7 * 86400
+    rows = [  # (user, epoch_s)
+        (1, 0), (1, W + 5), (1, 2 * W + 5), (1, 2 * W + 9),
+        (2, 10), (2, 2 * W),
+        (3, 20),
+        (4, W + 1), (4, 3 * W),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts_s"])
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(df)), pa.int64()),
+        "ts": pa.array(pd.to_datetime(df["ts_s"], unit="s")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(["view"] * len(df)),
+        "value": pa.array(np.zeros(len(df))),
+        "props": pa.array([""] * len(df)),
+    }), path, row_group_size=3)
+    got = (cohort_retention(str(tmp_path)).to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "cohort_week": [0, 0, 0, 1, 1],
+        "week_offset": [0, 1, 2, 0, 2],
+        "n_users": [3, 1, 2, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
