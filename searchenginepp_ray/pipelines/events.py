@@ -537,13 +537,24 @@ def event_outliers(sf_dir: str, z_thresh: float = 3.0):
     lk = ray.put(lookup)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[["event_id", "event_type", "value"]].copy()
+            out["z"] = pd.Series([], dtype=np.float64)
+            return out
         table = ray.get(lk)
         cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
-        ms = np.array([table[t] for t in df["event_type"]], dtype=np.float64)
+        # type-vocabulary lookups fanned out through category codes —
+        # no per-row Python
+        cat = df["event_type"].astype("category")
+        per_code = np.array([table[t] for t in cat.cat.categories],
+                            dtype=np.float64)
+        ms = per_code[cat.cat.codes.to_numpy()]
         z = (cents - ms[:, 0]) / ms[:, 1]
         keep = np.abs(z) >= z_thresh
+        from .text_stats import round6_half_up
+
         out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
-        out["z"] = np.floor(z[keep] * 1e6 + 0.5) / 1e6
+        out["z"] = round6_half_up(z[keep])
         return out
 
     return (events_ds(sf_dir, ["event_id", "event_type", "value"])
@@ -642,12 +653,16 @@ def funnel_analysis(sf_dir: str,
         events_ds(sf_dir, columns=["user_id", "ts", "event_type"])
         .map_batches(pick, batch_format="pyarrow"),
         ["user_id"], per_partition).to_pandas()
-    g = parts.groupby("step", as_index=False)["n_part"].sum()
-    g = g.sort_values("step").reset_index(drop=True)
-    g["event_type"] = [steps[i - 1] for i in g["step"]]
-    g = g.rename(columns={"n_part": "n_users"})
-    g["n_users"] = g["n_users"].astype(np.int64)
-    return g[["step", "event_type", "n_users"]]
+    # every step always present (0 when no user reaches it), matching
+    # the oracle's per-step UNION ALL counts
+    counts = np.zeros(len(steps), np.int64)
+    if len(parts):
+        g = parts.groupby("step")["n_part"].sum()
+        counts[g.index.to_numpy() - 1] = g.to_numpy()
+    return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                           dtype=np.int64),
+                         "event_type": list(steps),
+                         "n_users": counts})
 
 
 def cohort_retention(sf_dir: str, bucket_s: int = 7 * 86400):

@@ -688,5 +688,5 @@ def importance_resample(sf_dir: str, n_out: int = 100,
                                 ascending=[False, True]).head(n_out)
     out = out.reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    out["key"] = np.floor(out["key"].to_numpy() * 1e6 + 0.5) / 1e6
+    out["key"] = round6_half_up(out["key"].to_numpy())
     return out[["rank", "doc_id", "logw", "key"]]

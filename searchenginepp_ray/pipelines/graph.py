@@ -580,9 +580,9 @@ def _oriented_wedges(edges: ray.data.Dataset):
     """Shared triangle machinery over an undirected edge Dataset
     (columns ``a`` < ``b``, distinct) — the degree-ordered
     node-iterator ("compact-forward") algorithm, fully distributed.
-    Returns ``(deg, both)``: the node-degree Dataset and the union of
-    apex-carrying wedge rows (kind 0) with edge rows (kind 1), both
-    keyed for the (v, w) closing co-partition:
+    Returns ``(deg, both, edges)``: the materialized node-degree and
+    edge Datasets plus the union of apex-carrying wedge rows (kind 0)
+    with edge rows (kind 1), keyed for the (v, w) closing co-partition:
 
     1. degrees: explode endpoints, one node-keyed exchange;
     2. orientation: two co-partition joins attach (deg_a, deg_b); each
@@ -611,9 +611,15 @@ def _oriented_wedges(edges: ray.data.Dataset):
 
     from .agg import hash_groupby_apply, hash_groupby_sum
 
+    # materialize both multi-consumer datasets ONCE: edges feeds the
+    # degree pass, two tagged unions and count(); deg feeds the attach
+    # union, count() and the clustering join — unmaterialized lineage
+    # would re-run the per-order pair self-merge + pair-dedup exchange
+    # (the op's most expensive stage) once per consumer
+    edges = edges.materialize()
     deg = hash_groupby_sum(
         edges.map_batches(degs, batch_format="pyarrow"),
-        ["node"], {"deg": ("deg_part", "sum")})
+        ["node"], {"deg": ("deg_part", "sum")}).materialize()
 
     # tag union: edge rows keyed by endpoint a, degree rows by node
     def tag_edges(t: pa.Table) -> pa.Table:
@@ -678,7 +684,7 @@ def _oriented_wedges(edges: ray.data.Dataset):
                          "kind": pa.array(np.ones(len(t), np.int8))})
 
     both = wedge_ds.union(edges.map_batches(tag_pair, batch_format="pyarrow"))
-    return deg, both
+    return deg, both, edges
 
 
 def triangle_count(edges: ray.data.Dataset) -> dict:
@@ -686,7 +692,7 @@ def triangle_count(edges: ray.data.Dataset) -> dict:
     :func:`_oriented_wedges` for the distributed shape."""
     from .agg import hash_groupby_apply
 
-    deg, both = _oriented_wedges(edges)
+    deg, both, edges = _oriented_wedges(edges)
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
         w = df[df["kind"] == 0]
@@ -748,7 +754,7 @@ def clustering_coefficients(edges: ray.data.Dataset) -> ray.data.Dataset:
     with the degree Dataset finishes with integer-exact arithmetic."""
     from .agg import hash_groupby_apply, hash_groupby_sum
 
-    deg, both = _oriented_wedges(edges)
+    deg, both, _edges = _oriented_wedges(edges)
 
     def close_nodes(df: pd.DataFrame) -> pd.DataFrame:
         w = df[df["kind"] == 0]
@@ -789,8 +795,10 @@ def clustering_coefficients(edges: ray.data.Dataset) -> ray.data.Dataset:
         dv = j["degree"].to_numpy(np.int64)
         tv = j["n_triangles"].to_numpy(np.int64)
         denom = dv * (dv - 1)
+        from .text_stats import round6_half_up
+
         cc = np.where(denom > 0, 2.0 * tv / np.maximum(denom, 1), 0.0)
-        j["cc"] = np.floor(cc * 1e6 + 0.5) / 1e6
+        j["cc"] = round6_half_up(cc)
         return j
 
     return hash_groupby_apply(u, ["node"], finish)

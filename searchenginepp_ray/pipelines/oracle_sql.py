@@ -1452,12 +1452,14 @@ r AS (
 
 def term_complete_sql(prefix: str = "s", k: int = 10) -> str:
     """Oracle for text_stats.term_complete: prefix-filtered df top-k with
-    (df DESC, term ASC) ranking."""
+    (df DESC, term ASC) ranking. The prefix matches LITERALLY via
+    substr equality (the engine uses ``pc.starts_with``) — LIKE would
+    treat '%'/'_' in the prefix as wildcards."""
     esc = prefix.replace("'", "''")
     return f"""WITH {tok_cte()},
 d AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
       FROM toks
-      WHERE term LIKE '{esc}%'
+      WHERE substr(term, 1, {len(prefix)}) = '{esc}'
       GROUP BY term)
 SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank,
        term, df

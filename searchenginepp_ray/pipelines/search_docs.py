@@ -361,18 +361,32 @@ def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
     texts = t["text"].to_pylist()
 
     eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    rows = []
-    # over-fetch: the engine ranks on raw floats, the cross-engine cut
-    # is on the rounded grid — the margin covers boundary docs whose
-    # rounded scores tie into the top k_in
-    for qi, results in enumerate(eng.search_batch(texts, k=k_in + 10,
-                                                  mode="bmm")):
-        for _docid, docno, score in results:
-            rows.append((int(q_ids[qi]), int(docno),
-                         np.floor(score * 1e6 + 0.5) / 1e6))
+    # the engine ranks on raw floats; the cross-engine cut is on the
+    # ROUNDED grid. Rounding is monotone, so an unfetched doc can only
+    # tie into the top k_in if the LAST fetched row's rounded score
+    # equals the k_in-th kept rounded score — fetch deeper until that
+    # boundary is clean (or the fetch is exhausted) for every query
+    from .text_stats import round6_half_up
+
+    k_fetch = k_in + 10
+    while True:
+        rows = []
+        safe = True
+        for qi, results in enumerate(eng.search_batch(texts, k=k_fetch,
+                                                      mode="bmm")):
+            rr = [(int(q_ids[qi]), int(docno),
+                   float(round6_half_up(np.array([score]))[0]))
+                  for _docid, docno, score in results]
+            if len(rr) == k_fetch:
+                kept = sorted((s for _, _, s in rr), reverse=True)
+                if kept[k_in - 1] == rr[-1][2]:
+                    safe = False
+            rows.extend(rr)
+        if safe:
+            break
+        k_fetch *= 4
     bm = pd.DataFrame(rows, columns=["query_id", "doc_id", "s"])
-    # re-rank on the rounded score (engine ranks on raw floats; the
-    # rounded grid is the cross-engine contract)
+    # re-rank on the rounded score (the cross-engine contract)
     bm = bm.sort_values(["query_id", "s", "doc_id"],
                         ascending=[True, False, True])
     bm["ra"] = bm.groupby("query_id").cumcount() + 1
@@ -390,7 +404,7 @@ def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
                       ascending=[True, False, True])
     u["rank"] = (u.groupby("query_id").cumcount() + 1).astype(np.int64)
     u = u[u["rank"] <= k_out].reset_index(drop=True)
-    u["rrf"] = np.floor(u["f"].to_numpy() * 1e6 + 0.5) / 1e6
+    u["rrf"] = round6_half_up(u["f"].to_numpy())
     u["query_id"] = u["query_id"].astype(np.int64)
     u["doc_id"] = u["doc_id"].astype(np.int64)
     return u[["query_id", "rank", "doc_id", "rrf"]]

@@ -845,8 +845,10 @@ def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5,
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["dist", "neighbor_id"],
                             ascending=[True, True]).head(k)
+        from .text_stats import round6_half_up
+
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        df["dist"] = np.floor(df["dist"].to_numpy() * 1e6 + 0.5) / 1e6
+        df["dist"] = round6_half_up(df["dist"].to_numpy())
         return df[["query_id", "neighbor_id", "rank", "dist"]]
 
     return partials.groupby("query_id").map_groups(
