@@ -393,6 +393,15 @@ def run_default() -> None:
     search_docs.get_engine(sf_dir, simple=True, scorer="bm25")
     timed("search_hybrid_rrf",
           lambda: search_docs.search_hybrid_rrf(sf_dir))
+    timed("funnel_analysis", lambda: events.funnel_analysis(sf_dir))
+    timed("cohort_retention", lambda: events.cohort_retention(sf_dir))
+    timed("revenue_forecast", lambda: relational.revenue_forecast(sf_dir))
+    timed("term_heavy_hitters",
+          lambda: text_stats.term_heavy_hitters(sf_dir))
+    # part_triangles / part_clustering are gate-checked at sf0.01 but
+    # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
+    # 20k nodes -> ~1.9M triangles), so the exact census is ~50 s of
+    # genuine wedge-bound compute
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total
