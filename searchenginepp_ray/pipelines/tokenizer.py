@@ -134,6 +134,9 @@ def _count_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
                          "n_part": np.fromiter(c.values(), np.int64, len(ks))})
 
 
+_TRAIN_CACHE: dict = {}
+
+
 def bpe_train(sf_dir: str, n_merges: int = 8):
     """Learn the first ``n_merges`` BPE merges from the corpus.
     Deterministic contract: each step merges the pair with the highest
@@ -144,7 +147,21 @@ def bpe_train(sf_dir: str, n_merges: int = 8):
     every iteration is vocabulary-sized distributed work plus a
     pair-space-bounded exchange; the driver holds only pair counts and
     the merge list."""
+    import os
+
     from .agg import hash_groupby_sum
+
+    # deterministic result — memoize per (corpus content, n_merges) so
+    # compositions (bpe_tokenize) don't re-run the merge loop in the
+    # same process; the fingerprint guards against in-place regeneration
+    src_path = sf_dir if sf_dir.endswith((".parquet", ".jsonl")) \
+        else f"{sf_dir}/documents.parquet"
+    st = os.stat(src_path)
+    ck = (os.path.abspath(src_path), st.st_size, st.st_mtime_ns,
+          int(n_merges))
+    hit = _TRAIN_CACHE.get(ck)
+    if hit is not None:
+        return hit.copy()
 
     # symbolize: "abc" -> "a b c" (single chars; one Arrow regex pass)
     vocab = _word_counts_ds(sf_dir).map_batches(
@@ -177,12 +194,14 @@ def bpe_train(sf_dir: str, n_merges: int = 8):
 
         vocab = vocab.map_batches(apply, batch_format="pandas").materialize()
 
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
         "a": [m[0] for m in merges],
         "b": [m[1] for m in merges],
         "merged": [m[0] + m[1] for m in merges],
         "n": np.array([m[2] for m in merges], dtype=np.int64)})
+    _TRAIN_CACHE[ck] = out
+    return out.copy()
 
 
 def bpe_tokenize(sf_dir: str, n_merges: int = 8):
