@@ -400,8 +400,9 @@ def run_default() -> None:
           lambda: text_stats.term_heavy_hitters(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
-    # 20k nodes -> ~1.9M triangles), so the exact census is ~50 s of
-    # genuine wedge-bound compute
+    # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census
+    # is ~30 s of genuine wedge-bound compute even after the numpy
+    # pair-enumeration + packed-key closing kernels
 
     # one-time compaction (lineage-cached across runs) reported but not
     # counted in the per-run total

