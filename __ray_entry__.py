@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (text_knn) fused by reciprocal ranks — one SQL statement
         # value-checks the whole composition
         "search_hybrid_rrf": lambda sf: search_docs.search_hybrid_rrf(sf),
+        # contrastive-retrieval training triplets: BM25 positive +
+        # hard negatives, content-addressed random negatives
+        "retrieval_triplets":
+            lambda sf: search_docs.retrieval_triplets(sf),
         "index_stats": lambda sf: search_docs.index_stats(sf),
         "term_postings_global": lambda sf: search_docs.term_postings_global(sf),
         "index_term_df": lambda sf: search_docs.index_term_df(sf),
@@ -360,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_term_match": osql.fuzzy_term_match_sql(),
         "search_snippets": osql.search_snippets_sql(),
         "search_hybrid_rrf": osql.search_hybrid_rrf_sql(),
+        "retrieval_triplets": osql.retrieval_triplets_sql(),
         "event_outliers": osql.event_outliers_sql(),
         "event_weekday_pivot": osql.event_weekday_pivot_sql(),
         "repetition_stats": osql.repetition_stats_sql(),

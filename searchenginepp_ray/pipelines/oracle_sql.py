@@ -1895,3 +1895,65 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM uw JOIN c USING (user_id)
 GROUP BY cohort_week, week_offset"""
+
+
+def retrieval_triplets_sql(n_queries: int = 5, n_hard: int = 3,
+                           n_rand: int = 3, pool: int = 10,
+                           salt: str = "neg") -> str:
+    """Oracle for search_docs.retrieval_triplets: the rounded-grid BM25
+    stack (query = each query doc's own tokens), self-dropped and
+    re-ranked for pos/hard_neg; rand_neg = the n_rand smallest salted
+    md5 keys among docs outside self ∪ the BM25 pool."""
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    nq, s = int(n_queries), salt.replace("'", "''")
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM toks GROUP BY term),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+      WHERE doc_id < {nq}),
+bscores AS (
+    SELECT q.query_id, tf.doc_id,
+           floor(SUM({expr}) * 1e6 + 0.5) / 1e6 AS sc
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id),
+ball AS (SELECT query_id, doc_id, sc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sc DESC, doc_id ASC) AS rn
+         FROM bscores QUALIFY rn <= {int(pool) + 1}),
+b AS (SELECT query_id, doc_id, sc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, doc_id ASC) AS r
+      FROM ball WHERE doc_id <> query_id),
+posneg AS (
+    SELECT query_id,
+           CASE WHEN r = 1 THEN 'pos' ELSE 'hard_neg' END AS kind,
+           CAST(CASE WHEN r = 1 THEN 1 ELSE r - 1 END AS BIGINT) AS rank,
+           doc_id
+    FROM b WHERE r <= 1 + {int(n_hard)}),
+rn AS (
+    SELECT qq.query_id, d.doc_id,
+           md5('{s}:' || CAST(qq.query_id AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+    FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN documents d
+    WHERE d.doc_id <> qq.query_id
+      AND NOT EXISTS (SELECT 1 FROM b
+                      WHERE b.query_id = qq.query_id
+                        AND b.doc_id = d.doc_id)),
+rneg AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY h ASC, doc_id ASC) AS rank
+    FROM rn QUALIFY rank <= {int(n_rand)})
+SELECT query_id, kind, rank, doc_id FROM posneg
+UNION ALL
+SELECT query_id, 'rand_neg' AS kind, CAST(rank AS BIGINT) AS rank, doc_id
+FROM rneg"""

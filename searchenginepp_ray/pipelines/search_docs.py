@@ -320,6 +320,45 @@ def search_boolean(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _to_frame(eng.search_batch(toks, k=k, mode="boolean"))
 
 
+def _bm25_rounded_topk(sf_dir: str, texts: list[str], q_ids,
+                       k_in: int) -> pd.DataFrame:
+    """BM25 top-``k_in`` per query on the ROUNDED-6dp-grid contract
+    (ties → doc_id ASC) — the cross-engine ranking both the hybrid
+    fusion and the triplet miner share. The engine ranks on raw floats
+    and rounding is monotone, so an unfetched doc can only tie into the
+    top k_in if the LAST fetched row's rounded score equals the k_in-th
+    kept rounded score — fetch deeper until that boundary is clean (or
+    the fetch is exhausted) for every query. Returns
+    (query_id, doc_id, rank, s)."""
+    import numpy as np
+
+    from .text_stats import round6_half_up
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    k_fetch = k_in + 10
+    while True:
+        rows = []
+        safe = True
+        for qi, results in enumerate(eng.search_batch(texts, k=k_fetch,
+                                                      mode="bmm")):
+            rr = [(int(q_ids[qi]), int(docno),
+                   float(round6_half_up(np.array([score]))[0]))
+                  for _docid, docno, score in results]
+            if len(rr) == k_fetch:
+                kept = sorted((s for _, _, s in rr), reverse=True)
+                if kept[k_in - 1] == rr[-1][2]:
+                    safe = False
+            rows.extend(rr)
+        if safe:
+            break
+        k_fetch *= 4
+    bm = pd.DataFrame(rows, columns=["query_id", "doc_id", "s"])
+    bm = bm.sort_values(["query_id", "s", "doc_id"],
+                        ascending=[True, False, True])
+    bm["rank"] = (bm.groupby("query_id").cumcount() + 1).astype("int64")
+    return bm.groupby("query_id").head(k_in).reset_index(drop=True)
+
+
 def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
                       k_out: int = 5, kappa: int = 60) -> pd.DataFrame:
     """HYBRID retrieval with reciprocal-rank fusion (Cormack et al.):
@@ -360,37 +399,8 @@ def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
             f"corpus (got {q_ids.tolist()})")
     texts = t["text"].to_pylist()
 
-    eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    # the engine ranks on raw floats; the cross-engine cut is on the
-    # ROUNDED grid. Rounding is monotone, so an unfetched doc can only
-    # tie into the top k_in if the LAST fetched row's rounded score
-    # equals the k_in-th kept rounded score — fetch deeper until that
-    # boundary is clean (or the fetch is exhausted) for every query
-    from .text_stats import round6_half_up
-
-    k_fetch = k_in + 10
-    while True:
-        rows = []
-        safe = True
-        for qi, results in enumerate(eng.search_batch(texts, k=k_fetch,
-                                                      mode="bmm")):
-            rr = [(int(q_ids[qi]), int(docno),
-                   float(round6_half_up(np.array([score]))[0]))
-                  for _docid, docno, score in results]
-            if len(rr) == k_fetch:
-                kept = sorted((s for _, _, s in rr), reverse=True)
-                if kept[k_in - 1] == rr[-1][2]:
-                    safe = False
-            rows.extend(rr)
-        if safe:
-            break
-        k_fetch *= 4
-    bm = pd.DataFrame(rows, columns=["query_id", "doc_id", "s"])
-    # re-rank on the rounded score (the cross-engine contract)
-    bm = bm.sort_values(["query_id", "s", "doc_id"],
-                        ascending=[True, False, True])
-    bm["ra"] = bm.groupby("query_id").cumcount() + 1
-    bm = bm.groupby("query_id").head(k_in)[["query_id", "doc_id", "ra"]]
+    bm = _bm25_rounded_topk(sf_dir, texts, q_ids, k_in) \
+        .rename(columns={"rank": "ra"})[["query_id", "doc_id", "ra"]]
 
     kn = text_knn(sf_dir, n_queries, k_in).to_pandas().rename(
         columns={"neighbor_id": "doc_id", "rank": "rb"})
@@ -408,3 +418,106 @@ def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
     u["query_id"] = u["query_id"].astype(np.int64)
     u["doc_id"] = u["doc_id"].astype(np.int64)
     return u[["query_id", "rank", "doc_id", "rrf"]]
+
+
+def retrieval_triplets(sf_dir: str, n_queries: int = 5, n_hard: int = 3,
+                       n_rand: int = 3, pool: int = 10,
+                       salt: str = "neg") -> pd.DataFrame:
+    """Contrastive-retrieval TRAINING-DATA mining: for each of the
+    first ``n_queries`` documents used as a query, emit the labeled
+    example set a dual-encoder trains on — (query_id, kind, rank,
+    doc_id) with kind ∈ {pos, hard_neg, rand_neg}:
+
+    * ``pos`` — the top BM25 hit excluding the query doc itself;
+    * ``hard_neg`` — the next ``n_hard`` BM25 hits (lexically close but
+      not the positive: the standard in-batch hard negatives);
+    * ``rand_neg`` — ``n_rand`` corpus docs drawn by CONTENT-ADDRESSED
+      sampling (smallest salted md5 of ``salt:query:doc``), excluding
+      the query and its BM25 top-``pool`` — reproducible across
+      reruns/cluster sizes, salt-decorrelated, SQL-expressible.
+
+    Scale shape: the BM25 side is the rounded-grid engine contract
+    (:func:`_bm25_rounded_topk`); the random negatives are a streaming
+    per-query bottom-k over the corpus — each batch hashes its
+    (query × doc) grid with the C-speed md5 kernel and keeps n_rand
+    candidates per query, the driver merges n_queries · n_rand ·
+    n_blocks survivor rows and drops excluded ids last (the exclusion
+    set is top-pool-bounded, so keeping pool + n_rand candidates per
+    batch guarantees coverage)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .duck import md5_hex
+    from .similarity import _head_table
+    from .text_stats import documents_ds
+
+    t = _head_table(f"{sf_dir}/documents.parquet", n_queries,
+                    ["doc_id", "text"])
+    q_ids = t["doc_id"].to_numpy()
+    if sorted(q_ids.tolist()) != list(range(n_queries)):
+        raise ValueError("retrieval_triplets expects doc_ids 0..n-1 at "
+                         f"the head of the corpus (got {q_ids.tolist()})")
+    texts = t["text"].to_pylist()
+
+    bm = _bm25_rounded_topk(sf_dir, texts, q_ids, pool + 1)
+    bm = bm[bm["doc_id"] != bm["query_id"]]
+    bm = bm.sort_values(["query_id", "s", "doc_id"],
+                        ascending=[True, False, True])
+    bm["r"] = bm.groupby("query_id").cumcount() + 1
+    pos = bm[bm["r"] == 1]
+    hard = bm[(bm["r"] >= 2) & (bm["r"] <= 1 + n_hard)]
+    excl = {int(q): set(g["doc_id"]) | {int(q)}
+            for q, g in bm.groupby("query_id")}
+    for q in q_ids:
+        excl.setdefault(int(q), {int(q)})
+    import ray
+
+    # exclusion-proof candidate depth: at most pool+2 excluded ids per
+    # query corpus-wide (self + the post-self-drop BM25 pool), so a
+    # batch's per-query bottom-(pool+2+n_rand) always covers the n_rand
+    # globally-smallest non-excluded hashes
+    keep_per_q = pool + 2 + n_rand
+    qs = [int(x) for x in q_ids]
+
+    def cand(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = tb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_str = pc.cast(tb["doc_id"], pa.string())
+        out_q, out_d, out_h = [], [], []
+        for q in qs:
+            keys = pc.binary_join_element_wise(
+                pa.scalar(f"{salt}:{q}:"), ids_str, "")
+            h = md5_hex(keys).to_numpy(zero_copy_only=False)
+            k = min(keep_per_q, len(ids))
+            idx = np.argsort(h, kind="stable")[:k]
+            out_q.extend([q] * k)
+            out_d.extend(ids[idx].tolist())
+            out_h.extend(h[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "h": pa.array(out_h, pa.string())})
+
+    surv = documents_ds(sf_dir, ("doc_id",)) \
+        .map_batches(cand, batch_format="pyarrow").to_pandas()
+    rows = []
+    for q, g in surv.groupby("query_id"):
+        ex = excl[int(q)]
+        g = g.sort_values(["h", "doc_id"])
+        g = g[~g["doc_id"].isin(ex)].head(n_rand)
+        for j, d in enumerate(g["doc_id"], start=1):
+            rows.append((int(q), "rand_neg", j, int(d)))
+    out = pd.concat([
+        pd.DataFrame({"query_id": pos["query_id"].to_numpy(np.int64),
+                      "kind": "pos",
+                      "rank": np.ones(len(pos), np.int64),
+                      "doc_id": pos["doc_id"].to_numpy(np.int64)}),
+        pd.DataFrame({"query_id": hard["query_id"].to_numpy(np.int64),
+                      "kind": "hard_neg",
+                      "rank": (hard["r"] - 1).to_numpy(np.int64),
+                      "doc_id": hard["doc_id"].to_numpy(np.int64)}),
+        pd.DataFrame(rows, columns=["query_id", "kind", "rank",
+                                    "doc_id"]),
+    ], ignore_index=True)
+    return out.sort_values(["query_id", "kind", "rank"]) \
+        .reset_index(drop=True)

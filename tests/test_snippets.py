@@ -105,3 +105,38 @@ def test_search_hybrid_rrf_oracle_and_fusion(ray_session, sf_dir):
         # max possible fused score is 1/61 + 1/61
         assert (g["rrf"] <= 2 / 61 + 1e-9).all()
         assert (g["rrf"] > 0).all()
+
+
+def test_retrieval_triplets_structure(ray_session, sf_dir):
+    """Oracle agreement at sf0.001 plus structural pins: per query
+    exactly 1 pos + n_hard hard + n_rand rand rows, all doc_ids
+    distinct within a query, the query doc never among them, and
+    rand_negs disjoint from the BM25 pool-derived kinds."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    got = e.queries()["retrieval_triplets"](sf_dir)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["retrieval_triplets"]).df()
+    key = ["query_id", "kind", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+    for qid, g in got.groupby("query_id"):
+        kinds = g["kind"].value_counts()
+        assert kinds["pos"] == 1
+        assert kinds["hard_neg"] == 3 and kinds["rand_neg"] == 3
+        assert g["doc_id"].is_unique
+        assert qid not in set(g["doc_id"])
+        bm_side = set(g[g["kind"] != "rand_neg"]["doc_id"])
+        assert bm_side.isdisjoint(set(g[g["kind"] == "rand_neg"]["doc_id"]))
