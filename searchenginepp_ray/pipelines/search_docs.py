@@ -389,6 +389,7 @@ def search_hybrid_rrf(sf_dir: str, n_queries: int = 5, k_in: int = 10,
 
     from .embed import text_knn
     from .similarity import _head_table
+    from .text_stats import round6_half_up
 
     t = _head_table(f"{sf_dir}/documents.parquet", n_queries,
                     ["doc_id", "text"])
