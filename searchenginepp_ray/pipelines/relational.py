@@ -718,9 +718,13 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
         filter=pads.field("c_nationkey").isin(valid),
     )
-    # hop 1 (custkey): order rows pick up their customer's nation
+    # hop 1 (custkey): order rows pick up their customer's nation.
+    # Each hop is materialized: an exchange is a semantic barrier
+    # anyway, and three chained union+groupby stages in ONE streaming
+    # DAG measured 3x slower than hop-by-hop execution (the same
+    # wide-plan lesson as the PageRank iterations)
     j1 = shuffle_join(orders, cust, "o_custkey", "c_custkey",
-                      ["o_orderkey"], ["c_nationkey"])
+                      ["o_orderkey"], ["c_nationkey"]).materialize()
 
     lpath = f"{sf_dir}/lineitem.parquet"
     li = ray.data.read_parquet(
@@ -741,7 +745,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     # hop 2 (orderkey): lineitems pick up the order's customer nation
     j2 = shuffle_join(j1, li.map_batches(li_rev, batch_format="pandas"),
                       "o_orderkey", "l_orderkey",
-                      ["c_nationkey"], ["l_suppkey", "rev_e4"])
+                      ["c_nationkey"], ["l_suppkey", "rev_e4"]).materialize()
 
     supp = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
@@ -749,7 +753,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     )
     # hop 3 (suppkey): attach the supplier's nation
     j3 = shuffle_join(j2, supp, "l_suppkey", "s_suppkey",
-                      ["c_nationkey", "rev_e4"], ["s_nationkey"])
+                      ["c_nationkey", "rev_e4"], ["s_nationkey"]).materialize()
 
     def local_partials(df: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(names_ref)
