@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
         "image_resize": lambda sf: multimodal.image_resize(sf),
+        # strided video frame sampling (actor-pool stub codec; frame
+        # md5s value-checked by a repeat+slice SQL oracle)
+        "frame_sample": lambda sf: multimodal.frame_sample(sf),
         # --- sampling + sketches ---
         # content-addressed Bernoulli sample (stable across reruns)
         "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
@@ -397,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "knn_graph": osql.knn_graph_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
+        "frame_sample": osql.frame_sample_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "nation_revenue": osql.nation_revenue_sql(),
         "pricing_summary": osql.pricing_summary_sql(),

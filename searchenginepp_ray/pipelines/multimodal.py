@@ -218,3 +218,58 @@ def image_resize(sf_dir: str, out: int = 4, concurrency: int = 4):
         concurrency=concurrency, batch_size=64, num_cpus=1,
         batch_format="pyarrow",
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: video decode (stub codec) → strided frame
+    selection → per-frame checksum. Decoder state once per actor; the
+    per-row loop is the accepted shape for opaque binary payloads
+    (cf. :class:`MediaFeatures`)."""
+
+    def __init__(self, stride: int = 2):
+        self.codec = FakeCodec()
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        rows = []
+        for mid, payload, w, h, nf in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist(),
+            t["width"].to_pylist(), t["height"].to_pylist(),
+            t["n_frames"].to_pylist(),
+        ):
+            if not payload:
+                continue
+            vid = self.codec.decode_video(payload, w, h, nf)
+            for f in range(0, nf, self.stride):
+                rows.append({
+                    "media_id": mid,
+                    "frame_idx": f,
+                    "n_bytes": w * h,
+                    "frame_md5": hashlib.md5(vid[f].tobytes()).hexdigest(),
+                })
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"media_id": pa.array([], pa.int64()),
+             "frame_idx": pa.array([], pa.int64()),
+             "n_bytes": pa.array([], pa.int64()),
+             "frame_md5": pa.array([], pa.string())})
+
+
+def frame_sample(sf_dir: str, stride: int = 2, concurrency: int = 4):
+    """Strided frame sampling over the video subset — the fourth member
+    of the multimodal stage family (decode / feature-extract / resize /
+    frame-sample). The stub codec tiles payload bytes into the declared
+    (n_frames, height, width) volume, so every sampled frame's md5 is
+    value-checkable by a SQL oracle that repeats+slices the SAME bytes
+    (the testdata corpus is pure ASCII, where VARCHAR slicing == byte
+    slicing; a real codec slots into FakeCodec's place with the same
+    Ray plumbing)."""
+    vids = media_ds(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow")
+    return vids.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency, batch_size=64, num_cpus=1,
+        batch_format="pyarrow",
+    )

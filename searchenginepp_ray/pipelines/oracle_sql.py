@@ -1957,3 +1957,35 @@ SELECT query_id, kind, rank, doc_id FROM posneg
 UNION ALL
 SELECT query_id, 'rand_neg' AS kind, CAST(rank AS BIGINT) AS rank, doc_id
 FROM rneg"""
+
+
+def frame_sample_sql(stride: int = 2) -> str:
+    """Oracle for multimodal.frame_sample: the stub codec's np.resize
+    tiling re-expressed as repeat+substr over the payload (the media
+    table's payload is the UTF-8 text bytes; the corpus is pure ASCII,
+    where VARCHAR positions == byte positions — media_byte_stats pins
+    the byte identity)."""
+    st = int(stride)
+    return f"""WITH v AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) AS BIGINT) AS nb,
+         CAST(CASE WHEN length(text) >= 64 THEN 8 ELSE 4 END AS BIGINT)
+             AS w
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+g AS (
+  SELECT media_id, text, nb, w,
+         greatest(nb // w, 1) AS h,
+         nb % 7 + 2 AS nf
+  FROM v),
+fr AS (
+  SELECT media_id, text, nb, w, h, i AS frame_idx
+  FROM g, LATERAL (SELECT unnest(generate_series(
+       0, CAST(nf - 1 AS BIGINT), {st})) AS i))
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w * h AS BIGINT) AS n_bytes,
+       md5(substr(repeat(text,
+                         CAST(ceil((frame_idx + 1) * w * h * 1.0 / nb)
+                              AS BIGINT)),
+                  CAST(frame_idx * w * h + 1 AS BIGINT),
+                  CAST(w * h AS BIGINT))) AS frame_md5
+FROM fr"""

@@ -91,3 +91,38 @@ def test_media_byte_stats_matches_text_bytes(ray_session):
     assert got["kind"].tolist() == want["kind"].tolist()
     assert got["n_items"].tolist() == want["n_items"].tolist()
     assert got["total_bytes"].astype(int).tolist() == want["total_bytes"].astype(int).tolist()
+
+
+def test_frame_sample_matches_stub_decode(ray_session, sf_dir):
+    """Every sampled frame's md5 equals a direct stub decode of the
+    same payload; stride actually skips frames."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.multimodal import (FakeCodec,
+                                                         frame_sample)
+
+    got = (frame_sample(sf_dir, stride=2, concurrency=2).to_pandas()
+           .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    codec = FakeCodec()
+    want = {}
+    for _, row in t.iterrows():
+        if row["doc_id"] % 3 != 2 or not row["text"]:
+            continue
+        payload = row["text"].encode()
+        nb = len(payload)
+        w = 8 if nb >= 64 else 4
+        h = max(nb // w, 1)
+        nf = nb % 7 + 2
+        vid = codec.decode_video(payload, w, h, nf)
+        for f in range(0, nf, 2):
+            want[(row["doc_id"], f)] = hashlib.md5(
+                vid[f].tobytes()).hexdigest()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r["media_id"], r["frame_idx"])] == r["frame_md5"]
+    assert (got["frame_idx"] % 2 == 0).all()
