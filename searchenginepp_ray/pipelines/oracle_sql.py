@@ -1943,7 +1943,10 @@ rn AS (
     SELECT qq.query_id, d.doc_id,
            md5('{s}:' || CAST(qq.query_id AS VARCHAR) || ':'
                || CAST(d.doc_id AS VARCHAR)) AS h
-    FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN documents d
+    -- query universe = ALL first-n docs: a token-less query doc still
+    -- draws its n_rand random negatives (the pipeline emits them)
+    FROM (SELECT doc_id AS query_id FROM documents
+          WHERE doc_id < {nq}) qq CROSS JOIN documents d
     WHERE d.doc_id <> qq.query_id
       AND NOT EXISTS (SELECT 1 FROM b
                       WHERE b.query_id = qq.query_id

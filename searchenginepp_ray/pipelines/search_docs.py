@@ -461,9 +461,9 @@ def retrieval_triplets(sf_dir: str, n_queries: int = 5, n_hard: int = 3,
     texts = t["text"].to_pylist()
 
     bm = _bm25_rounded_topk(sf_dir, texts, q_ids, pool + 1)
+    # _bm25_rounded_topk output is already (query_id, s desc, doc_id)
+    # ordered and the self-drop filter preserves it — only re-rank
     bm = bm[bm["doc_id"] != bm["query_id"]]
-    bm = bm.sort_values(["query_id", "s", "doc_id"],
-                        ascending=[True, False, True])
     bm["r"] = bm.groupby("query_id").cumcount() + 1
     pos = bm[bm["r"] == 1]
     hard = bm[(bm["r"] >= 2) & (bm["r"] <= 1 + n_hard)]
@@ -471,8 +471,6 @@ def retrieval_triplets(sf_dir: str, n_queries: int = 5, n_hard: int = 3,
             for q, g in bm.groupby("query_id")}
     for q in q_ids:
         excl.setdefault(int(q), {int(q)})
-    import ray
-
     # exclusion-proof candidate depth: at most pool+2 excluded ids per
     # query corpus-wide (self + the post-self-drop BM25 pool), so a
     # batch's per-query bottom-(pool+2+n_rand) always covers the n_rand
