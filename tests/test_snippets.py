@@ -140,3 +140,38 @@ def test_retrieval_triplets_structure(ray_session, sf_dir):
         assert qid not in set(g["doc_id"])
         bm_side = set(g[g["kind"] != "rand_neg"]["doc_id"])
         assert bm_side.isdisjoint(set(g[g["kind"] == "rand_neg"]["doc_id"]))
+
+
+def test_retrieval_triplets_tokenless_queries(ray_session, tmp_path):
+    """Query docs with no tokens (empty / punctuation-only text) still
+    draw their random negatives, and both engines agree on it."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, ".")
+    from searchenginepp_ray.pipelines.oracle_sql import \
+        retrieval_triplets_sql
+    from searchenginepp_ray.pipelines.search_docs import retrieval_triplets
+
+    texts = (["", "... !!!", "hash sort merge"]
+             + [f"hash sort merge doc {i} filler words" for i in range(30)])
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{d}/documents.parquet")
+    got = (retrieval_triplets(d, n_queries=3)
+           .sort_values(["query_id", "kind", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = (con.execute(retrieval_triplets_sql(n_queries=3)).df()
+            .sort_values(["query_id", "kind", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+    for q in (0, 1):
+        g = got[got["query_id"] == q]
+        assert set(g["kind"]) == {"rand_neg"} and len(g) == 3
