@@ -161,7 +161,7 @@ def main(argv=None) -> int:
     b.add_argument("--docs-per-segment", type=int, default=65_536)
     b.add_argument("--profile", choices=("full", "simple"), default="full")
     b.add_argument("--table", choices=("code", "documents"), default="code")
-    b.add_argument("--format", choices=("parquet", "tsv", "jsonl"), default="parquet",
+    b.add_argument("--format", choices=("parquet", "tsv", "jsonl", "csv"), default="parquet",
                    help="tsv = the reference's native <docno>\\t<text> lines")
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--force", action="store_true")

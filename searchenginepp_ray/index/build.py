@@ -380,6 +380,17 @@ def build_index(
     _t0 = _time.perf_counter()
 
     cfg = cfg or BuildConfig()
+    if source_format == "csv":
+        # CSV cannot be byte-range line-sharded (quoted fields may embed
+        # newlines) — one staging pass converts per input file to
+        # parquet (sources/csv_corpus.py), then the ordinary parquet
+        # build runs over the staged, deterministic layout
+        from ..sources.csv_corpus import stage_csv_to_parquet
+        from ..sources.jsonl_corpus import JSONL_CORPUS
+
+        corpus_paths = stage_csv_to_parquet(corpus_paths)
+        spec = spec or JSONL_CORPUS  # same (docno, text) field mapping
+        source_format = "parquet"
     if source_format == "tsv":
         from ..sources.tsv_corpus import TSV_CORPUS, tsv_shards
 

@@ -39,12 +39,20 @@ def round6_half_up(x: np.ndarray) -> np.ndarray:
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     """The documents table as a pruned-column read. ``sf_dir`` is a
     testdata dir containing ``documents.parquet``, or (for CLI use over
-    arbitrary corpora of the same shape) a ``.parquet`` or ``.jsonl``
-    path itself (JSONL: column pruning happens after the vectorized
+    arbitrary corpora of the same shape) a ``.parquet``, ``.jsonl`` or
+    ``.csv`` path itself (JSONL: column pruning happens after the vectorized
     arrow JSON parse — line-delimited files carry no column layout to
     push down into)."""
     if sf_dir.endswith(".jsonl"):
         ds = ray.data.read_json(sf_dir)
+        cols = list(columns)
+        return ds.map_batches(lambda t: t.select(cols),
+                              batch_format="pyarrow")
+    if sf_dir.endswith(".csv"):
+        # Arrow's CSV reader handles quoting/embedded newlines; like
+        # JSONL, column pruning happens after the parse (CSV carries no
+        # column layout to push down into)
+        ds = ray.data.read_csv(sf_dir)
         cols = list(columns)
         return ds.map_batches(lambda t: t.select(cols),
                               batch_format="pyarrow")

@@ -805,3 +805,55 @@ def test_boolean_negative_decode_is_block_lazy(ray_session, tmp_path_factory):
     assert res == []
     decoded_for_common = seg.decoded_postings - before
     assert decoded_for_common <= 3 * 16  # not the 600-posting full list
+
+
+def test_csv_source_builds_identical_index(ray_session, tmp_path):
+    """CSV corpus (incl. a quoted field with embedded newline and a
+    quoted comma) stages to parquet and builds an index byte-identical
+    to a direct parquet build of the same rows."""
+    import csv as csv_mod
+    import hashlib as hl
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import BuildConfig, SIMPLE_PROFILE
+    from searchenginepp_ray.index.build import build_index
+    from searchenginepp_ray.sources.jsonl_corpus import JSONL_CORPUS
+
+    rows = [("d1", "hash sort merge"),
+            ("d2", "line one\nline two, quoted"),
+            ("d3", 'quoted "inner" text'),
+            ("d4", "")]
+    csv_path = str(tmp_path / "corpus.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(["docno", "text"])
+        w.writerows(rows)
+    pq_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({
+        "docno": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows]),
+    }), pq_path)
+
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=2)
+    out_csv = str(tmp_path / "idx_csv")
+    out_pq = str(tmp_path / "idx_pq")
+    build_index(csv_path, out_csv, cfg, source_format="csv")
+    build_index(pq_path, out_pq, cfg, JSONL_CORPUS)
+
+    def tree_hash(root):
+        items = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                # lineage keys legitimately differ (different source
+                # paths) — markers and summaries are metadata, not index
+                if fn.endswith(".json") or fn.startswith("_"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(p, root)
+                items[rel] = hl.sha256(open(p, "rb").read()).hexdigest()
+        return items
+
+    assert tree_hash(out_csv) == tree_hash(out_pq)
