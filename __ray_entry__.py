@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_complete": lambda sf: text_stats.term_complete(sf),
         # exact heavy hitters in bounded memory: Misra-Gries candidate
         # pass + exact verify pass (never materializes the vocabulary)
+        # corpus vocabulary statistics (entropy/TTR/Zipf MLE) in
+        # one rank-free pass — scalar partials per term partition
+        "vocab_stats": lambda sf: text_stats.vocab_stats(sf),
         "term_heavy_hitters":
             lambda sf: text_stats.term_heavy_hitters(sf),
         # --- training-data filters (Gopher repetition / PII scrub /
@@ -427,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": osql.price_quantiles_sql(),
         "term_complete": osql.term_complete_sql(),
         "term_heavy_hitters": osql.term_heavy_hitters_sql(),
+        "vocab_stats": osql.vocab_stats_sql(),
         "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),
         "quality_select": osql.quality_select_sql(),

@@ -1992,3 +1992,23 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                   CAST(frame_idx * w * h + 1 AS BIGINT),
                   CAST(w * h AS BIGINT))) AS frame_md5
 FROM fr"""
+
+
+def vocab_stats_sql() -> str:
+    """Oracle for text_stats.vocab_stats: identical decompositions —
+    H = log2(T) − Σ c·log2(c)/T, α = 1 + n/Σ ln(c/0.5) — over exact
+    grouped counts, shared floor rounding."""
+    return f"""WITH {tok_cte()},
+c AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS t,
+               SUM(c * log2(c)) AS s_clog,
+               SUM(ln(c / 0.5)) AS s_ln
+        FROM c)
+SELECT n AS n_types, t AS n_tokens,
+       floor(n * 1.0 / greatest(t, 1) * 1e6 + 0.5) / 1e6
+           AS type_token_ratio,
+       floor((log2(greatest(t, 1)) - s_clog / greatest(t, 1)) * 1e6 + 0.5)
+           / 1e6 AS entropy_bits,
+       floor((1.0 + n / s_ln) * 1e6 + 0.5) / 1e6 AS zipf_alpha
+FROM agg"""

@@ -733,3 +733,63 @@ def term_heavy_hitters(sf_dir: str, k: int = 2000):
         return t.filter(pa.array(f * k > T))
 
     return exact.map_batches(cut, batch_format="pyarrow")
+
+
+def vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics in ONE rank-free pass — the
+    distribution health-check run before tokenizer/vocab decisions:
+    (n_types, n_tokens, type_token_ratio, unigram entropy in bits,
+    Zipf power-law exponent). Everything is a distributive aggregate
+    over the (term, ctf) table:
+
+    * entropy via H = log2(T) − (Σ ctf·log2 ctf)/T — no global rank;
+    * the Zipf exponent via the discrete MLE α = 1 + n/Σ ln(ctf/0.5)
+      (xmin = 1), which needs only Σ ln ctf — the rank-vs-frequency
+      regression would require a GLOBAL vocabulary sort, exactly the
+      thing the build's stage-2 lesson avoids.
+
+    Scale shape: the shared term-keyed exchange produces exact ctfs;
+    each partition reduces its terms to ONE scalar partial row; the
+    driver combines P rows."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+
+    def ctf_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["terms"])
+        tfs = np.asarray(pc.list_flatten(t["tfs"])).astype(np.int64)
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        if len(tfs) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c_part": pa.array([], pa.int64())})
+        cnt = np.zeros(len(d.dictionary), np.int64)
+        np.add.at(cnt, np.asarray(d.indices, dtype=np.int64), tfs)
+        return pa.table({"term": d.dictionary,
+                         "c_part": pa.array(cnt)})
+
+    def reduce_terms(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("term")["c_part"].sum().to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n_types": [np.int64(len(c))],
+            "n_tokens": [np.int64(c.sum())],
+            "s_clog": [float((c * np.log2(c)).sum())],
+            "s_ln": [float(np.log(c / 0.5).sum())],
+        })
+
+    parts = hash_groupby_apply(
+        term_counts_ds(sf_dir).map_batches(ctf_partial,
+                                           batch_format="pyarrow"),
+        ["term"], reduce_terms).to_pandas()
+    n = int(parts["n_types"].sum())
+    T = int(parts["n_tokens"].sum())
+    h = np.log2(max(T, 1)) - parts["s_clog"].sum() / max(T, 1)
+    alpha = 1.0 + n / parts["s_ln"].sum() if parts["s_ln"].sum() > 0 else 0.0
+    return pd.DataFrame({
+        "n_types": [np.int64(n)],
+        "n_tokens": [np.int64(T)],
+        "type_token_ratio": [float(round6_half_up(np.array([n / max(T, 1)]))[0])],
+        "entropy_bits": [float(round6_half_up(np.array([h]))[0])],
+        "zipf_alpha": [float(round6_half_up(np.array([alpha]))[0])],
+    })

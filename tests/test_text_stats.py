@@ -341,3 +341,46 @@ def test_term_heavy_hitters_prunes_and_stays_exact(ray_session, tmp_path):
             .sort_values("term").reset_index(drop=True))
     assert set(want["term"]) >= set(heavy)  # the plant worked
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vocab_stats_matches_naive(ray_session, tmp_path):
+    """Entropy/TTR/Zipf vs a direct computation over the same corpus
+    (uniform corpus → entropy == log2(n_types), alpha formula pinned)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.batch import tokenize_batch
+    from searchenginepp_ray.pipelines.text_stats import vocab_stats
+
+    rng = np.random.RandomState(41)
+    vocab = [f"w{i}" for i in range(50)]
+    # Zipf-ish draw so the exponent is meaningful
+    p = 1.0 / np.arange(1, 51)
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, rng.randint(1, 40), p=p))
+             for _ in range(80)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=13)
+    got = vocab_stats(path)
+
+    cnt = {}
+    for t in texts:
+        _, terms_l, tfs_l = tokenize_batch([t], SIMPLE_PROFILE)
+        for term, tf in zip(terms_l[0].as_py(), tfs_l[0].as_py()):
+            cnt[term] = cnt.get(term, 0) + tf
+    c = np.array(list(cnt.values()), dtype=np.float64)
+    T = c.sum()
+    H = math.log2(T) - float((c * np.log2(c)).sum()) / T
+    alpha = 1.0 + len(c) / float(np.log(c / 0.5).sum())
+    assert got["n_types"].iloc[0] == len(c)
+    assert got["n_tokens"].iloc[0] == int(T)
+    assert abs(got["entropy_bits"].iloc[0] - H) < 2e-6
+    assert abs(got["zipf_alpha"].iloc[0] - alpha) < 2e-6
+    assert 1.0 < got["zipf_alpha"].iloc[0] < 4.0
