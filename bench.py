@@ -398,6 +398,9 @@ def run_default() -> None:
     timed("revenue_forecast", lambda: relational.revenue_forecast(sf_dir))
     timed("term_heavy_hitters",
           lambda: text_stats.term_heavy_hitters(sf_dir))
+    timed("vocab_stats", lambda: text_stats.vocab_stats(sf_dir))
+    timed("retrieval_triplets",
+          lambda: search_docs.retrieval_triplets(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
     # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census
