@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": lambda sf: _tokenizer().bpe_tokenize(sf),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        # incremental ingestion dedup: incoming slice anti-joined
+        # against the existing corpus on the content hash
+        "dedup_incremental": lambda sf: dedup.dedup_incremental(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
         "corpus_clean_neardup": lambda sf: clean.corpus_clean_neardup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "training_export": osql.training_export_sql(),
         "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
+        "dedup_incremental": osql.dedup_incremental_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "span_dedup": osql.span_dedup_sql(),

@@ -1206,3 +1206,40 @@ def span_dedup(sf_dir: str, width: int = 10):
         })
 
     return hash_groupby_apply(u, ["doc_id"], rebuild)
+
+
+def dedup_incremental(sf_dir: str, mod: int = 2):
+    """INCREMENTAL ingestion dedup — the "new shipment vs existing
+    corpus" filter an append-only pipeline runs on every batch: docs of
+    the incoming slice (here ``doc_id % mod != 0``; a real deployment
+    passes two corpora) are kept only if their exact content hash does
+    not already exist in the baseline slice (``doc_id % mod == 0``).
+    Returns the surviving incoming docs (doc_id, text_md5).
+
+    Scale shape: ONE content-hash-keyed exchange carries (md5, doc_id,
+    side) rows from both slices — the anti-join happens where the hash
+    co-locates, exactly the :func:`~.relational.shuffle_semi_join`
+    shape keyed on content instead of an id; nothing is broadcast and
+    neither slice is materialized anywhere."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "text_md5": md5_hex(t["text"]),
+            "doc_id": pa.array(ids),
+            "is_new": pa.array((ids % mod != 0).astype(np.int8)),
+        })
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        base = set(df.loc[df["is_new"] == 0, "text_md5"])
+        new = df[df["is_new"] == 1]
+        keep = new[~new["text_md5"].isin(base)]
+        return keep[["doc_id", "text_md5"]]
+
+    return hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(tag, batch_format="pyarrow"),
+        ["text_md5"], anti)

@@ -2012,3 +2012,15 @@ SELECT n AS n_types, t AS n_tokens,
            / 1e6 AS entropy_bits,
        floor((1.0 + n / s_ln) * 1e6 + 0.5) / 1e6 AS zipf_alpha
 FROM agg"""
+
+
+def dedup_incremental_sql(mod: int = 2) -> str:
+    """Oracle for dedup.dedup_incremental: NOT EXISTS anti-join on the
+    content md5 between the incoming and baseline slices."""
+    m = int(mod)
+    return f"""WITH h AS (SELECT doc_id, md5(text) AS text_md5,
+                  doc_id % {m} <> 0 AS is_new FROM documents)
+SELECT n.doc_id, n.text_md5
+FROM h n
+WHERE n.is_new AND NOT EXISTS (
+  SELECT 1 FROM h b WHERE NOT b.is_new AND b.text_md5 = n.text_md5)"""

@@ -451,3 +451,32 @@ def test_span_dedup_matches_naive_random(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     want = _naive_span_dedup(texts, 2)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_incremental_anti_join(ray_session, tmp_path):
+    """Constructed slices: incoming docs duplicating a baseline doc are
+    dropped; duplicates WITHIN the incoming slice both survive (only
+    the baseline is the dedup reference)."""
+    from searchenginepp_ray.pipelines.dedup import dedup_incremental
+
+    texts = [
+        "baseline one",    # 0 baseline
+        "dup of baseline", # 1 incoming — unique vs baseline
+        "baseline two",    # 2 baseline
+        "baseline one",    # 3 incoming — dup of doc 0 -> dropped
+        "baseline three",  # 4 baseline
+        "incoming twin",   # 5 incoming — twin within incoming, kept
+        "unused",          # 6 baseline
+        "incoming twin",   # 7 incoming — twin within incoming, kept
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=3)
+    got = (dedup_incremental(path, mod=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 5, 7]
+    import hashlib
+    assert got["text_md5"].tolist() == [
+        hashlib.md5(texts[i].encode()).hexdigest() for i in (1, 5, 7)]
