@@ -377,6 +377,7 @@ def run_default() -> None:
     # round-3 session 4: data-selection + span dedup + packing
     timed("importance_weights", lambda: filters.importance_weights(sf_dir))
     timed("span_dedup", lambda: dedup.span_dedup(sf_dir))
+    timed("dedup_incremental", lambda: dedup.dedup_incremental(sf_dir))
     timed("importance_resample",
           lambda: filters.importance_resample(sf_dir))
     timed("sequence_pack", lambda: export.sequence_pack(sf_dir))
