@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ADC serving over the PQ codes (approximate; recall pytest)
         "knn_pq": lambda sf: similarity.knn_pq(sf),
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
+        # SemDeDup: k-means bucketing prunes candidate pairs, per-cluster
+        # micro-grid cosine edges, keep-farthest-from-centroid per
+        # component — one assign pass + ONE cluster-keyed exchange
+        "semantic_dedup": lambda sf: similarity.semantic_dedup(sf),
         # distributed covariance (augmented-Gram map-side partials, one
         # dims^2 exchange) — the PCA/whitening primitive; eigensolve of
         # the 64x64 result is driver-side by design
@@ -450,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": osql.label_centroids_sql(),
         "pq_encode": osql.pq_encode_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
+        "semantic_dedup": osql.semantic_dedup_sql(),
         "embedding_covariance": osql.embedding_covariance_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS

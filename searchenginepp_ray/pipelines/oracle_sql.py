@@ -809,6 +809,15 @@ g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
 c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
     FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
 
+    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
+
+
+def _kmeans_ctes(k: int, iters: int, assign_cte, update_cte) -> list[str]:
+    """The shared Lloyd-recurrence CTE chain: ``e`` (cast vectors),
+    ``c0``..``c{iters}`` (centroids), ``a{iters+1}`` (final
+    assignment)."""
     parts = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -819,8 +828,69 @@ c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
         parts.append(assign_cte(i, f"c{i - 1}"))
         parts.append(update_cte(i))
     parts.append(assign_cte(iters + 1, f"c{iters}"))
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
+    return parts
+
+
+def semantic_dedup_sql(k: int = 8, iters: int = 3,
+                       threshold_micro: int = 450_000) -> str:
+    """Oracle for similarity.semantic_dedup: the kmeans CTE chain
+    (identical recurrence to :func:`kmeans_embeddings_sql`), then
+    within-cluster pairs thresholded on the shared integer micro-unit
+    cosine grid, recursive reachability closure (component = min
+    reachable vec_id), and keep = row 1 per component ordered by
+    (rounded centroid cosine ASC, vec_id ASC)."""
+
+    def assign_cte(i: int, csrc: str) -> str:
+        return f"""a{i} AS (SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v) ASC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
+
+    def update_cte(i: int) -> str:
+        return f"""x{i} AS (SELECT a.cluster,
+           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
+           unnest(e.v) AS x
+    FROM a{i} a JOIN e USING (vec_id)),
+g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
+    FROM (SELECT cluster, dim, AVG(x) AS mx FROM x{i} GROUP BY cluster, dim)
+    GROUP BY cluster),
+c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
+    FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
+
+    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
+    fa, fc = f"a{iters + 1}", f"c{iters}"
+    parts.append(f"""asn AS (SELECT a.vec_id, a.cluster, e.v
+    FROM {fa} a JOIN e USING (vec_id))""")
+    parts.append(f"""ccz AS (SELECT a.vec_id, a.cluster,
+           CAST(floor(list_cosine_similarity(a.v, c.v) * 1e6 + 0.5)
+                AS BIGINT) AS ccos_micro
+    FROM asn a JOIN {fc} c USING (cluster))""")
+    parts.append(f"""pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+    FROM asn x JOIN asn y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5)
+          >= {int(threshold_micro)})""")
+    parts.append("edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr)")
+    parts.append("""reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)""")
+    parts.append("""comp AS (SELECT src AS vec_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src)""")
+    parts.append("""mem AS (SELECT z.vec_id, z.cluster, z.ccos_micro,
+           COALESCE(cp.component, z.vec_id) AS component
+    FROM ccz z LEFT JOIN comp cp USING (vec_id))""")
+    parts.append("""rr AS (SELECT mem.*,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY ccos_micro ASC, vec_id ASC) AS rn
+    FROM mem)""")
+    return ("WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT vec_id, cluster, component, ccos_micro / 1e6 AS centroid_cos,
+       CAST((rn = 1) AS BIGINT) AS keep
+FROM rr""")
 
 
 def doc_keywords_sql(m: int = 5) -> str:

@@ -404,20 +404,15 @@ def _round9_half_up(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e9 + 0.5) / 1e9
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
-    """Distributed Lloyd's k-means over the embedding column — the
-    clustering member of the similarity family (topic/domain bucketing of
-    a corpus; also the principled centroid trainer for the IVF index,
-    whose ``_train_centroids`` is the sampled fast path of this op).
-
-    Deterministic and oracle-checkable: init = the ``k`` lowest-vec_id
-    vectors (the table's standard vec_id-sorted layout makes this the
-    first-k head read); assignment = argmin squared Euclidean distance
-    with ties to the lowest cluster id; update = member mean rounded
-    half-away to 9 dp (shared rule, see :func:`_round9_half_up`); empty
-    clusters keep their previous centroid. After ``iters`` rounds the
-    final assignment is emitted as (vec_id, cluster). The DuckDB oracle
-    unrolls the identical recurrence as chained CTEs.
+def kmeans_centroids(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
+    """The Lloyd centroid recurrence of :func:`kmeans_embeddings`,
+    exposed so compositions (SemDeDup's cluster bucketing) share the
+    exact deterministic contract: init = the ``k`` lowest-vec_id
+    vectors; assignment = argmin squared Euclidean distance with ties to
+    the lowest cluster id; update = member mean rounded half-away to
+    9 dp (:func:`_round9_half_up`); empty clusters keep their previous
+    centroid. Returns the (k, dims) centroid matrix after ``iters``
+    rounds.
 
     Scale shape: per iteration ONE streaming pass over the table — each
     batch reduces to (cluster, dim, sum, count) partials (k×dims floats,
@@ -472,6 +467,19 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
         new[occupied] = _round9_half_up(new[occupied])
         cents = new
 
+    return cents
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering member of the similarity family (topic/domain bucketing of
+    a corpus; also the principled centroid trainer for the IVF index,
+    whose ``_train_centroids`` is the sampled fast path of this op).
+    Centroid recurrence and determinism contract in
+    :func:`kmeans_centroids`; this op emits the final assignment as
+    (vec_id, cluster). The DuckDB oracle unrolls the identical
+    recurrence as chained CTEs."""
+    cents = kmeans_centroids(sf_dir, k, iters)
     cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -485,6 +493,108 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
                          "cluster": pa.array(a.astype(np.int64))})
 
     return embeddings_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3,
+                   threshold_micro: int = 450_000, pair_block: int = 1024):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate removal with k-means bucketing as the candidate
+    pruner: vectors are clustered by the shared deterministic Lloyd
+    recurrence (:func:`kmeans_centroids`); WITHIN each cluster, every
+    pair whose cosine similarity is ``>= threshold_micro`` on the shared
+    6 dp grid (compared in integer micro-units so both engines threshold
+    identical values) is a semantic-duplicate edge; per connected
+    component of that graph the member FARTHEST from its cluster
+    centroid is kept (lowest rounded centroid cosine — the paper's
+    keep-low-centroid-similarity rule; ties → lowest vec_id) and the
+    rest are marked dropped. Returns one row per vector:
+    (vec_id, cluster, component, centroid_cos, keep) with component =
+    min vec_id reachable (singletons label themselves, keep=1).
+
+    Scale shape: clustering IS the pruning structure — candidate pairs
+    never cross clusters, so the plan is one streaming assign pass
+    (centroids broadcast once) and ONE exchange keyed on the cluster id;
+    the quadratic kernel runs on cluster-sized blocks, which is
+    SemDeDup's own scaling contract (k grows with the corpus so N/k
+    stays bounded; the paper uses 50k clusters for LAION-440M). The
+    pairwise scan inside a cluster walks ``pair_block`` rows at a time
+    against the cluster matrix, capping scratch at pair_block×|cluster|
+    doubles. Components cannot span clusters, so labeling is a
+    cluster-local vectorized min-propagation — no global
+    connected-components pass. The default threshold sits at the
+    synthetic corpus's cosine scale (near-orthogonal random vectors); a
+    real embedding corpus would use ~0.95e6."""
+    cents = kmeans_centroids(sf_dir, k, iters)
+    cref = ray.put((cents, _normalize(cents)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c, cn = ray.get(cref)
+        m = _vec_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "ccos_micro": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]})
+        a = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+        ccos = (_normalize(m) * cn[a]).sum(1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(a.astype(np.int64)),
+            "ccos_micro": pa.array(np.floor(ccos * 1e6 + 0.5).astype(np.int64)),
+            "embedding": t["embedding"],
+        })
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mn = _normalize(_vec_matrix(t["embedding"]))[order]
+        ccos = t["ccos_micro"].to_numpy()[order]
+        n = len(ids)
+        ia_parts, ib_parts = [], []
+        for s in range(0, n, pair_block):
+            e = min(s + pair_block, n)
+            sims = np.floor(mn[s:e] @ mn.T * 1e6 + 0.5)
+            bi, bj = np.nonzero(sims >= threshold_micro)
+            up = s + bi < bj  # strict upper triangle in global indices
+            ia_parts.append(s + bi[up])
+            ib_parts.append(bj[up])
+        ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, np.int64)
+        ib = np.concatenate(ib_parts) if ib_parts else np.empty(0, np.int64)
+        lab = np.arange(n)
+        while len(ia):
+            before = lab.copy()
+            m1 = np.minimum(lab[ia], lab[ib])
+            np.minimum.at(lab, ia, m1)
+            np.minimum.at(lab, ib, m1)
+            while not np.array_equal(lab, lab[lab]):  # pointer jumping
+                lab = lab[lab]
+            if np.array_equal(lab, before):
+                break
+        comp = ids[lab]
+        # representative per component: lowest (centroid cosine, vec_id)
+        order2 = np.lexsort((ids, ccos, comp))
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            sc = comp[order2]
+            first[1:] = sc[1:] != sc[:-1]
+        keep = np.zeros(n, dtype=np.int64)
+        keep[order2[first]] = 1
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": t["cluster"].take(pa.array(order)),
+            "component": pa.array(comp),
+            "centroid_cos": pa.array(ccos / 1e6),
+            "keep": pa.array(keep),
+        })
+
+    return (
+        embeddings_ds(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")  # the ONE exchange; pairs never cross clusters
+        .map_groups(per_cluster, batch_format="pyarrow")
+    )
 
 
 def knn_graph(sf_dir: str, k: int = 5, chunk: int = 2048):

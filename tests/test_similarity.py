@@ -267,3 +267,72 @@ def test_knn_pq_recall_vs_exact(ray_session):
         top1 = got[(got["query_id"] == qid) & (got["rank"] == 1)]
         assert top1["neighbor_id"].iloc[0] == qid
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def _write_embeddings(tmp_path, m: np.ndarray):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(len(m)), pa.int64()),
+                  "embedding": pa.array([list(r) for r in m.astype(np.float32)],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * len(m), pa.int32())}),
+        tmp_path / "embeddings.parquet")
+
+
+def test_semantic_dedup_planted_groups(ray_session, tmp_path):
+    """Planted near-identical groups inside well-separated directions:
+    each group collapses to one component labeled by its min vec_id,
+    exactly one keep per component, singletons keep themselves."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    # group {0,1,2} ~ base0, group {3,4} ~ base1, singletons 5..8 each
+    # on their own (random ≈ orthogonal) direction
+    for b, jitter in ((0, 3), (1, 2)):
+        for _ in range(jitter):
+            rows.append(base[b] + rng.normal(scale=1e-3, size=16))
+    rows.extend(base[2:6])
+    m = np.array(rows)
+    _write_embeddings(tmp_path, m)
+    df = (similarity.semantic_dedup(str(tmp_path), k=3, iters=2,
+                                    threshold_micro=990_000)
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(df) == len(m)
+    assert set(df[df["vec_id"].isin([0, 1, 2])]["component"]) == {0}
+    assert set(df[df["vec_id"].isin([3, 4])]["component"]) == {3}
+    # singletons label and keep themselves
+    single = df[df["vec_id"] >= 5]
+    assert (single["component"] == single["vec_id"]).all()
+    assert (single["keep"] == 1).all()
+    # exactly one keep per component, and it's the farthest-from-centroid
+    for comp, g in df.groupby("component"):
+        assert g["keep"].sum() == 1
+        kept = g[g["keep"] == 1].iloc[0]
+        lo = g.sort_values(["centroid_cos", "vec_id"]).iloc[0]
+        assert kept["vec_id"] == lo["vec_id"]
+
+
+def test_semantic_dedup_transitive_chain(ray_session, tmp_path):
+    """A~B and B~C above threshold but cos(A,C) below it: one component
+    via the closure, not two overlapping pairs."""
+    theta = 0.06
+    thr = int(np.floor(np.cos(theta) * 1e6))  # pairs at +-0.05 rad pass
+    e0 = np.zeros(8); e0[0] = 1.0
+    e1 = np.zeros(8); e1[1] = 1.0
+
+    def rot(a):
+        return np.cos(a) * e0 + np.sin(a) * e1
+
+    m = np.stack([rot(-0.05), rot(0.0), rot(0.05),  # the chain
+                  -e0 * 2, e1 * 3])                 # fillers
+    _write_embeddings(tmp_path, m)
+    df = (similarity.semantic_dedup(str(tmp_path), k=2, iters=2,
+                                    threshold_micro=thr)
+          .to_pandas().sort_values("vec_id"))
+    chain = df[df["vec_id"] <= 2]
+    assert np.cos(0.1) < thr / 1e6  # A-C really is below threshold
+    assert set(chain["component"]) == {0}
+    assert chain["keep"].sum() == 1
