@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-window chunking (fixed-size overlapping word chunks,
         # md5-checksummed content) — streaming flat-map, no exchange
         "chunk_documents": lambda sf: _export().chunk_documents(sf),
+        # content-defined chunking (token-hash boundaries, edit-robust)
+        # + chunk-level keep-first dedup: one streaming chunk pass, one
+        # exchange on chunk_md5
+        "cdc_chunk_dedup": lambda sf: _export().cdc_chunk_dedup(sf),
         # the composed end-to-end training pipeline: clean -> benchmark
         # decontamination -> chunk -> content-addressed shards, with the
         # WHOLE composition value-checked by one SQL statement
@@ -393,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": osql.sequence_pack_sql(),
         "shard_export": osql.shard_export_sql(),
         "chunk_documents": osql.chunk_documents_sql(),
+        "cdc_chunk_dedup": osql.cdc_chunk_dedup_sql(),
         "training_export": osql.training_export_sql(),
         "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),

@@ -186,6 +186,90 @@ def _chunk_batch(t: pa.Table, size: int, stride: int,
     return pa.table(cols)
 
 
+def cdc_chunk_dedup(sf_dir: str, divisor: int = 8):
+    """Content-defined chunking + chunk-level exact dedup — the
+    CDC-for-text dedup primitive (FastCDC/LBFS lineage, applied at token
+    granularity so it is portable across engines): a token ENDS a chunk
+    when its content hash lands in bucket 0 (``md5_bucket(term, divisor)
+    == 0`` — the ``'0x'||substr(md5(term),1,8) % divisor`` expression the
+    SQL oracle evaluates verbatim), giving expected chunk length
+    ``divisor`` tokens. Because boundaries depend only on local CONTENT,
+    an insertion or deletion re-chunks only the span it touches — unlike
+    fixed-stride :func:`chunk_documents`, shifted text still produces
+    identical downstream chunks, which is the property that makes
+    chunk-level dedup robust to edits. Each chunk row carries
+    (doc_id, chunk_idx, n_tokens, chunk_md5, keep) where keep=1 marks
+    the globally FIRST occurrence of the chunk content in
+    (doc_id, chunk_idx) order.
+
+    Scale shape: chunking is one streaming vectorized pass (boundary
+    flags computed on the batch VOCABULARY after a dictionary encode,
+    never per token occurrence; chunk strings via offset-sliced
+    ``binary_join``; md5 via the DuckDB C kernel). Keep-first is ONE
+    exchange keyed on chunk_md5 with a vectorized sort/duplicated kernel
+    per partition — the exact_dedup shape at chunk granularity."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return _cdc_batch(t, divisor)
+
+    chunks = documents_ds(sf_dir).map_batches(per_batch,
+                                              batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["chunk_md5", "doc_id", "chunk_idx"],
+                            kind="mergesort")
+        df["keep"] = (~df["chunk_md5"].duplicated()).astype(np.int64)
+        return df
+
+    return hash_groupby_apply(chunks, ["chunk_md5"], keep_first)
+
+
+def _cdc_batch(t: pa.Table, divisor: int) -> pa.Table:
+    """One batch of :func:`cdc_chunk_dedup`'s chunking pass —
+    module-level so property tests can drive it against a naive
+    reference."""
+    from .duck import md5_bucket, md5_hex
+    from .filters import _words_flat
+
+    doc_idx, flat, n_tokens = _words_flat(t["text"])
+    total = len(flat)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "chunk_md5": pa.array([], pa.string()),
+    })
+    if total == 0:
+        return empty
+    enc = flat.dictionary_encode()
+    vocab_bucket = md5_bucket(enc.dictionary, divisor).to_numpy()
+    ends = vocab_bucket[enc.indices.to_numpy()] == 0  # token ENDS a chunk
+    off = np.concatenate(([0], np.cumsum(n_tokens)))
+    # a token STARTS a chunk at a doc start or right after a boundary
+    starts_flag = np.zeros(total, dtype=bool)
+    starts_flag[off[:-1][n_tokens > 0]] = True
+    starts_flag[1:] |= ends[:-1]
+    starts = np.flatnonzero(starts_flag)
+    lens = np.diff(np.append(starts, total))
+    cdoc = doc_idx[starts]
+    newdoc = np.empty(len(starts), dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = cdoc[1:] != cdoc[:-1]
+    doc_first = np.maximum.accumulate(
+        np.where(newdoc, np.arange(len(starts)), 0))
+    ci = np.arange(len(starts)) - doc_first
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()), flat)
+    chunk_str = pc.binary_join(chunk_list, " ")
+    doc_ids = t["doc_id"].to_numpy()
+    return pa.table({
+        "doc_id": pa.array(doc_ids[cdoc]),
+        "chunk_idx": pa.array(ci.astype(np.int64)),
+        "n_tokens": pa.array(lens.astype(np.int64)),
+        "chunk_md5": md5_hex(chunk_str),
+    })
+
+
 def training_export(sf_dir: str, n_shards: int = 8,
                     out_dir: str | None = None, bench_mod: int = 97):
     """The composed end-to-end training-data pipeline — what a corpus

@@ -1167,6 +1167,36 @@ SELECT doc_id,
 FROM pos"""
 
 
+def cdc_chunk_dedup_sql(divisor: int = 8) -> str:
+    """Oracle for export.cdc_chunk_dedup: positions via
+    generate_subscripts, boundary tokens by the verbatim md5-bucket
+    expression, chunk id = exclusive running sum of boundary flags,
+    keep-first via a window over chunk_md5."""
+    return f"""WITH {_word_toks_cte()},
+ft AS (SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+              unnest(w) AS term
+       FROM wtoks),
+bnd AS (SELECT doc_id, pos, term,
+               CASE WHEN CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                         % {int(divisor)} = 0 THEN 1 ELSE 0 END AS b
+        FROM ft),
+cid AS (SELECT doc_id, pos, term,
+               CAST(COALESCE(SUM(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS ci
+        FROM bnd),
+chunks AS (SELECT doc_id, ci AS chunk_idx,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+           FROM cid GROUP BY doc_id, ci)
+SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
+       CAST((row_number() OVER (PARTITION BY chunk_md5
+                                ORDER BY doc_id, chunk_idx) = 1)
+            AS BIGINT) AS keep
+FROM chunks"""
+
+
 def training_export_sql(size: int = 32, stride: int = 24,
                         n_shards: int = 8, bench_mod: int = 97) -> str:
     """Oracle for export.training_export — the FULL composition (quality

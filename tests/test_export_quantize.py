@@ -181,3 +181,80 @@ def test_sequence_pack_matches_naive(ray_session, tmp_path):
     nz = want
     assert (nz["start_tok"].to_numpy()[1:]
             == (nz["start_tok"] + nz["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), path)
+    return path
+
+
+def _cdc_naive(texts, divisor):
+    import re
+
+    rows = []
+    for d, t in enumerate(texts):
+        toks = [w for w in __import__("re").split("[^a-z0-9]+", t.lower()) if w]
+        cur, ci = [], 0
+        for w in toks:
+            cur.append(w)
+            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % divisor == 0:
+                rows.append((d, ci, len(cur),
+                             hashlib.md5(" ".join(cur).encode()).hexdigest()))
+                ci += 1
+                cur = []
+        if cur:
+            rows.append((d, ci, len(cur),
+                         hashlib.md5(" ".join(cur).encode()).hexdigest()))
+    seen, out = set(), []
+    for r in sorted(rows):
+        keep = 1 if r[3] not in seen else 0
+        seen.add(r[3])
+        out.append(r + (keep,))
+    return out
+
+
+def test_cdc_chunk_dedup_matches_naive(ray_session, tmp_path):
+    from searchenginepp_ray.pipelines.export import cdc_chunk_dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+             for _ in range(25)] + ["", "Solo-token"]
+    path = _write_docs(tmp_path, texts)
+    got = (cdc_chunk_dedup(str(tmp_path), divisor=8).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    want = _cdc_naive(texts, 8)
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_cdc_chunking_is_edit_robust(ray_session, tmp_path):
+    """The CDC property fixed-stride chunking lacks: inserting a token
+    near the front re-chunks ONLY the first chunk — every later chunk is
+    byte-identical, so chunk-level dedup still matches doc B's tail
+    against doc A's."""
+    from searchenginepp_ray.pipelines.export import cdc_chunk_dedup
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in rng.integers(0, 50, size=200)]
+    a = " ".join(words)
+    b = " ".join(["inserted"] + words)
+    path = _write_docs(tmp_path, [a, b])
+    got = cdc_chunk_dedup(str(tmp_path), divisor=8).to_pandas()
+    ca = got[got["doc_id"] == 0].sort_values("chunk_idx")
+    cb = got[got["doc_id"] == 1].sort_values("chunk_idx")
+    assert len(ca) > 3  # the corpus really produced several chunks
+    # tails align: everything after each doc's first chunk is identical
+    assert ca["chunk_md5"].tolist()[1:] == cb["chunk_md5"].tolist()[1:]
+    # and the aligned tail of doc 1 is all duplicate (keep=0)
+    assert (cb["keep"].tolist()[1:] == [0] * (len(cb) - 1))
