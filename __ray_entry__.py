@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring-dedup signal: corpus-global duplicated-window
         # fraction per doc (one gram-keyed exchange, map-side-combined)
         "dup_span_stats": lambda sf: _filters().dup_span_stats(sf),
+        # corpus n-gram diversity (distinct-n/total-n, n=1..3): one
+        # streaming gram-partial pass + one (n, gram) exchange
+        "ngram_diversity": lambda sf: _filters().ngram_diversity(sf),
         # statistical phrase mining: corpus-wide top-k PMI bigrams
         # (count exchange with min-count cut, two unigram co-partition
         # joins, per-partition partial top-k)
@@ -179,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # micro-grid cosine edges, keep-farthest-from-centroid per
         # component — one assign pass + ONE cluster-keyed exchange
         "semantic_dedup": lambda sf: similarity.semantic_dedup(sf),
+        # per-cluster count + inertia vs the FINAL centroids — the
+        # elbow/drift readout that value-checks the centroid matrix
+        "kmeans_inertia": lambda sf: similarity.kmeans_inertia(sf),
         # distributed covariance (augmented-Gram map-side partials, one
         # dims^2 exchange) — the PCA/whitening primitive; eigensolve of
         # the 64x64 result is driver-side by design
@@ -460,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": osql.pq_encode_sql(),
         "kmeans_embeddings": osql.kmeans_embeddings_sql(),
         "semantic_dedup": osql.semantic_dedup_sql(),
+        "kmeans_inertia": osql.kmeans_inertia_sql(),
+        "ngram_diversity": osql.ngram_diversity_sql(),
         "embedding_covariance": osql.embedding_covariance_sql(),
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS

@@ -690,3 +690,76 @@ def importance_resample(sf_dir: str, n_out: int = 100,
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["key"] = round6_half_up(out["key"].to_numpy())
     return out[["rank", "doc_id", "logw", "key"]]
+
+
+def ngram_diversity(sf_dir: str, max_n: int = 3):
+    """Corpus n-gram diversity (distinct-n / total-n for n = 1..max_n) —
+    the standard self-repetition metric for curated training corpora (a
+    collapsing dataset shows diversity falling as n grows slower than it
+    should). Returns (n, distinct_grams, total_grams, diversity) with
+    diversity on the shared 6 dp grid.
+
+    Scale shape: ONE streaming pass emits per-batch (n, gram, c_part)
+    partial counts for every n (grams built by the shared shifted-take
+    kernel, counted at batch-vocabulary cardinality via dictionary
+    encode + bincount — nothing per occurrence); one hash exchange on
+    (n, gram) merges the partials; the distinct/total reduction is then
+    map-side partials into a max_n-row native aggregate. Gram strings
+    cross the exchange once each — the same traffic shape as term_df."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .agg import hash_groupby_sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, flat, n_tokens = _words_flat(t["text"])
+        ns, gs, cs = [], [], []
+        for n in range(1, max_n + 1):
+            _, grams = _grams(flat, n_tokens, n)
+            if len(grams) == 0:
+                continue
+            enc = grams.dictionary_encode()
+            cnt = np.bincount(enc.indices.to_numpy(),
+                              minlength=len(enc.dictionary))
+            ns.append(np.full(len(enc.dictionary), n, dtype=np.int64))
+            gs.append(enc.dictionary)
+            cs.append(cnt.astype(np.int64))
+        if not ns:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "c_part": pa.array([], pa.int64())})
+        return pa.table({
+            "n": pa.array(np.concatenate(ns)),
+            "gram": pa.concat_arrays([g.combine_chunks()
+                                      if isinstance(g, pa.ChunkedArray)
+                                      else g for g in gs]),
+            "c_part": pa.array(np.concatenate(cs)),
+        })
+
+    counts = hash_groupby_sum(
+        documents_ds(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        ["n", "gram"], {"c": ("c_part", "sum")},
+    )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"n": t["n"].to_numpy(),
+                           "c": t["c"].to_numpy()})
+        g = df.groupby("n", as_index=False).agg(d_part=("c", "size"),
+                                                t_part=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (counts.map_batches(reduce_part, batch_format="pyarrow")
+           .groupby("n")  # max_n keys — native agg is fine
+           .aggregate(Sum("d_part", alias_name="distinct_grams"),
+                      Sum("t_part", alias_name="total_grams")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["distinct_grams"] = df["distinct_grams"].astype(np.int64)
+        df["total_grams"] = df["total_grams"].astype(np.int64)
+        df["diversity"] = round6_half_up(
+            df["distinct_grams"].to_numpy() / df["total_grams"].to_numpy())
+        return df[["n", "distinct_grams", "total_grams", "diversity"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

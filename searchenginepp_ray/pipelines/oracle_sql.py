@@ -893,6 +893,69 @@ SELECT vec_id, cluster, component, ccos_micro / 1e6 AS centroid_cos,
 FROM rr""")
 
 
+def kmeans_inertia_sql(k: int = 8, iters: int = 3) -> str:
+    """Oracle for similarity.kmeans_inertia: the shared Lloyd CTE chain,
+    then per-cluster COUNT + SUM(list_distance²) against the final
+    centroids under the shared 6 dp floor rule."""
+    base = kmeans_embeddings_sql(k, iters)
+    # reuse the full recurrence by wrapping the assignment query
+    return f"""WITH asn AS ({base})
+SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       floor(SUM(power(list_distance(CAST(e.embedding AS DOUBLE[]), c.v), 2))
+             * 1e6 + 0.5) / 1e6 AS inertia
+FROM asn a
+JOIN embeddings e USING (vec_id)
+JOIN ({_kmeans_final_centroids_sql(k, iters)}) c USING (cluster)
+GROUP BY a.cluster"""
+
+
+def _kmeans_final_centroids_sql(k: int, iters: int) -> str:
+    """Standalone SELECT producing the final (cluster, v) centroid table
+    of the shared Lloyd recurrence."""
+
+    def assign_cte(i: int, csrc: str) -> str:
+        return f"""a{i} AS (SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v) ASC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
+
+    def update_cte(i: int) -> str:
+        return f"""x{i} AS (SELECT a.cluster,
+           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
+           unnest(e.v) AS x
+    FROM a{i} a JOIN e USING (vec_id)),
+g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
+    FROM (SELECT cluster, dim, AVG(x) AS mx FROM x{i} GROUP BY cluster, dim)
+    GROUP BY cluster),
+c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
+    FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
+
+    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cluster, v FROM c{iters}")
+
+
+def ngram_diversity_sql(max_n: int = 3) -> str:
+    """Oracle for filters.ngram_diversity: per-n distinct/total gram
+    counts over the word-token arrays, diversity on the shared 6 dp
+    grid."""
+    branches = []
+    for n in range(1, max_n + 1):
+        branches.append(f"""SELECT {n} AS n,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(*) AS BIGINT) AS total_grams
+FROM (SELECT array_to_string(w[i:i+{n - 1}], ' ') AS g
+      FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i
+            FROM wtoks))""")
+    un = "\nUNION ALL\n".join(branches)
+    return f"""WITH {_word_toks_cte()}
+SELECT n, distinct_grams, total_grams,
+       floor(distinct_grams * 1.0 / total_grams * 1e6 + 0.5) / 1e6 AS diversity
+FROM ({un})"""
+
+
 def doc_keywords_sql(m: int = 5) -> str:
     """Oracle for embed.doc_keywords: top-m TF-IDF terms per doc via
     row_number over UNROUNDED weights (term ASC tie-break), weight

@@ -495,6 +495,59 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
     return embeddings_ds(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_inertia(sf_dir: str, k: int = 8, iters: int = 3):
+    """Per-cluster k-means quality: member count and inertia (sum of
+    squared Euclidean distance to the FINAL centroid) for the shared
+    deterministic Lloyd recurrence — the elbow-curve / drift-monitoring
+    readout, and a direct value-check of the centroid matrix itself
+    (the assignment-only :func:`kmeans_embeddings` gate can't see a
+    centroid whose perturbation doesn't flip any argmin). Returns
+    (cluster, n, inertia) with inertia on the shared 6 dp grid.
+
+    Scale shape: the centroid loop's passes plus ONE more streaming
+    pass reducing each batch to k (count, Σd²) partials; the final
+    aggregate runs over the k-row key space."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cents = kmeans_centroids(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _vec_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64()),
+                             "i_part": pa.array([], pa.float64())})
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        occ = np.unique(a)
+        i_part = np.zeros(len(c))
+        np.add.at(i_part, a, d2[np.arange(len(a)), a])
+        return pa.table({
+            "cluster": pa.array(occ.astype(np.int64)),
+            "n_part": pa.array(np.bincount(a, minlength=len(c))[occ]
+                               .astype(np.int64)),
+            "i_part": pa.array(i_part[occ]),
+        })
+
+    agg = (embeddings_ds(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cluster")  # k keys — native agg is fine
+           .aggregate(Sum("n_part", alias_name="n"),
+                      Sum("i_part", alias_name="inertia")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .text_stats import round6_half_up
+
+        df["n"] = df["n"].astype(np.int64)
+        df["inertia"] = round6_half_up(df["inertia"].to_numpy())
+        return df[["cluster", "n", "inertia"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3,
                    threshold_micro: int = 450_000, pair_block: int = 1024):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic

@@ -512,3 +512,35 @@ def test_importance_resample_oracle_and_properties(ray_session, sf_dir):
     assert got["doc_id"].is_unique
     iw = e.queries()["importance_weights"](sf_dir).to_pandas()
     assert got["logw"].mean() > iw["logw"].mean()
+
+
+def test_ngram_diversity_matches_naive(ray_session, tmp_path):
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.filters import ngram_diversity
+
+    texts = ["the cat sat on the mat", "the cat ran", "", "solo",
+             "a a a a b", "punct, Split-CASE  ok"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["t"] * len(texts)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    got = (ngram_diversity(str(tmp_path), max_n=3).to_pandas()
+           .sort_values("n").reset_index(drop=True))
+    for n in (1, 2, 3):
+        grams = []
+        for t in texts:
+            toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+            grams += [" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)]
+        row = got[got["n"] == n].iloc[0]
+        assert row["total_grams"] == len(grams)
+        assert row["distinct_grams"] == len(set(grams))
+        assert abs(row["diversity"]
+                   - len(set(grams)) / len(grams)) < 1e-6

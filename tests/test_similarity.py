@@ -336,3 +336,20 @@ def test_semantic_dedup_transitive_chain(ray_session, tmp_path):
     assert np.cos(0.1) < thr / 1e6  # A-C really is below threshold
     assert set(chain["component"]) == {0}
     assert chain["keep"].sum() == 1
+
+
+def test_kmeans_inertia_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    got = (similarity.kmeans_inertia(SF, k=8, iters=3)
+           .to_pandas().sort_values("cluster").reset_index(drop=True))
+    cents = similarity.kmeans_centroids(SF, 8, 3)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = similarity._vec_matrix(t["embedding"])
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    a = d2.argmin(1)
+    want_n = np.bincount(a, minlength=8)
+    want_i = np.zeros(8)
+    np.add.at(want_i, a, d2[np.arange(len(a)), a])
+    assert got["n"].tolist() == want_n.tolist()
+    assert np.allclose(got["inertia"].to_numpy(), want_i, atol=1e-5)
