@@ -402,6 +402,11 @@ def run_default() -> None:
     timed("vocab_stats", lambda: text_stats.vocab_stats(sf_dir))
     timed("retrieval_triplets",
           lambda: search_docs.retrieval_triplets(sf_dir))
+    # round-3 session 5: semantic dedup + CDC chunk dedup + metrics
+    timed("semantic_dedup", lambda: similarity.semantic_dedup(sf_dir))
+    timed("cdc_chunk_dedup", lambda: export.cdc_chunk_dedup(sf_dir))
+    timed("kmeans_inertia", lambda: similarity.kmeans_inertia(sf_dir))
+    timed("ngram_diversity", lambda: filters.ngram_diversity(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
     # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census
