@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (grid histogram threshold + tie-only exchange)
         "quality_select": lambda sf: sample.quality_select(sf),
         "stratified_sample": lambda sf: sample.stratified_sample(sf),
+        # per-source (host-level) cap: content-addressed rank, one
+        # source-keyed exchange, vectorized per-partition rank kernel
+        "source_cap": lambda sf: sample.source_cap(sf),
+        # mixture planning table: per-(source, lang) doc/token counts +
+        # token share — map-side partials into a tiny native aggregate
+        "source_mixture": lambda sf: sample.source_mixture(sf),
         # deterministic salted train/val/test split (disjoint +
         # exhaustive by construction; stable across reruns/clusters)
         "dataset_split": lambda sf: sample.dataset_split(sf),
@@ -454,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": osql.table_profile_sql(),
         "quality_select": osql.quality_select_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
+        "source_cap": osql.source_cap_sql(),
+        "source_mixture": osql.source_mixture_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_triangles": osql.part_triangles_sql(),

@@ -624,6 +624,37 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
     """
 
 
+def source_cap_sql(cap: int = 15, salt: str = "cap1") -> str:
+    """Oracle for sample.source_cap: per-source row_number over the
+    identical 52-bit salted md5-prefix key (ties → doc_id)."""
+    return f"""WITH keyed AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),
+                                1, 13)) AS BIGINT) AS key
+    FROM documents)
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY key, doc_id) AS BIGINT) AS src_rank,
+       CAST((row_number() OVER (PARTITION BY source
+                                ORDER BY key, doc_id) <= {int(cap)})
+            AS BIGINT) AS keep
+FROM keyed"""
+
+
+def source_mixture_sql() -> str:
+    """Oracle for sample.source_mixture: per-(source, lang) doc/token
+    counts over the word-token arrays, share on the shared 6 dp grid."""
+    return f"""WITH {_word_toks_cte()},
+tc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM wtoks),
+j AS (SELECT d.source, d.lang, tc.n
+      FROM documents d JOIN tc USING (doc_id)),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM j)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       floor(SUM(n) / (SELECT t FROM tot) * 1e6 + 0.5) / 1e6 AS token_share
+FROM j GROUP BY source, lang"""
+
+
 def customers_without_orders_sql(priority: str = "1-URGENT") -> str:
     """Oracle for relational.customers_without_orders (distributed
     anti-join; only deduplicated right-side keys cross the exchange)."""

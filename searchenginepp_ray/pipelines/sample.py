@@ -309,3 +309,94 @@ def quality_select(sf_dir: str, q_num: int = 1, q_den: int = 2):
                          "distinct_ratio": pa.array(s / 1e6)})
 
     return kept.map_batches(finish, batch_format="pyarrow")
+
+
+def source_cap(sf_dir: str, cap: int = 15, salt: str = "cap1"):
+    """Per-source document cap — the host-level curation rule crawl
+    pipelines apply so one dominant site cannot swamp the mixture: each
+    source keeps at most ``cap`` docs, chosen by a content-addressed
+    rank (salted md5 of the doc id, ties → doc_id) so the survivors are
+    a deterministic uniform sample of the source, stable across reruns
+    and cluster sizes and decorrelated (via the salt) from every other
+    md5-keyed decision in the pipeline. Returns
+    (doc_id, source, src_rank, keep) for every doc.
+
+    Scale shape: one streaming pass computes the 52-bit md5-prefix key
+    (C kernel, :func:`.duck.md5_prefix_int`), then ONE exchange keyed on
+    source with a single vectorized lexsort + run-length rank kernel
+    per partition (one Python call per PARTITION, not per source). A
+    source's rows must co-locate — the same partitioning assumption as
+    every source/user-keyed op here; for a pathologically hot source,
+    :func:`quality_select`'s score-histogram threshold machinery is the
+    drop-in scale path (rank keys are already on an integer grid)."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_prefix_int
+    from .text_stats import documents_ds
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys_s = pc.binary_join_element_wise(
+            pa.array([salt + ":"] * len(ids), pa.string()),
+            pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "source": t["source"],
+            "key": pa.array(md5_prefix_int(keys_s, 13).astype(np.int64)),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "key", "doc_id"], kind="mergesort")
+        df["src_rank"] = df.groupby("source", sort=False).cumcount() + 1
+        df["src_rank"] = df["src_rank"].astype(np.int64)
+        df["keep"] = (df["src_rank"] <= cap).astype(np.int64)
+        return df[["doc_id", "source", "src_rank", "keep"]]
+
+    ds = documents_ds(sf_dir, columns=("doc_id", "source")).map_batches(
+        key, batch_format="pyarrow")
+    return hash_groupby_apply(ds, ["source"], rank)
+
+
+def source_mixture(sf_dir: str):
+    """Mixture report over the corpus: per (source, lang) document and
+    word-token counts plus each cell's share of the corpus's total
+    tokens — the planning table every sampling/cap/budget decision
+    (stratified_sample, source_cap, quality_select) reads first.
+    Returns (source, lang, n_docs, n_tokens, token_share) with the
+    share on the shared 6 dp grid.
+
+    Scale shape: each batch collapses to one row per (source, lang)
+    present (token counts from the shared vectorized word tokenizer),
+    so the exchange carries cells × batches rows; the native aggregate
+    runs over the tiny (source × lang) key space, and the global total
+    is summed from that same tiny table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .filters import _words_flat
+    from .text_stats import documents_ds, round6_half_up
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, n_tokens = _words_flat(t["text"])
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "lang": t["lang"].to_pandas(),
+            "n_tok": n_tokens,
+        })
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            d_part=("n_tok", "size"), t_part=("n_tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (documents_ds(sf_dir, columns=("doc_id", "text", "lang", "source"))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "lang"])  # tiny key space — native agg
+           .aggregate(Sum("d_part", alias_name="n_docs"),
+                      Sum("t_part", alias_name="n_tokens")))
+    tiny = agg.to_pandas()  # sources × langs rows — bounded, not data-sized
+    total = float(tiny["n_tokens"].sum())
+    tiny["n_docs"] = tiny["n_docs"].astype(np.int64)
+    tiny["n_tokens"] = tiny["n_tokens"].astype(np.int64)
+    tiny["token_share"] = round6_half_up(
+        tiny["n_tokens"].to_numpy() / total)
+    return tiny[["source", "lang", "n_docs", "n_tokens", "token_share"]]

@@ -132,3 +132,56 @@ def test_quality_select_exact_counts_and_ties(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want[["doc_id", "lang", "distinct_ratio"]],
         check_dtype=False)
+
+
+def test_source_cap_properties(ray_session, sf_dir):
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.sample import source_cap
+
+    got = source_cap(sf_dir, cap=15).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    assert len(got) == len(docs)  # every doc gets a row
+    sizes = docs.groupby("source").size()
+    keeps = got[got["keep"] == 1].groupby("source").size()
+    for src, n in sizes.items():
+        assert keeps.get(src, 0) == min(15, n)
+    # ranks are a 1..n permutation per source
+    for src, g in got.groupby("source"):
+        assert sorted(g["src_rank"]) == list(range(1, len(g) + 1))
+    # content-addressed, not positional: survivors are not simply the
+    # lowest doc_ids of a capped source
+    capped = [s for s, n in sizes.items() if n > 15]
+    if capped:
+        g = got[(got["source"] == capped[0]) & (got["keep"] == 1)]
+        lowest = docs[docs["source"] == capped[0]]["doc_id"].nsmallest(15)
+        assert set(g["doc_id"]) != set(lowest)
+    # rerun-stable
+    again = source_cap(sf_dir, cap=15).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_source_mixture_matches_pandas(ray_session, sf_dir):
+    import re
+
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.sample import source_mixture
+
+    got = (source_mixture(sf_dir).sort_values(["source", "lang"])
+           .reset_index(drop=True))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["n_tok"] = [
+        len([w for w in re.split("[^a-z0-9]+", t.lower()) if w])
+        for t in docs["text"]
+    ]
+    want = docs.groupby(["source", "lang"], as_index=False).agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tok", "sum"))
+    want = want.sort_values(["source", "lang"]).reset_index(drop=True)
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    share = want["n_tokens"] / want["n_tokens"].sum()
+    assert np.abs(got["token_share"].to_numpy() - share.to_numpy()).max() < 1e-6
