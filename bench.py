@@ -407,6 +407,8 @@ def run_default() -> None:
     timed("cdc_chunk_dedup", lambda: export.cdc_chunk_dedup(sf_dir))
     timed("kmeans_inertia", lambda: similarity.kmeans_inertia(sf_dir))
     timed("ngram_diversity", lambda: filters.ngram_diversity(sf_dir))
+    timed("source_cap", lambda: sample.source_cap(sf_dir))
+    timed("source_mixture", lambda: sample.source_mixture(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
     # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census

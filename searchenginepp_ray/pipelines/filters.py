@@ -705,7 +705,10 @@ def ngram_diversity(sf_dir: str, max_n: int = 3):
     encode + bincount — nothing per occurrence); one hash exchange on
     (n, gram) merges the partials; the distinct/total reduction is then
     map-side partials into a max_n-row native aggregate. Gram strings
-    cross the exchange once each — the same traffic shape as term_df."""
+    cross the exchange once each — the same traffic shape as term_df.
+
+    An ``n`` whose gram count is zero (every doc shorter than ``n``
+    tokens) emits no row — the SQL oracle filters the same way."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -742,8 +745,6 @@ def ngram_diversity(sf_dir: str, max_n: int = 3):
     )
 
     def reduce_part(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = pd.DataFrame({"n": t["n"].to_numpy(),
                            "c": t["c"].to_numpy()})
         g = df.groupby("n", as_index=False).agg(d_part=("c", "size"),

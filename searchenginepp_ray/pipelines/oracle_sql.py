@@ -821,16 +821,28 @@ def kmeans_embeddings_sql(k: int = 8, iters: int = 3) -> str:
     identical centroid doubles; empty clusters COALESCE to their previous
     centroid."""
 
-    def assign_cte(i: int, csrc: str) -> str:
-        return f"""a{i} AS (SELECT vec_id, cluster FROM (
+
+    parts = _kmeans_ctes(k, iters)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
+
+
+def _lloyd_assign_cte(i: int, csrc: str) -> str:
+    """Assignment step of the shared Lloyd recurrence: argmin
+    list_distance with ties to the lowest cluster id."""
+    return f"""a{i} AS (SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY list_distance(e.v, c.v) ASC,
                                        c.cluster ASC) AS rn
     FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
 
-    def update_cte(i: int) -> str:
-        return f"""x{i} AS (SELECT a.cluster,
+
+def _lloyd_update_cte(i: int) -> str:
+    """Update step of the shared Lloyd recurrence: member mean under the
+    shared 9 dp half-away rounding, empty clusters keep the previous
+    centroid."""
+    return f"""x{i} AS (SELECT a.cluster,
            CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
            unnest(e.v) AS x
     FROM a{i} a JOIN e USING (vec_id)),
@@ -840,12 +852,10 @@ g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
 c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
     FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
 
-    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT vec_id, cluster FROM a{iters + 1}")
 
-
-def _kmeans_ctes(k: int, iters: int, assign_cte, update_cte) -> list[str]:
+def _kmeans_ctes(k: int, iters: int,
+                 assign_cte=_lloyd_assign_cte,
+                 update_cte=_lloyd_update_cte) -> list[str]:
     """The shared Lloyd-recurrence CTE chain: ``e`` (cast vectors),
     ``c0``..``c{iters}`` (centroids), ``a{iters+1}`` (final
     assignment)."""
@@ -871,26 +881,8 @@ def semantic_dedup_sql(k: int = 8, iters: int = 3,
     reachable vec_id), and keep = row 1 per component ordered by
     (rounded centroid cosine ASC, vec_id ASC)."""
 
-    def assign_cte(i: int, csrc: str) -> str:
-        return f"""a{i} AS (SELECT vec_id, cluster FROM (
-    SELECT e.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_distance(e.v, c.v) ASC,
-                                       c.cluster ASC) AS rn
-    FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
 
-    def update_cte(i: int) -> str:
-        return f"""x{i} AS (SELECT a.cluster,
-           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
-           unnest(e.v) AS x
-    FROM a{i} a JOIN e USING (vec_id)),
-g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
-    FROM (SELECT cluster, dim, AVG(x) AS mx FROM x{i} GROUP BY cluster, dim)
-    GROUP BY cluster),
-c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
-    FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
-
-    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
+    parts = _kmeans_ctes(k, iters)
     fa, fc = f"a{iters + 1}", f"c{iters}"
     parts.append(f"""asn AS (SELECT a.vec_id, a.cluster, e.v
     FROM {fa} a JOIN e USING (vec_id))""")
@@ -925,47 +917,19 @@ FROM rr""")
 
 
 def kmeans_inertia_sql(k: int = 8, iters: int = 3) -> str:
-    """Oracle for similarity.kmeans_inertia: the shared Lloyd CTE chain,
-    then per-cluster COUNT + SUM(list_distance²) against the final
-    centroids under the shared 6 dp floor rule."""
-    base = kmeans_embeddings_sql(k, iters)
-    # reuse the full recurrence by wrapping the assignment query
-    return f"""WITH asn AS ({base})
+    """Oracle for similarity.kmeans_inertia: ONE shared Lloyd CTE chain
+    (it already contains both the final assignment and the final
+    centroids), then per-cluster COUNT + SUM(list_distance²) on the
+    6 dp floor grid."""
+    parts = _kmeans_ctes(k, iters)
+    return ("WITH " + ",\n".join(parts) + f"""
 SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n,
-       floor(SUM(power(list_distance(CAST(e.embedding AS DOUBLE[]), c.v), 2))
-             * 1e6 + 0.5) / 1e6 AS inertia
-FROM asn a
-JOIN embeddings e USING (vec_id)
-JOIN ({_kmeans_final_centroids_sql(k, iters)}) c USING (cluster)
-GROUP BY a.cluster"""
-
-
-def _kmeans_final_centroids_sql(k: int, iters: int) -> str:
-    """Standalone SELECT producing the final (cluster, v) centroid table
-    of the shared Lloyd recurrence."""
-
-    def assign_cte(i: int, csrc: str) -> str:
-        return f"""a{i} AS (SELECT vec_id, cluster FROM (
-    SELECT e.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_distance(e.v, c.v) ASC,
-                                       c.cluster ASC) AS rn
-    FROM e CROSS JOIN {csrc} c) WHERE rn = 1)"""
-
-    def update_cte(i: int) -> str:
-        return f"""x{i} AS (SELECT a.cluster,
-           CAST(generate_subscripts(e.v, 1) AS BIGINT) AS dim,
-           unnest(e.v) AS x
-    FROM a{i} a JOIN e USING (vec_id)),
-g{i} AS (SELECT cluster, list(floor(mx * 1e9 + 0.5) / 1e9 ORDER BY dim) AS v
-    FROM (SELECT cluster, dim, AVG(x) AS mx FROM x{i} GROUP BY cluster, dim)
-    GROUP BY cluster),
-c{i} AS (SELECT p.cluster, COALESCE(g.v, p.v) AS v
-    FROM c{i - 1} p LEFT JOIN g{i} g USING (cluster))"""
-
-    parts = _kmeans_ctes(k, iters, assign_cte, update_cte)
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT cluster, v FROM c{iters}")
+       floor(SUM(power(list_distance(e.v, c.v), 2)) * 1e6 + 0.5) / 1e6
+           AS inertia
+FROM a{iters + 1} a
+JOIN e USING (vec_id)
+JOIN c{iters} c USING (cluster)
+GROUP BY a.cluster""")
 
 
 def ngram_diversity_sql(max_n: int = 3) -> str:
@@ -984,7 +948,8 @@ FROM (SELECT array_to_string(w[i:i+{n - 1}], ' ') AS g
     return f"""WITH {_word_toks_cte()}
 SELECT n, distinct_grams, total_grams,
        floor(distinct_grams * 1.0 / total_grams * 1e6 + 0.5) / 1e6 AS diversity
-FROM ({un})"""
+FROM ({un})
+WHERE total_grams > 0"""
 
 
 def doc_keywords_sql(m: int = 5) -> str:

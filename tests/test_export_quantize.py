@@ -204,7 +204,7 @@ def _cdc_naive(texts, divisor):
 
     rows = []
     for d, t in enumerate(texts):
-        toks = [w for w in __import__("re").split("[^a-z0-9]+", t.lower()) if w]
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
         cur, ci = [], 0
         for w in toks:
             cur.append(w)
@@ -231,7 +231,7 @@ def test_cdc_chunk_dedup_matches_naive(ray_session, tmp_path):
     vocab = [f"w{i}" for i in range(40)]
     texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 60)))
              for _ in range(25)] + ["", "Solo-token"]
-    path = _write_docs(tmp_path, texts)
+    _write_docs(tmp_path, texts)
     got = (cdc_chunk_dedup(str(tmp_path), divisor=8).to_pandas()
            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
     want = _cdc_naive(texts, 8)
@@ -249,7 +249,7 @@ def test_cdc_chunking_is_edit_robust(ray_session, tmp_path):
     words = [f"w{i}" for i in rng.integers(0, 50, size=200)]
     a = " ".join(words)
     b = " ".join(["inserted"] + words)
-    path = _write_docs(tmp_path, [a, b])
+    _write_docs(tmp_path, [a, b])
     got = cdc_chunk_dedup(str(tmp_path), divisor=8).to_pandas()
     ca = got[got["doc_id"] == 0].sort_values("chunk_idx")
     cb = got[got["doc_id"] == 1].sort_values("chunk_idx")
