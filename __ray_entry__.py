@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # component-keyed argmax exchange; integer-exact)
         "dup_components_best": lambda sf: dedup.dup_components_best(sf),
         "simhash": lambda sf: dedup.simhash(sf),
+        # md5-hash twin of simhash: the bit-vote machinery value-checked
+        # cross-engine (the production op's xxhash space stays rows-only)
+        "simhash_md5": lambda sf: dedup.simhash_md5(sf),
         "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(sf),
@@ -460,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": osql.table_profile_sql(),
         "quality_select": osql.quality_select_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
+        "simhash_md5": osql.simhash_md5_sql(),
         "source_cap": osql.source_cap_sql(),
         "source_mixture": osql.source_mixture_sql(),
         "dataset_split": osql.dataset_split_sql(),

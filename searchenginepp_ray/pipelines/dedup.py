@@ -1243,3 +1243,55 @@ def dedup_incremental(sf_dir: str, mod: int = 2):
     return hash_groupby_apply(
         documents_ds(sf_dir).map_batches(tag, batch_format="pyarrow"),
         ["text_md5"], anti)
+
+
+def simhash_md5(sf_dir: str):
+    """Oracle-checkable SimHash twin: 64-bit fingerprints over word
+    UNIGRAM occurrences whose per-token hash is the portable md5
+    expression (``'0x'||substr(md5(term),1,8)`` high half / chars 9-16
+    low half) — so a DuckDB oracle can recompute every bit vote and
+    value-check the entire bit-expand → vote → sign machinery that the
+    production :func:`simhash` (xxhash shingles, internal 64-bit space)
+    runs. Emitted as two integer halves (doc_id, fp_hi, fp_lo): the full
+    64-bit value would overflow signed BIGINT on the SQL side.
+
+    Vote semantics: every token OCCURRENCE votes ±1 per bit (tf-weighted
+    SimHash); fingerprint bit j = (vote > 0), ties to 0. Docs with zero
+    word tokens emit no row (they have no votes — the oracle's join
+    drops them identically).
+
+    Scale shape: one streaming pass, no exchange; md5 runs once per
+    batch VOCABULARY (dictionary encode first), the per-doc vote sum is
+    one ``np.add.at`` row-gather over the (vocab, 64) sign matrix."""
+    from .duck import md5_u64_halves
+    from .filters import _words_flat
+    from .text_stats import documents_ds
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fp_hi": pa.array([], pa.int64()),
+                          "fp_lo": pa.array([], pa.int64())})
+        doc_idx, flat, n_tokens = _words_flat(t["text"])
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        h1, h2 = md5_u64_halves(enc.dictionary)
+        h = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        sign = 2 * bits - 1  # (vocab, 64)
+        votes = np.zeros((len(t), 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, sign[enc.indices.to_numpy()])
+        keep = n_tokens > 0
+        fp_bits = votes[keep] > 0
+        weights_lo = (np.int64(1) << np.arange(32, dtype=np.int64))
+        fp_lo = fp_bits[:, :32] @ weights_lo
+        fp_hi = fp_bits[:, 32:] @ weights_lo
+        return pa.table({
+            "doc_id": t["doc_id"].to_numpy()[keep],
+            "fp_hi": pa.array(fp_hi),
+            "fp_lo": pa.array(fp_lo),
+        })
+
+    return documents_ds(sf_dir).map_batches(per_batch,
+                                            batch_format="pyarrow")

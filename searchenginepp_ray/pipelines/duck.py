@@ -114,3 +114,24 @@ def md5_prefix_int(arr, n_hex: int = 13) -> np.ndarray:
         f"SELECT CAST(('0x' || substr(md5(s), 1, {int(n_hex)})) AS BIGINT)"
         " AS v FROM _sepp_pfx_in").arrow()
     return _plain(out["v"]).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def md5_u64_halves(arr) -> tuple:
+    """Two vectorized 32-bit integer halves of the md5 prefix:
+    ``CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`` (high) and
+    ``substr(md5(s), 9, 8)`` (low) — together a portable 64-bit content
+    hash both engines evaluate verbatim (the full 16-hex value would
+    overflow signed BIGINT)."""
+    import numpy as np
+
+    arr = _plain(arr)
+    if len(arr) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    con = connection()
+    con.register("_sepp_h64_in", pa.table({"s": arr}))
+    out = con.execute(
+        "SELECT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1, "
+        "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2 "
+        "FROM _sepp_h64_in").arrow()
+    return (_plain(out["h1"]).to_numpy(zero_copy_only=False).astype(np.int64),
+            _plain(out["h2"]).to_numpy(zero_copy_only=False).astype(np.int64))

@@ -624,6 +624,34 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
     """
 
 
+def simhash_md5_sql() -> str:
+    """Oracle for dedup.simhash_md5: per-occurrence md5-half token
+    hashes, exploded to 64 bit positions, ±1 vote sums, fingerprint
+    halves reassembled by bit-weight sums."""
+    return f"""WITH {_word_toks_cte()},
+ft AS (SELECT doc_id, unnest(w) AS term FROM wtoks),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+      FROM ft),
+expl AS (SELECT doc_id, h1, h2,
+                unnest(generate_series(0, 63)) AS j
+         FROM h),
+votes AS (SELECT doc_id, j,
+                 SUM(CASE WHEN ((CASE WHEN j >= 32 THEN h1 ELSE h2 END)
+                                >> (j % 32)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM expl GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 AND j >= 32
+                     THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+            AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN v > 0 AND j < 32
+                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS fp_lo
+FROM votes GROUP BY doc_id"""
+
+
 def source_cap_sql(cap: int = 15, salt: str = "cap1") -> str:
     """Oracle for sample.source_cap: per-source row_number over the
     identical 52-bit salted md5-prefix key (ties → doc_id)."""

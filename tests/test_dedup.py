@@ -480,3 +480,50 @@ def test_dedup_incremental_anti_join(ray_session, tmp_path):
     import hashlib
     assert got["text_md5"].tolist() == [
         hashlib.md5(texts[i].encode()).hexdigest() for i in (1, 5, 7)]
+
+
+def test_simhash_md5_matches_naive_and_separates(ray_session, tmp_path):
+    """The md5-twin fingerprints equal a scalar per-doc reference, and
+    behave like SimHash: near-identical docs land within a few bits,
+    unrelated docs far apart."""
+    import re
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river shore",
+        "completely different subject matter about database query engines",
+        "",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["t"] * len(texts)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    got = (dedup.simhash_md5(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2]  # empty doc emits no row
+
+    def ref_fp(text):
+        votes = np.zeros(64, dtype=np.int64)
+        for w in re.split("[^a-z0-9]+", text.lower()):
+            if not w:
+                continue
+            hx = hashlib.md5(w.encode()).hexdigest()
+            h = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        bits = votes > 0
+        lo = sum(int(bits[j]) << j for j in range(32))
+        hi = sum(int(bits[32 + j]) << j for j in range(32))
+        return hi, lo
+
+    fps = []
+    for i in range(3):
+        hi, lo = ref_fp(texts[i])
+        assert (got.loc[i, "fp_hi"], got.loc[i, "fp_lo"]) == (hi, lo)
+        fps.append((hi << 32) | lo)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[0], fps[1]) <= 8       # one-word edit: few bits flip
+    assert ham(fps[0], fps[2]) > 16       # unrelated: far apart
