@@ -116,6 +116,19 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """``compact`` — rewrite a many-small-files parquet corpus into
+    ~target-MB files (deterministic plan, streaming copy, per-part
+    lineage manifests, resumable); prints the run summary."""
+    ray = _ray_init(args.num_cpus)
+    from .sources.compact import compact_corpus
+
+    print(compact_corpus(args.corpus, args.out, target_mb=args.target_mb,
+                         force=args.force))
+    ray.shutdown()
+    return 0
+
+
 def cmd_train_export(args) -> int:
     """``train-export`` — the composed end-to-end training pipeline
     (quality floors + exact dedup -> benchmark exclusion + trigram
@@ -196,6 +209,19 @@ def main(argv=None) -> int:
                         "losers) among the quality passers")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_clean)
+
+    k = sub.add_parser(
+        "compact",
+        help="rewrite a many-small-files parquet corpus into ~target-MB "
+             "files (deterministic, streaming, resumable)",
+    )
+    k.add_argument("corpus", help="directory of parquet files")
+    k.add_argument("-o", "--out", required=True, help="output dir")
+    k.add_argument("--target-mb", type=float, default=256.0)
+    k.add_argument("--force", action="store_true",
+                   help="rewrite parts even if their manifest matches")
+    k.add_argument("--num-cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_compact)
 
     t = sub.add_parser(
         "train-export",
