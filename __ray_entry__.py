@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-hash twin of simhash: the bit-vote machinery value-checked
         # cross-engine (the production op's xxhash space stays rows-only)
         "simhash_md5": lambda sf: dedup.simhash_md5(sf),
+        # snapshot diff between corpus versions (added/removed/changed/
+        # unchanged): map-side md5, one doc_id-keyed exchange
+        "corpus_diff": lambda sf: dedup.corpus_diff(sf),
         "simhash_near_dup_pairs": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(sf),
@@ -464,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_select": osql.quality_select_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "simhash_md5": osql.simhash_md5_sql(),
+        "corpus_diff": osql.corpus_diff_sql(),
         "source_cap": osql.source_cap_sql(),
         "source_mixture": osql.source_mixture_sql(),
         "dataset_split": osql.dataset_split_sql(),

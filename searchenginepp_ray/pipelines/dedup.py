@@ -1295,3 +1295,64 @@ def simhash_md5(sf_dir: str):
 
     return documents_ds(sf_dir).map_batches(per_batch,
                                             batch_format="pyarrow")
+
+
+def corpus_diff(sf_dir: str, add_mod: int = 13, add_res: int = 3,
+                rm_res: int = 7, chg_mod: int = 11, chg_res: int = 4):
+    """Snapshot DIFF between two corpus versions — the dataset-release
+    audit every iterative curation loop runs ("what changed between v1
+    and v2?"): per doc_id one of ``added`` / ``removed`` / ``changed``
+    (same id, different content hash) / ``unchanged``. As with
+    :func:`dedup_incremental`, the two versions are carved
+    deterministically from the one testdata table (old = ids with
+    ``id % add_mod != add_res``; new = ids with ``id % add_mod !=
+    rm_res``, and ids with ``id % chg_mod == chg_res`` get a ' [rev2]'
+    content revision) — a real deployment passes two corpus paths.
+
+    Scale shape: each side streams independently and reduces map-side to
+    (doc_id, md5, side) — TEXT never crosses the wire, the md5 is the
+    DuckDB C kernel at batch cost; ONE doc_id-keyed exchange co-locates
+    the version pair and a vectorized outer-merge kernel assigns the
+    status per partition."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
+    from .text_stats import documents_ds
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        old_keep = ids % add_mod != add_res
+        new_keep = ids % add_mod != rm_res
+        changed = ids % chg_mod == chg_res
+        old_md5 = md5_hex(t["text"]).to_numpy(zero_copy_only=False)
+        rev = pc.binary_join_element_wise(
+            t["text"], pa.array([" [rev2]"] * len(ids), pa.string()), "")
+        new_text = pc.if_else(pa.array(changed), rev, t["text"])
+        new_md5 = md5_hex(new_text).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids[old_keep],
+                                               ids[new_keep]])),
+            "md5": pa.array(np.concatenate([old_md5[old_keep],
+                                            new_md5[new_keep]])),
+            "side": pa.array(np.concatenate([
+                np.zeros(int(old_keep.sum()), np.int8),
+                np.ones(int(new_keep.sum()), np.int8)])),
+        })
+
+    def status(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["side"] == 0][["doc_id", "md5"]]
+        new = df[df["side"] == 1][["doc_id", "md5"]]
+        j = old.merge(new, on="doc_id", how="outer",
+                      suffixes=("_old", "_new"))
+        j["status"] = np.where(
+            j["md5_old"].isna(), "added",
+            np.where(j["md5_new"].isna(), "removed",
+                     np.where(j["md5_old"] != j["md5_new"],
+                              "changed", "unchanged")))
+        return j[["doc_id", "status"]]
+
+    return hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(tag, batch_format="pyarrow"),
+        ["doc_id"], status)

@@ -624,6 +624,26 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
     """
 
 
+def corpus_diff_sql(add_mod: int = 13, add_res: int = 3, rm_res: int = 7,
+                    chg_mod: int = 11, chg_res: int = 4) -> str:
+    """Oracle for dedup.corpus_diff: the two version slices as CTEs,
+    FULL OUTER JOIN on doc_id, CASE status on md5 equality."""
+    return f"""WITH old AS (
+    SELECT doc_id, md5(text) AS m FROM documents
+    WHERE doc_id % {add_mod} <> {add_res}),
+new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % {chg_mod} = {chg_res}
+                    THEN text || ' [rev2]' ELSE text END) AS m
+    FROM documents WHERE doc_id % {add_mod} <> {rm_res})
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.m <> n.m THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"""
+
+
 def simhash_md5_sql() -> str:
     """Oracle for dedup.simhash_md5: per-occurrence md5-half token
     hashes, exploded to 64 bit positions, ±1 vote sums, fingerprint

@@ -527,3 +527,20 @@ def test_simhash_md5_matches_naive_and_separates(ray_session, tmp_path):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fps[0], fps[1]) <= 8       # one-word edit: few bits flip
     assert ham(fps[0], fps[2]) > 16       # unrelated: far apart
+
+
+def test_corpus_diff_statuses(ray_session):
+    got = dedup.corpus_diff(SF).to_pandas()
+    n = len(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert len(got) == n  # union of both versions covers every id here
+    by = got.set_index("doc_id")["status"]
+    for i in range(n):
+        if i % 13 == 3:
+            want = "added"
+        elif i % 13 == 7:
+            want = "removed"
+        elif i % 11 == 4:
+            want = "changed"
+        else:
+            want = "unchanged"
+        assert by[i] == want, (i, by[i], want)
