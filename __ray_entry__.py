@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
+        # semi-structured JSON props extraction + per-type aggregate —
+        # DuckDB's C JSON parser as the shared per-batch kernel
+        "event_props_stats": lambda sf: events.event_props_stats(sf),
         # conversion-funnel analysis: ordered step completion per user
         # (earliest-completion chain), one user-keyed exchange
         "funnel_analysis": lambda sf: events.funnel_analysis(sf),
@@ -442,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
+        "event_props_stats": osql.event_props_stats_sql(),
         "funnel_analysis": osql.funnel_analysis_sql(),
         "cohort_retention": osql.cohort_retention_sql(),
         "asof_join": osql.asof_join_sql(),

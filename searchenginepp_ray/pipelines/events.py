@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -720,3 +721,50 @@ def cohort_retention(sf_dir: str, bucket_s: int = 7 * 86400):
         ["user_id"], per_partition)
     return hash_groupby_sum(parts, ["cohort_week", "week_offset"],
                             {"n_users": ("n_part", "sum")})
+
+
+def event_props_stats(sf_dir: str):
+    """Semi-structured column processing: parse the events table's JSON
+    ``props`` payload and aggregate the extracted ``k`` field per event
+    type — (event_type, n_events, k_sum, k_min, k_max, k_avg) with the
+    mean on the shared 6 dp grid. The extraction kernel is DuckDB's C
+    JSON parser run per batch (:func:`.duck.json_int` — Arrow has no
+    JSON kernel), the identical expression the SQL oracle evaluates, so
+    the parse itself is value-checked cross-engine.
+
+    Scale shape: one streaming pass; each batch collapses to one
+    (n, sum, min, max) partial per event type present, so the exchange
+    is type-count × batches rows into a tiny native aggregate — JSON
+    strings never cross the wire."""
+    from ray.data.aggregate import Max, Min
+
+    from .duck import json_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = json_int(t["props"], "k")
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "k": k})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_part=("k", "size"), s_part=("k", "sum"),
+            mn_part=("k", "min"), mx_part=("k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (events_ds(sf_dir, columns=["event_type", "props"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")  # tiny key space — native agg
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="k_sum"),
+                      Min("mn_part", alias_name="k_min"),
+                      Max("mx_part", alias_name="k_max")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .text_stats import round6_half_up
+
+        for c in ("n_events", "k_sum", "k_min", "k_max"):
+            df[c] = df[c].astype(np.int64)
+        df["k_avg"] = round6_half_up(
+            df["k_sum"].to_numpy() / df["n_events"].to_numpy())
+        return df[["event_type", "n_events", "k_sum", "k_min", "k_max",
+                   "k_avg"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

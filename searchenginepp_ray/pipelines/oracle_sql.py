@@ -624,6 +624,19 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
     """
 
 
+def event_props_stats_sql() -> str:
+    """Oracle for events.event_props_stats: the identical JSON
+    extraction expression, aggregated per type."""
+    return """WITH x AS (
+    SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       floor(SUM(k) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS k_avg
+FROM x GROUP BY event_type"""
+
+
 def corpus_diff_sql(add_mod: int = 13, add_res: int = 3, rm_res: int = 7,
                     chg_mod: int = 11, chg_res: int = 4) -> str:
     """Oracle for dedup.corpus_diff: the two version slices as CTEs,

@@ -337,3 +337,25 @@ def test_cohort_retention_constructed(ray_session, tmp_path):
         "n_users": [3, 1, 2, 1, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_props_stats_matches_pandas(ray_session, sf_dir):
+    import json
+
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.events import event_props_stats
+
+    got = (event_props_stats(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    ev["k"] = [json.loads(p)["k"] for p in ev["props"]]
+    want = ev.groupby("event_type", as_index=False).agg(
+        n_events=("k", "size"), k_sum=("k", "sum"),
+        k_min=("k", "min"), k_max=("k", "max"))
+    want = want.sort_values("event_type").reset_index(drop=True)
+    for c in ("n_events", "k_sum", "k_min", "k_max"):
+        assert got[c].tolist() == want[c].tolist()
+    avg_err = (got["k_avg"] - want["k_sum"] / want["n_events"]).abs().max()
+    assert avg_err < 1e-6
