@@ -1280,10 +1280,19 @@ def simhash_md5(sf_dir: str):
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         sign = 2 * bits - 1  # (vocab, 64)
-        votes = np.zeros((len(t), 64), dtype=np.int64)
-        np.add.at(votes, doc_idx, sign[enc.indices.to_numpy()])
-        keep = n_tokens > 0
-        fp_bits = votes[keep] > 0
+        # collapse the token stream to (doc, code) tf pairs FIRST: the
+        # vote matrix then has one row per distinct term per doc instead
+        # of one per occurrence (measured ~10× on the synthetic corpus;
+        # never worse — pairs ≤ tokens), and tf scales the ±1 votes
+        V = np.int64(len(enc.dictionary))
+        key = doc_idx * V + enc.indices.to_numpy().astype(np.int64)
+        uk, tf = np.unique(key, return_counts=True)
+        contrib = sign[uk % V] * tf[:, None]
+        d = uk // V  # ascending; == the token-bearing docs, repeated
+        first = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        votes = np.add.reduceat(contrib, first, axis=0)
+        keep = d[first]  # batch-row indices of docs with >= 1 token
+        fp_bits = votes > 0
         weights_lo = (np.int64(1) << np.arange(32, dtype=np.int64))
         fp_lo = fp_bits[:, :32] @ weights_lo
         fp_hi = fp_bits[:, 32:] @ weights_lo
