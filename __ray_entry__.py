@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3: the CHAINED multi-join (custkey semi-join, then an
         # orderkey aggregate join — re-partition between hops), filters
         # pushed to the scans, exact-integer revenue, global top-k
+        # TPC-H Q10: 4-table chain (orderkey -> custkey -> broadcast
+        # nation), exact-cents revenue, global top-20
+        "returned_item_report":
+            lambda sf: relational.returned_item_report(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -460,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": osql.order_rollup_sql(),
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "order_shipping_priority": osql.order_shipping_priority_sql(),
+        "returned_item_report": osql.returned_item_report_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

@@ -1417,6 +1417,37 @@ SELECT o_orderkey, CAST(rank AS BIGINT) AS rank, rev_e4 / 10000.0 AS revenue,
 FROM r WHERE rank <= {int(k)}"""
 
 
+def returned_item_report_sql(date_lo: str = "1996-01-01",
+                             date_hi: str = "1996-04-01",
+                             k: int = 20) -> str:
+    """Oracle for relational.returned_item_report (TPC-H Q10 shape):
+    4-table chain, exact-integer 1e-4 revenue, rank ties on c_custkey
+    ASC."""
+    return f"""WITH rev AS (
+    SELECT l_orderkey,
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_e4
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_orderkey),
+cr AS (
+    SELECT o.o_custkey AS c_custkey, SUM(rev.rev_e4) AS rev_e4
+    FROM orders o JOIN rev ON rev.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '{date_lo}'
+      AND o.o_orderdate < TIMESTAMP '{date_hi}'
+    GROUP BY o.o_custkey),
+j AS (
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal, cr.rev_e4
+    FROM cr
+    JOIN customer c USING (c_custkey)
+    JOIN nation n ON n.n_nationkey = c.c_nationkey),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, c_custkey ASC) AS rank
+    FROM j)
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(rank AS BIGINT) AS rank, rev_e4 / 10000.0 AS revenue
+FROM r WHERE rank <= {int(k)}"""
+
+
 def table_profile_sql() -> str:
     """Oracle for relational.table_profile: per-column exact profile over
     lineitem in one wide row. Decimal distinct/mean run on the exact

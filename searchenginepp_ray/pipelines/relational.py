@@ -974,3 +974,127 @@ def revenue_forecast(sf_dir: str, year: int = 1995,
     rev = int(parts["rev_part"].sum())
     return pd.DataFrame({"revenue_e4": [np.int64(rev)],
                          "n_lineitems": [np.int64(parts["n_part"].sum())]})
+
+
+def returned_item_report(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10 (returned-item reporting): the top-``k`` customers by
+    revenue lost to returns in a quarter — customer ⋈ orders(quarter) ⋈
+    lineitem(returnflag = 'R') ⋈ nation, ranked by exact-integer 1e-4
+    revenue (ties → c_custkey ASC). The four-table chain with THREE
+    different join keys is the deepest relational composition here:
+    orderkey, then custkey, then the broadcast nationkey.
+
+    Scale shape: both fact filters are pushed into the parquet scans.
+    Hop 1 (orderkey): lineitem revenue pre-aggregated map-side per
+    orderkey, tagged-union with order rows, ONE orderkey exchange emits
+    (custkey, rev) — an inner join, orders without returns drop out.
+    Hop 2 (custkey): those revenue rows tagged-union with customer DIM
+    rows, ONE custkey exchange sums and joins — customer payloads cross
+    the wire once, raw facts never do. Nation (bounded dimension) is a
+    driver-read broadcast lookup. Global top-k = per-partition partial
+    top-k → ≤ P×k driver merge."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
+
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi),
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": t["o_orderkey"].cast(pa.int64()),
+            "custkey": t["o_custkey"].cast(pa.int64()),
+            "rev_part": pa.array(np.zeros(len(t), np.int64)),
+            "_side": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(),
+                           "rev_part": p * (100 - d)})
+             .groupby("_k", as_index=False)["rev_part"].sum())
+        g["custkey"] = np.full(len(g), -1, np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["_k", "custkey", "rev_part", "_side"]]
+
+    hop1 = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        li.map_batches(rev_partials, batch_format="pandas"))
+
+    def join_orderkey(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0]
+        r = df[df["_side"] == 1].groupby("_k", as_index=False)["rev_part"].sum()
+        j = o[["_k", "custkey"]].merge(r, on="_k")  # inner: returns only
+        return j[["custkey", "rev_part"]]
+
+    rev_by_cust = hash_groupby_apply(hop1, ["_k"], join_orderkey)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["c_custkey"].cast(pa.int64()),
+            "rev_part": pa.array(np.zeros(len(t), np.int64)),
+            "c_name": t["c_name"],
+            "c_acctbal": t["c_acctbal"].cast(pa.float64()),
+            "nationkey": t["c_nationkey"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "custkey": t["custkey"],
+            "rev_part": t["rev_part"],
+            "c_name": pa.array([None] * n, pa.string()),
+            "c_acctbal": pa.array(np.zeros(n, np.float64)),
+            "nationkey": pa.array(np.full(n, -1, np.int64)),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
+
+    cust = table_ds(sf_dir, "customer",
+                    ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    hop2 = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        rev_by_cust.map_batches(rev_rows, batch_format="pyarrow"))
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    nref = ray.put(names)  # bounded dimension — broadcast once
+
+    def join_custkey(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["_side"] == 0]
+        r = df[df["_side"] == 1].groupby("custkey",
+                                         as_index=False)["rev_part"].sum()
+        j = c[["custkey", "c_name", "c_acctbal", "nationkey"]].merge(
+            r, on="custkey")
+        j = j.sort_values(["rev_part", "custkey"],
+                          ascending=[False, True]).head(k)
+        nm = ray.get(nref)
+        j["n_name"] = [nm[int(x)] for x in j["nationkey"]]
+        return j[["custkey", "c_name", "n_name", "c_acctbal", "rev_part"]]
+
+    survivors = hash_groupby_apply(hop2, ["custkey"], join_custkey).to_pandas()
+    out = survivors.sort_values(["rev_part", "custkey"],
+                                ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["revenue"] = out.pop("rev_part").to_numpy() / 10000.0
+    return out.rename(columns={"custkey": "c_custkey"})[
+        ["c_custkey", "c_name", "n_name", "c_acctbal", "rank", "revenue"]]

@@ -263,3 +263,17 @@ def test_price_quantiles_forced_iteration(ray_session, tmp_path):
         k = max(1, int(np.ceil(row["q"] * n)))
         assert row["rank"] == k
         assert row["cents"] == cents[k - 1], row["q"]
+
+
+def test_returned_item_report_invariants(ray_session, sf_dir):
+    import numpy as np
+
+    from searchenginepp_ray.pipelines.relational import returned_item_report
+
+    got = returned_item_report(sf_dir)
+    assert len(got) == 20
+    assert got["rank"].tolist() == list(range(1, 21))
+    rev = got["revenue"].to_numpy()
+    assert (np.diff(rev) <= 1e-9).all()  # descending
+    assert got["n_name"].notna().all()
+    assert got["c_custkey"].is_unique
