@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nation), exact-cents revenue, global top-20
         "returned_item_report":
             lambda sf: relational.returned_item_report(sf),
+        # TPC-H Q17: correlated per-part average filter as an exact
+        # integer cross-multiplication, one partkey exchange
+        "small_order_revenue":
+            lambda sf: relational.small_order_revenue(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -465,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_by_revenue": osql.top_orders_by_revenue_sql(),
         "order_shipping_priority": osql.order_shipping_priority_sql(),
         "returned_item_report": osql.returned_item_report_sql(),
+        "small_order_revenue": osql.small_order_revenue_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

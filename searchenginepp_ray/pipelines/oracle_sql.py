@@ -1448,6 +1448,27 @@ SELECT c_custkey, c_name, n_name, c_acctbal,
 FROM r WHERE rank <= {int(k)}"""
 
 
+def small_order_revenue_sql(brand: str = "Brand#12") -> str:
+    """Oracle for relational.small_order_revenue (TPC-H Q17 shape): the
+    correlated per-part average as an exact integer cross-multiplication
+    (5·q·cnt < sum on the cents grid)."""
+    return f"""WITH lc AS (
+    SELECT l_partkey,
+           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_c,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_c
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_brand = '{brand}')),
+agg AS (SELECT l_partkey, SUM(q_c) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lc GROUP BY l_partkey),
+sel AS (SELECT lc.p_c FROM lc JOIN agg USING (l_partkey)
+        WHERE 5 * lc.q_c * agg.n < agg.s)
+SELECT CAST(COALESCE(SUM(p_c), 0) AS BIGINT) AS total_cents,
+       floor(COALESCE(SUM(p_c), 0) / 100.0 / 7.0 * 1e6 + 0.5) / 1e6
+           AS avg_yearly
+FROM sel"""
+
+
 def table_profile_sql() -> str:
     """Oracle for relational.table_profile: per-column exact profile over
     lineitem in one wide row. Decimal distinct/mean run on the exact

@@ -1098,3 +1098,67 @@ def returned_item_report(sf_dir: str, date_lo: str = "1996-01-01",
     out["revenue"] = out.pop("rev_part").to_numpy() / 10000.0
     return out.rename(columns={"custkey": "c_custkey"})[
         ["c_custkey", "c_name", "n_name", "c_acctbal", "rank", "revenue"]]
+
+
+def small_order_revenue(sf_dir: str, brand: str = "Brand#12"):
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if small orders of a brand's parts were not filled — lineitems
+    whose quantity is below 20% of their part's average quantity,
+    summed and divided by 7. The CORRELATED-aggregate shape: a
+    per-group average computed from the fact table, then re-applied as
+    a filter against the SAME fact rows.
+
+    Exactness: the threshold ``q < 0.2 · avg(q)`` is evaluated as the
+    integer cross-multiplication ``5 · q_c · cnt < sum_c`` (quantities
+    on the exact cents grid) — both engines select the identical row
+    set with no float-boundary hazard; revenue is exact integer cents
+    until the final divide on the shared 6 dp grid.
+
+    Scale shape: the brand's partkeys are a semi-join broadcast-free
+    exchange (:func:`shuffle_semi_join` keys-only), then ONE
+    partkey-keyed exchange co-locates each part's lineitems; the
+    per-partition kernel computes the per-part (sum, cnt) and applies
+    the filter vectorized — the fact table crosses the wire once and
+    the correlated aggregate never materializes globally."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_brand") == brand,
+    )
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    li = shuffle_semi_join(li, parts, "l_partkey", "p_partkey",
+                           ["l_quantity", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        p = np.floor(t["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table({"_k": t["l_partkey"].cast(pa.int64()),
+                         "q_c": pa.array(q), "p_c": pa.array(p)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_k")["q_c"]
+        s = g.transform("sum").to_numpy()
+        n = g.transform("size").to_numpy()
+        q = df["q_c"].to_numpy()
+        keep = 5 * q * n < s  # exact integer  q < 0.2 * avg(q)
+        return pd.DataFrame({
+            "rev_part": [np.int64(df["p_c"].to_numpy()[keep].sum())]})
+
+    partials = hash_groupby_apply(
+        li.map_batches(cents, batch_format="pyarrow"), ["_k"], per_part
+    ).to_pandas()  # one row per partition
+    from .text_stats import round6_half_up
+
+    total = int(partials["rev_part"].sum())
+    return pd.DataFrame({
+        "total_cents": [np.int64(total)],
+        "avg_yearly": round6_half_up(np.array([total / 100.0 / 7.0])),
+    })

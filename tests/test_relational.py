@@ -277,3 +277,27 @@ def test_returned_item_report_invariants(ray_session, sf_dir):
     assert (np.diff(rev) <= 1e-9).all()  # descending
     assert got["n_name"].notna().all()
     assert got["c_custkey"].is_unique
+
+
+def test_small_order_revenue_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import small_order_revenue
+
+    got = small_order_revenue(sf_dir)
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = li[li["l_partkey"].isin(part[part["p_brand"] == "Brand#12"]["p_partkey"])]
+    q = np.floor(li["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+    p = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"k": li["l_partkey"].to_numpy(), "q": q, "p": p})
+    g = df.groupby("k")["q"]
+    keep = 5 * df["q"].to_numpy() * g.transform("size").to_numpy() \
+        < g.transform("sum").to_numpy()
+    want = int(df["p"].to_numpy()[keep].sum())
+    assert int(got["total_cents"].iloc[0]) == want
+    assert abs(got["avg_yearly"].iloc[0] - want / 100.0 / 7.0) < 1e-6
