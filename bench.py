@@ -414,6 +414,8 @@ def run_default() -> None:
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
     timed("returned_item_report",
           lambda: relational.returned_item_report(sf_dir))
+    timed("small_order_revenue",
+          lambda: relational.small_order_revenue(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
     # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census
