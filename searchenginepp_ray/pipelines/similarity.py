@@ -597,12 +597,7 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3,
             "embedding": t["embedding"],
         })
 
-    def per_cluster(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        mn = _normalize(_vec_matrix(t["embedding"]))[order]
-        ccos = t["ccos_micro"].to_numpy()[order]
+    def one_cluster(ids, mn, ccos, cluster):
         n = len(ids)
         ia_parts, ib_parts = [], []
         for s in range(0, n, pair_block):
@@ -636,17 +631,53 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3,
         keep[order2[first]] = 1
         return pa.table({
             "vec_id": pa.array(ids),
-            "cluster": t["cluster"].take(pa.array(order)),
+            "cluster": pa.array(np.full(n, cluster, np.int64)),
             "component": pa.array(comp),
             "centroid_cos": pa.array(ccos / 1e6),
             "keep": pa.array(keep),
         })
 
+    def per_partition(t: pa.Table) -> pa.Table:
+        # one kernel invocation per coarse hash PARTITION (clusters stay
+        # whole — the key is the cluster id); the loop below is over the
+        # partition's clusters with numpy work inside, never Ray's
+        # ~1 ms/group map_groups overhead at k cardinality, and the
+        # vector column stays Arrow (zero-copy matrixize)
+        ids_all = t["vec_id"].to_numpy()
+        ccos_all = t["ccos_micro"].to_numpy()
+        cl_all = t["cluster"].to_numpy()
+        mn_all = _normalize(_vec_matrix(t["embedding"]))
+        order = np.lexsort((ids_all, cl_all))
+        ids_all, ccos_all, cl_all = (ids_all[order], ccos_all[order],
+                                     cl_all[order])
+        mn_all = mn_all[order]
+        bounds = np.concatenate((
+            [0], np.flatnonzero(cl_all[1:] != cl_all[:-1]) + 1,
+            [len(cl_all)]))
+        outs = [one_cluster(ids_all[s:e], mn_all[s:e], ccos_all[s:e],
+                            int(cl_all[s]))
+                for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+        return pa.concat_tables(outs) if outs else pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+            "centroid_cos": pa.array([], pa.float64()),
+            "keep": pa.array([], pa.int64())})
+
+    from .dedup import _shuffle_width
+
+    P = _shuffle_width()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["cluster"].to_numpy() % P).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
     return (
         embeddings_ds(sf_dir)
         .map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")  # the ONE exchange; pairs never cross clusters
-        .map_groups(per_cluster, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")  # the ONE exchange; pairs never cross clusters
+        .map_groups(per_partition, batch_format="pyarrow")
     )
 
 
