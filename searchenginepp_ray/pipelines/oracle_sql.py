@@ -275,6 +275,70 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {k}"""
 
 
+def search_bm25_rm3_sql(k_fb: int = 5, m_exp: int = 3, k: int = 10) -> str:
+    """Oracle for search_docs.search_bm25_rm3: first-pass BM25 top-k_fb,
+    TF-IDF expansion-term selection on the shared 6 dp grid (original
+    terms anti-joined out, ties → term ASC), second-pass BM25 over the
+    union term set — ONE statement for the whole two-pass loop."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+s1 AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id),
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rn
+        FROM s1) WHERE rn <= {int(k_fb)}),
+cand AS (
+    SELECT fb.query_id, tf.term,
+           floor(SUM(tf.tf * log2((SELECT n_docs FROM stats) / df.df))
+                 * 1e6 + 0.5) / 1e6 AS w
+    FROM fb
+    JOIN tf USING (doc_id)
+    JOIN df ON df.term = tf.term
+    LEFT JOIN q qq ON qq.query_id = fb.query_id AND qq.term = tf.term
+    WHERE qq.term IS NULL
+    GROUP BY fb.query_id, tf.term),
+expd AS (
+    SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY w DESC, term ASC) AS rn
+        FROM cand) WHERE rn <= {int(m_exp)}),
+q2 AS (SELECT query_id, term FROM q
+       UNION SELECT query_id, term FROM expd),
+scores AS (
+    SELECT q2.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q2
+    JOIN tf ON tf.term = q2.term
+    JOIN df ON df.term = q2.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q2.query_id, tf.doc_id),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {int(k)}"""
+
+
 def index_stats_sql() -> str:
     return f"""WITH {tok_cte()}
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,

@@ -520,3 +520,91 @@ def retrieval_triplets(sf_dir: str, n_queries: int = 5, n_hard: int = 3,
     ], ignore_index=True)
     return out.sort_values(["query_id", "kind", "rank"]) \
         .reset_index(drop=True)
+
+
+def search_bm25_rm3(sf_dir: str, k_fb: int = 5, m_exp: int = 3,
+                    k: int = 10, mode: str = "bmm") -> pd.DataFrame:
+    """Pseudo-relevance feedback (RM3-style query EXPANSION): first-pass
+    BM25 top-``k_fb`` docs per query feed back their top-``m_exp``
+    TF-IDF terms (summed over the feedback set, original query terms
+    excluded; ties on the rounded 6 dp weight grid → term ASC), and the
+    expanded term set is re-scored for the final top-``k`` — the classic
+    two-pass retrieval-quality loop (Rocchio/RM3 lineage) composed
+    entirely from engine primitives, so ONE SQL statement value-checks
+    both passes plus the expansion selection.
+
+    Scale shape: pass 1 and pass 2 are the segment-actor engine
+    (bounded work per query); the only corpus touch in between is ONE
+    pruned parquet read of the ≤ n_queries × k_fb feedback docs (filter
+    pushdown on doc_id) and a term-filtered read of the index's
+    partitioned global lexicon for just the candidate terms — nothing
+    data-sized reaches the driver."""
+    import json
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..normalizer.word_normalizer import term_frequencies
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    cfg = _cfg(True)
+    out_dir = _index_dir(sf_dir, cfg)
+    first = eng.search_batch(DOC_QUERIES, k=k_fb, mode=mode)
+    fb_ids = sorted({int(docno) for res in first for _, docno, _ in res})
+    per_q_fb = [{int(docno) for _, docno, _ in res} for res in first]
+    q_terms = [set(eng.normalize_query(q)) for q in DOC_QUERIES]
+
+    # one pruned read of the feedback docs; per-doc tf via the shared
+    # normalizer (bounded: <= n_queries * k_fb docs)
+    def tf_rows(t):
+        import pyarrow as pa
+
+        ids, terms, tfs = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for term, f in term_frequencies(text, cfg.profile).items():
+                ids.append(d)
+                terms.append(term)
+                tfs.append(f)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    fb_tf = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(fb_ids))
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .to_pandas()  # bounded by the feedback set, not the corpus
+    )
+    cand_terms = sorted(set(fb_tf["term"]))
+    # term-filtered read of the partitioned global lexicon (df + n_docs)
+    df_tbl = (
+        ray.data.read_parquet(
+            os.path.join(out_dir, "global", "term_df"),
+            columns=["term", "df"],
+            filter=pads.field("term").isin(cand_terms))
+        .to_pandas()
+    )
+    with open(os.path.join(out_dir, "global", "metadata.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
+
+    expanded = []
+    for qi, q in enumerate(DOC_QUERIES):
+        sub = fb_tf[fb_tf["doc_id"].isin(per_q_fb[qi])
+                    & ~fb_tf["term"].isin(q_terms[qi])]
+        w = sub.groupby("term")["tf"].sum()
+        if len(w):
+            terms = w.index.to_numpy()
+            weights = np.array([w[t] * np.log2(n_docs / dfs[t])
+                                for t in terms])
+            weights = np.floor(weights * 1e6 + 0.5) / 1e6  # shared grid
+            order = sorted(range(len(terms)),
+                           key=lambda i: (-weights[i], terms[i]))
+            exp = [terms[i] for i in order[:m_exp]]
+        else:
+            exp = []
+        expanded.append(q + " " + " ".join(exp) if exp else q)
+
+    return _to_frame(eng.search_batch(expanded, k=k, mode=mode))

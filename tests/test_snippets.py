@@ -175,3 +175,22 @@ def test_retrieval_triplets_tokenless_queries(ray_session, tmp_path):
     for q in (0, 1):
         g = got[got["query_id"] == q]
         assert set(g["kind"]) == {"rand_neg"} and len(g) == 3
+
+
+def test_rm3_expansion_changes_and_is_deterministic(ray_session, sf_dir):
+    """The feedback pass really expands (results differ from the plain
+    first pass for at least one query) and the two-pass loop is
+    rerun-stable."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.search_docs import (
+        search_bm25_rm3, search_topk,
+    )
+
+    rm3 = search_bm25_rm3(sf_dir)
+    plain = search_topk(sf_dir, k=10, mode="bmm")
+    assert not rm3.equals(plain)  # expansion had an effect
+    assert (rm3.groupby("query_id")["rank"].apply(
+        lambda r: r.tolist() == list(range(1, len(r) + 1)))).all()
+    again = search_bm25_rm3(sf_dir)
+    pd.testing.assert_frame_equal(rm3, again)
