@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": lambda sf: sample.dataset_split(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
+        # bounded multi-source BFS (hop distances from seed parts):
+        # one co-partition relaxation + one min merge per round
+        "part_bfs": lambda sf: _graph().part_bfs(sf),
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
         # exact distributed triangle census (degree-ordered wedge
         # generation + pair-key co-partition closing)
@@ -490,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": osql.source_mixture_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
+        "part_bfs": osql.part_bfs_sql(),
         "part_triangles": osql.part_triangles_sql(),
         "part_clustering": osql.part_clustering_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),

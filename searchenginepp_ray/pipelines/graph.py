@@ -855,3 +855,104 @@ def part_clustering(sf_dir: str) -> ray.data.Dataset:
     """Local clustering coefficient of every part in the co-purchase
     graph."""
     return clustering_coefficients(copurchase_edges(sf_dir))
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seed_mod: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> ray.data.Dataset:
+    """Bounded multi-source BFS over a symmetric edge Dataset: hop
+    distance from the seed set (nodes with ``node % seed_mod == 0``),
+    up to ``rounds`` hops; nodes not reached within the bound emit no
+    row. The level-synchronous relaxation
+
+        d_{r+1}(v) = min(d_r(v), min_{(u,v) ∈ E} d_r(u) + 1)
+
+    is exactly SQL-expressible unrolled, like the PageRank recurrence.
+
+    Scale shape: edges are hash-partitioned on ``src`` once; each round
+    is one reached⋈edges co-partition exchange (candidates are
+    map-side-min-combined per dst before they move) plus one node-keyed
+    min merge of (previous, candidate) distances — distance state is
+    node-sized, object-store-resident, re-materialized per round (the
+    shallow-plan lesson). The driver holds nothing data-sized."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .relational import shuffle_join
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].cast(pa.int64()),
+            "dst": t[dst].cast(pa.int64()),
+        })
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src", "dst"])
+
+    e = hash_groupby_apply(
+        edges.map_batches(edge_rows, batch_format="pyarrow"),
+        ["src"], dedup_edges,
+    ).materialize()
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        u = u[u % seed_mod == 0]
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "dist": pa.array(np.zeros(len(u), np.int64))})
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["dist"].min()
+
+    dist = hash_groupby_apply(
+        e.map_batches(seed_rows, batch_format="pyarrow"),
+        ["node"], dedup_min,
+    ).materialize()
+
+    def cand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side min-combiner per dst
+        g = (pd.DataFrame({"node": df["dst"].to_numpy(),
+                           "dist": df["dist"].to_numpy() + 1})
+             .groupby("node", as_index=False)["dist"].min())
+        return g
+
+    def as_i64(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].cast(pa.int64()),
+                         "dist": t["dist"].cast(pa.int64())})
+
+    for _ in range(rounds):
+        joined = shuffle_join(e, dist, "src", "node", ["dst"], ["dist"])
+        cand = joined.map_batches(cand_partial, batch_format="pandas")
+        dist = (
+            hash_groupby_sum(dist.union(cand), ["node"],
+                             {"dist": ("dist", "min")})
+            .map_batches(as_i64, batch_format="pyarrow")  # the join's
+            # null-fill floats one side's blocks; re-pin the schema
+            .materialize()
+        )
+    return dist
+
+
+def part_bfs(sf_dir: str, seed_mod: int = 31, rounds: int = 3):
+    """Multi-source BFS over the part co-purchase graph: hop distance
+    from the seed parts (``p_partkey % seed_mod == 0``) within
+    ``rounds`` hops — the reachability/radius member of the graph
+    family beside PageRank, triangles and connected components."""
+    from .agg import hash_groupby_apply
+
+    from .relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({
+            "src": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "dst": m["l_partkey_y"].to_numpy(dtype=np.int64),
+        })
+
+    edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    return bfs_distances(edges, seed_mod, rounds)

@@ -848,6 +848,36 @@ def stratified_sample_sql(fracs: dict | None = None,
     """
 
 
+def part_bfs_sql(seed_mod: int = 31, rounds: int = 3) -> str:
+    """Oracle for graph.part_bfs: the level-synchronous BFS relaxation
+    unrolled as chained min-merge CTEs over the distinct co-purchase
+    pair graph."""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f"""d{i} AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT p.dst AS node, d.dist + 1 AS dist
+        FROM d{i - 1} d JOIN pairs p ON p.src = d.node
+    ) GROUP BY node
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey <> l2.l_partkey
+),
+d0 AS (
+    SELECT DISTINCT src AS node, 0 AS dist FROM pairs
+    WHERE src % {int(seed_mod)} = 0
+),
+{chain}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+
+
 def part_pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
     """Oracle for graph.part_pagerank: the fixed-iteration recurrence
     unrolled as chained CTEs over the DISTINCT co-purchase pair graph

@@ -161,3 +161,26 @@ def test_clustering_coefficients_constructed(ray_session):
     })
     want["cc"] = np.floor(want["cc"] * 1e6 + 0.5) / 1e6
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bfs_distances_hand_graph(ray_session):
+    """Path graph 0-3-6-7-9 plus isolated pair (11,13): seeds = nodes
+    % 3 == 0; distances match hand computation, unreached nodes within
+    the round bound emit no row."""
+    import pandas as pd
+    import ray.data
+
+    from searchenginepp_ray.pipelines.graph import bfs_distances
+
+    und = [(0, 3), (3, 6), (6, 7), (7, 9), (11, 13)]
+    edges = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in und]
+        + [{"src": b, "dst": a} for a, b in und])
+    got = (bfs_distances(edges, seed_mod=3, rounds=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # seeds: 0, 3, 6, 9 -> dist 0; 7 adjacent to 6 and 9 -> 1;
+    # 11/13 unreached within 2 rounds (no seed in their component)
+    want = pd.DataFrame({"node": [0, 3, 6, 7, 9],
+                         "dist": [0, 0, 0, 1, 0]})
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["dist"].tolist() == want["dist"].tolist()
