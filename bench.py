@@ -417,6 +417,7 @@ def run_default() -> None:
     timed("small_order_revenue",
           lambda: relational.small_order_revenue(sf_dir))
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
+    timed("part_bfs", lambda: graph.part_bfs(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /
     # 20k nodes -> 42M wedges -> 1.9M triangles), so the exact census

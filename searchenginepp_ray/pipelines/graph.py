@@ -938,9 +938,10 @@ def part_bfs(sf_dir: str, seed_mod: int = 31, rounds: int = 3):
     """Multi-source BFS over the part co-purchase graph: hop distance
     from the seed parts (``p_partkey % seed_mod == 0``) within
     ``rounds`` hops — the reachability/radius member of the graph
-    family beside PageRank, triangles and connected components."""
-    from .agg import hash_groupby_apply
-
+    family beside PageRank, triangles and connected components. Runs
+    the edge-stationary :func:`bfs_bsp` (the Dataset-form
+    :func:`bfs_distances` computes the same relaxation but re-ships the
+    edge table every round — 50 s vs ~7 s at sf0.1)."""
     from .relational import table_ds
 
     li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -955,4 +956,143 @@ def part_bfs(sf_dir: str, seed_mod: int = 31, rounds: int = 3):
         })
 
     edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
-    return bfs_distances(edges, seed_mod, rounds)
+    return bfs_bsp(edges, seed_mod, rounds)
+
+
+@ray.remote(num_cpus=1)
+class _BfsShard:
+    """One hash partition of the edge table + its distance shard, pinned
+    in an actor for the whole BFS run — the :class:`_PagerankShard`
+    movement contract applied to reachability: edges never move after
+    load; each superstep ships only the frontier's out-neighbor node
+    ids, pre-deduplicated per destination shard (node-sized and
+    SHRINKING as the wavefront saturates, vs the Dataset form's
+    edge-table reshuffle every round — measured 50 s → BSP ~edge-build
+    cost at sf0.1)."""
+
+    def __init__(self):
+        pass
+
+    def load(self, path: str | None, P: int) -> None:
+        import pyarrow.parquet as pq
+
+        if path is None:
+            t = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        else:
+            t = pq.read_table(path, columns=["src", "dst"])
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        self.nodes = np.unique(src)
+        part = _node_part(dst, P)
+        order = np.lexsort((dst, src, part))
+        self.src_idx = np.searchsorted(self.nodes, src[order])
+        self.dst = dst[order]
+        self.bounds = np.searchsorted(part[order], np.arange(P + 1))
+        self.P = P
+
+    def init(self, seed_mod: int) -> None:
+        self.dist = np.where(self.nodes % seed_mod == 0, 0, -1).astype(np.int64)
+        self.frontier = np.flatnonzero(self.dist == 0)
+
+    def frontier_size(self) -> int:
+        return int(len(self.frontier))
+
+    def neighbors(self) -> list:
+        """Per-destination-shard UNIQUE out-neighbors of the frontier."""
+        on = np.zeros(len(self.nodes), dtype=bool)
+        on[self.frontier] = True
+        sel = on[self.src_idx]
+        out = []
+        for p in range(self.P):
+            lo, hi = self.bounds[p], self.bounds[p + 1]
+            out.append(ray.put(np.unique(self.dst[lo:hi][sel[lo:hi]])))
+        return out
+
+    def apply(self, refs: list, new_dist: int) -> None:
+        cands = [ray.get(r) for r in refs]
+        cand = np.unique(np.concatenate(cands)) if cands else np.empty(0, np.int64)
+        idx = np.searchsorted(self.nodes, cand)
+        ok = (idx < len(self.nodes))
+        ok[ok] &= self.nodes[idx[ok]] == cand[ok]
+        idx = idx[ok]
+        newly = idx[self.dist[idx] < 0]
+        self.dist[newly] = new_dist
+        self.frontier = newly
+
+    def write(self, out_path: str) -> str:
+        import pyarrow.parquet as pq
+
+        reached = self.dist >= 0
+        pq.write_table(
+            pa.table({"node": pa.array(self.nodes[reached]),
+                      "dist": pa.array(self.dist[reached])}), out_path)
+        return out_path
+
+
+def bfs_bsp(
+    edges: ray.data.Dataset,
+    seed_mod: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    P: int | None = None,
+    work_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Edge-stationary bounded multi-source BFS — same relaxation as
+    :func:`bfs_distances`, :func:`pagerank_bsp`'s movement contract
+    (edges hash-partitioned to parquet shards once, a pinned actor
+    pool, per-superstep traffic = frontier neighbor ids only). Ends
+    early when every shard's frontier is empty."""
+    import os
+    import tempfile
+
+    from .agg import hash_groupby_apply
+
+    P = P or _bsp_width()
+    work_dir = work_dir or tempfile.mkdtemp(prefix="seppray_bfs_", dir="/tmp")
+    os.makedirs(work_dir, exist_ok=True)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].cast(pa.int64()),
+            "dst": t[dst].cast(pa.int64()),
+        })
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        if len(df) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype=np.int64),
+                                 "path": pd.Series([], dtype=str)})
+        part = int(df["_part"].iloc[0])
+        d = df.drop_duplicates(["src", "dst"])
+        path = os.path.join(work_dir, f"edges_part={part}.parquet")
+        pq.write_table(pa.table({
+            "src": pa.array(d["src"].to_numpy()),
+            "dst": pa.array(d["dst"].to_numpy()),
+        }), path)
+        return pd.DataFrame({"part": [part], "path": [path]})
+
+    pool = [_BfsShard.remote() for _ in range(P)]  # startup hides under
+    manifest = hash_groupby_apply(                 # the edge exchange
+        edges.map_batches(edge_rows, batch_format="pyarrow"),
+        ["src"], write_shard, P=P, keep_part=True,
+    ).to_pandas()  # P rows — a manifest, not data
+    part_to_path = dict(zip(manifest["part"], manifest["path"]))
+    ray.get([s.load.remote(part_to_path.get(k), P)
+             for k, s in enumerate(pool)])
+    ray.get([s.init.remote(seed_mod) for s in pool])
+    for r in range(rounds):
+        if sum(ray.get([s.frontier_size.remote() for s in pool])) == 0:
+            break
+        lists = ray.get([s.neighbors.remote() for s in pool])
+        ray.get([s.apply.remote([lists[i][j] for i in range(P)], r + 1)
+                 for j, s in enumerate(pool)])
+    paths = ray.get([
+        s.write.remote(os.path.join(work_dir, f"dist_part={k}.parquet"))
+        for k, s in enumerate(pool)
+    ])
+    for s in pool:
+        ray.kill(s)
+    return ray.data.read_parquet(paths)

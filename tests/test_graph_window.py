@@ -184,3 +184,33 @@ def test_bfs_distances_hand_graph(ray_session):
                          "dist": [0, 0, 0, 1, 0]})
     assert got["node"].tolist() == want["node"].tolist()
     assert got["dist"].tolist() == want["dist"].tolist()
+
+
+def test_bfs_bsp_equals_dataset_form(ray_session, sf_dir):
+    """The edge-stationary BSP BFS returns the identical (node, dist)
+    set as the Dataset-form relaxation on the real co-purchase graph."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines import graph
+    from searchenginepp_ray.pipelines.agg import hash_groupby_apply
+    from searchenginepp_ray.pipelines.relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df):
+        import numpy as np
+
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({
+            "src": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "dst": m["l_partkey_y"].to_numpy(dtype=np.int64)})
+
+    edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    a = (graph.bfs_bsp(edges, seed_mod=31, rounds=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    edges2 = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    b = (graph.bfs_distances(edges2, seed_mod=31, rounds=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
