@@ -1114,12 +1114,14 @@ def small_order_revenue(sf_dir: str, brand: str = "Brand#12"):
     set with no float-boundary hazard; revenue is exact integer cents
     until the final divide on the shared 6 dp grid.
 
-    Scale shape: the brand's partkeys are a semi-join broadcast-free
-    exchange (:func:`shuffle_semi_join` keys-only), then ONE
-    partkey-keyed exchange co-locates each part's lineitems; the
-    per-partition kernel computes the per-part (sum, cnt) and applies
-    the filter vectorized — the fact table crosses the wire once and
-    the correlated aggregate never materializes globally."""
+    Scale shape: ONE partkey-keyed exchange carries BOTH sides — the
+    brand's (deduplicated) partkeys as marker rows and the lineitem
+    cents rows — so the semi-filter and the correlated aggregate happen
+    in the same co-location: the per-partition kernel drops groups
+    without a marker, computes per-part (sum, cnt) and applies the
+    filter vectorized, emitting one revenue partial per partition. The
+    fact table crosses the wire exactly once; the correlated aggregate
+    never materializes globally."""
     import pyarrow.dataset as pads
 
     from .agg import hash_groupby_apply
@@ -1134,27 +1136,43 @@ def small_order_revenue(sf_dir: str, brand: str = "Brand#12"):
         lpath, columns=["l_partkey", "l_quantity", "l_extendedprice"],
         override_num_blocks=_read_blocks(lpath, target_rows=20_000),
     )
-    li = shuffle_semi_join(li, parts, "l_partkey", "p_partkey",
-                           ["l_quantity", "l_extendedprice"])
 
     def cents(t: pa.Table) -> pa.Table:
         q = np.floor(t["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
         p = np.floor(t["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
         return pa.table({"_k": t["l_partkey"].cast(pa.int64()),
-                         "q_c": pa.array(q), "p_c": pa.array(p)})
+                         "q_c": pa.array(q), "p_c": pa.array(p),
+                         "_side": pa.array(np.zeros(len(t), np.int8))})
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.unique(t["p_partkey"].combine_chunks()
+                      if isinstance(t["p_partkey"], pa.ChunkedArray)
+                      else t["p_partkey"]).cast(pa.int64())
+        n = len(k)
+        return pa.table({"_k": k,
+                         "q_c": pa.array(np.zeros(n, np.int64)),
+                         "p_c": pa.array(np.zeros(n, np.int64)),
+                         "_side": pa.array(np.ones(n, np.int8))})
+
+    u = li.map_batches(cents, batch_format="pyarrow").union(
+        parts.map_batches(key_rows, batch_format="pyarrow"))
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("_k")["q_c"]
+        keys = df.loc[df["_side"] == 1, "_k"].unique()
+        f = df[(df["_side"] == 0) & df["_k"].isin(keys)]
+        if len(f) == 0:
+            return pd.DataFrame({"rev_part": [np.int64(0)]})
+        g = f.groupby("_k")["q_c"]
         s = g.transform("sum").to_numpy()
         n = g.transform("size").to_numpy()
-        q = df["q_c"].to_numpy()
+        q = f["q_c"].to_numpy()
         keep = 5 * q * n < s  # exact integer  q < 0.2 * avg(q)
         return pd.DataFrame({
-            "rev_part": [np.int64(df["p_c"].to_numpy()[keep].sum())]})
+            "rev_part": [np.int64(f["p_c"].to_numpy()[keep].sum())]})
 
-    partials = hash_groupby_apply(
-        li.map_batches(cents, batch_format="pyarrow"), ["_k"], per_part
-    ).to_pandas()  # one row per partition
+    partials = hash_groupby_apply(u, ["_k"], per_part).to_pandas()
     from .text_stats import round6_half_up
 
     total = int(partials["rev_part"].sum())
