@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixture planning table: per-(source, lang) doc/token counts +
         # token share — map-side partials into a tiny native aggregate
         "source_mixture": lambda sf: sample.source_mixture(sf),
+        # mixture APPLICATION: deterministic per-language downsample to
+        # exact integer target weights (md5-rank caps from the counts)
+        "lang_mix_sample": lambda sf: sample.lang_mix_sample(sf),
         # deterministic salted train/val/test split (disjoint +
         # exhaustive by construction; stable across reruns/clusters)
         "dataset_split": lambda sf: sample.dataset_split(sf),
@@ -491,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": osql.corpus_diff_sql(),
         "source_cap": osql.source_cap_sql(),
         "source_mixture": osql.source_mixture_sql(),
+        "lang_mix_sample": osql.lang_mix_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_bfs": osql.part_bfs_sql(),

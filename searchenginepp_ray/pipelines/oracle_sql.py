@@ -721,6 +721,35 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"""
 
 
+def lang_mix_sample_sql(weights_pm: dict[str, int] | None = None,
+                        salt: str = "mix1") -> str:
+    """Oracle for sample.lang_mix_sample: per-language counts → integer
+    T and caps → per-language row_number over the identical salted
+    md5-prefix key."""
+    from .sample import MIX_WEIGHTS_PM
+
+    weights_pm = weights_pm or MIX_WEIGHTS_PM
+    w_rows = ", ".join(f"('{k}', {v})" for k, v in sorted(weights_pm.items()))
+    return f"""WITH w(lang, pm) AS (VALUES {w_rows}),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang),
+tt AS (SELECT MIN(cnt.n * 1000 // w.pm) AS t
+       FROM w JOIN cnt USING (lang)),
+caps AS (SELECT w.lang, w.pm * (SELECT t FROM tt) // 1000 AS cap FROM w),
+keyed AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),
+                                1, 13)) AS BIGINT) AS key
+    FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY key, doc_id) AS mix_rank
+      FROM keyed)
+SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
+FROM r JOIN caps ON caps.lang = r.lang
+WHERE r.mix_rank <= caps.cap"""
+
+
 def simhash_md5_sql() -> str:
     """Oracle for dedup.simhash_md5: per-occurrence md5-half token
     hashes, exploded to 64 bit positions, ±1 vote sums, fingerprint

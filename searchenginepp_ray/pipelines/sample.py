@@ -400,3 +400,78 @@ def source_mixture(sf_dir: str):
     tiny["token_share"] = round6_half_up(
         tiny["n_tokens"].to_numpy() / total)
     return tiny[["source", "lang", "n_docs", "n_tokens", "token_share"]]
+
+
+#: default language-mixture weights in integer per-mille (sum 1000) —
+#: integer math end-to-end so both engines derive identical caps
+MIX_WEIGHTS_PM = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+
+
+def lang_mix_sample(sf_dir: str, weights_pm: dict[str, int] | None = None,
+                    salt: str = "mix1"):
+    """Deterministic MIXTURE sampling — the application of
+    :func:`source_mixture`'s planning table: downsample each language so
+    the kept set matches target weights exactly (the DoReMi/data-mixing
+    step every multilingual training corpus runs). With per-mille
+    integer weights ``w`` and per-language counts ``n``, the largest
+    feasible total is ``T = min_l floor(n_l * 1000 / w_l)`` and each
+    language keeps its ``cap_l = w_l * T // 1000`` lowest
+    content-addressed ranks (salted md5, ties → doc_id — rerun- and
+    cluster-stable, decorrelated from every other sampling decision).
+    All-integer math: both engines derive the identical caps. Returns
+    the kept docs as (doc_id, lang, mix_rank).
+
+    Scale shape: pass 1 is the tiny per-language count aggregate
+    (map-side partials, |langs| keys); the caps are |langs| scalars; the
+    selection is ONE lang-keyed exchange with the vectorized
+    lexsort/cumcount rank kernel per partition (:func:`source_cap`'s
+    shape and co-location assumption)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_prefix_int
+    from .text_stats import documents_ds
+
+    weights_pm = weights_pm or MIX_WEIGHTS_PM
+    assert sum(weights_pm.values()) == 1000
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (pd.DataFrame({"lang": t["lang"].to_pandas()})
+             .groupby("lang", as_index=False).agg(n_part=("lang", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (documents_ds(sf_dir, columns=("doc_id", "lang"))
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby("lang")  # |langs| keys — native agg is fine
+              .aggregate(Sum("n_part", alias_name="n"))
+              .to_pandas())
+    n_by_lang = dict(zip(counts["lang"], counts["n"].astype(int)))
+    T = min(n_by_lang.get(lang, 0) * 1000 // w
+            for lang, w in weights_pm.items())
+    caps = {lang: w * T // 1000 for lang, w in weights_pm.items()}
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys_s = pc.binary_join_element_wise(
+            pa.array([salt + ":"] * len(ids), pa.string()),
+            pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": t["lang"],
+            "key": pa.array(md5_prefix_int(keys_s, 13).astype(np.int64)),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+        df["mix_rank"] = (df.groupby("lang", sort=False).cumcount() + 1
+                          ).astype(np.int64)
+        cap = df["lang"].map(lambda s: caps.get(s, 0)).astype(np.int64)
+        out = df[df["mix_rank"] <= cap]
+        return out[["doc_id", "lang", "mix_rank"]]
+
+    ds = documents_ds(sf_dir, columns=("doc_id", "lang")).map_batches(
+        key, batch_format="pyarrow")
+    return hash_groupby_apply(ds, ["lang"], rank)

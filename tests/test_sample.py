@@ -185,3 +185,28 @@ def test_source_mixture_matches_pandas(ray_session, sf_dir):
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
     share = want["n_tokens"] / want["n_tokens"].sum()
     assert np.abs(got["token_share"].to_numpy() - share.to_numpy()).max() < 1e-6
+
+
+def test_lang_mix_sample_hits_exact_weights(ray_session, sf_dir):
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.sample import (
+        MIX_WEIGHTS_PM, lang_mix_sample,
+    )
+
+    got = lang_mix_sample(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    n = docs.groupby("lang").size().to_dict()
+    T = min(n[lang] * 1000 // w for lang, w in MIX_WEIGHTS_PM.items())
+    kept = got.groupby("lang").size().to_dict()
+    for lang, w in MIX_WEIGHTS_PM.items():
+        assert kept.get(lang, 0) == w * T // 1000  # exact integer caps
+        assert kept.get(lang, 0) <= n[lang]        # feasible
+    # ranks are 1..cap per language and the sample is rerun-stable
+    assert (got.groupby("lang")["mix_rank"].max()
+            == got.groupby("lang").size()).all()
+    again = lang_mix_sample(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
