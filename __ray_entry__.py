@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from kept spans — int-only line exchange + tagged-union
         # doc-keyed rebuild
         "span_dedup": lambda sf: dedup.span_dedup(sf),
+        # boilerplate removal (MassiveText repeated-line filter on the
+        # span grid): spans occurring >= min_count times corpus-wide
+        # removed from EVERY doc — all instances, not keep-first
+        "boilerplate_spans": lambda sf: dedup.boilerplate_spans(sf),
         # distributed label-propagation CC over the exact-Jaccard pair
         # graph — oracle = recursive-CTE reachability closure
         "dup_components": lambda sf: dedup.dup_components(sf),
@@ -275,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer cross-multiplication, one partkey exchange
         "small_order_revenue":
             lambda sf: relational.small_order_revenue(sf),
+        # TPC-H Q18: HAVING-then-join-back — group-aggregate cut on the
+        # fact table, surviving keys re-join orders + customer
+        "large_volume_orders":
+            lambda sf: relational.large_volume_orders(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -317,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded multi-source BFS (hop distances from seed parts):
         # one co-partition relaxation + one min merge per round
         "part_bfs": lambda sf: _graph().part_bfs(sf),
+        # true fixpoint connected components of the co-purchase graph
+        # (label propagation + pointer jumping; one scalar per round
+        # to the driver)
+        "part_components": lambda sf: _graph().part_components(sf),
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
         # exact distributed triangle census (degree-ordered wedge
         # generation + pair-key co-partition closing)
@@ -444,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "span_dedup": osql.span_dedup_sql(),
+        "boilerplate_spans": osql.boilerplate_spans_sql(),
         "dup_components": osql.dup_components_sql(),
         "dup_components_best": osql.dup_components_best_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
@@ -480,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "order_shipping_priority": osql.order_shipping_priority_sql(),
         "returned_item_report": osql.returned_item_report_sql(),
         "small_order_revenue": osql.small_order_revenue_sql(),
+        "large_volume_orders": osql.large_volume_orders_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
@@ -498,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": osql.dataset_split_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_bfs": osql.part_bfs_sql(),
+        "part_components": osql.part_components_sql(),
         "part_triangles": osql.part_triangles_sql(),
         "part_clustering": osql.part_clustering_sql(),
         "part_pagerank_bsp": osql.part_pagerank_sql(),

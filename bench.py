@@ -377,6 +377,7 @@ def run_default() -> None:
     # round-3 session 4: data-selection + span dedup + packing
     timed("importance_weights", lambda: filters.importance_weights(sf_dir))
     timed("span_dedup", lambda: dedup.span_dedup(sf_dir))
+    timed("boilerplate_spans", lambda: dedup.boilerplate_spans(sf_dir))
     timed("dedup_incremental", lambda: dedup.dedup_incremental(sf_dir))
     timed("importance_resample",
           lambda: filters.importance_resample(sf_dir))
@@ -409,6 +410,7 @@ def run_default() -> None:
     timed("ngram_diversity", lambda: filters.ngram_diversity(sf_dir))
     timed("source_cap", lambda: sample.source_cap(sf_dir))
     timed("source_mixture", lambda: sample.source_mixture(sf_dir))
+    timed("lang_mix_sample", lambda: sample.lang_mix_sample(sf_dir))
     timed("simhash_md5", lambda: dedup.simhash_md5(sf_dir))
     timed("corpus_diff", lambda: dedup.corpus_diff(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
@@ -416,6 +418,8 @@ def run_default() -> None:
           lambda: relational.returned_item_report(sf_dir))
     timed("small_order_revenue",
           lambda: relational.small_order_revenue(sf_dir))
+    timed("large_volume_orders",
+          lambda: relational.large_volume_orders(sf_dir))
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
     timed("part_bfs", lambda: graph.part_bfs(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but

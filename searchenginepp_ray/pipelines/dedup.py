@@ -1156,6 +1156,20 @@ def span_dedup(sf_dir: str, width: int = 10):
     drops = hash_groupby_apply(
         documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
         ["h"], emit_drops)
+    return _reassemble_minus_drops(sf_dir, drops, W)
+
+
+def _reassemble_minus_drops(sf_dir: str, drops, W: int):
+    """Shared pass 2 of the span-removal family (:func:`span_dedup`,
+    :func:`boilerplate_spans`): one tagged-union doc-keyed exchange
+    (corpus rows ⊎ (doc_id, pos) drop rows) whose per-partition kernel
+    rebuilds the ``W``-word span grid, filters the dropped spans and
+    reassembles + md5s with Arrow/DuckDB C kernels. Returns
+    (doc_id, n_spans, n_kept, clean_md5) for every doc."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
 
     def tag_docs(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -1206,6 +1220,62 @@ def span_dedup(sf_dir: str, width: int = 10):
         })
 
     return hash_groupby_apply(u, ["doc_id"], rebuild)
+
+
+def boilerplate_spans(sf_dir: str, width: int = 10, min_count: int = 2):
+    """BOILERPLATE removal — the MassiveText/RefinedWeb "remove lines
+    repeated more than N times across the corpus" filter, on the same
+    aligned ``width``-word span grid as :func:`span_dedup` (the corpus
+    has no newlines, so the span grid plays the line role): every span
+    whose exact text occurs ≥ ``min_count`` times corpus-wide is
+    removed from EVERY doc — ALL instances go, including the first
+    (headers/footers/navigation chrome are noise wherever they appear),
+    which is the semantic complement of :func:`span_dedup`'s keep-first
+    rule. Returns (doc_id, n_spans, n_kept, clean_md5) per doc.
+
+    Scale shape: identical to :func:`span_dedup` — pass 1 sends only
+    (span_hash64, doc_id, pos) int rows through ONE hash exchange whose
+    vectorized kernel emits every instance of an over-threshold hash as
+    a drop row (run-length over one lexsort — no per-span Python);
+    pass 2 is the shared tagged-union doc-keyed rebuild
+    (:func:`_reassemble_minus_drops`). Matching is by 64-bit xxhash;
+    the exact-string SQL oracle pins the no-collision stance at gate
+    scale. Empty spans (empty docs) never enter the flow — always
+    kept."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+
+    W = int(width)
+    N = int(min_count)
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans, doc_idx, pos, _ = _span_grid(t["text"], W)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx]
+        ne = pc.not_equal(spans, "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(_hash_strings(spans)[ne], pa.uint64()),
+            "doc_id": pa.array(doc_ids[ne]),
+            "pos": pa.array(pos[ne]),
+        })
+
+    def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy()
+        o = np.argsort(h, kind="mergesort")
+        hs = h[o]
+        # run lengths over the sorted hashes -> per-instance run size
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        runs = np.diff(np.append(starts, len(hs)))
+        hot = np.repeat(runs >= N, runs)
+        sel = o[hot]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[sel],
+                             "pos": df["pos"].to_numpy()[sel]})
+
+    drops = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["h"], emit_drops)
+    return _reassemble_minus_drops(sf_dir, drops, W)
 
 
 def dedup_incremental(sf_dir: str, mod: int = 2):

@@ -877,6 +877,40 @@ def stratified_sample_sql(fracs: dict | None = None,
     """
 
 
+def part_components_sql(rounds: int = 6) -> str:
+    """Oracle for graph.part_components: plain min-label propagation
+    unrolled ``rounds`` times over the distinct co-purchase pair graph
+    (fixpoint measured at 2 rounds on this graph; the engine's pointer
+    jumping accelerates but cannot change the fixpoint)."""
+    its = []
+    for i in range(1, int(rounds) + 1):
+        its.append(f"""d{i} AS (
+    SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM d{i - 1}
+        UNION ALL
+        SELECT e.b AS node, d.lbl AS lbl
+        FROM d{i - 1} d JOIN edges e ON e.a = d.node
+    ) GROUP BY node
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < l2.l_partkey
+),
+edges AS (
+    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+),
+d0 AS (
+    SELECT DISTINCT a AS node, a AS lbl FROM edges
+),
+{chain}
+SELECT node AS part_key, CAST(lbl AS BIGINT) AS component
+FROM d{int(rounds)}"""
+
+
 def part_bfs_sql(seed_mod: int = 31, rounds: int = 3) -> str:
     """Oracle for graph.part_bfs: the level-synchronous BFS relaxation
     unrolled as chained min-merge CTEs over the distinct co-purchase
@@ -1571,6 +1605,33 @@ SELECT c_custkey, c_name, n_name, c_acctbal,
 FROM r WHERE rank <= {int(k)}"""
 
 
+def large_volume_orders_sql(qty_threshold: int = 200, k: int = 100) -> str:
+    """Oracle for relational.large_volume_orders (TPC-H Q18): the
+    HAVING cut on the identical integer quantity-cents grid, join-back
+    to orders and customer, deterministic top-k."""
+    thr_c = int(qty_threshold) * 100
+    return f"""WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS q_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > {thr_c}),
+j AS (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice, q.q_c
+  FROM q
+  JOIN orders o ON o.o_orderkey = q.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY o_totalprice DESC,
+                               o_orderdate ASC, o_orderkey ASC) AS rank
+  FROM j)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       o_totalprice, q_c / 100.0 AS total_qty, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {int(k)}"""
+
+
 def small_order_revenue_sql(brand: str = "Brand#12") -> str:
     """Oracle for relational.small_order_revenue (TPC-H Q17 shape): the
     correlated per-part average as an exact integer cross-multiplication
@@ -1968,6 +2029,31 @@ k AS (
   SELECT doc_id, pos, line,
          (line = '' OR row_number() OVER
             (PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+  FROM g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                               ' ' ORDER BY pos), '')) AS clean_md5
+FROM k GROUP BY doc_id"""
+
+
+def boilerplate_spans_sql(width: int = 10, min_count: int = 2) -> str:
+    """Oracle for dedup.boilerplate_spans: spans whose exact text occurs
+    >= min_count times corpus-wide are removed from EVERY doc (all
+    instances — the MassiveText repeated-line filter), on the identical
+    aligned width-word grid as span_dedup_sql."""
+    W = int(width)
+    N = int(min_count)
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[(i-1)*{W}+1 : i*{W}], ' ') AS line
+  FROM w, LATERAL (SELECT unnest(generate_series(
+       1, CAST(ceil(len(ws)/{W}.0) AS BIGINT))) AS i)),
+k AS (
+  SELECT doc_id, pos, line,
+         (line = '' OR COUNT(*) OVER (PARTITION BY line) < {N}) AS keep
   FROM g)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -1180,3 +1180,114 @@ def small_order_revenue(sf_dir: str, brand: str = "Brand#12"):
         "total_cents": [np.int64(total)],
         "avg_yearly": round6_half_up(np.array([total / 100.0 / 7.0])),
     })
+
+
+def large_volume_orders(sf_dir: str, qty_threshold: int = 200,
+                        k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds ``qty_threshold``, with the ordering customer —
+    the HAVING-then-join-back shape: a group-level aggregate filter on
+    the fact table whose surviving GROUP KEYS then re-join two
+    dimensions. Top-``k`` by (o_totalprice DESC, o_orderdate ASC,
+    o_orderkey ASC), exact integer quantity grid.
+
+    Scale shape: hop 1 is ONE orderkey exchange carrying map-side
+    quantity-cents partials ⊎ order dimension rows (the Q17
+    tagged-union: facts cross the wire once, already pre-aggregated);
+    its kernel sums, applies the integer HAVING cut and attaches the
+    order columns — everything after this is bounded by the HAVING
+    selectivity, not the fact table. Hop 2 is ONE custkey exchange with
+    the customer dimension. Global top-k = per-partition partial top-k
+    → ≤ P×k driver merge."""
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    thr_c = int(qty_threshold) * 100  # exact cents grid
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_quantity"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    orders = table_ds(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderdate"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(), "q_c": q})
+             .groupby("_k", as_index=False)["q_c"].sum())
+        g["custkey"] = np.full(len(g), -1, np.int64)
+        g["totalprice"] = np.zeros(len(g), np.float64)
+        g["orderdate"] = pd.Series([pd.NaT] * len(g), dtype="datetime64[us]")
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["_k", "q_c", "custkey", "totalprice", "orderdate",
+                  "_side"]]
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "q_c": np.zeros(n, np.int64),
+            "custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "totalprice": df["o_totalprice"].to_numpy(dtype=np.float64),
+            "orderdate": df["o_orderdate"],
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop1 = li.map_batches(qty_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas"))
+
+    def having_join(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[df["_side"] == 1].groupby("_k", as_index=False)["q_c"].sum()
+        q = q[q["q_c"] > thr_c]  # the HAVING cut, exact integers
+        o = df[df["_side"] == 0]
+        j = o[["_k", "custkey", "totalprice", "orderdate"]].merge(q, on="_k")
+        return j
+
+    by_order = hash_groupby_apply(hop1, ["_k"], having_join)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+            "c_name": df["c_name"],
+            "_k": np.zeros(n, np.int64),
+            "q_c": np.zeros(n, np.int64),
+            "totalprice": np.zeros(n, np.float64),
+            "orderdate": pd.Series([pd.NaT] * n, dtype="datetime64[us]"),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["custkey", "_k", "q_c", "totalprice", "orderdate"]].copy()
+        out["c_name"] = pd.Series([None] * len(df), dtype=object)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["custkey", "c_name", "_k", "q_c", "totalprice",
+                    "orderdate", "_side"]]
+
+    cust = table_ds(sf_dir, "customer", ["c_custkey", "c_name"])
+    hop2 = cust.map_batches(cust_rows, batch_format="pandas").union(
+        by_order.map_batches(ord_rows, batch_format="pandas"))
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["_side"] == 0]
+        o = df[df["_side"] == 1]
+        j = o[["custkey", "_k", "q_c", "totalprice", "orderdate"]].merge(
+            c[["custkey", "c_name"]], on="custkey")
+        return j.sort_values(["totalprice", "orderdate", "_k"],
+                             ascending=[False, True, True]).head(k)
+
+    survivors = hash_groupby_apply(hop2, ["custkey"], join_topk).to_pandas()
+    out = survivors.sort_values(["totalprice", "orderdate", "_k"],
+                                ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "c_custkey": out["custkey"].to_numpy(dtype=np.int64),
+        "c_name": out["c_name"],
+        "o_orderkey": out["_k"].to_numpy(dtype=np.int64),
+        "o_orderdate": out["orderdate"],
+        "o_totalprice": out["totalprice"].to_numpy(),
+        "total_qty": out["q_c"].to_numpy() / 100.0,
+        "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+    })

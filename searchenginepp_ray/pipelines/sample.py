@@ -468,7 +468,7 @@ def lang_mix_sample(sf_dir: str, weights_pm: dict[str, int] | None = None,
         df = df.sort_values(["lang", "key", "doc_id"], kind="mergesort")
         df["mix_rank"] = (df.groupby("lang", sort=False).cumcount() + 1
                           ).astype(np.int64)
-        cap = df["lang"].map(lambda s: caps.get(s, 0)).astype(np.int64)
+        cap = df["lang"].map(caps).fillna(0).astype(np.int64)
         out = df[df["mix_rank"] <= cap]
         return out[["doc_id", "lang", "mix_rank"]]
 

@@ -453,6 +453,79 @@ def test_span_dedup_matches_naive_random(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def _naive_boilerplate(texts, width, min_count):
+    """Sequential boilerplate-span reference: ALL instances of any span
+    occurring >= min_count times corpus-wide are removed."""
+    import math
+    from collections import Counter
+
+    counts = Counter()
+    grids = []
+    for t in texts:
+        ws = t.split(" ")
+        n_spans = math.ceil(len(ws) / width) or 1
+        lines = [" ".join(ws[i * width:(i + 1) * width])
+                 for i in range(n_spans)] or [""]
+        grids.append(lines)
+        counts.update(l for l in lines if l != "")
+    out = []
+    for doc_id, lines in enumerate(grids):
+        kept = [l for l in lines if l == "" or counts[l] < min_count]
+        clean = " ".join(kept)
+        out.append((doc_id, len(lines), len(kept),
+                    hashlib.md5(clean.encode()).hexdigest()))
+    return pd.DataFrame(out, columns=["doc_id", "n_spans", "n_kept",
+                                      "clean_md5"])
+
+
+def test_boilerplate_spans_constructed(ray_session, tmp_path):
+    """Planted boilerplate: a span repeated across 3 docs is removed
+    from ALL of them (including the first occurrence — the semantic
+    difference from span_dedup's keep-first), singletons survive."""
+    from searchenginepp_ray.pipelines.dedup import boilerplate_spans
+
+    texts = [
+        "a b c d e f",            # "a b c" boilerplate, "d e f" x2
+        "a b c x y z",            # "a b c" again
+        "p q r a b c",            # and again
+        "d e f",                  # second instance of "d e f"
+        "",                       # empty doc: kept
+        "u v",                    # singleton remainder span: kept
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+    got = (boilerplate_spans(path, width=3, min_count=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _naive_boilerplate(texts, 3, 2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the first instance is gone too: doc 0 keeps only "d e f"... no —
+    # "d e f" occurs twice as a span, so doc 0 keeps nothing
+    assert got.loc[0, "n_kept"] == 0
+
+
+def test_boilerplate_spans_matches_naive_random(ray_session, tmp_path):
+    """Word-salad fuzz vs the sequential reference across thresholds."""
+    from searchenginepp_ray.pipelines.dedup import boilerplate_spans
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 18)))
+             for _ in range(60)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path, row_group_size=7)
+    for n in (2, 4):
+        got = (boilerplate_spans(path, width=2, min_count=n).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = _naive_boilerplate(texts, 2, n)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_dedup_incremental_anti_join(ray_session, tmp_path):
     """Constructed slices: incoming docs duplicating a baseline doc are
     dropped; duplicates WITHIN the incoming slice both survive (only

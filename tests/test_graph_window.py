@@ -186,6 +186,29 @@ def test_bfs_distances_hand_graph(ray_session):
     assert got["dist"].tolist() == want["dist"].tolist()
 
 
+def test_part_components_constructed(ray_session, tmp_path):
+    """Two disjoint co-purchase cliques → two components labeled by
+    their min part key; single-part orders contribute no node."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.graph import part_components
+
+    rows = [(1, 10), (1, 11), (2, 11), (2, 12),   # component {10,11,12}
+            (3, 20), (3, 21),                     # component {20,21}
+            (4, 99)]                              # lone part: no edges
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (part_components(str(tmp_path)).to_pandas()
+           .sort_values("part_key").reset_index(drop=True))
+    want = pd.DataFrame({"part_key": [10, 11, 12, 20, 21],
+                         "component": [10, 10, 10, 20, 20]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_bfs_bsp_equals_dataset_form(ray_session, sf_dir):
     """The edge-stationary BSP BFS returns the identical (node, dist)
     set as the Dataset-form relaxation on the real co-purchase graph."""

@@ -301,3 +301,31 @@ def test_small_order_revenue_matches_pandas(ray_session, sf_dir):
     want = int(df["p"].to_numpy()[keep].sum())
     assert int(got["total_cents"].iloc[0]) == want
     assert abs(got["avg_yearly"].iloc[0] - want / 100.0 / 7.0) < 1e-6
+
+
+def test_large_volume_orders_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import large_volume_orders
+
+    thr, k = 150, 10
+    got = large_volume_orders(sf_dir, qty_threshold=thr, k=k)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    li["q_c"] = np.floor(li["l_quantity"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    q = li.groupby("l_orderkey", as_index=False)["q_c"].sum()
+    q = q[q["q_c"] > thr * 100]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    j = q.merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                      ascending=[False, True, True]).head(k) \
+         .reset_index(drop=True)
+    assert got["o_orderkey"].tolist() == j["o_orderkey"].tolist()
+    assert got["c_custkey"].tolist() == j["c_custkey"].tolist()
+    assert np.allclose(got["total_qty"], j["q_c"].to_numpy() / 100.0)
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
