@@ -283,6 +283,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact table, surviving keys re-join orders + customer
         "large_volume_orders":
             lambda sf: relational.large_volume_orders(sf),
+        # TPC-H Q13: left-outer-then-histogram — per-customer order
+        # counts incl. zero, collapsed to a count-of-counts
+        "order_count_distribution":
+            lambda sf: relational.order_count_distribution(sf),
+        # TPC-H Q21: the EXISTS/NOT-EXISTS pair over sibling rows —
+        # sole-late supplier on multi-supplier finished orders
+        "suppliers_kept_waiting":
+            lambda sf: relational.suppliers_kept_waiting(sf),
+        # TPC-H Q22: scalar-subquery threshold (exact integer
+        # cross-multiply) + anti-join to orders, per-nation totals
+        "idle_customer_balance":
+            lambda sf: relational.idle_customer_balance(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -494,6 +506,9 @@ def oracle_sql() -> dict[str, str]:
         "returned_item_report": osql.returned_item_report_sql(),
         "small_order_revenue": osql.small_order_revenue_sql(),
         "large_volume_orders": osql.large_volume_orders_sql(),
+        "order_count_distribution": osql.order_count_distribution_sql(),
+        "suppliers_kept_waiting": osql.suppliers_kept_waiting_sql(),
+        "idle_customer_balance": osql.idle_customer_balance_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

@@ -420,6 +420,12 @@ def run_default() -> None:
           lambda: relational.small_order_revenue(sf_dir))
     timed("large_volume_orders",
           lambda: relational.large_volume_orders(sf_dir))
+    timed("order_count_distribution",
+          lambda: relational.order_count_distribution(sf_dir))
+    timed("suppliers_kept_waiting",
+          lambda: relational.suppliers_kept_waiting(sf_dir))
+    timed("idle_customer_balance",
+          lambda: relational.idle_customer_balance(sf_dir))
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
     timed("part_bfs", lambda: graph.part_bfs(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but

@@ -2505,3 +2505,77 @@ SELECT n.doc_id, n.text_md5
 FROM h n
 WHERE n.is_new AND NOT EXISTS (
   SELECT 1 FROM h b WHERE NOT b.is_new AND b.text_md5 = n.text_md5)"""
+
+
+def order_count_distribution_sql(excl_priority: str = "1-URGENT") -> str:
+    """Oracle for relational.order_count_distribution (TPC-H Q13): left
+    outer count per customer (priority exclusion in place of the
+    comment filter the testdata lacks), then the count-of-counts."""
+    return f"""WITH o AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders
+  WHERE o_orderpriority <> '{excl_priority}' GROUP BY o_custkey),
+per_cust AS (
+  SELECT c.c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def suppliers_kept_waiting_sql(region: str = "EUROPE",
+                               late_days: int = 1400,
+                               k: int = 100) -> str:
+    """Oracle for relational.suppliers_kept_waiting (TPC-H Q21): the
+    exists/not-exists pair expressed on the (orderkey, suppkey,
+    max shipdate) reduction — identical integer-microsecond lateness
+    rule, identical (numwait DESC, s_name ASC) order."""
+    return f"""WITH f AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS mx
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+j AS (
+  SELECT f.l_orderkey, f.l_suppkey,
+         (f.mx > o.o_orderdate + INTERVAL {int(late_days)} DAY) AS late
+  FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+  WHERE o.o_orderstatus = 'F'),
+per AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+  FROM j GROUP BY l_orderkey),
+q AS (
+  SELECT j.l_suppkey FROM j JOIN per USING (l_orderkey)
+  WHERE j.late AND per.n_supp >= 2 AND per.n_late = 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM q
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {int(k)}"""
+
+
+def idle_customer_balance_sql(
+        nation_keys: tuple = (0, 1, 2, 3, 4, 5, 6),
+        since: str = "2000-01-01") -> str:
+    """Oracle for relational.idle_customer_balance (TPC-H Q22): the
+    identical integer cross-multiplied above-average rule + NOT EXISTS
+    anti-join against orders placed since the cutoff, totals in exact
+    cents."""
+    keys = ", ".join(str(int(x)) for x in sorted(nation_keys))
+    return f"""WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey IN ({keys}) AND c_acctbal > 0.0),
+stats AS (SELECT SUM(bal_c) AS total_c, COUNT(*) AS n FROM pool),
+idle AS (
+  SELECT p.c_nationkey, p.bal_c FROM pool p, stats
+  WHERE p.bal_c * stats.n > stats.total_c
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{since}'))
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(i.bal_c) AS BIGINT) AS totacctbal_c
+FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name"""

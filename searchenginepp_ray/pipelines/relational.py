@@ -1291,3 +1291,297 @@ def large_volume_orders(sf_dir: str, qty_threshold: int = 200,
         "total_qty": out["q_c"].to_numpy() / 100.0,
         "rank": np.arange(1, len(out) + 1, dtype=np.int64),
     })
+
+
+def order_count_distribution(sf_dir: str,
+                             excl_priority: str = "1-URGENT"):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N qualifying orders, INCLUDING the zero-order customers —
+    the LEFT-OUTER-then-histogram shape: a left outer aggregate join at
+    customer cardinality whose per-group counts are immediately
+    re-aggregated into a count-of-counts. (The testdata has no
+    o_comment, so Q13's comment exclusion becomes an order-priority
+    exclusion, pushed into the parquet scan.) Returns
+    (c_count, custdist).
+
+    Scale shape: ONE custkey exchange carries customer key rows ⊎
+    map-side order COUNT partials (never raw orders); the per-partition
+    kernel computes each customer's total (0 for no orders) and
+    collapses it to histogram partials on the spot, so the second
+    exchange carries ≤ P × max_orders_per_customer rows — bounded by
+    the shuffle width, not the customer count."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    cust = table_ds(sf_dir, "customer", ["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") != excl_priority,
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "_k": t["c_custkey"].cast(pa.int64()),
+            "cnt_part": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("o_custkey", as_index=False).size()
+             .rename(columns={"size": "cnt_part", "o_custkey": "_k"}))
+        g["_k"] = g["_k"].astype(np.int64)
+        g["cnt_part"] = g["cnt_part"].astype(np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
+
+    u = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_partials, batch_format="pandas"))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["_side"] == 0, ["_k"]]
+        o = df[df["_side"] == 1].groupby("_k", as_index=False)[
+            "cnt_part"].sum()
+        j = c.merge(o, on="_k", how="left")
+        counts = j["cnt_part"].fillna(0).astype(np.int64)
+        h = counts.value_counts()
+        return pd.DataFrame({"c_count": h.index.to_numpy(np.int64),
+                             "custdist_part": h.to_numpy(np.int64)})
+
+    hist = hash_groupby_apply(u, ["_k"], hist_partial)
+    out = hash_groupby_sum(hist, ["c_count"],
+                           {"custdist": ("custdist_part", "sum")}).to_pandas()
+    out = out.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out[["c_count", "custdist"]]
+
+
+def suppliers_kept_waiting(sf_dir: str, region: str = "EUROPE",
+                           late_days: int = 1400, k: int = 100):
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders with at least TWO distinct suppliers, count per supplier the
+    orders where that supplier was the ONLY late one — the
+    EXISTS / NOT-EXISTS pair over sibling rows of the same group. (The
+    testdata has no commit/receipt dates, so "late" is l_shipdate more
+    than ``late_days`` past o_orderdate — an exact integer-microsecond
+    timestamp compare on both engines.) Suppliers are restricted to
+    ``region``; top-``k`` by (numwait DESC, s_name ASC). Returns
+    (s_name, numwait).
+
+    Scale shape: lineitem is pre-collapsed map-side to one
+    (orderkey, suppkey, max_shipdate) row per batch — lateness of a
+    supplier within an order is a pure function of its MAX ship date,
+    so the exists/not-exists logic needs no raw lineitems. ONE orderkey
+    exchange co-locates those partials with the order dimension rows
+    (status filter pushed into the scan); the per-partition kernel
+    reduces each order to (n_suppliers, n_late) and emits qualifying
+    suppkey count partials. Hop 2 is ONE suppkey exchange with the
+    region's suppliers (nation→region resolved from the two broadcast
+    dimension tables); per-partition partial top-k caps the driver
+    merge at P×k rows."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nkeys = sorted(nat.loc[nat["n_regionkey"].isin(rkeys),
+                           "n_nationkey"].tolist())
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ship_us = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(np.int64),
+                           "suppkey": df["l_suppkey"].to_numpy(np.int64),
+                           "ship_us": ship_us})
+             .groupby(["_k", "suppkey"], as_index=False)["ship_us"].max())
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["o_orderkey"].to_numpy(np.int64),
+            "suppkey": np.full(n, -1, np.int64),
+            # carry the order date in the ship_us slot (side-tagged)
+            "ship_us": df["o_orderdate"].astype("datetime64[us]")
+            .astype(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop1 = li.map_batches(li_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas"))
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def waiting_partials(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["_k", "ship_us"]].rename(
+            columns={"ship_us": "odate_us"})
+        f = df[df["_side"] == 1].groupby(["_k", "suppkey"],
+                                         as_index=False)["ship_us"].max()
+        j = f.merge(o, on="_k")  # inner: drops non-'F' orders
+        if len(j) == 0:
+            return pd.DataFrame({"suppkey": pd.Series([], dtype=np.int64),
+                                 "numwait_part": pd.Series([],
+                                                           dtype=np.int64)})
+        late = (j["ship_us"].to_numpy()
+                > j["odate_us"].to_numpy() + late_us)
+        per = j.assign(late=late).groupby("_k").agg(
+            n_supp=("suppkey", "size"), n_late=("late", "sum"))
+        j = j.merge(per, on="_k")
+        q = j[late & (j["n_supp"].to_numpy() >= 2)
+              & (j["n_late"].to_numpy() == 1)]
+        h = q["suppkey"].value_counts()
+        return pd.DataFrame({"suppkey": h.index.to_numpy(np.int64),
+                             "numwait_part": h.to_numpy(np.int64)})
+
+    waits = hash_groupby_apply(hop1, ["_k"], waiting_partials)
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_nationkey").isin(nkeys),
+    )
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "suppkey": t["s_suppkey"].cast(pa.int64()),
+            "s_name": t["s_name"],
+            "numwait_part": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def wait_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["suppkey", "numwait_part"]].copy()
+        out["s_name"] = pd.Series([None] * len(df), dtype=object)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["suppkey", "s_name", "numwait_part", "_side"]]
+
+    hop2 = supp.map_batches(supp_rows, batch_format="pyarrow").union(
+        waits.map_batches(wait_rows, batch_format="pandas"))
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["_side"] == 0]
+        w = df[df["_side"] == 1].groupby("suppkey", as_index=False)[
+            "numwait_part"].sum()
+        j = s[["suppkey", "s_name"]].merge(w, on="suppkey")  # region filter
+        return j.sort_values(["numwait_part", "s_name"],
+                             ascending=[False, True]).head(k)
+
+    survivors = hash_groupby_apply(hop2, ["suppkey"], join_topk).to_pandas()
+    out = survivors.sort_values(["numwait_part", "s_name"],
+                                ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "s_name": out["s_name"],
+        "numwait": out["numwait_part"].to_numpy(np.int64),
+    })
+
+
+def idle_customer_balance(sf_dir: str,
+                          nation_keys: tuple = (0, 1, 2, 3, 4, 5, 6),
+                          since: str = "2000-01-01"):
+    """TPC-H Q22 (global-sales opportunity): positive-balance customers
+    in a fixed nation subset whose balance is above the subset's
+    average AND who placed no order since ``since`` — the
+    scalar-subquery + anti-join shape. (Every customer in the testdata
+    has SOME order, so Q22's "never ordered" becomes "idle since a
+    cutoff"; the date predicate is pushed into the orders scan, which
+    also shrinks the anti-join key set.) Per nation: customer count and
+    total balance in exact integer cents. Returns
+    (n_name, numcust, totacctbal_c).
+
+    Exactness: "above average" is the integer cross-multiplication
+    ``bal_c · n > total_c`` (no float average ever computed), the same
+    expression the oracle evaluates, so both engines select the
+    identical customer set.
+
+    Scale shape: pass 1 streams the filtered customer scan (nation +
+    positive-balance predicates pushed into the parquet read) into
+    per-batch (sum, count) partials — a two-scalar driver reduce, never
+    a materialization. Pass 2 re-streams the same pruned scan, applies
+    the integer threshold vectorized, and anti-joins orders with only
+    DEDUPLICATED o_custkey keys crossing the exchange
+    (:func:`shuffle_semi_join`); the surviving ≤ |rich idle customers|
+    rows collapse to a ≤ 25-row nation aggregate, labeled from the
+    broadcast nation table."""
+    import pyarrow.dataset as pads
+
+    nkeys = sorted(int(x) for x in nation_keys)
+    filt = (pads.field("c_nationkey").isin(nkeys)
+            & (pads.field("c_acctbal") > 0.0))
+
+    def pool(cols):
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=cols, filter=filt)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        return pa.table({"total_part": pa.array([bal.sum()]),
+                         "n_part": pa.array([np.int64(len(bal))])})
+
+    stats = pool(["c_acctbal"]).map_batches(
+        stat_partial, batch_format="pyarrow").to_pandas()
+    total_c = np.int64(stats["total_part"].sum())
+    n = np.int64(stats["n_part"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        keep = bal * n > total_c  # exact integer  bal > avg(bal)
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()).filter(
+                pa.array(keep)),
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()).filter(
+                pa.array(keep)),
+            "bal_c": pa.array(bal[keep]),
+        })
+
+    rich_ds = pool(["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        rich, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pd.Timestamp(since),
+    )
+    idle = shuffle_semi_join(rich_ds, orders, "c_custkey", "o_custkey",
+                             ["c_nationkey", "bal_c"], anti=True)
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": t["c_nationkey"].to_numpy(zero_copy_only=False),
+            "bal_c": t["bal_c"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust_part=("bal_c", "size"), tot_part=("bal_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = idle.map_batches(nation_partial, batch_format="pyarrow") \
+        .to_pandas()  # <= 25 x P rows
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "n_name": pd.Series([], dtype=object),
+            "numcust": pd.Series([], dtype=np.int64),
+            "totacctbal_c": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust_part", "sum"), totacctbal_c=("tot_part", "sum"))
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    out = out.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values("n_name").reset_index(drop=True)
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal_c"] = out["totacctbal_c"].astype(np.int64)
+    return out[["n_name", "numcust", "totacctbal_c"]]

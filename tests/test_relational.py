@@ -329,3 +329,109 @@ def test_large_volume_orders_matches_pandas(ray_session, sf_dir):
     assert got["c_custkey"].tolist() == j["c_custkey"].tolist()
     assert np.allclose(got["total_qty"], j["q_c"].to_numpy() / 100.0)
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_order_count_distribution_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import (
+        order_count_distribution)
+
+    got = order_count_distribution(sf_dir).to_pandas() \
+        if hasattr(order_count_distribution(sf_dir), "to_pandas") \
+        else order_count_distribution(sf_dir)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    o = orders[orders["o_orderpriority"] != "1-URGENT"] \
+        .groupby("o_custkey", as_index=False).size()
+    j = cust.merge(o, left_on="c_custkey", right_on="o_custkey",
+                   how="left")
+    counts = j["size"].fillna(0).astype(np.int64)
+    want = counts.value_counts().rename_axis("c_count") \
+        .reset_index(name="custdist") \
+        .sort_values(["custdist", "c_count"], ascending=[False, False]) \
+        .reset_index(drop=True)
+    got = got.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # zero-order customers are present in the histogram
+    assert int(got.set_index("c_count")["custdist"].get(0, 0)) \
+        == int((counts == 0).sum())
+
+
+def test_suppliers_kept_waiting_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import (
+        suppliers_kept_waiting)
+
+    region, late_days = "EUROPE", 1400
+    got = suppliers_kept_waiting(sf_dir, region=region,
+                                 late_days=late_days, k=100)
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+    orders = orders[orders["o_orderstatus"] == "F"]
+    f = li.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+        "l_shipdate"].max()
+    j = f.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = (j["l_shipdate"] - j["o_orderdate"]).dt.days > late_days
+    per = j.groupby("l_orderkey").agg(n_supp=("l_suppkey", "size"),
+                                      n_late=("late", "sum"))
+    j = j.merge(per, on="l_orderkey")
+    q = j[j["late"] & (j["n_supp"] >= 2) & (j["n_late"] == 1)]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == region]
+    w = q.merge(dim, left_on="l_suppkey", right_on="s_suppkey") \
+        .groupby("s_name", as_index=False).size() \
+        .rename(columns={"size": "numwait"}) \
+        .sort_values(["numwait", "s_name"], ascending=[False, True]) \
+        .head(100).reset_index(drop=True)
+    assert got["s_name"].tolist() == w["s_name"].tolist()
+    assert got["numwait"].to_numpy(np.int64).tolist() \
+        == w["numwait"].to_numpy(np.int64).tolist()
+
+
+def test_idle_customer_balance_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import (
+        idle_customer_balance)
+
+    nkeys, since = (0, 1, 2, 3, 4, 5, 6), "2000-01-01"
+    got = idle_customer_balance(sf_dir, nation_keys=nkeys, since=since)
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    pool = cust[cust["c_nationkey"].isin(nkeys)
+                & (cust["c_acctbal"] > 0.0)].copy()
+    pool["bal_c"] = np.floor(pool["c_acctbal"].to_numpy() * 100
+                             + 0.5).astype(np.int64)
+    n, total = len(pool), pool["bal_c"].sum()
+    rich = pool[pool["bal_c"] * n > total]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    active = set(orders.loc[orders["o_orderdate"]
+                            >= pd.Timestamp(since), "o_custkey"])
+    idle = rich[~rich["c_custkey"].isin(active)]
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    want = idle.merge(nat, left_on="c_nationkey",
+                      right_on="n_nationkey") \
+        .groupby("n_name", as_index=False).agg(
+            numcust=("bal_c", "size"), totacctbal_c=("bal_c", "sum")) \
+        .sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # the cutoff keeps the op non-degenerate
