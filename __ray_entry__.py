@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
         "pii_redact": lambda sf: _filters().pii_redact(sf),
         "decontaminate": lambda sf: _filters().decontaminate(sf),
+        # train->eval contamination audit: val/test docs sharing any
+        # word 8-gram with the (corpus-sized) train split — the
+        # gram-keyed-exchange complement of decontaminate's broadcast
+        "split_leakage": lambda sf: _filters().split_leakage(sf),
         # exact-substring-dedup signal: corpus-global duplicated-window
         # fraction per doc (one gram-keyed exchange, map-side-combined)
         "dup_span_stats": lambda sf: _filters().dup_span_stats(sf),
@@ -450,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
+        "split_leakage": osql.split_leakage_sql(),
         "dup_span_stats": osql.dup_span_stats_sql(),
         "collocations": osql.collocations_sql(),
         "phrase_search": osql.phrase_search_sql(),

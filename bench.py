@@ -351,6 +351,7 @@ def run_default() -> None:
 
     timed("repetition_stats", lambda: filters.repetition_stats(sf_dir))
     timed("decontaminate", lambda: filters.decontaminate(sf_dir))
+    timed("split_leakage", lambda: filters.split_leakage(sf_dir))
     timed("chunk_documents", lambda: export.chunk_documents(sf_dir))
     timed("shard_export", lambda: export.shard_export(sf_dir))
     timed("embedding_quantize",

@@ -764,3 +764,117 @@ def ngram_diversity(sf_dir: str, max_n: int = 3):
         return df[["n", "distinct_grams", "total_grams", "diversity"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def split_leakage(sf_dir: str, w: int = 8, val_frac: float = 0.1,
+                  test_frac: float = 0.1, salt: str = "split"):
+    """Train→eval contamination audit: for the val and test splits of
+    :func:`.sample.dataset_split`'s assignment, how many docs share at
+    least one word ``w``-gram with ANY train doc. The data-scaling
+    complement of :func:`decontaminate`: there the contamination side
+    is a small benchmark (hash set broadcast, corpus streams); here the
+    contamination side is the TRAIN SPLIT — itself corpus-sized — so
+    nothing can be broadcast and the overlap test must co-locate by
+    gram. Returns (split, n_docs, n_leaked) for val and test.
+
+    Matching is by 64-bit gram hash (the decontaminate stance: a false
+    leak needs an xxhash collision, negligible; the SQL oracle matches
+    exact gram strings, pinning no-collision at gate scale). Split
+    assignment is the exact salted md5-prefix rule of
+    ``dataset_split`` — the audit sees the same splits the export ships.
+
+    Scale shape: ONE gram-keyed hash exchange carries map-side-deduped
+    int rows only — train grams collapse to (hash) per batch (doc
+    identity irrelevant on the train side), eval grams to
+    (hash, doc_id, split); the per-partition kernel emits eval docs
+    whose gram has a train instance, deduped. A second doc-keyed
+    exchange (bounded by LEAKED docs, not the corpus) dedupes
+    multi-gram hits, and per-split totals come from a separate pruned
+    doc_id-only streaming count. Text never crosses a wire."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .dedup import _hash_strings
+    from .duck import md5_hex
+    from .sample import _threshold_hex
+    from .text_stats import documents_ds
+
+    t_test = _threshold_hex(test_frac)
+    t_val = _threshold_hex(test_frac + val_frac)
+
+    def labels(t: pa.Table) -> np.ndarray:
+        """int8 split codes (0=train, 1=val, 2=test) — the exact
+        dataset_split rule."""
+        ids = pc.cast(t["doc_id"], pa.string())
+        keyed = pc.binary_join_element_wise(
+            pa.array([salt + ":"] * len(t), pa.string()), ids, "")
+        pref = pc.utf8_slice_codeunits(md5_hex(keyed), 0, 4) \
+            .to_numpy(zero_copy_only=False)
+        return np.where(pref < t_test, 2,
+                        np.where(pref < t_val, 1, 0)).astype(np.int8)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sp = labels(t)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _, flat, n_tokens = _words_flat(t["text"])
+        gdoc, grams = _grams(flat, n_tokens, w)
+        if len(grams) == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int8())})
+        h = _hash_strings(grams)
+        g_sp = sp[gdoc]
+        tr = g_sp == 0
+        tr_h = np.unique(h[tr])  # train side: gram presence only
+        ev = (pd.DataFrame({"h": h[~tr], "doc_id": doc_ids[gdoc][~tr],
+                            "sp": g_sp[~tr]})
+              .drop_duplicates(["h", "doc_id"]))
+        return pa.table({
+            "h": pa.array(np.concatenate([tr_h, ev["h"].to_numpy()]),
+                          pa.uint64()),
+            "doc_id": pa.array(np.concatenate(
+                [np.full(len(tr_h), -1, np.int64),
+                 ev["doc_id"].to_numpy()])),
+            "sp": pa.array(np.concatenate(
+                [np.zeros(len(tr_h), np.int8),
+                 ev["sp"].to_numpy()]).astype(np.int8)),
+        })
+
+    def leaked_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tr_h = df.loc[df["sp"] == 0, "h"].unique()
+        ev = df[df["sp"] > 0]
+        hit = ev[ev["h"].isin(tr_h)]
+        return hit[["doc_id", "sp"]].drop_duplicates()
+
+    hits = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["h"], leaked_rows)
+
+    def leak_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("doc_id")
+        g = d.groupby("sp", as_index=False).size()
+        return g.rename(columns={"size": "leak_part"})
+
+    leak = hash_groupby_apply(hits, ["doc_id"], leak_counts).to_pandas()
+    leaked = (leak.groupby("sp")["leak_part"].sum()
+              if len(leak) else pd.Series(dtype=np.int64))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        sp = labels(t)
+        return pa.table({"sp": pa.array([0, 1, 2], pa.int8()),
+                         "n_part": pa.array(
+                             np.bincount(sp, minlength=3)[:3]
+                             .astype(np.int64))})
+
+    totals = documents_ds(sf_dir, columns=("doc_id",)).map_batches(
+        count_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("sp")["n_part"].sum()
+
+    names = {1: "val", 2: "test"}
+    out = pd.DataFrame({
+        "split": [names[c] for c in (1, 2)],
+        "n_docs": [np.int64(totals.get(c, 0)) for c in (1, 2)],
+        "n_leaked": [np.int64(leaked.get(c, 0)) for c in (1, 2)],
+    })
+    return out.sort_values("split").reset_index(drop=True)

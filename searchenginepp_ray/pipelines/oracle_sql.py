@@ -2579,3 +2579,46 @@ SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(i.bal_c) AS BIGINT) AS totacctbal_c
 FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name"""
+
+
+def split_leakage_sql(w: int = 8, val_frac: float = 0.1,
+                      test_frac: float = 0.1, salt: str = "split") -> str:
+    """Oracle for filters.split_leakage: the identical salted md5-prefix
+    split rule, exact gram STRINGS (the Ray side matches 64-bit gram
+    hashes — this gate pins the no-collision stance), distinct leaked
+    docs per eval split."""
+    from .sample import _threshold_hex
+
+    t_test = _threshold_hex(test_frac)
+    t_val = _threshold_hex(test_frac + val_frac)
+    return f"""WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{t_test}' THEN 'test'
+              WHEN substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{t_val}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents),
+wtoks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM tagged),
+gpos AS (SELECT doc_id, split, w,
+                unnest(generate_series(1, greatest(len(w) - {w - 1}, 0)))
+                    AS i
+         FROM wtoks),
+gr AS (SELECT DISTINCT doc_id, split,
+              array_to_string(w[i:i+{w - 1}], ' ') AS g
+       FROM gpos),
+tr AS (SELECT DISTINCT g FROM gr WHERE split = 'train'),
+leaked AS (SELECT DISTINCT doc_id, split FROM gr
+           WHERE split <> 'train' AND g IN (SELECT g FROM tr)),
+counts AS (SELECT split, COUNT(*) AS n FROM tagged
+           WHERE split <> 'train' GROUP BY split)
+SELECT c.split, CAST(c.n AS BIGINT) AS n_docs,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS n_leaked
+FROM counts c
+LEFT JOIN (SELECT split, COUNT(*) AS n FROM leaked GROUP BY split) l
+       USING (split)
+ORDER BY split"""

@@ -544,3 +544,58 @@ def test_ngram_diversity_matches_naive(ray_session, tmp_path):
         assert row["distinct_grams"] == len(set(grams))
         assert abs(row["diversity"]
                    - len(set(grams)) / len(grams)) < 1e-6
+
+
+def _split_of(doc_id: int, salt: str = "split",
+              t_test: str = "1999", t_val: str = "3332") -> str:
+    import hashlib
+
+    p = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:4]
+    return "test" if p < t_test else ("val" if p < t_val else "train")
+
+
+def test_split_leakage_planted(ray_session, tmp_path):
+    """Planted leakage: a val doc and a test doc each share an 8-gram
+    with a train doc; an eval doc with unique text is clean; a doc
+    sharing grams only with ANOTHER eval doc is NOT leaked (the
+    contamination side is strictly the train split)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.filters import split_leakage
+    from searchenginepp_ray.pipelines.sample import _threshold_hex
+
+    t_test = _threshold_hex(0.25)
+    t_val = _threshold_hex(0.5)
+    # bucket doc ids by the real split rule
+    ids = {"train": [], "val": [], "test": []}
+    for i in range(400):
+        s = _split_of(i, t_test=t_test, t_val=t_val)
+        if len(ids[s]) < 4:
+            ids[s].append(i)
+    assert all(len(v) >= 3 for v in ids.values())
+
+    leak8 = "q w e r t y u i"                 # the shared 8-gram
+    evalonly = "z x c v b n m k"              # shared between eval docs only
+    rows = {
+        ids["train"][0]: f"start {leak8} end",
+        ids["train"][1]: "plain train text with nothing shared here one",
+        ids["val"][0]: f"prefix {leak8} suffix",           # leaked
+        ids["val"][1]: f"own words only {evalonly}",       # eval-eval: clean
+        ids["val"][2]: "completely unique val content here words nine ten",
+        ids["test"][0]: f"{leak8} tail words",             # leaked
+        ids["test"][1]: f"other {evalonly} padding",       # eval-eval: clean
+        ids["test"][2]: "totally unique test content here words nine ten",
+    }
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(rows), pa.int64()),
+        "text": pa.array([rows[k] for k in sorted(rows)], pa.string()),
+    }), path, row_group_size=3)
+
+    got = split_leakage(path, w=8, val_frac=0.25, test_frac=0.25)
+    want = pd.DataFrame({"split": ["test", "val"],
+                         "n_docs": [3, 3], "n_leaked": [1, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
