@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic salted train/val/test split (disjoint +
         # exhaustive by construction; stable across reruns/clusters)
         "dataset_split": lambda sf: sample.dataset_split(sf),
+        # deterministic per-epoch training order: global permutation
+        # rank WITHOUT a global sort (prefix histogram + one
+        # bounded-bucket exchange; only int/hex rows move)
+        "epoch_shuffle": lambda sf: sample.epoch_shuffle(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         # bounded multi-source BFS (hop distances from seed parts):
@@ -530,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": osql.source_mixture_sql(),
         "lang_mix_sample": osql.lang_mix_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
+        "epoch_shuffle": osql.epoch_shuffle_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_bfs": osql.part_bfs_sql(),
         "part_components": osql.part_components_sql(),

@@ -412,6 +412,7 @@ def run_default() -> None:
     timed("source_cap", lambda: sample.source_cap(sf_dir))
     timed("source_mixture", lambda: sample.source_mixture(sf_dir))
     timed("lang_mix_sample", lambda: sample.lang_mix_sample(sf_dir))
+    timed("epoch_shuffle", lambda: sample.epoch_shuffle(sf_dir))
     timed("simhash_md5", lambda: dedup.simhash_md5(sf_dir))
     timed("corpus_diff", lambda: dedup.corpus_diff(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))

@@ -2622,3 +2622,19 @@ FROM counts c
 LEFT JOIN (SELECT split, COUNT(*) AS n FROM leaked GROUP BY split) l
        USING (split)
 ORDER BY split"""
+
+
+def epoch_shuffle_sql(epoch: int = 1, shard_size: int = 100,
+                      salt: str = "epoch") -> str:
+    """Oracle for sample.epoch_shuffle: the identical salted md5 epoch
+    key as one window rank (the engine computes the same rank with a
+    bucket histogram + one bounded-bucket exchange instead of a global
+    sort)."""
+    return f"""SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5('{salt}{int(epoch)}:' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1 AS BIGINT) AS pos,
+       CAST((row_number() OVER (
+            ORDER BY md5('{salt}{int(epoch)}:' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1) // {int(shard_size)} AS BIGINT) AS shard
+FROM documents"""

@@ -475,3 +475,79 @@ def lang_mix_sample(sf_dir: str, weights_pm: dict[str, int] | None = None,
     ds = documents_ds(sf_dir, columns=("doc_id", "lang")).map_batches(
         key, batch_format="pyarrow")
     return hash_groupby_apply(ds, ["lang"], rank)
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 1, shard_size: int = 100,
+                  salt: str = "epoch"):
+    """Deterministic per-epoch training order: every doc's exact
+    position in epoch ``epoch``'s global pseudo-random permutation, plus
+    its training shard (``pos // shard_size``). The order is a pure
+    function of (salt, epoch, doc_id) — ascending
+    ``md5('{salt}{epoch}:' || doc_id)`` with doc_id tie-break — so each
+    epoch is an independent-looking reshuffle, reruns/retries/cluster
+    sizes all derive the identical order, and a training job can resume
+    mid-epoch from a position, none of which holds for
+    ``random_shuffle``. Returns (doc_id, pos, shard).
+
+    Scale shape (rank-without-sort, the :func:`sequence_pack` offsets
+    pattern on a hashed key): a GLOBAL sort of 100 TB just to assign
+    positions is an all-to-all of the full payload; instead pass 1
+    streams a 64Ki-bucket histogram of the key's 16-bit prefix (one
+    tiny partial per batch, driver holds 64Ki ints → exclusive
+    prefix-sum offsets, broadcast via the task closure), and pass 2 is
+    ONE bucket-keyed exchange carrying (key, doc_id) INT/HEX rows only
+    — never payloads — whose kernel sorts each bounded bucket locally
+    and adds its global offset. Downstream exports read payloads by
+    doc_id join; the permutation itself is metadata-sized."""
+    import pandas as pd
+
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
+    from .text_stats import documents_ds
+
+    pref = f"{salt}{int(epoch)}:"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        k = md5_hex(pc.binary_join_element_wise(
+            pa.array([pref] * len(t), pa.string()), ids, ""))
+        # vectorized hex-prefix -> int: 4 hex chars via byte arithmetic
+        b = pc.utf8_slice_codeunits(k, 0, 4).to_numpy(zero_copy_only=False)
+        v = b.astype("S4").view(np.uint8).reshape(-1, 4).astype(np.int64)
+        dig = np.where(v >= ord("a"), v - ord("a") + 10, v - ord("0"))
+        bucket = (dig[:, 0] << 12) | (dig[:, 1] << 8) \
+            | (dig[:, 2] << 4) | dig[:, 3]
+        return pa.table({"bucket": pa.array(bucket),
+                         "key": k,
+                         "doc_id": t["doc_id"].cast(pa.int64())})
+
+    # (bucket, key, doc_id) rows are metadata-sized (no payloads);
+    # materialize once so the histogram pass and the rank exchange don't
+    # re-run the scan + md5 lineage twice
+    keys_ds = documents_ds(sf_dir, columns=("doc_id",)).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["bucket"].to_numpy(zero_copy_only=False),
+                        minlength=65536)
+        nz = np.flatnonzero(c)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n_part": pa.array(c[nz].astype(np.int64))})
+
+    hp = keys_ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(65536, np.int64)
+    g = hp.groupby("bucket")["n_part"].sum()
+    counts[g.index.to_numpy()] = g.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    S = int(shard_size)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["bucket", "key", "doc_id"], kind="mergesort")
+        within = d.groupby("bucket", sort=False).cumcount().to_numpy()
+        pos = offsets[d["bucket"].to_numpy()] + within
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
+                             "pos": pos.astype(np.int64),
+                             "shard": (pos // S).astype(np.int64)})
+
+    return hash_groupby_apply(keys_ds, ["bucket"], rank)

@@ -210,3 +210,33 @@ def test_lang_mix_sample_hits_exact_weights(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         got.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_epoch_shuffle_permutation_and_decorrelation(ray_session, sf_dir):
+    """Each epoch's order is an exact permutation of 0..n-1, matches the
+    sequential md5-sort reference, differs between epochs, and shard ids
+    are pos // shard_size."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.sample import epoch_shuffle
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = len(docs)
+    orders = {}
+    for epoch in (1, 2):
+        got = epoch_shuffle(sf_dir, epoch=epoch, shard_size=7).to_pandas() \
+            .sort_values("pos").reset_index(drop=True)
+        assert sorted(got["pos"].tolist()) == list(range(n))
+        assert (got["shard"].to_numpy()
+                == got["pos"].to_numpy() // 7).all()
+        keys = sorted(
+            (hashlib.md5(f"epoch{epoch}:{d}".encode()).hexdigest(), d)
+            for d in docs["doc_id"])
+        want_ids = [d for _, d in keys]
+        assert got["doc_id"].tolist() == want_ids
+        orders[epoch] = got["doc_id"].tolist()
+    assert orders[1] != orders[2]  # epochs reshuffle independently
