@@ -1128,20 +1128,8 @@ def span_dedup(sf_dir: str, width: int = 10):
     import pandas as pd
 
     from .agg import hash_groupby_apply
-    from .duck import md5_hex
 
     W = int(width)
-
-    def explode(t: pa.Table) -> pa.Table:
-        spans, doc_idx, pos, _ = _span_grid(t["text"], W)
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)[doc_idx]
-        ne = pc.not_equal(spans, "").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "h": pa.array(_hash_strings(spans)[ne], pa.uint64()),
-            "doc_id": pa.array(doc_ids[ne]),
-            "pos": pa.array(pos[ne]),
-        })
 
     def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
         h = df["h"].to_numpy()
@@ -1154,9 +1142,30 @@ def span_dedup(sf_dir: str, width: int = 10):
         return pd.DataFrame({"doc_id": d[o][~first], "pos": p[o][~first]})
 
     drops = hash_groupby_apply(
-        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        documents_ds(sf_dir).map_batches(_span_rows(W),
+                                         batch_format="pyarrow"),
         ["h"], emit_drops)
     return _reassemble_minus_drops(sf_dir, drops, W)
+
+
+def _span_rows(W: int):
+    """Shared pass-1 exploder of the span-removal family
+    (:func:`span_dedup`, :func:`boilerplate_spans`): one batch of the
+    corpus → (span_hash64, doc_id, pos) int rows on the aligned
+    ``W``-word grid, empty spans (empty docs) excluded."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans, doc_idx, pos, _ = _span_grid(t["text"], W)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx]
+        ne = pc.not_equal(spans, "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(_hash_strings(spans)[ne], pa.uint64()),
+            "doc_id": pa.array(doc_ids[ne]),
+            "pos": pa.array(pos[ne]),
+        })
+
+    return explode
 
 
 def _reassemble_minus_drops(sf_dir: str, drops, W: int):
@@ -1249,17 +1258,6 @@ def boilerplate_spans(sf_dir: str, width: int = 10, min_count: int = 2):
     W = int(width)
     N = int(min_count)
 
-    def explode(t: pa.Table) -> pa.Table:
-        spans, doc_idx, pos, _ = _span_grid(t["text"], W)
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)[doc_idx]
-        ne = pc.not_equal(spans, "").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "h": pa.array(_hash_strings(spans)[ne], pa.uint64()),
-            "doc_id": pa.array(doc_ids[ne]),
-            "pos": pa.array(pos[ne]),
-        })
-
     def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
         h = df["h"].to_numpy()
         o = np.argsort(h, kind="mergesort")
@@ -1273,7 +1271,8 @@ def boilerplate_spans(sf_dir: str, width: int = 10, min_count: int = 2):
                              "pos": df["pos"].to_numpy()[sel]})
 
     drops = hash_groupby_apply(
-        documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        documents_ds(sf_dir).map_batches(_span_rows(W),
+                                         batch_format="pyarrow"),
         ["h"], emit_drops)
     return _reassemble_minus_drops(sf_dir, drops, W)
 

@@ -795,23 +795,16 @@ def split_leakage(sf_dir: str, w: int = 8, val_frac: float = 0.1,
 
     from .agg import hash_groupby_apply
     from .dedup import _hash_strings
-    from .duck import md5_hex
-    from .sample import _threshold_hex
+    from .sample import _threshold_hex, split_codes
     from .text_stats import documents_ds
 
     t_test = _threshold_hex(test_frac)
     t_val = _threshold_hex(test_frac + val_frac)
 
     def labels(t: pa.Table) -> np.ndarray:
-        """int8 split codes (0=train, 1=val, 2=test) — the exact
-        dataset_split rule."""
-        ids = pc.cast(t["doc_id"], pa.string())
-        keyed = pc.binary_join_element_wise(
-            pa.array([salt + ":"] * len(t), pa.string()), ids, "")
-        pref = pc.utf8_slice_codeunits(md5_hex(keyed), 0, 4) \
-            .to_numpy(zero_copy_only=False)
-        return np.where(pref < t_test, 2,
-                        np.where(pref < t_val, 1, 0)).astype(np.int8)
+        # int8 split codes (0=train, 1=val, 2=test) — dataset_split's
+        # own rule, one shared definition
+        return split_codes(t, salt, t_test, t_val)
 
     def explode(t: pa.Table) -> pa.Table:
         sp = labels(t)

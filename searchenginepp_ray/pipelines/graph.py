@@ -795,9 +795,10 @@ def part_components(sf_dir: str) -> ray.data.Dataset:
     :func:`connected_components`'s label propagation + pointer jumping
     (per round two hash exchanges, node-sized state in the object store,
     ONE changed-count scalar to the driver). The oracle unrolls plain
-    min-merge propagation, which reaches this graph's fixpoint in 2
-    rounds (measured; 6 unrolled for margin — pointer jumping only
-    accelerates, never changes, the fixpoint)."""
+    min-merge propagation, whose required rounds grow with the graph's
+    min-propagation diameter (measured: 2 at sf0.01, 3 at sf0.1; 12
+    unrolled for margin — pointer jumping only accelerates, never
+    changes, the fixpoint the unroll converges to)."""
     comps = connected_components(copurchase_edges(sf_dir), "a", "b")
     return comps.map_batches(
         lambda t: pa.table({"part_key": t["node"],

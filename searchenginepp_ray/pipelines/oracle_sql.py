@@ -877,11 +877,13 @@ def stratified_sample_sql(fracs: dict | None = None,
     """
 
 
-def part_components_sql(rounds: int = 6) -> str:
+def part_components_sql(rounds: int = 12) -> str:
     """Oracle for graph.part_components: plain min-label propagation
-    unrolled ``rounds`` times over the distinct co-purchase pair graph
-    (fixpoint measured at 2 rounds on this graph; the engine's pointer
-    jumping accelerates but cannot change the fixpoint)."""
+    unrolled ``rounds`` times over the distinct co-purchase pair graph.
+    The required rounds grow with the graph's min-propagation diameter
+    (measured: 2 at sf0.01, 3 at sf0.1), so the unroll carries a wide
+    margin; the engine's pointer jumping accelerates but cannot change
+    the fixpoint the unroll converges to."""
     its = []
     for i in range(1, int(rounds) + 1):
         its.append(f"""d{i} AS (
@@ -894,13 +896,16 @@ def part_components_sql(rounds: int = 6) -> str:
 )""")
     chain = ",\n".join(its)
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
     SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
     FROM lineitem l1
     JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
     WHERE l1.l_partkey < l2.l_partkey
 ),
-edges AS (
+edges AS MATERIALIZED (
+    -- materialized: each unrolled round re-references edges; without
+    -- this DuckDB re-expands the parquet scan per round and a deep
+    -- unroll exhausts file descriptors
     SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
 ),
 d0 AS (
@@ -2614,8 +2619,11 @@ gr AS (SELECT DISTINCT doc_id, split,
 tr AS (SELECT DISTINCT g FROM gr WHERE split = 'train'),
 leaked AS (SELECT DISTINCT doc_id, split FROM gr
            WHERE split <> 'train' AND g IN (SELECT g FROM tr)),
-counts AS (SELECT split, COUNT(*) AS n FROM tagged
-           WHERE split <> 'train' GROUP BY split)
+counts AS (
+  SELECT s.split, COUNT(t.doc_id) AS n
+  FROM (VALUES ('test'), ('val')) s(split)
+  LEFT JOIN tagged t ON t.split = s.split
+  GROUP BY s.split)
 SELECT c.split, CAST(c.n AS BIGINT) AS n_docs,
        CAST(COALESCE(l.n, 0) AS BIGINT) AS n_leaked
 FROM counts c

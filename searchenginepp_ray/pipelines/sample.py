@@ -179,24 +179,39 @@ def dataset_split(sf_dir: str, val_frac: float = 0.1,
     sampled by :func:`deterministic_sample` is not biased toward any
     split. Single streaming pass, no shuffle, no RNG. Returns
     (doc_id, split)."""
-    from .duck import md5_hex
     from .text_stats import documents_ds
 
     t_test = _threshold_hex(test_frac)
     t_val = _threshold_hex(test_frac + val_frac)
 
     def tag(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t["doc_id"], pa.string())
-        keyed = pc.binary_join_element_wise(
-            pa.array([salt + ":"] * len(t), pa.string()), ids, "")
-        pref = pc.utf8_slice_codeunits(md5_hex(keyed), 0, 4)
-        p = pref.to_numpy(zero_copy_only=False)
-        split = np.where(p < t_test, "test",
-                         np.where(p < t_val, "val", "train"))
+        split = SPLIT_NAMES[split_codes(t, salt, t_test, t_val)]
         return pa.table({"doc_id": t["doc_id"], "split": pa.array(split)})
 
     return documents_ds(sf_dir, columns=("doc_id",)).map_batches(
         tag, batch_format="pyarrow")
+
+
+#: codes from :func:`split_codes` index into this (0=train, 1=val, 2=test)
+SPLIT_NAMES = np.array(["train", "val", "test"])
+
+
+def split_codes(t: pa.Table, salt: str, t_test: str,
+                t_val: str) -> np.ndarray:
+    """THE split-assignment rule (int8 codes 0=train/1=val/2=test):
+    md5 of ``salt:doc_id``, 4-hex-digit prefix against the two
+    thresholds. The single definition shared by :func:`dataset_split`
+    (the export) and ``filters.split_leakage`` (the audit) so the audit
+    always sees the same splits the export ships; the SQL oracles
+    express the identical rule as a CASE."""
+    from .duck import md5_hex
+
+    ids = pc.cast(t["doc_id"], pa.string())
+    keyed = pc.binary_join_element_wise(
+        pa.array([salt + ":"] * len(t), pa.string()), ids, "")
+    p = pc.utf8_slice_codeunits(md5_hex(keyed), 0, 4) \
+        .to_numpy(zero_copy_only=False)
+    return np.where(p < t_test, 2, np.where(p < t_val, 1, 0)).astype(np.int8)
 
 
 def quality_select(sf_dir: str, q_num: int = 1, q_den: int = 2):

@@ -338,9 +338,7 @@ def test_order_count_distribution_matches_pandas(ray_session, sf_dir):
     from searchenginepp_ray.pipelines.relational import (
         order_count_distribution)
 
-    got = order_count_distribution(sf_dir).to_pandas() \
-        if hasattr(order_count_distribution(sf_dir), "to_pandas") \
-        else order_count_distribution(sf_dir)
+    got = order_count_distribution(sf_dir)
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
     orders = pd.read_parquet(
