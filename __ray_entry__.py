@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": lambda sf: text_stats.bpe_token_count(sf),
         # --- the engine itself, end-to-end (SURVEY §2.9) ---
         "search_bm25_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="bm25"),
+        # faceted retrieval: exact top-k among docs matching a metadata
+        # predicate (mask built per segment inside the actors; filter
+        # applied before top-k, collection stats stay global)
+        "search_bm25_filtered_topk":
+            lambda sf: search_docs.search_topk_filtered(sf),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
@@ -436,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": osql.token_count_sql(),
         "bpe_token_count": osql.bpe_token_count_sql(),
         "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
+        "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),

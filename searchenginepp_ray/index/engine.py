@@ -44,8 +44,21 @@ class SegmentGroupWorker:
             s.query_batch(toks_batch, k, mode, scorer_name)
             for s in self.searchers
         ]
+        return self._merge(per_seg, len(toks_batch), k)
+
+    def query_batch_filtered(self, toks_batch, k, scorer_name, src_path,
+                             column, value, fp):
+        per_seg = [
+            s.query_batch_filtered(toks_batch, k, scorer_name, src_path,
+                                   column, value, fp)
+            for s in self.searchers
+        ]
+        return self._merge(per_seg, len(toks_batch), k)
+
+    @staticmethod
+    def _merge(per_seg, n_queries, k):
         out = []
-        for qi in range(len(toks_batch)):
+        for qi in range(n_queries):
             merged = [r for res in per_seg for r in res[qi]]
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
@@ -166,6 +179,36 @@ class QueryEngine:
             )
         else:
             per_worker = [w.query_batch(toks, k, mode, scorer_name) for w in self.workers]
+        out = []
+        for qi in range(len(toks)):
+            merged = [r for w in per_worker for r in w[qi]]
+            merged.sort(key=lambda r: (-r[2], r[0]))
+            out.append(merged[:k])
+        return out
+
+    def search_batch_filtered(self, queries, k: int, column: str, value,
+                              src_path: str, scorer_name: str | None = None):
+        """Metadata-filtered retrieval: exact BM25/TF-IDF top-k among
+        the docs whose ``column == value`` in the source corpus parquet
+        (faceted search). The predicate — not a doc list — ships to the
+        workers; every segment actor builds and caches its own candidate
+        mask from a pruned two-column read of its docno range
+        (:meth:`SegmentSearcher.predicate_mask`), so the filter side
+        never funnels through the driver at any corpus size. Scoring
+        statistics (idf, avgdl) remain the FULL index's — the filter
+        restricts candidates, not the collection model."""
+        toks = [
+            self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
+            for q in queries
+        ]
+        fp = f"{os.path.abspath(src_path)}::{column}={value!r}"
+        args = (toks, k, scorer_name, src_path, column, value, fp)
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.query_batch_filtered.remote(*args) for w in self.workers]
+            )
+        else:
+            per_worker = [w.query_batch_filtered(*args) for w in self.workers]
         out = []
         for qi in range(len(toks)):
             merged = [r for w in per_worker for r in w[qi]]

@@ -228,6 +228,9 @@ class SegmentSearcher:
         self._cnt_scratch: np.ndarray | None = None
         self._part_scratch: np.ndarray | None = None
         self._mask_scratch: np.ndarray | None = None
+        # per-predicate candidate masks for filtered search (keyed by the
+        # caller-supplied filter fingerprint; one bool per segment doc)
+        self._pred_masks: OrderedDict[str, np.ndarray] = OrderedDict()
         #: below this segment size mode="bmm" dispatches to the plain
         #: accumulator (identical results, cheaper plan); tests pin it to
         #: 0 to force the Maxscore path on tiny fixtures
@@ -375,7 +378,13 @@ class SegmentSearcher:
 
     # ---------- DAAT (Q2/Q3) ----------
 
-    def query_daat(self, qterms: list[str], k: int, conj: bool = False, scorer=None):
+    def query_daat(self, qterms: list[str], k: int, conj: bool = False,
+                   scorer=None, mask: np.ndarray | None = None):
+        """``mask`` (optional segment-length bool array) restricts the
+        candidate set BEFORE top-k selection — exact filtered retrieval,
+        not post-filtering: a masked-out doc can never displace an
+        allowed one. Scores of surviving docs are bit-identical to the
+        unfiltered run (the mask only removes candidates)."""
         scorer = scorer or self.default_scorer
         idxs = self._resolve_terms(qterms, conj)
         if not idxs:
@@ -391,9 +400,50 @@ class SegmentSearcher:
         cand = np.unique(np.concatenate(touched))
         if conj:
             cand = cand[cnt[cand] == len(idxs)]
-            if len(cand) == 0:
-                return []
+        if mask is not None and len(cand):
+            cand = cand[mask[cand]]
+        if len(cand) == 0:
+            return []
         return self._topk(cand, acc[cand], k)
+
+    def predicate_mask(self, src_path: str, column: str, value,
+                       fp: str, id_col: str = "doc_id") -> np.ndarray:
+        """Segment-length bool mask of docs whose ``column == value`` in
+        the source corpus parquet — built INSIDE the actor with a pruned
+        predicate read restricted to this segment's docno range (docnos
+        must be the stringified ``id_col``, the documents-corpus layout),
+        so the filter side never materializes globally or crosses the
+        driver: at any corpus size each segment reads only its own slice
+        of two columns. Cached per filter fingerprint ``fp``."""
+        m = self._pred_masks.get(fp)
+        if m is not None:
+            return m
+        ids_int = pc.cast(self.docnos, pa.int64())
+        lo = pc.min(ids_int).as_py()
+        hi = pc.max(ids_int).as_py()
+        flt = ((pads.field(column) == value)
+               & (pads.field(id_col) >= lo) & (pads.field(id_col) <= hi))
+        t = pads.dataset(src_path).to_table(columns=[id_col], filter=flt)
+        allowed = pc.cast(t[id_col], pa.string())
+        m = pc.is_in(self.docnos, value_set=allowed) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        self._pred_masks[fp] = m
+        if len(self._pred_masks) > 64:
+            self._pred_masks.popitem(last=False)
+        return m
+
+    def query_batch_filtered(self, queries: list[list[str]], k: int,
+                             scorer_name: str | None, src_path: str,
+                             column: str, value, fp: str):
+        """Filtered batch entry point: exact top-k among docs matching
+        the predicate, on the DAAT path (the dense accumulator applies a
+        mask for free; Maxscore's upper-bound pruning under a mask is a
+        possible-but-unshipped refinement — bounds stay valid, pruning
+        just gets less selective)."""
+        scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
+        mask = self.predicate_mask(src_path, column, value, fp)
+        return [self.query_daat(q, k, conj=False, scorer=scorer, mask=mask)
+                for q in queries]
 
     def query_boolean(self, qterms: list[str], k: int, scorer=None):
         """Boolean retrieval with negation: a term prefixed ``-`` is a

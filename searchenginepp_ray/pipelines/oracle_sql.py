@@ -2646,3 +2646,39 @@ def epoch_shuffle_sql(epoch: int = 1, shard_size: int = 100,
             ORDER BY md5('{salt}{int(epoch)}:' || CAST(doc_id AS VARCHAR)),
                      doc_id) - 1) // {int(shard_size)} AS BIGINT) AS shard
 FROM documents"""
+
+
+def search_topk_filtered_sql(lang: str = "es", k: int = 10) -> str:
+    """Oracle for search_docs.search_topk_filtered: the full BM25 stack
+    of :func:`search_topk_sql` with candidates restricted to docs of
+    ``lang`` BEFORE ranking — collection statistics (n_docs, avgdl, df)
+    stay corpus-global, exactly what serving a full index through a
+    candidate mask computes."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""

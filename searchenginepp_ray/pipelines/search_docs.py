@@ -608,3 +608,25 @@ def search_bm25_rm3(sf_dir: str, k_fb: int = 5, m_exp: int = 3,
         expanded.append(q + " " + " ".join(exp) if exp else q)
 
     return _to_frame(eng.search_batch(expanded, k=k, mode=mode))
+
+
+#: facet used by the filtered-search gate query (second-most-common lang
+#: at every sf, so the filter is selective but never empty)
+FILTER_LANG = "es"
+
+
+def search_topk_filtered(sf_dir: str, lang: str = FILTER_LANG,
+                         k: int = 10) -> pd.DataFrame:
+    """Faceted retrieval: exact BM25 top-``k`` among documents whose
+    ``lang`` equals ``lang`` — filter applied BEFORE top-k selection
+    (a filtered-out doc can never displace an allowed one), scoring
+    statistics (idf, avgdl) from the FULL index. The predicate ships to
+    the segment actors; each builds its own candidate mask from a
+    pruned two-column read of its docno range
+    (``SegmentSearcher.predicate_mask``) — no driver-side doc list at
+    any corpus size."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    res = eng.search_batch_filtered(
+        DOC_QUERIES, k=k, column="lang", value=lang,
+        src_path=f"{sf_dir}/documents.parquet")
+    return _to_frame(res)

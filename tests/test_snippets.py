@@ -194,3 +194,37 @@ def test_rm3_expansion_changes_and_is_deterministic(ray_session, sf_dir):
         lambda r: r.tolist() == list(range(1, len(r) + 1)))).all()
     again = search_bm25_rm3(sf_dir)
     pd.testing.assert_frame_equal(rm3, again)
+
+
+def test_search_filtered_equals_postfiltered_full_ranking(ray_session,
+                                                          sf_dir):
+    """Filtered top-k == the lang-filtered prefix of the COMPLETE
+    unfiltered ranking (k = corpus size), on both profiles' engines —
+    i.e. the mask is applied before selection with unchanged scores —
+    and an unmatched facet value returns no rows."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.search_docs import (
+        DOC_QUERIES, _to_frame, get_engine, search_topk_filtered)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    allowed = set(docs.loc[docs["lang"] == "es", "doc_id"])
+    k = 10
+    got = search_topk_filtered(sf_dir, lang="es", k=k)
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    full = _to_frame(eng.search_batch(DOC_QUERIES, k=len(docs),
+                                      mode="daat"))
+    want = (full[full["doc_id"].isin(allowed)]
+            .groupby("query_id", group_keys=False).head(k))
+    want = want.assign(
+        rank=want.groupby("query_id").cumcount() + 1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns], check_dtype=False)
+    assert len(got) > 0
+
+    none = eng.search_batch_filtered(
+        DOC_QUERIES, k=k, column="lang", value="no_such_lang",
+        src_path=f"{sf_dir}/documents.parquet")
+    assert all(len(r) == 0 for r in none)
