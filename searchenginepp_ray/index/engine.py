@@ -47,10 +47,10 @@ class SegmentGroupWorker:
         return self._merge(per_seg, len(toks_batch), k)
 
     def query_batch_filtered(self, toks_batch, k, scorer_name, src_path,
-                             column, value, fp):
+                             column, value, fp, mode="bmm"):
         per_seg = [
             s.query_batch_filtered(toks_batch, k, scorer_name, src_path,
-                                   column, value, fp)
+                                   column, value, fp, mode)
             for s in self.searchers
         ]
         return self._merge(per_seg, len(toks_batch), k)
@@ -187,7 +187,8 @@ class QueryEngine:
         return out
 
     def search_batch_filtered(self, queries, k: int, column: str, value,
-                              src_path: str, scorer_name: str | None = None):
+                              src_path: str, scorer_name: str | None = None,
+                              mode: str = "bmm"):
         """Metadata-filtered retrieval: exact BM25/TF-IDF top-k among
         the docs whose ``column == value`` in the source corpus parquet
         (faceted search). The predicate — not a doc list — ships to the
@@ -202,7 +203,7 @@ class QueryEngine:
             for q in queries
         ]
         fp = f"{os.path.abspath(src_path)}::{column}={value!r}"
-        args = (toks, k, scorer_name, src_path, column, value, fp)
+        args = (toks, k, scorer_name, src_path, column, value, fp, mode)
         if self.use_actors:
             per_worker = ray.get(
                 [w.query_batch_filtered.remote(*args) for w in self.workers]

@@ -434,14 +434,21 @@ class SegmentSearcher:
 
     def query_batch_filtered(self, queries: list[list[str]], k: int,
                              scorer_name: str | None, src_path: str,
-                             column: str, value, fp: str):
+                             column: str, value, fp: str,
+                             mode: str = "bmm"):
         """Filtered batch entry point: exact top-k among docs matching
-        the predicate, on the DAAT path (the dense accumulator applies a
-        mask for free; Maxscore's upper-bound pruning under a mask is a
-        possible-but-unshipped refinement — bounds stay valid, pruning
-        just gets less selective)."""
+        the predicate. ``mode="bmm"`` uses the same cost-based dispatch
+        as unfiltered serving (masked Maxscore on big segments — the
+        mask makes pruning MORE selective since masked docs never enter
+        θ or get scored; straight masked DAAT on tiny ones);
+        ``mode="daat"`` forces the accumulator path. Both return
+        identical results (pytest-pinned)."""
         scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
         mask = self.predicate_mask(src_path, column, value, fp)
+        use_ms = mode == "bmm" and self.n_docs_seg >= self.maxscore_min_docs
+        if use_ms:
+            return [self.query_maxscore(q, k, scorer=scorer, mask=mask)
+                    for q in queries]
         return [self.query_daat(q, k, conj=False, scorer=scorer, mask=mask)
                 for q in queries]
 
@@ -607,8 +614,16 @@ class SegmentSearcher:
 
     # ---------- vectorized Maxscore (fast path for Q4's semantics) ----------
 
-    def query_maxscore(self, qterms: list[str], k: int, scorer=None):
+    def query_maxscore(self, qterms: list[str], k: int, scorer=None,
+                       mask: np.ndarray | None = None):
         """Maxscore with sigma-ordered safe pruning, vectorized.
+
+        ``mask`` (optional segment-length bool array) restricts
+        candidates before they are scored or enter θ — filtered
+        retrieval with the pruning intact: the sigma upper bounds stay
+        valid for the allowed subset (a bound over all docs bounds any
+        subset), θ only ever reflects allowed docs, and masked docs cost
+        nothing (never scored). Results are exactly the masked DAAT's.
 
         Same *semantics* as the reference's Block-Max Maxscore (a safe
         pruning of the disjunctive top-k — reference src/index/Index.cpp:15-133):
@@ -659,6 +674,8 @@ class SegmentSearcher:
                 cand = cand[
                     seen[np.searchsorted(seen, cand).clip(0, len(seen) - 1)] != cand
                 ] if len(seen) else cand
+            if mask is not None and len(cand):
+                cand = cand[mask[cand]]
             if len(cand) == 0:
                 continue
             cand_glob = (cand + self.base_docid).astype(np.uint64)

@@ -228,3 +228,29 @@ def test_search_filtered_equals_postfiltered_full_ranking(ray_session,
         DOC_QUERIES, k=k, column="lang", value="no_such_lang",
         src_path=f"{sf_dir}/documents.parquet")
     assert all(len(r) == 0 for r in none)
+
+
+def test_masked_maxscore_equals_masked_daat(ray_session, sf_dir):
+    """Force the maxscore dispatch (maxscore_min_docs=0) on an
+    in-process engine: masked Maxscore returns exactly masked DAAT's
+    results for every query and facet value — the pruning under a mask
+    is safe."""
+    from searchenginepp_ray.index.engine import QueryEngine
+    from searchenginepp_ray.pipelines.search_docs import (
+        DOC_QUERIES, _cfg, _index_dir, get_engine)
+
+    get_engine(sf_dir, simple=True)  # ensure the index exists
+    cfg = _cfg(simple=True)
+    eng = QueryEngine(_index_dir(sf_dir, cfg), scorer="bm25",
+                      use_actors=False, cfg=cfg)
+    for w in eng.workers:
+        for s in w.searchers:
+            s.maxscore_min_docs = 0  # tiny segments: force the MS path
+    src = f"{sf_dir}/documents.parquet"
+    for lang in ("es", "en"):
+        ms = eng.search_batch_filtered(DOC_QUERIES, k=10, column="lang",
+                                       value=lang, src_path=src, mode="bmm")
+        da = eng.search_batch_filtered(DOC_QUERIES, k=10, column="lang",
+                                       value=lang, src_path=src, mode="daat")
+        assert ms == da
+        assert any(len(r) for r in ms)
