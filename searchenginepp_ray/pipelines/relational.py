@@ -293,10 +293,14 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    from .text_stats import _read_blocks
+
     cust = table_ds(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    opath = f"{sf_dir}/orders.parquet"
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        opath, columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == priority,
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
     return shuffle_semi_join(
         cust, orders, "c_custkey", "o_custkey",
@@ -1314,10 +1318,14 @@ def order_count_distribution(sf_dir: str,
 
     from .agg import hash_groupby_apply, hash_groupby_sum
 
+    from .text_stats import _read_blocks
+
     cust = table_ds(sf_dir, "customer", ["c_custkey"])
+    opath = f"{sf_dir}/orders.parquet"
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        opath, columns=["o_custkey"],
         filter=pads.field("o_orderpriority") != excl_priority,
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
 
     def cust_rows(t: pa.Table) -> pa.Table:
@@ -1399,9 +1407,11 @@ def suppliers_kept_waiting(sf_dir: str, region: str = "EUROPE",
         lpath, columns=["l_orderkey", "l_suppkey", "l_shipdate"],
         override_num_blocks=_read_blocks(lpath, target_rows=20_000),
     )
+    opath = f"{sf_dir}/orders.parquet"
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+        opath, columns=["o_orderkey", "o_orderdate"],
         filter=pads.field("o_orderstatus") == "F",
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
 
     def li_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -1449,7 +1459,10 @@ def suppliers_kept_waiting(sf_dir: str, region: str = "EUROPE",
         return pd.DataFrame({"suppkey": h.index.to_numpy(np.int64),
                              "numwait_part": h.to_numpy(np.int64)})
 
-    waits = hash_groupby_apply(hop1, ["_k"], waiting_partials)
+    # hop barrier (the Q5 lesson): the output is supplier-count partials
+    # — tiny — and materializing it keeps the two exchanges out of one
+    # streaming DAG, which the executor schedules far better
+    waits = hash_groupby_apply(hop1, ["_k"], waiting_partials).materialize()
 
     supp = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
@@ -1525,9 +1538,14 @@ def idle_customer_balance(sf_dir: str,
     filt = (pads.field("c_nationkey").isin(nkeys)
             & (pads.field("c_acctbal") > 0.0))
 
+    from .text_stats import _read_blocks
+
+    cpath = f"{sf_dir}/customer.parquet"
+
     def pool(cols):
         return ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=cols, filter=filt)
+            cpath, columns=cols, filter=filt,
+            override_num_blocks=_read_blocks(cpath, target_rows=20_000))
 
     def stat_partial(t: pa.Table) -> pa.Table:
         bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
@@ -1554,9 +1572,11 @@ def idle_customer_balance(sf_dir: str,
 
     rich_ds = pool(["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
         rich, batch_format="pyarrow")
+    opath = f"{sf_dir}/orders.parquet"
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        opath, columns=["o_custkey"],
         filter=pads.field("o_orderdate") >= pd.Timestamp(since),
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
     idle = shuffle_semi_join(rich_ds, orders, "c_custkey", "o_custkey",
                              ["c_nationkey", "bal_c"], anti=True)
