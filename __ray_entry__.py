@@ -44,6 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # applied before top-k, collection stats stay global)
         "search_bm25_filtered_topk":
             lambda sf: search_docs.search_topk_filtered(sf),
+        # deletes without a rebuild: tombstoned docs excluded exactly
+        # from every query path, collection stats unchanged until
+        # compaction (the tombstone contract)
+        "search_bm25_tombstoned_topk":
+            lambda sf: search_docs.search_topk_tombstoned(sf),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
@@ -442,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": osql.bpe_token_count_sql(),
         "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
+        "search_bm25_tombstoned_topk": osql.search_topk_tombstoned_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),

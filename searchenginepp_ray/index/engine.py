@@ -132,6 +132,13 @@ class QueryEngine:
             k1=k1_eff,
             b=b_eff,
         )
+        # tombstoned docs (index/tombstone.py): delete-sized list, read
+        # once here; each searcher turns it into its own segment mask
+        from .tombstone import load_tombstones
+
+        tombs = load_tombstones(index_dir)
+        if tombs:
+            args["tombstones"] = tombs
         self.use_actors = use_actors
         if num_workers is None:
             if use_actors:

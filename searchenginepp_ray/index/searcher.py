@@ -140,6 +140,7 @@ class SegmentSearcher:
         b: float = 0.68,
         cache_terms: int = 8192,
         prewarm_df: int | None = 5000,
+        tombstones: list[str] | None = None,
     ):
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -231,6 +232,22 @@ class SegmentSearcher:
         # per-predicate candidate masks for filtered search (keyed by the
         # caller-supplied filter fingerprint; one bool per segment doc)
         self._pred_masks: OrderedDict[str, np.ndarray] = OrderedDict()
+        # tombstone alive-mask: docs deleted from the index without a
+        # rebuild (index/tombstone.py). None when nothing in this segment
+        # is deleted; when set, EVERY query path must honor it (the
+        # query/query_batch dispatchers route to the mask-aware paths).
+        # Collection stats (idf, avgdl, sigmas) intentionally keep the
+        # deleted docs until a merge reclaims them — the standard
+        # tombstone contract (a delete must be cheap; stats converge at
+        # compaction).
+        self._alive_mask: np.ndarray | None = None
+        if tombstones:
+            dead = pc.is_in(
+                self.docnos,
+                value_set=pa.array(list(tombstones), pa.string()),
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            if dead.any():
+                self._alive_mask = ~dead
         #: below this segment size mode="bmm" dispatches to the plain
         #: accumulator (identical results, cheaper plan); tests pin it to
         #: 0 to force the Maxscore path on tiny fixtures
@@ -445,6 +462,8 @@ class SegmentSearcher:
         identical results (pytest-pinned)."""
         scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
         mask = self.predicate_mask(src_path, column, value, fp)
+        if self._alive_mask is not None:
+            mask = mask & self._alive_mask
         use_ms = mode == "bmm" and self.n_docs_seg >= self.maxscore_min_docs
         if use_ms:
             return [self.query_maxscore(q, k, scorer=scorer, mask=mask)
@@ -452,7 +471,8 @@ class SegmentSearcher:
         return [self.query_daat(q, k, conj=False, scorer=scorer, mask=mask)
                 for q in queries]
 
-    def query_boolean(self, qterms: list[str], k: int, scorer=None):
+    def query_boolean(self, qterms: list[str], k: int, scorer=None,
+                      mask: np.ndarray | None = None):
         """Boolean retrieval with negation: a term prefixed ``-`` is a
         MUST-NOT. Positive terms are conjunctive (MUST — the reference's
         ``daat_conj``); surviving candidates are anti-joined against each
@@ -485,6 +505,8 @@ class SegmentSearcher:
             touched.append(local)
         cand = np.unique(np.concatenate(touched))
         cand = cand[cnt[cand] == len(idxs)]
+        if mask is not None and len(cand):
+            cand = cand[mask[cand]]
         for t in neg:
             if len(cand) == 0:
                 return []
@@ -777,12 +799,15 @@ class SegmentSearcher:
 
     def query(self, qterms: list[str], k: int, mode: str = "daat", scorer_name: str | None = None):
         scorer = make_scorer(scorer_name) if scorer_name else None
+        alive = self._alive_mask
         if mode == "daat":
-            return self.query_daat(qterms, k, conj=False, scorer=scorer)
+            return self.query_daat(qterms, k, conj=False, scorer=scorer,
+                                   mask=alive)
         if mode == "daat_conj":
-            return self.query_daat(qterms, k, conj=True, scorer=scorer)
+            return self.query_daat(qterms, k, conj=True, scorer=scorer,
+                                   mask=alive)
         if mode == "boolean":
-            return self.query_boolean(qterms, k, scorer=scorer)
+            return self.query_boolean(qterms, k, scorer=scorer, mask=alive)
         if mode == "bmm":
             # cost-based dispatch: Maxscore's pruning cannot pay on tiny
             # segments (every list is a block or two), while its per-rank
@@ -790,9 +815,17 @@ class SegmentSearcher:
             # the two are bit-identical by construction (tested across k
             # and scorers), so picking the cheaper plan is free
             if self.n_docs_seg < self.maxscore_min_docs:
-                return self.query_daat(qterms, k, conj=False, scorer=scorer)
-            return self.query_maxscore(qterms, k, scorer=scorer)
+                return self.query_daat(qterms, k, conj=False, scorer=scorer,
+                                       mask=alive)
+            return self.query_maxscore(qterms, k, scorer=scorer, mask=alive)
         if mode == "bmm_ref":
+            if alive is not None:
+                # the ref-faithful cursor loop predates masks; deletes are
+                # beyond-reference, so serve them through the equivalent
+                # masked Maxscore (same results up to the reference's own
+                # quantization deviations)
+                return self.query_maxscore(qterms, k, scorer=scorer,
+                                           mask=alive)
             return self.query_bmm(qterms, k, scorer=scorer)
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -814,6 +847,11 @@ class SegmentSearcher:
         less. The reference serves queries strictly one-at-a-time
         (src/engine.cpp:99-117); this batch shape is what its API cannot
         amortize."""
+        if self._alive_mask is not None:
+            # tombstoned segment: the dense batch path has no mask hook;
+            # route through the per-query dispatch, which applies the
+            # alive mask on every mode
+            return [self.query(q, k, mode, scorer_name) for q in queries]
         if mode in ("daat", "bmm") and len(queries) >= 4:
             scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
             resolved = [self._resolve_terms(q, conj=False) for q in queries]

@@ -630,3 +630,62 @@ def search_topk_filtered(sf_dir: str, lang: str = FILTER_LANG,
         DOC_QUERIES, k=k, column="lang", value=lang,
         src_path=f"{sf_dir}/documents.parquet")
     return _to_frame(res)
+
+
+#: deterministic delete set for the tombstone gate query: doc_id % TOMB_MOD
+TOMB_MOD = 13
+
+
+def get_tombstoned_engine(sf_dir: str, mod: int = TOMB_MOD) -> QueryEngine:
+    """Engine over a tombstoned COPY of the documents index: the cached
+    base index is copied once (lineage-keyed marker), every
+    ``doc_id % mod == 0`` doc is deleted via
+    :func:`..index.tombstone.delete_docs`, and the engine is constructed
+    over the copy — deletes visible immediately, no rebuild, collection
+    stats unchanged until compaction (the tombstone contract)."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.tombstone import delete_docs
+
+    cfg = _cfg(simple=True)
+    base = _index_dir(sf_dir, cfg)
+    build_index(f"{sf_dir}/documents.parquet", base, cfg, DOCUMENTS_CORPUS)
+    with open(os.path.join(base, "global", "metadata.json")) as f:
+        meta = json.load(f)
+    lineage = str(meta.get("lineage_key", meta["n_docs"]))
+    key = (os.path.abspath(sf_dir), cfg.params_id, "tomb", mod, lineage)
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng
+    out = os.path.join(
+        "/tmp", "seppray_index_cache",
+        "tomb_" + hashlib.sha256(repr(key).encode()).hexdigest()[:12])
+    marker = os.path.join(out, "_tombstoned.json")
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = json.load(f).get("lineage") == lineage
+    if not ok:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base, out)
+        n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        delete_docs(out, (str(d) for d in range(0, n, mod)))
+        with open(marker, "w") as f:
+            json.dump({"lineage": lineage}, f)
+    eng = QueryEngine(out, scorer="bm25", use_actors=True,
+                      num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
+    _ENGINES[key] = eng
+    return eng
+
+
+def search_topk_tombstoned(sf_dir: str, k: int = 10,
+                           mode: str = "bmm") -> pd.DataFrame:
+    """BM25 top-``k`` over the tombstoned index: deleted docs are
+    excluded exactly (they never enter θ or displace a survivor) while
+    idf/avgdl remain the full collection's — byte-for-byte what serving
+    after a cheap delete must return."""
+    eng = get_tombstoned_engine(sf_dir)
+    return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))

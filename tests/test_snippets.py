@@ -254,3 +254,61 @@ def test_masked_maxscore_equals_masked_daat(ray_session, sf_dir):
                                        value=lang, src_path=src, mode="daat")
         assert ms == da
         assert any(len(r) for r in ms)
+
+
+def test_tombstoned_search_excludes_deleted_exactly(ray_session, sf_dir):
+    """Tombstoned serving == the alive-filtered prefix of the COMPLETE
+    ranking of the same index, across daat/bmm/conj modes; deleted docs
+    never appear; a second delete_docs call merges incrementally."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.search_docs import (
+        DOC_QUERIES, TOMB_MOD, _to_frame, get_engine,
+        get_tombstoned_engine, search_topk_tombstoned)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = len(docs)
+    dead = {d for d in range(0, n, TOMB_MOD)}
+    k = 10
+
+    full_eng = get_engine(sf_dir, simple=True)
+    for mode in ("daat", "bmm"):
+        got = search_topk_tombstoned(sf_dir, k=k, mode=mode)
+        full = _to_frame(full_eng.search_batch(DOC_QUERIES, k=n, mode=mode))
+        want = (full[~full["doc_id"].isin(dead)]
+                .groupby("query_id", group_keys=False).head(k))
+        want = want.assign(
+            rank=want.groupby("query_id").cumcount() + 1
+        ).reset_index(drop=True)
+        assert not got["doc_id"].isin(dead).any()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns],
+            check_dtype=False)
+
+    # conjunctive mode through the tombstoned engine: no deleted docs
+    teng = get_tombstoned_engine(sf_dir)
+    conj = _to_frame(teng.search_batch(DOC_QUERIES, k=k, mode="daat_conj"))
+    assert not conj["doc_id"].isin(dead).any()
+
+
+def test_delete_docs_incremental_idempotent(ray_session, tmp_path):
+    """delete_docs merges with prior tombstones, is idempotent, and
+    records the count in the global metadata."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.index.tombstone import (
+        delete_docs, load_tombstones)
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(os.path.join(idx, "global"))
+    with open(os.path.join(idx, "global", "metadata.json"), "w") as f:
+        json.dump({"n_docs": 10}, f)
+    assert delete_docs(idx, ["3", "1"]) == 2
+    assert delete_docs(idx, ["1", "7"]) == 3      # merge, dedup
+    assert load_tombstones(idx) == ["1", "3", "7"]
+    with open(os.path.join(idx, "global", "metadata.json")) as f:
+        assert json.load(f)["n_tombstones"] == 3
