@@ -1177,6 +1177,20 @@ def merge_segments(
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     if not os.path.isdir(out_global):
         shutil.copytree(os.path.join(index_dir, "global"), out_global)
+    else:
+        # tombstones grow AFTER a merge is materialized (delete_docs on
+        # the source changes no lineage key), so the delete-sized file is
+        # re-synced unconditionally — the source index is authoritative;
+        # without this a post-merge delete would resurrect in the merged
+        # copy
+        from .tombstone import TOMBSTONE_FILE
+
+        src_tomb = os.path.join(index_dir, "global", TOMBSTONE_FILE)
+        dst_tomb = os.path.join(out_global, TOMBSTONE_FILE)
+        if os.path.exists(src_tomb):
+            shutil.copy2(src_tomb, dst_tomb)
+        elif os.path.exists(dst_tomb):
+            os.remove(dst_tomb)
 
     src_segs = sorted(
         int(d.split("=")[1]) for d in os.listdir(docs_dir) if d.startswith("seg=")

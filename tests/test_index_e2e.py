@@ -857,3 +857,41 @@ def test_csv_source_builds_identical_index(ray_session, tmp_path):
         return items
 
     assert tree_hash(out_csv) == tree_hash(out_pq)
+
+
+def test_merge_resyncs_tombstones(built, tmp_path_factory):
+    """Deletes made AFTER a merge was materialized propagate on the next
+    merge_segments run (the tombstone file is re-synced even when the
+    lineage key is unchanged), and the merged engine's view equals the
+    source engine's tombstoned view."""
+    import shutil
+
+    from searchenginepp_ray.index.build import merge_segments
+    from searchenginepp_ray.index.tombstone import delete_docs
+
+    summary, _, _ = built
+    tmp = tmp_path_factory.mktemp("tomb_merge")
+    src = str(tmp / "src_idx")
+    shutil.copytree(summary["out_dir"], src)  # keep the fixture pristine
+    merged_dir = str(tmp / "merged")
+    cfg = BuildConfig(docs_per_segment=300)
+    merge_segments(src, merged_dir, group_size=2, cfg=cfg)
+
+    m1 = QueryEngine(merged_dir, use_actors=False, cfg=cfg)
+    res = m1.search("hash merge sort", k=3, mode="bmm")
+    assert res
+    dead_docno = res[0][1]
+
+    delete_docs(src, [dead_docno])
+    merge_segments(src, merged_dir, group_size=2, cfg=cfg)  # segments cached
+
+    m2 = QueryEngine(merged_dir, use_actors=False, cfg=cfg)
+    res2 = m2.search("hash merge sort", k=3, mode="bmm")
+    assert dead_docno not in [r[1] for r in res2]
+
+    src_eng = QueryEngine(src, use_actors=False, cfg=cfg)
+    for mode in ("daat", "bmm"):
+        a = src_eng.search("hash merge sort", k=5, mode=mode)
+        b = m2.search("hash merge sort", k=5, mode=mode)
+        assert [(r[1], round(r[2], 9)) for r in a] \
+            == [(r[1], round(r[2], 9)) for r in b], mode
