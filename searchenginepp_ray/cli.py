@@ -164,6 +164,17 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    import json
+
+    _ray_init(args.num_cpus)
+    from .index.fsck import fsck_index
+
+    report = fsck_index(args.index_dir, deep=args.deep)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchenginepp_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -236,6 +247,15 @@ def main(argv=None) -> int:
                    help="doc_id %% N == 0 designates the benchmark subset")
     t.add_argument("--num-cpus", type=int, default=None)
     t.set_defaults(fn=cmd_train_export)
+
+    f = sub.add_parser(
+        "fsck", help="verify index integrity (decode every posting list, "
+        "check manifests, skip fences, doc tables; --deep adds the "
+        "cross-segment df_global check)")
+    f.add_argument("index_dir")
+    f.add_argument("--deep", action="store_true")
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_fsck)
 
     e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
     e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")

@@ -895,3 +895,50 @@ def test_merge_resyncs_tombstones(built, tmp_path_factory):
         b = m2.search("hash merge sort", k=5, mode=mode)
         assert [(r[1], round(r[2], 9)) for r in a] \
             == [(r[1], round(r[2], 9)) for r in b], mode
+
+
+def test_fsck_clean_and_corrupted(built, tmp_path_factory):
+    """fsck passes a freshly built index (shallow + deep) and pinpoints
+    semantic corruption: a tampered df_local, a tampered manifest
+    sum_doclen, and a cross-segment df_global inconsistency."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.index.fsck import fsck_index
+
+    summary, _, _ = built
+    rep = fsck_index(summary["out_dir"], deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["n_docs"] == summary["n_docs"]
+
+    tmp = tmp_path_factory.mktemp("fsck")
+    bad = str(tmp / "bad_idx")
+    shutil.copytree(summary["out_dir"], bad)
+
+    # 1) df_local of one term off by one
+    tp = os.path.join(bad, "db_0", "terms.parquet")
+    t = pq.read_table(tp)
+    dfl = t["df_local"].to_pylist()
+    dfl[0] += 1
+    t = t.set_column(t.schema.get_field_index("df_local"), "df_local",
+                     pa.array(dfl, t["df_local"].type))
+    pq.write_table(t, tp)
+    # 2) manifest sum_doclen tampered in another segment
+    mp = os.path.join(bad, "db_1", "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["sum_doclen"] += 7
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    rep = fsck_index(bad, deep=True)
+    assert not rep["ok"]
+    msgs = "\n".join(rep["errors"])
+    assert "df_local" in msgs
+    assert "sum_doclen" in msgs
+    # the deep check sees the df_global sum broken by the df_local bump
+    assert "df_global" in msgs
