@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compaction (the tombstone contract)
         "search_bm25_tombstoned_topk":
             lambda sf: search_docs.search_topk_tombstoned(sf),
+        # diversified retrieval: exact top-k per (query, lang facet) —
+        # one masked pass per facet over cached per-actor masks
+        "search_bm25_grouped_topk":
+            lambda sf: search_docs.search_topk_grouped(sf),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
@@ -448,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
         "search_bm25_tombstoned_topk": osql.search_topk_tombstoned_sql(),
+        "search_bm25_grouped_topk": osql.search_topk_grouped_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),

@@ -2717,3 +2717,37 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {k}"""
+
+
+def search_topk_grouped_sql(k: int = 3) -> str:
+    """Oracle for search_docs.search_topk_grouped: the full BM25 stack
+    ranked per (query, lang) — row_number PARTITION BY both."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT s.query_id, d.lang, s.doc_id, s.s,
+           row_number() OVER (PARTITION BY s.query_id, d.lang
+                              ORDER BY s.s DESC, s.doc_id ASC) AS rank
+    FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang,
+       CAST(rank AS BIGINT) AS rank, doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, lang, rank"""

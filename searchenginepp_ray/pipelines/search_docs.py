@@ -689,3 +689,32 @@ def search_topk_tombstoned(sf_dir: str, k: int = 10,
     after a cheap delete must return."""
     eng = get_tombstoned_engine(sf_dir)
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
+
+
+def search_topk_grouped(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Diversified / per-facet retrieval: for every query, the exact
+    BM25 top-``k`` WITHIN EACH language — one result table spanning all
+    facet values (the "show me the best hits per language" serving
+    shape). Runs one masked search per facet value through the same
+    segment actors; each actor builds every lang's candidate mask once
+    (pruned read of its own docno range) and caches it across the whole
+    batch and across calls, so the per-facet cost after warmup is one
+    masked Maxscore/DAAT pass — no index rebuild, no per-facet engine.
+    Returns (query_id, lang, rank, doc_id, score)."""
+    import pyarrow.parquet as pq
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    langs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+        ["lang"].unique().to_pylist())
+    src = f"{sf_dir}/documents.parquet"
+    frames = []
+    for lang in langs:
+        res = eng.search_batch_filtered(DOC_QUERIES, k=k, column="lang",
+                                        value=lang, src_path=src)
+        f = _to_frame(res)
+        f.insert(1, "lang", lang)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["query_id", "lang", "rank"]) \
+        .reset_index(drop=True)

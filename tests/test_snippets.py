@@ -312,3 +312,28 @@ def test_delete_docs_incremental_idempotent(ray_session, tmp_path):
     assert load_tombstones(idx) == ["1", "3", "7"]
     with open(os.path.join(idx, "global", "metadata.json")) as f:
         assert json.load(f)["n_tombstones"] == 3
+
+
+def test_grouped_topk_covers_facets_and_matches_filtered(ray_session,
+                                                         sf_dir):
+    """Grouped retrieval == per-facet filtered retrieval stacked, and
+    every (query, lang) group has <= k rows with contiguous ranks."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.search_docs import (
+        search_topk_filtered, search_topk_grouped)
+
+    k = 3
+    got = search_topk_grouped(sf_dir, k=k)
+    langs = sorted(got["lang"].unique())
+    assert len(langs) >= 2
+    for lang in langs:
+        sub = got[got["lang"] == lang].drop(columns=["lang"]) \
+            .reset_index(drop=True)
+        want = search_topk_filtered(sf_dir, lang=lang, k=k) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(sub[want.columns], want,
+                                      check_dtype=False)
+    sizes = got.groupby(["query_id", "lang"])["rank"].agg(["size", "max"])
+    assert (sizes["size"] <= k).all()
+    assert (sizes["size"] == sizes["max"]).all()
