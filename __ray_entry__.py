@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one masked pass per facet over cached per-actor masks
         "search_bm25_grouped_topk":
             lambda sf: search_docs.search_topk_grouped(sf),
+        # supervised model training as a pipeline: logistic regression
+        # by full-batch GD on hashed bag-of-words features (feature
+        # pass touches text once; each iteration = one streaming pass
+        # over the materialized features, P x 65 floats to the driver)
+        "logreg_train": lambda sf: _classifier().logreg_train(sf),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
@@ -428,6 +433,12 @@ def _filters():
     return filters
 
 
+def _classifier():
+    from searchenginepp_ray.pipelines import classifier
+
+    return classifier
+
+
 def _export():
     from searchenginepp_ray.pipelines import export
 
@@ -453,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
         "search_bm25_tombstoned_topk": osql.search_topk_tombstoned_sql(),
         "search_bm25_grouped_topk": osql.search_topk_grouped_sql(),
+        "logreg_train": osql.logreg_train_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),

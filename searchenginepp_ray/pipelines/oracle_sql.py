@@ -2751,3 +2751,52 @@ SELECT CAST(query_id AS BIGINT) AS query_id, lang,
        CAST(rank AS BIGINT) AS rank, doc_id, ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, lang, rank"""
+
+
+def logreg_train_sql(dims: int = 64, iters: int = 5, lr: float = 0.5,
+                     pos_lang: str = "en") -> str:
+    """Oracle for classifier.logreg_train: the full-batch GD recurrence
+    unrolled as chained CTEs — identical md5 feature-hash rule,
+    identical floor(x·1e9+0.5)/1e9 rounding of each gradient and weight
+    update, so both engines iterate on identical doubles."""
+    D = int(dims)
+    its = []
+    for i in range(1, int(iters) + 1):
+        its.append(f"""z{i} AS (
+    SELECT f.doc_id, SUM(w.v * f.x) AS z
+    FROM feat f JOIN w{i - 1} w USING (j) GROUP BY f.doc_id
+),
+g{i} AS (
+    SELECT f.j,
+           floor(SUM((1.0 / (1.0 + exp(-z.z)) - lab.y) * f.x)
+                 / (SELECT v FROM nn) * 1e9 + 0.5) / 1e9 AS g
+    FROM feat f JOIN z{i} z USING (doc_id) JOIN lab USING (doc_id)
+    GROUP BY f.j
+),
+w{i} AS (
+    SELECT w.j,
+           floor((w.v - {float(lr)} * COALESCE(g.g, 0.0)) * 1e9 + 0.5)
+               / 1e9 AS v
+    FROM w{i - 1} w LEFT JOIN g{i} g USING (j)
+)""")
+    chain = ",\n".join(its)
+    return f"""WITH {_word_toks_cte()},
+ft AS (SELECT doc_id, unnest(w) AS term FROM wtoks),
+ntk AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n FROM wtoks),
+bct AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {D} AS j,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM ft GROUP BY doc_id, j),
+feat AS (
+    SELECT b.doc_id, b.j, b.c / ntk.n AS x
+    FROM bct b JOIN ntk USING (doc_id) WHERE ntk.n > 0
+    UNION ALL
+    SELECT doc_id, {D} AS j, 1.0 AS x FROM documents),
+lab AS (SELECT doc_id,
+               CASE WHEN lang = '{pos_lang}' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM documents),
+w0 AS (SELECT unnest(range({D + 1})) AS j, 0.0 AS v),
+{chain}
+SELECT CAST(j AS BIGINT) AS dim, v AS weight
+FROM w{int(iters)} ORDER BY dim"""
