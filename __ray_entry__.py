@@ -318,6 +318,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiply) + anti-join to orders, per-nation totals
         "idle_customer_balance":
             lambda sf: relational.idle_customer_balance(sf),
+        # TPC-H Q7: the two-dimension-chains shape — supplier nation
+        # and customer nation reach the fact row via DIFFERENT join
+        # keys; three chained exchanges, fact shrinking at each hop
+        "nation_trade_volume":
+            lambda sf: relational.nation_trade_volume(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -547,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": osql.order_count_distribution_sql(),
         "suppliers_kept_waiting": osql.suppliers_kept_waiting_sql(),
         "idle_customer_balance": osql.idle_customer_balance_sql(),
+        "nation_trade_volume": osql.nation_trade_volume_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

@@ -2800,3 +2800,28 @@ w0 AS (SELECT unnest(range({D + 1})) AS j, 0.0 AS v),
 {chain}
 SELECT CAST(j AS BIGINT) AS dim, v AS weight
 FROM w{int(iters)} ORDER BY dim"""
+
+
+def nation_trade_volume_sql(nation_a: int = 1, nation_b: int = 2,
+                            date_lo: str = "1995-01-01",
+                            date_hi: str = "1997-01-01") -> str:
+    """Oracle for relational.nation_trade_volume (TPC-H Q7): identical
+    integer cents grid, both shipping directions, cross-nation only."""
+    na, nb = int(nation_a), int(nation_b)
+    return f"""SELECT s.s_nationkey AS supp_nation,
+       c.c_nationkey AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE s.s_nationkey IN ({na}, {nb})
+  AND c.c_nationkey IN ({na}, {nb})
+  AND s.s_nationkey <> c.c_nationkey
+  AND l.l_shipdate >= TIMESTAMP '{date_lo}'
+  AND l.l_shipdate < TIMESTAMP '{date_hi}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""

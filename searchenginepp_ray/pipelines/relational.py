@@ -1605,3 +1605,167 @@ def idle_customer_balance(sf_dir: str,
     out["numcust"] = out["numcust"].astype(np.int64)
     out["totacctbal_c"] = out["totacctbal_c"].astype(np.int64)
     return out[["n_name", "numcust", "totacctbal_c"]]
+
+
+def nation_trade_volume(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
+                        date_lo: str = "1995-01-01",
+                        date_hi: str = "1997-01-01"):
+    """TPC-H Q7 (volume shipping between two nations): revenue of goods
+    shipped in the window between suppliers of one nation and customers
+    of the other (both directions), grouped by (supp_nation, cust_nation,
+    ship year) in exact 1e-4 currency units. The TWO-dimension-chains
+    shape: the fact row's group key needs a attribute from EACH side of
+    the schema star (supplier nation via l_suppkey, customer nation via
+    l_orderkey → o_custkey) — three different join keys back-to-back.
+
+    Scale shape: three chained exchanges, the fact SHRINKING at each
+    hop. Hop A (suppkey): map-side (suppkey, orderkey, year) revenue
+    partials ⊎ the nation-filtered supplier dimension (filter pushed to
+    the scan); rows without a surviving supplier die here — the nation
+    filter acts as a semi-join. Hop B (orderkey): survivors ⊎ order
+    (orderkey, custkey) rows; re-aggregated map-side by (custkey, year,
+    s_nation) before hop C (custkey) joins the nation-filtered customer
+    dimension and collapses to the ≤ 2×2×years aggregate. Returns
+    (supp_nation, cust_nation, l_year, revenue_c)."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    na, nb = int(nation_a), int(nation_b)
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= pd.Timestamp(date_lo))
+                & (pads.field("l_shipdate") < pd.Timestamp(date_hi))),
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin([na, nb]),
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin([na, nb]),
+    )
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        year = df["l_shipdate"].dt.year.to_numpy().astype(np.int64)
+        g = (pd.DataFrame({"suppkey": df["l_suppkey"].to_numpy(np.int64),
+                           "orderkey": df["l_orderkey"].to_numpy(np.int64),
+                           "year": year, "rev": p * (100 - d)})
+             .groupby(["suppkey", "orderkey", "year"], as_index=False)
+             ["rev"].sum())
+        g["nat"] = np.full(len(g), -1, np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
+
+    def supp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "suppkey": df["s_suppkey"].to_numpy(np.int64),
+            "orderkey": np.zeros(n, np.int64),
+            "year": np.zeros(n, np.int64),
+            "rev": np.zeros(n, np.int64),
+            "nat": df["s_nationkey"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop_a = li.map_batches(li_partials, batch_format="pandas").union(
+        supp.map_batches(supp_rows, batch_format="pandas"))
+
+    def join_supp(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["_side"] == 0][["suppkey", "nat"]] \
+            .rename(columns={"nat": "s_nat"})
+        f = df[df["_side"] == 1]
+        j = f[["suppkey", "orderkey", "year", "rev"]].merge(s, on="suppkey")
+        return (j.groupby(["orderkey", "year", "s_nat"], as_index=False)
+                ["rev"].sum())
+
+    by_order = hash_groupby_apply(hop_a, ["suppkey"], join_supp)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "year": np.zeros(n, np.int64),
+            "s_nat": np.zeros(n, np.int64),
+            "rev": np.zeros(n, np.int64),
+            "custkey": df["o_custkey"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def fact_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["orderkey", "year", "s_nat", "rev"]].copy()
+        out["custkey"] = np.full(len(df), -1, np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["orderkey", "year", "s_nat", "rev", "custkey",
+                    "_side"]]
+
+    hop_b = orders.map_batches(order_rows, batch_format="pandas").union(
+        by_order.map_batches(fact_rows, batch_format="pandas"))
+
+    def join_order(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["orderkey", "custkey"]]
+        f = df[df["_side"] == 1]
+        j = f[["orderkey", "year", "s_nat", "rev"]].merge(o, on="orderkey")
+        return (j.groupby(["custkey", "year", "s_nat"], as_index=False)
+                ["rev"].sum())
+
+    by_cust = hash_groupby_apply(hop_b, ["orderkey"], join_order)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "custkey": df["c_custkey"].to_numpy(np.int64),
+            "year": np.zeros(n, np.int64),
+            "s_nat": np.zeros(n, np.int64),
+            "rev": np.zeros(n, np.int64),
+            "c_nat": df["c_nationkey"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def fact2_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["custkey", "year", "s_nat", "rev"]].copy()
+        out["c_nat"] = np.full(len(df), -1, np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["custkey", "year", "s_nat", "rev", "c_nat", "_side"]]
+
+    hop_c = cust.map_batches(cust_rows, batch_format="pandas").union(
+        by_cust.map_batches(fact2_rows, batch_format="pandas"))
+
+    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["_side"] == 0][["custkey", "c_nat"]]
+        f = df[df["_side"] == 1]
+        j = f[["custkey", "year", "s_nat", "rev"]].merge(c, on="custkey")
+        j = j[j["s_nat"] != j["c_nat"]]  # cross-nation volume only
+        return (j.groupby(["s_nat", "c_nat", "year"], as_index=False)
+                ["rev"].sum())
+
+    parts = hash_groupby_apply(hop_c, ["custkey"], join_cust).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=np.int64),
+            "cust_nation": pd.Series([], dtype=np.int64),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue_c": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["s_nat", "c_nat", "year"], as_index=False) \
+        ["rev"].sum()
+    out = out.sort_values(["s_nat", "c_nat", "year"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "supp_nation": out["s_nat"].to_numpy(np.int64),
+        "cust_nation": out["c_nat"].to_numpy(np.int64),
+        "l_year": out["year"].to_numpy(np.int64),
+        "revenue_c": out["rev"].to_numpy(np.int64),
+    })

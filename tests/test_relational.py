@@ -433,3 +433,38 @@ def test_idle_customer_balance_matches_pandas(ray_session, sf_dir):
         .sort_values("n_name").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0  # the cutoff keeps the op non-degenerate
+
+
+def test_nation_trade_volume_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import nation_trade_volume
+
+    # nations with suppliers at sf0.001 (the fixture scale)
+    na, nb, lo, hi = 3, 8, "1995-01-01", "1997-01-01"
+    got = nation_trade_volume(sf_dir, na, nb, lo, hi)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp(lo))
+            & (li["l_shipdate"] < pd.Timestamp(hi))]
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    cus = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+          .merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+          .merge(cus, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["s_nationkey"].isin([na, nb]) & j["c_nationkey"].isin([na, nb])
+          & (j["s_nationkey"] != j["c_nationkey"])]
+    p = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    j = j.assign(rev=p * (100 - d), l_year=j["l_shipdate"].dt.year)
+    want = j.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                     as_index=False)["rev"].sum() \
+        .sort_values(["s_nationkey", "c_nationkey", "l_year"]) \
+        .reset_index(drop=True)
+    assert got["supp_nation"].tolist() == want["s_nationkey"].tolist()
+    assert got["cust_nation"].tolist() == want["c_nationkey"].tolist()
+    assert got["l_year"].tolist() == want["l_year"].tolist()
+    assert got["revenue_c"].tolist() == want["rev"].tolist()
+    assert len(got) >= 2  # both directions present
