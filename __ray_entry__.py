@@ -323,6 +323,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keys; three chained exchanges, fact shrinking at each hop
         "nation_trade_volume":
             lambda sf: relational.nation_trade_volume(sf),
+        # TPC-H Q19: disjunctive mixed-attribute predicate join — the
+        # filter can't be pushed to either side; union-of-clauses scan
+        # pruning + clause-bitmask fact partials + co-located OR
+        "discounted_revenue":
+            lambda sf: relational.discounted_revenue(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -553,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_kept_waiting": osql.suppliers_kept_waiting_sql(),
         "idle_customer_balance": osql.idle_customer_balance_sql(),
         "nation_trade_volume": osql.nation_trade_volume_sql(),
+        "discounted_revenue": osql.discounted_revenue_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

@@ -2825,3 +2825,21 @@ WHERE s.s_nationkey IN ({na}, {nb})
   AND l.l_shipdate < TIMESTAMP '{date_hi}'
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""
+
+
+def discounted_revenue_sql(clauses: tuple | None = None) -> str:
+    """Oracle for relational.discounted_revenue (TPC-H Q19): the
+    disjunction written directly, identical integer cents grid."""
+    from .relational import DISCOUNT_CLAUSES
+
+    cs = clauses or DISCOUNT_CLAUSES
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for (b, slo, shi, qlo, qhi) in cs)
+    return f"""SELECT CAST(COALESCE(SUM(
+    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))), 0)
+    AS BIGINT) AS revenue_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {ors}"""

@@ -1769,3 +1769,106 @@ def nation_trade_volume(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
         "l_year": out["year"].to_numpy(np.int64),
         "revenue_c": out["rev"].to_numpy(np.int64),
     })
+
+
+#: Q19's three disjunctive clauses: (brand, size_lo, size_hi, qty_lo, qty_hi)
+DISCOUNT_CLAUSES = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 20, 10, 20),
+    ("Brand#34", 1, 25, 20, 30),
+)
+
+
+def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
+    """TPC-H Q19 (discounted revenue): revenue of lineitems satisfying a
+    DISJUNCTION of clauses that each mix part attributes (brand, size
+    range) with fact attributes (quantity range) — the join whose filter
+    can't be fully pushed to either side: each side's scan keeps only
+    the UNION of its per-clause predicates, and the per-clause
+    conjunction is evaluated at co-location. Exact 1e-4 currency units;
+    one row (revenue_c).
+
+    Scale shape: the part scan pushes ``brand IN (...) AND size <= max``
+    (union of the clause ranges) and ships only (partkey, brand, size);
+    the lineitem scan pushes the quantity union and pre-reduces
+    map-side to (partkey, qty_bucket) revenue partials — quantity is
+    bucketed to the CLAUSE-membership bitmask, so the exchange carries
+    at most |clauses| rows per (partkey, batch), never raw lineitems.
+    ONE partkey exchange evaluates the disjunction vectorized and emits
+    one revenue partial per partition."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    brands = sorted({c[0] for c in clauses})
+    size_hi = max(c[2] for c in clauses)
+    qty_lo = min(c[3] for c in clauses)
+    qty_hi = max(c[4] for c in clauses)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pads.field("p_brand").isin(brands)
+                & (pads.field("p_size") >= 1)
+                & (pads.field("p_size") <= size_hi)),
+    )
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_quantity") >= float(qty_lo))
+                & (pads.field("l_quantity") <= float(qty_hi))),
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy()
+        # clause-membership bitmask over the quantity ranges: partials
+        # collapse to at most 2^|clauses| qty buckets per partkey
+        m = np.zeros(len(df), np.int64)
+        for ci, (_, _, _, lo, hi) in enumerate(clauses):
+            m |= ((q >= lo) & (q <= hi)).astype(np.int64) << ci
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        g = (pd.DataFrame({"partkey": df["l_partkey"].to_numpy(np.int64),
+                           "qmask": m, "rev": p * (100 - d)})
+             .groupby(["partkey", "qmask"], as_index=False)["rev"].sum())
+        g["brand"] = pd.Series([None] * len(g), dtype=object)
+        g["size"] = np.zeros(len(g), np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["partkey", "qmask", "rev", "brand", "size", "_side"]]
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "partkey": df["p_partkey"].to_numpy(np.int64),
+            "qmask": np.zeros(n, np.int64),
+            "rev": np.zeros(n, np.int64),
+            "brand": df["p_brand"].astype(object),
+            "size": df["p_size"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    u = li.map_batches(li_partials, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def disjunction(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["_side"] == 0][["partkey", "brand", "size"]]
+        f = df[df["_side"] == 1]
+        j = f[["partkey", "qmask", "rev"]].merge(p, on="partkey")
+        if len(j) == 0:
+            return pd.DataFrame({"rev_part": [np.int64(0)]})
+        keep = np.zeros(len(j), bool)
+        sz = j["size"].to_numpy()
+        qm = j["qmask"].to_numpy()
+        br = j["brand"].to_numpy()
+        for ci, (brand, slo, shi, _, _) in enumerate(clauses):
+            keep |= ((br == brand) & (sz >= slo) & (sz <= shi)
+                     & ((qm >> ci) & 1).astype(bool))
+        return pd.DataFrame(
+            {"rev_part": [np.int64(j["rev"].to_numpy()[keep].sum())]})
+
+    parts = hash_groupby_apply(u, ["partkey"], disjunction).to_pandas()
+    return pd.DataFrame({"revenue_c": [np.int64(parts["rev_part"].sum())]})

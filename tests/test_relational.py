@@ -468,3 +468,25 @@ def test_nation_trade_volume_matches_pandas(ray_session, sf_dir):
     assert got["l_year"].tolist() == want["l_year"].tolist()
     assert got["revenue_c"].tolist() == want["rev"].tolist()
     assert len(got) >= 2  # both directions present
+
+
+def test_discounted_revenue_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import (
+        DISCOUNT_CLAUSES, discounted_revenue)
+
+    got = int(discounted_revenue(sf_dir)["revenue_c"].iloc[0])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    keep = np.zeros(len(j), bool)
+    for b, slo, shi, qlo, qhi in DISCOUNT_CLAUSES:
+        keep |= ((j["p_brand"] == b) & j["p_size"].between(slo, shi)
+                 & j["l_quantity"].between(qlo, qhi)).to_numpy()
+    p = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = int((p * (100 - d))[keep].sum())
+    assert got == want
+    assert got > 0
