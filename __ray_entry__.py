@@ -328,6 +328,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruning + clause-bitmask fact partials + co-located OR
         "discounted_revenue":
             lambda sf: relational.discounted_revenue(sf),
+        # TPC-H Q16 shape: grouped COUNT DISTINCT + anti-join over the
+        # fact-derived part-supplier relation (blacklist broadcast,
+        # map-side pair dedup, two exchanges)
+        "part_supplier_counts":
+            lambda sf: relational.part_supplier_counts(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -559,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "idle_customer_balance": osql.idle_customer_balance_sql(),
         "nation_trade_volume": osql.nation_trade_volume_sql(),
         "discounted_revenue": osql.discounted_revenue_sql(),
+        "part_supplier_counts": osql.part_supplier_counts_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

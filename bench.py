@@ -432,6 +432,8 @@ def run_default() -> None:
           lambda: relational.nation_trade_volume(sf_dir))
     timed("discounted_revenue",
           lambda: relational.discounted_revenue(sf_dir))
+    timed("part_supplier_counts",
+          lambda: relational.part_supplier_counts(sf_dir))
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
     timed("search_bm25_filtered",
           lambda: search_docs.search_topk_filtered(sf_dir))

@@ -2843,3 +2843,27 @@ def discounted_revenue_sql(clauses: tuple | None = None) -> str:
     AS BIGINT) AS revenue_c
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE {ors}"""
+
+
+def part_supplier_counts_sql(excl_brand: str = "Brand#1",
+                             excl_type: str = "PROMO",
+                             k: int = 20) -> str:
+    """Oracle for relational.part_supplier_counts (TPC-H Q16 shape):
+    the part↔supplier relation derived from lineitem, identical
+    exclusions, deterministic top-k."""
+    return f"""WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT ps.l_partkey, ps.l_suppkey FROM ps
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = ps.l_suppkey
+                      AND s.s_acctbal < 0.0)),
+cls AS (
+  SELECT p.p_brand, p.p_type, p.p_size, ok.l_suppkey
+  FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+  WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}')
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM cls GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT {int(k)}"""

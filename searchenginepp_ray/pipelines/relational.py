@@ -1872,3 +1872,106 @@ def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
 
     parts = hash_groupby_apply(u, ["partkey"], disjunction).to_pandas()
     return pd.DataFrame({"revenue_c": [np.int64(parts["rev_part"].sum())]})
+
+
+def part_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
+                         excl_type: str = "PROMO", k: int = 20):
+    """TPC-H Q16 shape (supplier diversity per part class): for parts
+    NOT of ``excl_brand`` / ``excl_type``, how many DISTINCT suppliers
+    shipped each (brand, type, size) class — excluding blacklisted
+    suppliers (negative balance, the "complaints" stand-in; the
+    testdata has no partsupp table, so the part↔supplier relation is
+    derived from lineitem shipments). Top-``k`` by (supplier_cnt DESC,
+    brand, type, size ASC). The grouped-COUNT-DISTINCT + anti-join
+    composition over a fact-DERIVED relation.
+
+    Scale shape: the blacklist (a filtered supplier scan) is collected
+    as a sorted key array and broadcast via ``ray.put`` — bounded by
+    blacklisted suppliers, and applied map-side BEFORE any exchange.
+    Lineitem pre-reduces map-side to distinct (partkey, suppkey) pairs;
+    ONE partkey exchange co-locates pairs with the filtered part
+    dimension, re-dedupes exactly and collapses to (brand, type, size,
+    suppkey) — at most |classes|×|suppliers| rows — whose final exact
+    distinct count runs through a second small exchange keyed on the
+    class. Per-partition partial top-k caps the driver merge."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    bl = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+        filter=pads.field("s_acctbal") < 0.0,
+    ).to_pandas()
+    # an empty filtered read loses its schema in to_pandas
+    bad_keys = (np.sort(bl["s_suppkey"].to_numpy(np.int64))
+                if len(bl) else np.empty(0, np.int64))
+    blacklist = ray.put(bad_keys)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=((pads.field("p_brand") != excl_brand)
+                & (pads.field("p_type") != excl_type)),
+    )
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(blacklist)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(bad, sk)
+        pos[pos == len(bad)] = 0
+        ok = ~(bad[pos] == sk) if len(bad) else np.ones(len(sk), bool)
+        g = (pd.DataFrame({"partkey": df["l_partkey"].to_numpy(np.int64)[ok],
+                           "suppkey": sk[ok]})
+             .drop_duplicates())
+        g["brand"] = pd.Series([None] * len(g), dtype=object)
+        g["ptype"] = pd.Series([None] * len(g), dtype=object)
+        g["size"] = np.zeros(len(g), np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["partkey", "suppkey", "brand", "ptype", "size", "_side"]]
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "partkey": df["p_partkey"].to_numpy(np.int64),
+            "suppkey": np.zeros(n, np.int64),
+            "brand": df["p_brand"].astype(object),
+            "ptype": df["p_type"].astype(object),
+            "size": df["p_size"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    u = li.map_batches(pair_partials, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def class_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["_side"] == 0][["partkey", "brand", "ptype", "size"]]
+        f = df[df["_side"] == 1][["partkey", "suppkey"]].drop_duplicates()
+        j = f.merge(p, on="partkey")  # excluded parts die here
+        return j[["brand", "ptype", "size", "suppkey"]].drop_duplicates()
+
+    pairs = hash_groupby_apply(u, ["partkey"], class_pairs)
+
+    def count_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["brand", "ptype", "size", "suppkey"])
+             .groupby(["brand", "ptype", "size"], as_index=False)
+             .agg(supplier_cnt=("suppkey", "size")))
+        return g.sort_values(["supplier_cnt", "brand", "ptype", "size"],
+                             ascending=[False, True, True, True]).head(k)
+
+    survivors = hash_groupby_apply(
+        pairs, ["brand", "ptype", "size"], count_topk).to_pandas()
+    out = survivors.sort_values(
+        ["supplier_cnt", "brand", "ptype", "size"],
+        ascending=[False, True, True, True]).head(k).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_brand": out["brand"],
+        "p_type": out["ptype"],
+        "p_size": out["size"].to_numpy(np.int64),
+        "supplier_cnt": out["supplier_cnt"].to_numpy(np.int64),
+    })

@@ -490,3 +490,31 @@ def test_discounted_revenue_matches_pandas(ray_session, sf_dir):
     want = int((p * (100 - d))[keep].sum())
     assert got == want
     assert got > 0
+
+
+def test_part_supplier_counts_matches_pandas(ray_session, sf_dir):
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.relational import part_supplier_counts
+
+    k = 15
+    got = part_supplier_counts(sf_dir, k=k)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]) \
+        .drop_duplicates()
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"])
+    li = li[~li["l_suppkey"].isin(bad)]
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    part = part[(part["p_brand"] != "Brand#1")
+                & (part["p_type"] != "PROMO")]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    want = (j.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+            .agg(supplier_cnt=("l_suppkey", "size"))
+            .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                         ascending=[False, True, True, True])
+            .head(k).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+    assert len(got) > 0
