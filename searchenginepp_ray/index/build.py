@@ -1187,10 +1187,22 @@ def merge_segments(
 
         src_tomb = os.path.join(index_dir, "global", TOMBSTONE_FILE)
         dst_tomb = os.path.join(out_global, TOMBSTONE_FILE)
+        n_tombs = 0
         if os.path.exists(src_tomb):
             shutil.copy2(src_tomb, dst_tomb)
+            import pyarrow.parquet as _pq
+
+            n_tombs = _pq.ParquetFile(dst_tomb).metadata.num_rows
         elif os.path.exists(dst_tomb):
             os.remove(dst_tomb)
+        # keep the merged metadata's audit count in step with the file
+        mpath = os.path.join(out_global, "metadata.json")
+        with open(mpath) as f:
+            mmeta = json.load(f)
+        if mmeta.get("n_tombstones", 0) != n_tombs:
+            mmeta["n_tombstones"] = n_tombs
+            with open(mpath, "w") as f:
+                json.dump(mmeta, f)
 
     src_segs = sorted(
         int(d.split("=")[1]) for d in os.listdir(docs_dir) if d.startswith("seg=")

@@ -30,6 +30,17 @@ from ..normalizer.word_normalizer import normalize_tokens
 from .searcher import SegmentSearcher
 
 
+def list_segment_dirs(index_dir: str) -> list[str]:
+    """The index's segment directories in docid order — THE definition
+    of which segments an index contains, shared by the engine and fsck
+    so the verifier always checks the set the engine would serve."""
+    return sorted(
+        (os.path.join(index_dir, d) for d in os.listdir(index_dir)
+         if d.startswith("db_")),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+    )
+
+
 class SegmentGroupWorker:
     """Holds several SegmentSearchers; merges their per-query top-k."""
 
@@ -121,10 +132,7 @@ class QueryEngine:
             k1_eff, b_eff = bp["bm25_k1"], bp["bm25_b"]
         else:
             k1_eff, b_eff = cfg.bm25_k1, cfg.bm25_b
-        self.seg_dirs = sorted(
-            (os.path.join(index_dir, d) for d in os.listdir(index_dir) if d.startswith("db_")),
-            key=lambda p: int(p.rsplit("_", 1)[1]),
-        )
+        self.seg_dirs = list_segment_dirs(index_dir)
         args = dict(
             n_docs_global=self.meta["n_docs"],
             avgdl=self.meta["avgdl"],

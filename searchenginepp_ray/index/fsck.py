@@ -50,7 +50,7 @@ _REQUIRED_MANIFEST = (
 )
 
 
-def _fsck_segment(seg_dir: str) -> dict:
+def _fsck_segment(seg_dir: str, deep: bool = False) -> dict:
     """All single-segment checks; returns {seg, errors: [...], n_terms,
     n_postings, (term, df_local) arrays for the deep check}."""
     errors: list[str] = []
@@ -137,21 +137,26 @@ def _fsck_segment(seg_dir: str) -> dict:
         err(f"Σ postings {total_postings} != manifest n_postings "
             f"{manifest['n_postings']}")
 
-    return {
+    out = {
         "seg_dir": seg_dir,
         "seg": manifest["seg"],
         "errors": errors,
         "n_docs": int(s.n_docs_seg),
         "n_postings": total_postings,
-        "terms": list(terms),
-        "df_local": s.df_local.astype(np.int64).tolist(),
-        # df_global isn't held by the searcher (it only needs idf) —
-        # read it straight from the term table for the deep check
-        "df_global": pq.read_table(
-            os.path.join(seg_dir, "terms.parquet"),
-            columns=["df_global"])["df_global"]
-        .to_numpy().astype(np.int64).tolist(),
     }
+    if deep:
+        # vocabulary-sized payload ONLY in deep mode — a shallow fsck of
+        # a huge index must not funnel every term string to the driver.
+        # df_global isn't held by the searcher (it only needs idf) —
+        # read it straight from the term table for the cross-segment
+        # consistency check.
+        out["terms"] = list(terms)
+        out["df_local"] = s.df_local.astype(np.int64).tolist()
+        out["df_global"] = pq.read_table(
+            os.path.join(seg_dir, "terms.parquet"),
+            columns=["df_global"],
+        )["df_global"].to_numpy().astype(np.int64).tolist()
+    return out
 
 
 def fsck_index(index_dir: str, deep: bool = False) -> dict:
@@ -167,19 +172,21 @@ def fsck_index(index_dir: str, deep: bool = False) -> dict:
         report["ok"] = False
         report["errors"].append(f"global metadata unreadable: {e}")
         return report
+    if "n_docs" not in gmeta:
+        report["ok"] = False
+        report["errors"].append("global metadata missing n_docs")
+        return report
 
-    seg_dirs = sorted(
-        (os.path.join(index_dir, d) for d in os.listdir(index_dir)
-         if d.startswith("db_")),
-        key=lambda p: int(p.rsplit("_", 1)[1]),
-    )
+    from .engine import list_segment_dirs
+
+    seg_dirs = list_segment_dirs(index_dir)
     if not seg_dirs:
         report["ok"] = False
         report["errors"].append("no segments")
         return report
 
     fsck_remote = ray.remote(num_cpus=1)(_fsck_segment)
-    results = ray.get([fsck_remote.remote(d) for d in seg_dirs])
+    results = ray.get([fsck_remote.remote(d, deep) for d in seg_dirs])
 
     n_docs = 0
     df_sum: dict[str, int] = {}
@@ -188,7 +195,7 @@ def fsck_index(index_dir: str, deep: bool = False) -> dict:
         for e in r["errors"]:
             report["errors"].append(f"{os.path.basename(r['seg_dir'])}: {e}")
         n_docs += r.get("n_docs", 0)
-        if deep and not r["errors"]:
+        if deep and not r["errors"] and "terms" in r:
             for t, dl in zip(r["terms"], r["df_local"]):
                 df_sum[t] = df_sum.get(t, 0) + dl
             if r.get("df_global"):

@@ -434,6 +434,7 @@ class SegmentSearcher:
         of two columns. Cached per filter fingerprint ``fp``."""
         m = self._pred_masks.get(fp)
         if m is not None:
+            self._pred_masks.move_to_end(fp)  # LRU like the sibling caches
             return m
         ids_int = pc.cast(self.docnos, pa.int64())
         lo = pc.min(ids_int).as_py()
@@ -459,7 +460,13 @@ class SegmentSearcher:
         mask makes pruning MORE selective since masked docs never enter
         θ or get scored; straight masked DAAT on tiny ones);
         ``mode="daat"`` forces the accumulator path. Both return
-        identical results (pytest-pinned)."""
+        identical results (pytest-pinned); other modes are rejected
+        (conjunctive/boolean filtering is not offered on this entry
+        point — silently coercing them to disjunctive would change
+        semantics)."""
+        if mode not in ("daat", "bmm"):
+            raise ValueError(f"filtered search supports modes "
+                             f"'daat'/'bmm', not {mode!r}")
         scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
         mask = self.predicate_mask(src_path, column, value, fp)
         if self._alive_mask is not None:

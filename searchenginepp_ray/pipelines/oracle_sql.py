@@ -2648,109 +2648,90 @@ def epoch_shuffle_sql(epoch: int = 1, shard_size: int = 100,
 FROM documents"""
 
 
-def search_topk_filtered_sql(lang: str = "es", k: int = 10) -> str:
-    """Oracle for search_docs.search_topk_filtered: the full BM25 stack
-    of :func:`search_topk_sql` with candidates restricted to docs of
-    ``lang`` BEFORE ranking — collection statistics (n_docs, avgdl, df)
-    stay corpus-global, exactly what serving a full index through a
-    candidate mask computes."""
+def _bm25_ranked_sql(k: int, candidate_where: str = "",
+                     grouped_by_lang: bool = False) -> str:
+    """Shared BM25 rank stack for the serving-side oracle family
+    (filtered / tombstoned / grouped): the :func:`search_topk_sql`
+    scoring CTEs with an optional candidate restriction applied BEFORE
+    ranking (collection stats stay corpus-global — what serving a full
+    index through a candidate mask computes) and optional per-lang rank
+    partitioning. One definition — a scoring fix applies everywhere."""
     cfg = BuildConfig()
     rows, _ = _query_values()
     expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
-    return f"""WITH {tok_cte()},
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
-                 (SELECT COUNT(*) FROM toks) * 1.0
-                   / (SELECT COUNT(*) FROM documents) AS avgdl),
-df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
-q(query_id, term) AS (VALUES {rows}),
-scores AS (
-    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
-    FROM q
-    JOIN tf ON tf.term = q.term
-    JOIN df ON df.term = q.term
-    JOIN dl ON dl.doc_id = tf.doc_id, stats
-    WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')
-    GROUP BY q.query_id, tf.doc_id
-),
-ranked AS (
-    SELECT query_id, doc_id, s,
-           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
-    FROM scores
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-       doc_id, ROUND(s, 6) AS score
-FROM ranked WHERE rank <= {k}"""
-
-
-def search_topk_tombstoned_sql(mod: int = 13, k: int = 10) -> str:
-    """Oracle for search_docs.search_topk_tombstoned: the full BM25
-    stack with candidates restricted to NON-deleted docs while
-    collection statistics (n_docs, avgdl, df) keep the deleted docs —
-    the tombstone contract (stats converge only at compaction)."""
-    cfg = BuildConfig()
-    rows, _ = _query_values()
-    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
-    return f"""WITH {tok_cte()},
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
-                 (SELECT COUNT(*) FROM toks) * 1.0
-                   / (SELECT COUNT(*) FROM documents) AS avgdl),
-df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
-q(query_id, term) AS (VALUES {rows}),
-scores AS (
-    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
-    FROM q
-    JOIN tf ON tf.term = q.term
-    JOIN df ON df.term = q.term
-    JOIN dl ON dl.doc_id = tf.doc_id, stats
-    WHERE tf.doc_id % {int(mod)} <> 0
-    GROUP BY q.query_id, tf.doc_id
-),
-ranked AS (
-    SELECT query_id, doc_id, s,
-           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
-    FROM scores
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-       doc_id, ROUND(s, 6) AS score
-FROM ranked WHERE rank <= {k}"""
-
-
-def search_topk_grouped_sql(k: int = 3) -> str:
-    """Oracle for search_docs.search_topk_grouped: the full BM25 stack
-    ranked per (query, lang) — row_number PARTITION BY both."""
-    cfg = BuildConfig()
-    rows, _ = _query_values()
-    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
-    return f"""WITH {tok_cte()},
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
-                 (SELECT COUNT(*) FROM toks) * 1.0
-                   / (SELECT COUNT(*) FROM documents) AS avgdl),
-df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
-q(query_id, term) AS (VALUES {rows}),
-scores AS (
-    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
-    FROM q
-    JOIN tf ON tf.term = q.term
-    JOIN df ON df.term = q.term
-    JOIN dl ON dl.doc_id = tf.doc_id, stats
-    GROUP BY q.query_id, tf.doc_id
-),
-ranked AS (
+    where = f"WHERE {candidate_where}" if candidate_where else ""
+    if grouped_by_lang:
+        ranked = """ranked AS (
     SELECT s.query_id, d.lang, s.doc_id, s.s,
            row_number() OVER (PARTITION BY s.query_id, d.lang
                               ORDER BY s.s DESC, s.doc_id ASC) AS rank
     FROM scores s JOIN documents d USING (doc_id)
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, lang,
-       CAST(rank AS BIGINT) AS rank, doc_id, ROUND(s, 6) AS score
-FROM ranked WHERE rank <= {k}
-ORDER BY query_id, lang, rank"""
+)"""
+        select = ("SELECT CAST(query_id AS BIGINT) AS query_id, lang,\n"
+                  "       CAST(rank AS BIGINT) AS rank, doc_id, "
+                  "ROUND(s, 6) AS score")
+        tail = f"FROM ranked WHERE rank <= {k}\nORDER BY query_id, lang, rank"
+    else:
+        ranked = """ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)"""
+        select = ("SELECT CAST(query_id AS BIGINT) AS query_id, "
+                  "CAST(rank AS BIGINT) AS rank,\n"
+                  "       doc_id, ROUND(s, 6) AS score")
+        tail = f"FROM ranked WHERE rank <= {k}"
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    {where}
+    GROUP BY q.query_id, tf.doc_id
+),
+{ranked}
+{select}
+{tail}"""
+
+
+def search_topk_filtered_sql(lang: str | None = None,
+                             k: int = 10) -> str:
+    """Oracle for search_docs.search_topk_filtered: the shared BM25
+    stack with candidates restricted to docs of ``lang`` (default:
+    the pipeline's own FILTER_LANG) before ranking."""
+    from .search_docs import FILTER_LANG
+
+    lang = FILTER_LANG if lang is None else lang
+    return _bm25_ranked_sql(
+        k, candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "
+                            f"WHERE lang = '{lang}')"))
+
+
+def search_topk_tombstoned_sql(mod: int | None = None,
+                               k: int = 10) -> str:
+    """Oracle for search_docs.search_topk_tombstoned: the shared BM25
+    stack with candidates restricted to NON-deleted docs (default
+    delete set: the pipeline's own TOMB_MOD rule) while collection
+    statistics keep the deleted docs — the tombstone contract."""
+    from .search_docs import TOMB_MOD
+
+    mod = TOMB_MOD if mod is None else int(mod)
+    return _bm25_ranked_sql(k, candidate_where=f"tf.doc_id % {mod} <> 0")
+
+
+def search_topk_grouped_sql(k: int = 3) -> str:
+    """Oracle for search_docs.search_topk_grouped: the shared BM25
+    stack ranked per (query, lang)."""
+    return _bm25_ranked_sql(k, grouped_by_lang=True)
 
 
 def logreg_train_sql(dims: int = 64, iters: int = 5, lr: float = 0.5,

@@ -1802,6 +1802,7 @@ def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
     from .text_stats import _read_blocks
 
     brands = sorted({c[0] for c in clauses})
+    size_lo = min(c[1] for c in clauses)
     size_hi = max(c[2] for c in clauses)
     qty_lo = min(c[3] for c in clauses)
     qty_hi = max(c[4] for c in clauses)
@@ -1809,7 +1810,7 @@ def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
     part = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
         filter=(pads.field("p_brand").isin(brands)
-                & (pads.field("p_size") >= 1)
+                & (pads.field("p_size") >= size_lo)
                 & (pads.field("p_size") <= size_hi)),
     )
     lpath = f"{sf_dir}/lineitem.parquet"

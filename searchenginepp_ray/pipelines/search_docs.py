@@ -701,12 +701,22 @@ def search_topk_grouped(sf_dir: str, k: int = 3) -> pd.DataFrame:
     batch and across calls, so the per-facet cost after warmup is one
     masked Maxscore/DAAT pass — no index rebuild, no per-facet engine.
     Returns (query_id, lang, rank, doc_id, score)."""
-    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    import ray.data
 
     eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    langs = sorted(
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
-        ["lang"].unique().to_pylist())
+    # facet enumeration stays distributed: per-batch unique -> driver
+    # merge of (distinct values x batches), never the raw lang column
+    lang_parts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"],
+    ).map_batches(
+        lambda t: pa.table({"lang": t["lang"].unique()
+                            if not isinstance(t["lang"], pa.ChunkedArray)
+                            else t["lang"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    langs = sorted(lang_parts["lang"].unique())
     src = f"{sf_dir}/documents.parquet"
     frames = []
     for lang in langs:
