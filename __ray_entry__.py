@@ -333,6 +333,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side pair dedup, two exchanges)
         "part_supplier_counts":
             lambda sf: relational.part_supplier_counts(sf),
+        # TPC-H Q4: EXISTS correlated on the outer row's own attribute
+        # (max-shipdate map-side collapse, one orderkey exchange)
+        "order_priority_late":
+            lambda sf: relational.order_priority_late(sf),
+        # TPC-H Q14: conditional-ratio aggregate (promo / total share)
+        "promo_revenue_share":
+            lambda sf: relational.promo_revenue_share(sf),
+        # TPC-H Q15: global argmax with ties (per-partition max rows)
+        "top_supplier_revenue":
+            lambda sf: relational.top_supplier_revenue(sf),
+        # TPC-H Q8: ratio-of-conditional-aggregates over the 4-hop star
+        "nation_market_share":
+            lambda sf: relational.nation_market_share(sf),
+        # TPC-H Q9: profit (rev − retail·qty) per (nation, year)
+        "product_profit":
+            lambda sf: relational.product_profit(sf),
         "order_shipping_priority":
             lambda sf: relational.order_shipping_priority(sf),
         # TPC-H Q5: the DEEPEST chain (6 tables, three different join
@@ -565,6 +581,11 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": osql.nation_trade_volume_sql(),
         "discounted_revenue": osql.discounted_revenue_sql(),
         "part_supplier_counts": osql.part_supplier_counts_sql(),
+        "order_priority_late": osql.order_priority_late_sql(),
+        "promo_revenue_share": osql.promo_revenue_share_sql(),
+        "top_supplier_revenue": osql.top_supplier_revenue_sql(),
+        "nation_market_share": osql.nation_market_share_sql(),
+        "product_profit": osql.product_profit_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),

@@ -434,6 +434,16 @@ def run_default() -> None:
           lambda: relational.discounted_revenue(sf_dir))
     timed("part_supplier_counts",
           lambda: relational.part_supplier_counts(sf_dir))
+    timed("order_priority_late",
+          lambda: relational.order_priority_late(sf_dir))
+    timed("promo_revenue_share",
+          lambda: relational.promo_revenue_share(sf_dir))
+    timed("top_supplier_revenue",
+          lambda: relational.top_supplier_revenue(sf_dir))
+    timed("nation_market_share",
+          lambda: relational.nation_market_share(sf_dir))
+    timed("product_profit",
+          lambda: relational.product_profit(sf_dir))
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
     timed("search_bm25_filtered",
           lambda: search_docs.search_topk_filtered(sf_dir))

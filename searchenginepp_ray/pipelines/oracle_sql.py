@@ -2848,3 +2848,114 @@ SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
 FROM cls GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT {int(k)}"""
+
+
+def order_priority_late_sql(late_days: int = 10,
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1996-07-01") -> str:
+    """Oracle for relational.order_priority_late (TPC-H Q4): the EXISTS
+    correlated on the outer row's own orderdate, identical lateness
+    contract (strictly more than ``late_days`` past the order date)."""
+    return f"""SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o.o_orderdate < TIMESTAMP '{date_hi}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                    + INTERVAL {int(late_days)} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def promo_revenue_share_sql(promo_type: str = "PROMO",
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1996-03-01") -> str:
+    """Oracle for relational.promo_revenue_share (TPC-H Q14): identical
+    integer 1e-4 revenue grid; the share divides the same two BIGINTs
+    on the shared floor(x*1e6+0.5)/1e6 grid."""
+    return f"""WITH rev AS (
+  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS r4,
+         p.p_type = '{promo_type}' AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l.l_shipdate < TIMESTAMP '{date_hi}')
+SELECT CAST(COALESCE(SUM(CASE WHEN promo THEN r4 END), 0) AS BIGINT)
+         AS promo_revenue_c4,
+       CAST(COALESCE(SUM(r4), 0) AS BIGINT) AS total_revenue_c4,
+       floor(100.0 * COALESCE(SUM(CASE WHEN promo THEN r4 END), 0)
+             / SUM(r4) * 1000000 + 0.5) / 1000000 AS promo_share
+FROM rev"""
+
+
+def top_supplier_revenue_sql(date_lo: str = "1996-01-01",
+                             date_hi: str = "1996-04-01") -> str:
+    """Oracle for relational.top_supplier_revenue (TPC-H Q15): the
+    revenue view + global-max equality, ties kept, identical grid."""
+    return f"""WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS total_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate < TIMESTAMP '{date_hi}'
+  GROUP BY l_suppkey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       r.total_c4 AS total_revenue_c4
+FROM supplier s JOIN revenue r ON r.l_suppkey = s.s_suppkey
+WHERE r.total_c4 = (SELECT MAX(total_c4) FROM revenue)
+ORDER BY s_suppkey"""
+
+
+def nation_market_share_sql(nation: int = 1, region: str = "EUROPE",
+                            p_type: str = "ECONOMY",
+                            date_lo: str = "1995-01-01",
+                            date_hi: str = "1997-01-01") -> str:
+    """Oracle for relational.nation_market_share (TPC-H Q8): identical
+    star join, integer 1e-4 revenue grid and floor-rounded share."""
+    return f"""WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS r4,
+         s.s_nationkey = {int(nation)} AS is_nat
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_type = '{p_type}' AND r.r_name = '{region}'
+    AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+    AND o.o_orderdate < TIMESTAMP '{date_hi}')
+SELECT o_year,
+       CAST(COALESCE(SUM(CASE WHEN is_nat THEN r4 END), 0) AS BIGINT)
+         AS nation_revenue_c4,
+       CAST(SUM(r4) AS BIGINT) AS total_revenue_c4,
+       floor(COALESCE(SUM(CASE WHEN is_nat THEN r4 END), 0) * 1.0
+             / SUM(r4) * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year"""
+
+
+def product_profit_sql(name_prefix: str = "red") -> str:
+    """Oracle for relational.product_profit (TPC-H Q9, retail-cost
+    adaptation): profit = rev4 − retail_c·qty_c, every factor snapped
+    to its own cents grid before the all-integer subtraction."""
+    return f"""SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+         - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+           * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+       AS BIGINT) AS profit_c4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '{name_prefix}%'
+GROUP BY 1, 2
+ORDER BY 1, 2"""

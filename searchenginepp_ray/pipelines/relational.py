@@ -1976,3 +1976,609 @@ def part_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
         "p_size": out["size"].to_numpy(np.int64),
         "supplier_cnt": out["supplier_cnt"].to_numpy(np.int64),
     })
+
+
+def order_priority_late(sf_dir: str, late_days: int = 10,
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1996-07-01"):
+    """TPC-H Q4 (order priority checking): count of orders per priority
+    in the orderdate window where AT LEAST ONE lineitem shipped more
+    than ``late_days`` past the order date — the EXISTS semi-join shape
+    where the subquery correlates on the outer row's own attribute
+    (o_orderdate), so the existence test cannot be evaluated on either
+    table alone. (Testdata has no commit/receipt dates; lateness is the
+    same shipdate-vs-orderdate contract as suppliers_kept_waiting,
+    exact integer-microsecond compare on both engines.)
+
+    Scale shape: "exists a late line" is a pure function of the order's
+    MAX ship date, so lineitem pre-collapses map-side to one
+    (orderkey, max ship_us) partial per batch — raw lineitems never
+    cross the wire. ONE orderkey exchange co-locates those partials
+    with the window-filtered order rows; the per-partition kernel
+    re-maxes, compares, and collapses to per-priority count partials
+    (≤ 5 rows each); the driver merge is P×5. Returns
+    (o_orderpriority, order_count)."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pads.field("o_orderdate") >= pd.Timestamp(date_lo))
+                & (pads.field("o_orderdate") < pd.Timestamp(date_hi))),
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ship_us = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(np.int64),
+                           "ship_us": ship_us})
+             .groupby("_k", as_index=False)["ship_us"].max())
+        g["prio"] = pd.Series([None] * len(g), dtype=object)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g[["_k", "ship_us", "prio", "_side"]]
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["o_orderkey"].to_numpy(np.int64),
+            # carry the order date in the ship_us slot (side-tagged)
+            "ship_us": df["o_orderdate"].astype("datetime64[us]")
+            .astype(np.int64),
+            "prio": df["o_orderpriority"].astype(object),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop = li.map_batches(li_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas"))
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["_k", "ship_us", "prio"]].rename(
+            columns={"ship_us": "odate_us"})
+        f = df[df["_side"] == 1].groupby("_k", as_index=False)[
+            "ship_us"].max()
+        j = o.merge(f, on="_k")  # inner: windowless orders already gone
+        if len(j) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64)})
+        late = (j["ship_us"].to_numpy()
+                > j["odate_us"].to_numpy() + late_us)
+        h = j.loc[late, "prio"].value_counts()
+        return pd.DataFrame({"o_orderpriority": h.index.astype(object),
+                             "cnt": h.to_numpy(np.int64)})
+
+    parts = hash_groupby_apply(hop, ["_k"], count_partials).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "order_count": pd.Series([], dtype=np.int64)})
+    out = (parts.groupby("o_orderpriority", as_index=False)["cnt"].sum()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    return pd.DataFrame({
+        "o_orderpriority": out["o_orderpriority"].astype(object),
+        "order_count": out["cnt"].to_numpy(np.int64),
+    })
+
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1996-03-01"):
+    """TPC-H Q14 (promotion effect): over the shipdate window, the
+    percentage of revenue from parts of ``promo_type`` — the
+    conditional-ratio aggregate whose numerator and denominator share
+    one scan. Returns one row (promo_revenue_c4, total_revenue_c4,
+    promo_share) with the revenues in exact 1e-4 currency units and the
+    share on the shared floor(x*1e6+0.5)/1e6 grid, so the cross-engine
+    comparison is a division of identical integers.
+
+    Scale shape: the fact pre-aggregates map-side to (partkey, rev4)
+    partials; ONE partkey exchange co-locates them with the part
+    dimension's (partkey, is_promo) rows (both sides data-scaling — a
+    broadcast would re-ship the part table per task at 100 TB); the
+    per-partition kernel emits TWO scalars, so the driver merge is P
+    rows of two ints."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks, round6_half_up
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= pd.Timestamp(date_lo))
+                & (pads.field("l_shipdate") < pd.Timestamp(date_hi))),
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_partkey"].to_numpy(np.int64),
+                           "rev4": p * (100 - d)})
+             .groupby("_k", as_index=False)["rev4"].sum())
+        g["promo"] = np.full(len(g), False)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["p_partkey"].to_numpy(np.int64),
+            "rev4": np.zeros(n, np.int64),
+            "promo": (df["p_type"] == promo_type).to_numpy(),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop = li.map_batches(li_partials, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def ratio_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["_side"] == 0][["_k", "promo"]]
+        f = df[df["_side"] == 1][["_k", "rev4"]]
+        j = f.merge(p, on="_k")
+        rev = j["rev4"].to_numpy()
+        return pd.DataFrame({
+            "promo_c4": [np.int64(rev[j["promo"].to_numpy()].sum())],
+            "total_c4": [np.int64(rev.sum())]})
+
+    parts = hash_groupby_apply(hop, ["_k"], ratio_partials).to_pandas()
+    promo = np.int64(parts["promo_c4"].sum())
+    total = np.int64(parts["total_c4"].sum())
+    share = float(round6_half_up(
+        np.array([100.0 * promo / total if total else 0.0]))[0])
+    return pd.DataFrame({
+        "promo_revenue_c4": np.array([promo], np.int64),
+        "total_revenue_c4": np.array([total], np.int64),
+        "promo_share": np.array([share]),
+    })
+
+
+def top_supplier_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01"):
+    """TPC-H Q15 (top supplier): suppliers whose revenue over the
+    shipdate window equals the GLOBAL maximum (all of them — ties
+    kept), with names attached. Revenue in exact 1e-4 units so the
+    max-equality has no float hazard. Returns
+    (s_suppkey, s_name, total_revenue_c4) ordered by suppkey.
+
+    Scale shape: map-side (suppkey, rev4) partials → ONE suppkey
+    exchange; each partition emits only its own argmax row set (any
+    global winner is its partition's max), so the driver sees ≤ P×ties
+    rows, takes the max of maxes, and attaches names with one
+    winner-key-pruned read of supplier — no second exchange, nothing
+    corpus-sized on the driver."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= pd.Timestamp(date_lo))
+                & (pads.field("l_shipdate") < pd.Timestamp(date_hi))),
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return (pd.DataFrame({"_k": df["l_suppkey"].to_numpy(np.int64),
+                              "rev4": p * (100 - d)})
+                .groupby("_k", as_index=False)["rev4"].sum())
+
+    def part_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_k", as_index=False)["rev4"].sum()
+        return g[g["rev4"].to_numpy() == g["rev4"].max()]
+
+    cand = hash_groupby_apply(
+        li.map_batches(li_partials, batch_format="pandas"),
+        ["_k"], part_max).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue_c4": pd.Series([], dtype=np.int64)})
+    best = cand["rev4"].max()
+    winners = cand[cand["rev4"].to_numpy() == best] \
+        .sort_values("_k").reset_index(drop=True)
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            [int(x) for x in winners["_k"]]),
+    ).to_pandas()
+    out = winners.merge(names, left_on="_k", right_on="s_suppkey") \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+        "s_name": out["s_name"].astype(object),
+        "total_revenue_c4": out["rev4"].to_numpy(np.int64),
+    })
+
+
+def nation_market_share(sf_dir: str, nation: int = 1,
+                        region: str = "EUROPE", p_type: str = "ECONOMY",
+                        date_lo: str = "1995-01-01",
+                        date_hi: str = "1997-01-01"):
+    """TPC-H Q8 (national market share): among order lines for parts of
+    ``p_type`` sold to customers of ``region`` in the orderdate window,
+    the per-year revenue share supplied by ``nation``. Returns
+    (o_year, nation_revenue_c4, total_revenue_c4, mkt_share) with exact
+    1e-4-unit revenues and the share on the shared floor(x*1e6+0.5)/1e6
+    grid — the ratio-of-conditional-aggregates over the deepest star
+    join (part, supplier, orders, customer all on different keys).
+
+    Scale shape: four chained exchanges with the fact SHRINKING at
+    every hop — partkey first (the type filter is the most selective,
+    acting as a semi-join), then suppkey (attach supplier nation), then
+    orderkey (attach year + custkey, window filter pushed to the order
+    scan), then custkey (region semi-join via the nation→region keys
+    resolved from the two tiny broadcast dimensions). Between hops the
+    fact re-aggregates map-side inside each kernel, so hop traffic is
+    bounded by (surviving keys × group arity), not raw lineitems."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nkeys = sorted(nat.loc[nat["n_regionkey"].isin(rkeys),
+                           "n_nationkey"].tolist())
+    nation = int(nation)
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_type") == p_type,
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    )
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= pd.Timestamp(date_lo))
+                & (pads.field("o_orderdate") < pd.Timestamp(date_hi))),
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_nationkey").isin(nkeys),
+    )
+
+    # ---- hop A: partkey semi-join (type filter kills most of the fact)
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        g = (pd.DataFrame({"_k": df["l_partkey"].to_numpy(np.int64),
+                           "suppkey": df["l_suppkey"].to_numpy(np.int64),
+                           "orderkey": df["l_orderkey"].to_numpy(np.int64),
+                           "rev4": p * (100 - d)})
+             .groupby(["_k", "suppkey", "orderkey"], as_index=False)
+             ["rev4"].sum())
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["p_partkey"].to_numpy(np.int64),
+            "suppkey": np.zeros(n, np.int64),
+            "orderkey": np.zeros(n, np.int64),
+            "rev4": np.zeros(n, np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop_a = li.map_batches(li_partials, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["_side"] == 0]["_k"].unique()
+        f = df[df["_side"] == 1]
+        f = f[f["_k"].isin(keep)]
+        return (f.groupby(["suppkey", "orderkey"], as_index=False)
+                ["rev4"].sum())
+
+    by_supp = hash_groupby_apply(hop_a, ["_k"], join_part).materialize()
+
+    # ---- hop B: suppkey join attaches the supplier's nation ----------
+    def supp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "suppkey": df["s_suppkey"].to_numpy(np.int64),
+            "orderkey": np.zeros(n, np.int64),
+            "rev4": np.zeros(n, np.int64),
+            "s_nat": df["s_nationkey"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def factb_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["suppkey", "orderkey", "rev4"]].copy()
+        out["s_nat"] = np.full(len(df), -1, np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["suppkey", "orderkey", "rev4", "s_nat", "_side"]]
+
+    hop_b = supp.map_batches(supp_rows, batch_format="pandas").union(
+        by_supp.map_batches(factb_rows, batch_format="pandas"))
+
+    def join_supp(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["_side"] == 0][["suppkey", "s_nat"]]
+        f = df[df["_side"] == 1]
+        j = f[["suppkey", "orderkey", "rev4"]].merge(s, on="suppkey")
+        # collapse the group key to is-the-nation before the next hop
+        j["is_nat"] = (j["s_nat"].to_numpy() == nation)
+        return (j.groupby(["orderkey", "is_nat"], as_index=False)
+                ["rev4"].sum())
+
+    by_order = hash_groupby_apply(hop_b, ["suppkey"], join_supp) \
+        .materialize()
+
+    # ---- hop C: orderkey join attaches year + custkey (window filter
+    # already applied at the order scan, so this is also a semi-join) --
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "is_nat": np.full(n, False),
+            "rev4": np.zeros(n, np.int64),
+            "custkey": df["o_custkey"].to_numpy(np.int64),
+            "year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def factc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["orderkey", "is_nat", "rev4"]].copy()
+        out["custkey"] = np.full(len(df), -1, np.int64)
+        out["year"] = np.zeros(len(df), np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["orderkey", "is_nat", "rev4", "custkey", "year",
+                    "_side"]]
+
+    hop_c = orders.map_batches(order_rows, batch_format="pandas").union(
+        by_order.map_batches(factc_rows, batch_format="pandas"))
+
+    def join_order(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["orderkey", "custkey", "year"]]
+        f = df[df["_side"] == 1]
+        j = f[["orderkey", "is_nat", "rev4"]].merge(o, on="orderkey")
+        return (j.groupby(["custkey", "year", "is_nat"], as_index=False)
+                ["rev4"].sum())
+
+    by_cust = hash_groupby_apply(hop_c, ["orderkey"], join_order) \
+        .materialize()
+
+    # ---- hop D: custkey semi-join (region) + final collapse ----------
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "custkey": df["c_custkey"].to_numpy(np.int64),
+            "year": np.zeros(n, np.int64),
+            "is_nat": np.full(n, False),
+            "rev4": np.zeros(n, np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def factd_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["custkey", "year", "is_nat", "rev4"]].copy()
+        out["_side"] = np.ones(len(df), np.int8)
+        return out
+
+    hop_d = cust.map_batches(cust_rows, batch_format="pandas").union(
+        by_cust.map_batches(factd_rows, batch_format="pandas"))
+
+    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["_side"] == 0]["custkey"].unique()
+        f = df[df["_side"] == 1]
+        f = f[f["custkey"].isin(keep)]
+        return (f.groupby(["year", "is_nat"], as_index=False)
+                ["rev4"].sum())
+
+    parts = hash_groupby_apply(hop_d, ["custkey"], join_cust).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "nation_revenue_c4": pd.Series([], dtype=np.int64),
+            "total_revenue_c4": pd.Series([], dtype=np.int64),
+            "mkt_share": pd.Series([], dtype=np.float64)})
+    from .text_stats import round6_half_up
+
+    agg = parts.groupby(["year", "is_nat"], as_index=False)["rev4"].sum()
+    tot = agg.groupby("year", as_index=False)["rev4"].sum() \
+        .rename(columns={"rev4": "total"})
+    num = agg[agg["is_nat"]].groupby("year", as_index=False)["rev4"] \
+        .sum().rename(columns={"rev4": "num"})
+    out = tot.merge(num, on="year", how="left").fillna({"num": 0}) \
+        .sort_values("year").reset_index(drop=True)
+    share = round6_half_up(out["num"].to_numpy(np.float64)
+                           / out["total"].to_numpy(np.float64))
+    return pd.DataFrame({
+        "o_year": out["year"].to_numpy(np.int64),
+        "nation_revenue_c4": out["num"].to_numpy(np.int64),
+        "total_revenue_c4": out["total"].to_numpy(np.int64),
+        "mkt_share": share,
+    })
+
+
+def product_profit(sf_dir: str, name_prefix: str = "red"):
+    """TPC-H Q9 (product type profit): per (supplier nation, order
+    year) the total profit on parts whose name starts with
+    ``name_prefix``. The testdata has no partsupp/supplycost, so cost
+    is the part's retail price × quantity — profit per line is the
+    all-integer ``price_c·(100−disc_c) − retail_c·qty_c`` in exact
+    1e-4 currency units (every factor snapped to its own cents grid
+    first, so both engines subtract identical integers). Returns
+    (nation, o_year, profit_c4).
+
+    Scale shape: the Q7/Q8 chained-exchange family — partkey hop
+    (name-prefix semi-join + retail price attach), suppkey hop
+    (nation), orderkey hop (year), each kernel re-aggregating map-side
+    so hop traffic shrinks with the surviving key count."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name",
+                                           "p_retailprice"],
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    )
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        q = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "_k": df["l_partkey"].to_numpy(np.int64),
+            "suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "rev4": p * (100 - d),
+            "qty_c": q,
+            "retail_c": np.zeros(len(df), np.int64),
+            "_side": np.ones(len(df), np.int8),
+        })
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["p_name"].str.startswith(name_prefix).to_numpy()
+        df = df[m]
+        n = len(df)
+        return pd.DataFrame({
+            "_k": df["p_partkey"].to_numpy(np.int64),
+            "suppkey": np.zeros(n, np.int64),
+            "orderkey": np.zeros(n, np.int64),
+            "rev4": np.zeros(n, np.int64),
+            "qty_c": np.zeros(n, np.int64),
+            "retail_c": np.floor(df["p_retailprice"].to_numpy() * 100
+                                 + 0.5).astype(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    hop_a = li.map_batches(li_rows, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["_side"] == 0][["_k", "retail_c"]] \
+            .rename(columns={"retail_c": "rc"})
+        f = df[df["_side"] == 1]
+        j = f[["_k", "suppkey", "orderkey", "rev4", "qty_c"]] \
+            .merge(p, on="_k")  # inner: non-matching parts die here
+        # profit in 1e-4 units: rev4 is cents·percent = 1e-4; cost is
+        # retail cents × qty cents = 1e-4 of currency·quantity
+        j["profit4"] = j["rev4"].to_numpy() \
+            - j["rc"].to_numpy() * j["qty_c"].to_numpy()
+        return (j.groupby(["suppkey", "orderkey"], as_index=False)
+                ["profit4"].sum())
+
+    by_supp = hash_groupby_apply(hop_a, ["_k"], join_part).materialize()
+
+    def supp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "suppkey": df["s_suppkey"].to_numpy(np.int64),
+            "orderkey": np.zeros(n, np.int64),
+            "profit4": np.zeros(n, np.int64),
+            "s_nat": df["s_nationkey"].to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def factb_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["suppkey", "orderkey", "profit4"]].copy()
+        out["s_nat"] = np.full(len(df), -1, np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["suppkey", "orderkey", "profit4", "s_nat", "_side"]]
+
+    hop_b = supp.map_batches(supp_rows, batch_format="pandas").union(
+        by_supp.map_batches(factb_rows, batch_format="pandas"))
+
+    def join_supp(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["_side"] == 0][["suppkey", "s_nat"]]
+        f = df[df["_side"] == 1]
+        j = f[["suppkey", "orderkey", "profit4"]].merge(s, on="suppkey")
+        return (j.groupby(["orderkey", "s_nat"], as_index=False)
+                ["profit4"].sum())
+
+    by_order = hash_groupby_apply(hop_b, ["suppkey"], join_supp) \
+        .materialize()
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "s_nat": np.zeros(n, np.int64),
+            "profit4": np.zeros(n, np.int64),
+            "year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            "_side": np.zeros(n, np.int8),
+        })
+
+    def factc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["orderkey", "s_nat", "profit4"]].copy()
+        out["year"] = np.zeros(len(df), np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["orderkey", "s_nat", "profit4", "year", "_side"]]
+
+    hop_c = orders.map_batches(order_rows, batch_format="pandas").union(
+        by_order.map_batches(factc_rows, batch_format="pandas"))
+
+    def join_order(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["orderkey", "year"]]
+        f = df[df["_side"] == 1]
+        j = f[["orderkey", "s_nat", "profit4"]].merge(o, on="orderkey")
+        return (j.groupby(["s_nat", "year"], as_index=False)
+                ["profit4"].sum())
+
+    parts = hash_groupby_apply(hop_c, ["orderkey"], join_order).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "nation": pd.Series([], dtype=np.int64),
+            "o_year": pd.Series([], dtype=np.int64),
+            "profit_c4": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["s_nat", "year"], as_index=False)["profit4"] \
+        .sum().sort_values(["s_nat", "year"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "nation": out["s_nat"].to_numpy(np.int64),
+        "o_year": out["year"].to_numpy(np.int64),
+        "profit_c4": out["profit4"].to_numpy(np.int64),
+    })

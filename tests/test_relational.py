@@ -518,3 +518,162 @@ def test_part_supplier_counts_matches_pandas(ray_session, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns], want,
                                   check_dtype=False)
     assert len(got) > 0
+
+
+def test_order_priority_late_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import order_priority_late
+
+    late, lo, hi = 10, "1996-01-01", "1996-07-01"
+    got = order_priority_late(sf_dir, late, lo, hi)
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders = orders[(orders["o_orderdate"] >= pd.Timestamp(lo))
+                    & (orders["o_orderdate"] < pd.Timestamp(hi))]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    mx = li.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+    j = orders.merge(mx, left_on="o_orderkey", right_on="l_orderkey")
+    lateflag = j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=late)
+    want = (j[lateflag].groupby("o_orderpriority").size()
+            .sort_index())
+    assert got["o_orderpriority"].tolist() == want.index.tolist()
+    assert got["order_count"].tolist() == want.tolist()
+    assert len(got) >= 2
+
+
+def test_promo_revenue_share_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import promo_revenue_share
+
+    lo, hi = "1996-01-01", "1996-03-01"
+    got = promo_revenue_share(sf_dir, "PROMO", lo, hi)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp(lo))
+            & (li["l_shipdate"] < pd.Timestamp(hi))]
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    p = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    rev = p * (100 - d)
+    promo = rev[(j["p_type"] == "PROMO").to_numpy()].sum()
+    total = rev.sum()
+    assert got["promo_revenue_c4"].iloc[0] == promo
+    assert got["total_revenue_c4"].iloc[0] == total
+    assert got["promo_share"].iloc[0] == np.floor(
+        100.0 * promo / total * 1e6 + 0.5) / 1e6
+    assert 0 < got["promo_share"].iloc[0] < 100
+
+
+def test_top_supplier_revenue_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import top_supplier_revenue
+
+    lo, hi = "1996-01-01", "1996-04-01"
+    got = top_supplier_revenue(sf_dir, lo, hi)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp(lo))
+            & (li["l_shipdate"] < pd.Timestamp(hi))]
+    p = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = li.assign(rev=p * (100 - d)).groupby("l_suppkey")["rev"].sum()
+    best = per.max()
+    winners = sorted(per[per == best].index.tolist())
+    assert got["s_suppkey"].tolist() == winners
+    assert (got["total_revenue_c4"] == best).all()
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    names = sup.set_index("s_suppkey")["s_name"]
+    assert got["s_name"].tolist() == [names[w] for w in winners]
+
+
+def test_top_supplier_revenue_keeps_ties(ray_session, tmp_path):
+    """Two suppliers engineered to the same exact total must both
+    appear (per-partition argmax can't drop a cross-partition tie)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.relational import top_supplier_revenue
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 400
+    li = pa.table({
+        "l_suppkey": pa.array([i % 100 for i in range(n)], pa.int64()),
+        "l_extendedprice": pa.array([10.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_shipdate": pa.array([pd.Timestamp("1996-02-01")] * n,
+                               pa.timestamp("us")),
+    })
+    pq.write_table(li, d / "lineitem.parquet", row_group_size=64)
+    supp = pa.table({
+        "s_suppkey": pa.array(list(range(100)), pa.int64()),
+        "s_name": pa.array([f"S{i:03d}" for i in range(100)]),
+    })
+    pq.write_table(supp, d / "supplier.parquet")
+    got = top_supplier_revenue(str(d), "1996-01-01", "1996-04-01")
+    # every supplier has identical revenue: ALL 100 are winners
+    assert got["s_suppkey"].tolist() == list(range(100))
+    assert got["s_name"].tolist() == [f"S{i:03d}" for i in range(100)]
+    assert (got["total_revenue_c4"] == 4 * 1000 * 100).all()
+
+
+def test_nation_market_share_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import nation_market_share
+
+    got = nation_market_share(sf_dir, nation=1, region="EUROPE",
+                              p_type="ECONOMY")
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cus = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"]
+    nk = nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"]
+    j = (li.merge(part[part["p_type"] == "ECONOMY"],
+                  left_on="l_partkey", right_on="p_partkey")
+         .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cus[cus["c_nationkey"].isin(nk)],
+                left_on="o_custkey", right_on="c_custkey"))
+    j = j[(j["o_orderdate"] >= pd.Timestamp("1995-01-01"))
+          & (j["o_orderdate"] < pd.Timestamp("1997-01-01"))]
+    p = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    j = j.assign(rev=p * (100 - d), year=j["o_orderdate"].dt.year)
+    tot = j.groupby("year")["rev"].sum()
+    num = j[j["s_nationkey"] == 1].groupby("year")["rev"].sum() \
+        .reindex(tot.index, fill_value=0)
+    assert got["o_year"].tolist() == tot.index.tolist()
+    assert got["total_revenue_c4"].tolist() == tot.tolist()
+    assert got["nation_revenue_c4"].tolist() == num.tolist()
+    want_share = np.floor(num.to_numpy() / tot.to_numpy() * 1e6 + 0.5) / 1e6
+    assert got["mkt_share"].tolist() == want_share.tolist()
+    assert len(got) == 2  # both window years present
+
+
+def test_product_profit_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import product_profit
+
+    got = product_profit(sf_dir, "red")
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = (li.merge(part[part["p_name"].str.startswith("red")],
+                  left_on="l_partkey", right_on="p_partkey")
+         .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(orders, left_on="l_orderkey", right_on="o_orderkey"))
+    p = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    q = np.floor(j["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+    rc = np.floor(j["p_retailprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    j = j.assign(profit=p * (100 - d) - rc * q,
+                 year=j["o_orderdate"].dt.year)
+    want = j.groupby(["s_nationkey", "year"], as_index=False)["profit"] \
+        .sum().sort_values(["s_nationkey", "year"]).reset_index(drop=True)
+    assert got["nation"].tolist() == want["s_nationkey"].tolist()
+    assert got["o_year"].tolist() == want["year"].tolist()
+    assert got["profit_c4"].tolist() == want["profit"].tolist()
+    assert len(got) > 10
