@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compaction (the tombstone contract)
         "search_bm25_tombstoned_topk":
             lambda sf: search_docs.search_topk_tombstoned(sf),
+        # the lifecycle close-out: physical reclaim of the tombstoned
+        # docs (compact_index) — postings dropped, docids renumbered,
+        # df/idf/avgdl converged to the alive corpus, then served
+        "search_bm25_compacted_topk":
+            lambda sf: search_docs.search_topk_compacted(sf),
         # diversified retrieval: exact top-k per (query, lang facet) —
         # one masked pass per facet over cached per-actor masks
         "search_bm25_grouped_topk":
@@ -494,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
         "search_bm25_tombstoned_topk": osql.search_topk_tombstoned_sql(),
+        "search_bm25_compacted_topk": osql.search_topk_compacted_sql(),
         "search_bm25_grouped_topk": osql.search_topk_grouped_sql(),
         "logreg_train": osql.logreg_train_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),

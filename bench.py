@@ -449,6 +449,8 @@ def run_default() -> None:
           lambda: search_docs.search_topk_filtered(sf_dir))
     timed("search_bm25_tombstoned",
           lambda: search_docs.search_topk_tombstoned(sf_dir))
+    timed("search_bm25_compacted",
+          lambda: search_docs.search_topk_compacted(sf_dir))
     timed("search_bm25_grouped",
           lambda: search_docs.search_topk_grouped(sf_dir))
     from searchenginepp_ray.pipelines import classifier

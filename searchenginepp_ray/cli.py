@@ -175,6 +175,17 @@ def cmd_fsck(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_reclaim(args) -> int:
+    import json
+
+    _ray_init(args.num_cpus)
+    from .index.build import compact_index
+
+    summary = compact_index(args.index_dir, args.out_dir, force=args.force)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchenginepp_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +267,17 @@ def main(argv=None) -> int:
     f.add_argument("--deep", action="store_true")
     f.add_argument("--num-cpus", type=int, default=None)
     f.set_defaults(fn=cmd_fsck)
+
+    r = sub.add_parser(
+        "reclaim", help="physically reclaim tombstoned docs: write a "
+        "compacted index (postings dropped, docids renumbered, "
+        "df/idf/avgdl recomputed — byte-identical to a fresh build "
+        "over the alive corpus, without re-tokenizing)")
+    r.add_argument("index_dir")
+    r.add_argument("out_dir")
+    r.add_argument("--force", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_reclaim)
 
     e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
     e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")

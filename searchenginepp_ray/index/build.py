@@ -357,6 +357,102 @@ def _task_num_cpus() -> float:
     return 1.0
 
 
+def _global_stage(docs_dir: str, global_dir: str, n_docs: int,
+                  cfg: BuildConfig, lineage_key: str) -> None:
+    """Build stage 2 (global stats): aggregate the per-shard
+    ``docs/_partials`` into the partitioned global lexicon
+    (``global/term_df/part-K``) + per-segment semi-join slices
+    (``global/seg_df/seg=N``) and write ``global/metadata.json``.
+    Shared by :func:`build_index` and :func:`compact_index` — both run
+    it over a docs/ layout, so a compacted index's global state is
+    byte-identical to a fresh build's over the same alive docs."""
+    shutil.rmtree(global_dir, ignore_errors=True)
+    os.makedirs(global_dir)
+    term_df_dir = os.path.join(global_dir, "term_df")
+    seg_df_dir = os.path.join(global_dir, "seg_df")
+    os.makedirs(term_df_dir)
+    os.makedirs(seg_df_dir)
+    from ..pipelines.agg import hash_groupby_apply  # no import cycle
+    from ..pipelines.dedup import _shuffle_width
+
+    pdir = os.path.join(docs_dir, "_partials")
+    partial_files = sorted(
+        os.path.join(pdir, f)
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    # the same partition width in both dispatch arms, fixed on the
+    # driver, so their term_df/part-K layouts are identical
+    P = _shuffle_width()
+    psize = sum(os.path.getsize(f) for f in partial_files)
+    single_cap = (
+        int(os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "128")) << 20
+    )
+    if psize <= single_cap:
+        # cost-based dispatch: when the whole (seg, term) partial set
+        # is tiny (bounded vocabulary — the common small/medium case),
+        # two all-to-all exchanges cost more than the data. One Ray
+        # task runs the SAME kernels over the same term-hash partition
+        # ids, producing byte-identical global/ output (pinned by
+        # test_global_stage_paths_identical).
+        sum_doclen = ray.get(
+            _global_stage_single.remote(
+                partial_files, n_docs, term_df_dir, seg_df_dir, P
+            )
+        )
+    else:
+        parts_ds = ray.data.read_parquet(pdir)
+        sum_doclen = int(parts_ds.sum("doclen_part") or 0)
+        seg_rows = hash_groupby_apply(
+            parts_ds,
+            ["term"],
+            lambda df: _finalize_term_part(df, n_docs, term_df_dir),
+            P=P,
+            keep_part=True,
+        )
+        # consuming the manifest rows executes the partitioned writes;
+        # only (seg, n_terms) scalars ever reach the driver
+        hash_groupby_apply(
+            seg_rows, ["seg"], lambda df: _write_seg_df(df, seg_df_dir), P=P
+        ).count()
+    n_terms_global = sum(
+        pq.read_metadata(os.path.join(term_df_dir, f)).num_rows
+        for f in os.listdir(term_df_dir)
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(global_dir, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "sum_doclen": sum_doclen,
+                "avgdl": sum_doclen / max(n_docs, 1),
+                "n_terms_global": n_terms_global,
+                "params_id": cfg.params_id,
+                "profile_id": cfg.profile.profile_id,
+                # flags spelled out so query-side tooling can adopt
+                # the build profile without being told (the reference
+                # pins these at compile time, CMakeLists.txt:29-32)
+                "profile_flags": {
+                    "stemming": cfg.profile.stemming,
+                    "fix_latin1": cfg.profile.fix_latin1,
+                    "latin1_case": cfg.profile.latin1_case,
+                },
+                # build constants baked into the on-disk encoding
+                # (delta-gap restart period, sigma/UB scoring params):
+                # readers and merge MUST use these, not their own
+                # defaults
+                "build_params": {
+                    "skip_block_size": cfg.skip_block_size,
+                    "bm25_k1": cfg.bm25_k1,
+                    "bm25_b": cfg.bm25_b,
+                    "docs_per_segment": cfg.docs_per_segment,
+                },
+                "lineage_key": lineage_key,
+            },
+            f,
+        )
+
+
 def build_index(
     corpus_paths: list[str] | str,
     out_dir: str,
@@ -481,92 +577,7 @@ def build_index(
     # tens-of-GB vocabulary of a 100 TB code corpus.)
     marker2 = os.path.join(out_dir, "_global_done")
     if force or not _stage_marker(marker2, lineage_key):
-        shutil.rmtree(global_dir, ignore_errors=True)
-        os.makedirs(global_dir)
-        term_df_dir = os.path.join(global_dir, "term_df")
-        seg_df_dir = os.path.join(global_dir, "seg_df")
-        os.makedirs(term_df_dir)
-        os.makedirs(seg_df_dir)
-        from ..pipelines.agg import hash_groupby_apply  # no import cycle
-        from ..pipelines.dedup import _shuffle_width
-
-        n_docs = n_docs_total
-        pdir = os.path.join(docs_dir, "_partials")
-        partial_files = sorted(
-            os.path.join(pdir, f)
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet")
-        )
-        # the same partition width in both dispatch arms, fixed on the
-        # driver, so their term_df/part-K layouts are identical
-        P = _shuffle_width()
-        psize = sum(os.path.getsize(f) for f in partial_files)
-        single_cap = (
-            int(os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "128")) << 20
-        )
-        if psize <= single_cap:
-            # cost-based dispatch: when the whole (seg, term) partial set
-            # is tiny (bounded vocabulary — the common small/medium case),
-            # two all-to-all exchanges cost more than the data. One Ray
-            # task runs the SAME kernels over the same term-hash partition
-            # ids, producing byte-identical global/ output (pinned by
-            # test_global_stage_paths_identical).
-            sum_doclen = ray.get(
-                _global_stage_single.remote(
-                    partial_files, n_docs, term_df_dir, seg_df_dir, P
-                )
-            )
-        else:
-            parts_ds = ray.data.read_parquet(pdir)
-            sum_doclen = int(parts_ds.sum("doclen_part") or 0)
-            seg_rows = hash_groupby_apply(
-                parts_ds,
-                ["term"],
-                lambda df: _finalize_term_part(df, n_docs, term_df_dir),
-                P=P,
-                keep_part=True,
-            )
-            # consuming the manifest rows executes the partitioned writes;
-            # only (seg, n_terms) scalars ever reach the driver
-            hash_groupby_apply(
-                seg_rows, ["seg"], lambda df: _write_seg_df(df, seg_df_dir), P=P
-            ).count()
-        n_terms_global = sum(
-            pq.read_metadata(os.path.join(term_df_dir, f)).num_rows
-            for f in os.listdir(term_df_dir)
-            if f.endswith(".parquet")
-        )
-        with open(os.path.join(global_dir, "metadata.json"), "w") as f:
-            json.dump(
-                {
-                    "n_docs": n_docs,
-                    "sum_doclen": sum_doclen,
-                    "avgdl": sum_doclen / max(n_docs, 1),
-                    "n_terms_global": n_terms_global,
-                    "params_id": cfg.params_id,
-                    "profile_id": cfg.profile.profile_id,
-                    # flags spelled out so query-side tooling can adopt
-                    # the build profile without being told (the reference
-                    # pins these at compile time, CMakeLists.txt:29-32)
-                    "profile_flags": {
-                        "stemming": cfg.profile.stemming,
-                        "fix_latin1": cfg.profile.fix_latin1,
-                        "latin1_case": cfg.profile.latin1_case,
-                    },
-                    # build constants baked into the on-disk encoding
-                    # (delta-gap restart period, sigma/UB scoring params):
-                    # readers and merge MUST use these, not their own
-                    # defaults
-                    "build_params": {
-                        "skip_block_size": cfg.skip_block_size,
-                        "bm25_k1": cfg.bm25_k1,
-                        "bm25_b": cfg.bm25_b,
-                        "docs_per_segment": cfg.docs_per_segment,
-                    },
-                    "lineage_key": lineage_key,
-                },
-                f,
-            )
+        _global_stage(docs_dir, global_dir, n_docs_total, cfg, lineage_key)
         with open(marker2, "w") as f:
             f.write(lineage_key)
     stage_secs["global_stats"] = _time.perf_counter() - _t0
@@ -576,6 +587,32 @@ def build_index(
         meta = json.load(f)
 
     # ---- stage 3: assemble segments ----
+    manifests = _assemble_stage(
+        out_dir, docs_dir, global_dir, meta, cfg, lineage_key, force
+    )
+    stage_secs["assemble"] = _time.perf_counter() - _t0
+
+    summary = {
+        "stage_secs": {k: round(v, 3) for k, v in stage_secs.items()},
+        "n_docs": meta["n_docs"],
+        "sum_doclen": meta["sum_doclen"],
+        "avgdl": meta["avgdl"],
+        "n_segments": len(manifests),
+        "n_terms_global": int(meta["n_terms_global"]),
+        "n_postings": int(sum(m["n_postings"] for m in manifests)),
+        "out_dir": out_dir,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+def _assemble_stage(out_dir: str, docs_dir: str, global_dir: str,
+                    meta: dict, cfg: BuildConfig, lineage_key: str,
+                    force: bool) -> list[dict]:
+    """Build stage 3 (segment assembly) over a docs/ layout; one task
+    per segment, each writing its own ``db_N/``. Shared by
+    :func:`build_index` and :func:`compact_index`."""
     seg_ids = sorted(
         int(name.split("=")[1])
         for name in os.listdir(docs_dir)
@@ -594,24 +631,10 @@ def build_index(
     seg_ds = ray.data.from_items(
         [{"seg": s} for s in seg_ids], override_num_blocks=len(seg_ids)
     )
-    manifests = seg_ds.map_batches(
-        assemble, batch_format="pyarrow", batch_size=None, num_cpus=_task_num_cpus()
+    return seg_ds.map_batches(
+        assemble, batch_format="pyarrow", batch_size=None,
+        num_cpus=_task_num_cpus()
     ).take_all()
-    stage_secs["assemble"] = _time.perf_counter() - _t0
-
-    summary = {
-        "stage_secs": {k: round(v, 3) for k, v in stage_secs.items()},
-        "n_docs": meta["n_docs"],
-        "sum_doclen": meta["sum_doclen"],
-        "avgdl": meta["avgdl"],
-        "n_segments": len(seg_ids),
-        "n_terms_global": int(meta["n_terms_global"]),
-        "n_postings": int(sum(m["n_postings"] for m in manifests)),
-        "out_dir": out_dir,
-    }
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
-        json.dump(summary, f)
-    return summary
 
 
 class AssembleSegment:
@@ -1252,6 +1275,190 @@ def merge_segments(
         "group_size": group_size,
         "n_postings": int(sum(m["n_postings"] for m in manifests)),
         "merge_secs": round(_time.perf_counter() - t0, 3),
+        "out_dir": out_dir,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+@ray.remote(num_cpus=1)
+def _alive_count(doc_file: str, tomb_ref) -> dict:
+    """Stage-A1 of compaction: (file, first docid, alive rows) from a
+    two-column pruned read — the driver needs only these scalars to
+    assign dense renumber offsets."""
+    t = pq.read_table(doc_file, columns=["docid", "docno"])
+    if len(t) == 0:
+        return {"file": doc_file, "min_docid": 0, "n_alive": 0}
+    dead = pc.is_in(t["docno"], value_set=pa.array(tomb_ref, pa.string()))
+    return {
+        "file": doc_file,
+        "min_docid": int(pc.min(t["docid"]).as_py()),
+        "n_alive": int(len(t) - (pc.sum(dead).as_py() or 0)),
+    }
+
+
+@ray.remote(num_cpus=1)
+def _compact_doc_file(doc_file: str, tomb_ref, new_base: int,
+                      docs_per_segment: int, out_docs_dir: str) -> int:
+    """Stage-A2 of compaction: drop tombstoned rows, renumber docids
+    densely from ``new_base``, re-derive segment ids from the NEW
+    docids, and write per-segment doc parts + vocabulary-sized
+    ``_partials`` — the exact layout stage 1 of a fresh build writes,
+    so stages 2-3 run unchanged over it."""
+    t = pq.read_table(doc_file)
+    if len(t):
+        alive = pc.invert(
+            pc.is_in(t["docno"], value_set=pa.array(tomb_ref, pa.string())))
+        t = t.filter(alive)
+    n = len(t)
+    if n == 0:
+        return 0
+    docids = np.arange(new_base, new_base + n, dtype=np.uint64)
+    segs = ((docids - 1) // docs_per_segment).astype(np.int32)
+    t = pa.table(
+        {
+            "docid": pa.array(docids),
+            "docno": t["docno"],
+            "doclen": t["doclen"],
+            "sha256": t["sha256"],
+            "seg": pa.array(segs),
+            "terms": t["terms"],
+            "tfs": t["tfs"],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    name = f"part-{new_base:012d}-00000.parquet"
+    for seg in pc.unique(t["seg"]).to_pylist():
+        part = t.filter(pc.equal(t["seg"], seg)).drop_columns(["seg"])
+        seg_dir = os.path.join(out_docs_dir, f"seg={seg}")
+        os.makedirs(seg_dir, exist_ok=True)
+        final = os.path.join(seg_dir, name)
+        tmp = final + ".tmp"
+        pq.write_table(part, tmp)
+        os.replace(tmp, final)
+    pdir = os.path.join(out_docs_dir, "_partials")
+    os.makedirs(pdir, exist_ok=True)
+    pfinal = os.path.join(pdir, name)
+    ptmp = pfinal + ".tmp"
+    pq.write_table(_partial_df(t), ptmp)
+    os.replace(ptmp, pfinal)
+    return n
+
+
+def compact_index(index_dir: str, out_dir: str, force: bool = False) -> dict:
+    """PHYSICAL tombstone reclaim — the index lifecycle's fourth phase
+    (build → delete → merge → compact). Produces at ``out_dir`` an
+    index over only the ALIVE documents: postings dropped, docids
+    renumbered densely, df/idf/avgdl/n_docs/sigmas all recomputed — the
+    statistics that :mod:`tombstone` intentionally leaves stale finally
+    converge here. The output carries no tombstone file.
+
+    Equivalence contract: the result is BYTE-IDENTICAL to a fresh
+    ``build_index`` over the alive corpus with the same config
+    (pytest-pinned) — compaction IS that rebuild, minus its dominant
+    cost: stage 1's per-byte tokenize never reruns because the doc
+    partitions already hold the token lists; only the per-index stages
+    (global stats + assembly) recompute, exactly the append-incremental
+    build's cost split. Beyond-reference: the C++ engine has no delete
+    or reclaim path (its builder is one-shot, src/builder.cpp).
+
+    Scale shape: stage A maps over doc-part files (one counting pass
+    for dense renumber offsets — scalars to the driver — then one
+    filter+renumber+write pass, each task writing its own partitioned
+    output); stages 2-3 are the build's own distributed machinery. The
+    tombstone set is delete-sized and ray.put-broadcast once.
+    Idempotent/resumable via the same stage markers as a build."""
+    import time as _time
+
+    from .tombstone import load_tombstones
+
+    t0 = _time.perf_counter()
+    with open(os.path.join(index_dir, "global", "metadata.json")) as f:
+        meta = json.load(f)
+    bp = meta.get("build_params")
+    if bp is None:
+        raise ValueError("source index predates build_params metadata")
+    from ..config import NormalizerProfile as _NP
+
+    cfg = BuildConfig(
+        profile=_NP(**meta["profile_flags"]),
+        docs_per_segment=bp["docs_per_segment"],
+        skip_block_size=bp["skip_block_size"],
+        bm25_k1=bp["bm25_k1"],
+        bm25_b=bp["bm25_b"],
+    )
+    tombs = load_tombstones(index_dir)
+    lineage_key = hashlib.sha256(
+        (meta["lineage_key"] + ":compact:"
+         + hashlib.sha256("\x00".join(tombs).encode()).hexdigest()).encode()
+    ).hexdigest()[:16]
+
+    src_docs = os.path.join(index_dir, "docs")
+    out_docs = os.path.join(out_dir, "docs")
+    out_global = os.path.join(out_dir, "global")
+    os.makedirs(out_dir, exist_ok=True)
+    stage_secs: dict[str, float] = {}
+
+    # ---- stage A: filtered + renumbered docs ----
+    marker_a = os.path.join(out_dir, "_docs_done")
+    if force or not _stage_marker(marker_a, lineage_key):
+        shutil.rmtree(out_docs, ignore_errors=True)
+        tomb_ref = ray.put(tombs)
+        files = sorted(
+            os.path.join(src_docs, d, f)
+            for d in os.listdir(src_docs)
+            if d.startswith("seg=")
+            for f in os.listdir(os.path.join(src_docs, d))
+            if f.endswith(".parquet")
+        )
+        counts = ray.get([_alive_count.remote(f, tomb_ref) for f in files])
+        # global docid order = per-file min docid order (each doc file
+        # covers a contiguous, disjoint docid range by construction)
+        counts = [c for c in sorted(counts, key=lambda c: c["min_docid"])
+                  if c["n_alive"] > 0]
+        bases = 1 + np.concatenate(
+            ([0], np.cumsum([c["n_alive"] for c in counts])[:-1])
+        ).astype(np.int64) if counts else np.zeros(0, np.int64)
+        ray.get([
+            _compact_doc_file.remote(
+                c["file"], tomb_ref, int(b), cfg.docs_per_segment, out_docs)
+            for c, b in zip(counts, bases)
+        ])
+        n_alive_total = int(sum(c["n_alive"] for c in counts))
+        with open(os.path.join(out_dir, "_n_docs.json"), "w") as f:
+            json.dump({"n_docs": n_alive_total}, f)
+        with open(marker_a, "w") as f:
+            f.write(lineage_key)
+    with open(os.path.join(out_dir, "_n_docs.json")) as f:
+        n_alive_total = json.load(f)["n_docs"]
+    stage_secs["compact_docs"] = _time.perf_counter() - t0
+    _t = _time.perf_counter()
+
+    # ---- stages 2-3: the build's own machinery over the new docs ----
+    marker2 = os.path.join(out_dir, "_global_done")
+    if force or not _stage_marker(marker2, lineage_key):
+        _global_stage(out_docs, out_global, n_alive_total, cfg, lineage_key)
+        with open(marker2, "w") as f:
+            f.write(lineage_key)
+    stage_secs["global_stats"] = _time.perf_counter() - _t
+    _t = _time.perf_counter()
+    with open(os.path.join(out_global, "metadata.json")) as f:
+        out_meta = json.load(f)
+    manifests = _assemble_stage(
+        out_dir, out_docs, out_global, out_meta, cfg, lineage_key, force
+    )
+    stage_secs["assemble"] = _time.perf_counter() - _t
+
+    summary = {
+        "stage_secs": {k: round(v, 3) for k, v in stage_secs.items()},
+        "n_docs": out_meta["n_docs"],
+        "n_reclaimed": int(meta["n_docs"]) - int(out_meta["n_docs"]),
+        "sum_doclen": out_meta["sum_doclen"],
+        "avgdl": out_meta["avgdl"],
+        "n_segments": len(manifests),
+        "n_terms_global": int(out_meta["n_terms_global"]),
+        "n_postings": int(sum(m["n_postings"] for m in manifests)),
         "out_dir": out_dir,
     }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:

@@ -89,6 +89,7 @@ class QueryEngine:
     ):
         cfg_supplied = cfg is not None
         cfg = cfg or BuildConfig()
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "global", "metadata.json")) as f:
             self.meta = json.load(f)
         meta_profile = (

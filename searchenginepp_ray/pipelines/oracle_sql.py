@@ -37,13 +37,14 @@ def _regex_class() -> str:
     return "[" + "".join(chars) + "]"
 
 
-def tok_cte() -> str:
-    """CTE ``toks(doc_id, term)`` — one row per token occurrence."""
+def tok_cte(source: str = "documents") -> str:
+    """CTE ``toks(doc_id, term)`` — one row per token occurrence of the
+    given corpus ``source`` (a view or an earlier CTE)."""
     cls = _regex_class().replace("'", "''")
     return f"""
 toks AS (
     SELECT doc_id, t.term
-    FROM documents,
+    FROM {source},
          unnest(string_split_regex(
              trim(regexp_replace(lower(text), '{cls}', ' ', 'g')),
              ' +')) AS t(term)
@@ -2649,17 +2650,25 @@ FROM documents"""
 
 
 def _bm25_ranked_sql(k: int, candidate_where: str = "",
-                     grouped_by_lang: bool = False) -> str:
+                     grouped_by_lang: bool = False,
+                     alive_where: str = "") -> str:
     """Shared BM25 rank stack for the serving-side oracle family
-    (filtered / tombstoned / grouped): the :func:`search_topk_sql`
-    scoring CTEs with an optional candidate restriction applied BEFORE
-    ranking (collection stats stay corpus-global — what serving a full
-    index through a candidate mask computes) and optional per-lang rank
-    partitioning. One definition — a scoring fix applies everywhere."""
+    (filtered / tombstoned / grouped / compacted): the
+    :func:`search_topk_sql` scoring CTEs with an optional candidate
+    restriction applied BEFORE ranking (collection stats stay
+    corpus-global — what serving a full index through a candidate mask
+    computes), optional per-lang rank partitioning, and an optional
+    ``alive_where`` that restricts the CORPUS ITSELF (a shadowing
+    ``documents`` CTE, so df/idf/avgdl/n_docs are recomputed over the
+    survivors — what physical compaction computes). One definition — a
+    scoring fix applies everywhere."""
     cfg = BuildConfig()
     rows, _ = _query_values()
     expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
     where = f"WHERE {candidate_where}" if candidate_where else ""
+    src = "alive_docs" if alive_where else "documents"
+    alive = (f"alive_docs AS (SELECT * FROM documents WHERE {alive_where}),\n"
+             if alive_where else "")
     if grouped_by_lang:
         ranked = """ranked AS (
     SELECT s.query_id, d.lang, s.doc_id, s.s,
@@ -2681,12 +2690,12 @@ def _bm25_ranked_sql(k: int, candidate_where: str = "",
                   "CAST(rank AS BIGINT) AS rank,\n"
                   "       doc_id, ROUND(s, 6) AS score")
         tail = f"FROM ranked WHERE rank <= {k}"
-    return f"""WITH {tok_cte()},
+    return f"""WITH {alive}{tok_cte(src)},
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM {src}) AS n_docs,
                  (SELECT COUNT(*) FROM toks) * 1.0
-                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+                   / (SELECT COUNT(*) FROM {src}) AS avgdl),
 df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
 q(query_id, term) AS (VALUES {rows}),
 scores AS (
@@ -2726,6 +2735,19 @@ def search_topk_tombstoned_sql(mod: int | None = None,
 
     mod = TOMB_MOD if mod is None else int(mod)
     return _bm25_ranked_sql(k, candidate_where=f"tf.doc_id % {mod} <> 0")
+
+
+def search_topk_compacted_sql(mod: int | None = None,
+                              k: int = 10) -> str:
+    """Oracle for search_docs.search_topk_compacted: the shared BM25
+    stack over the CORPUS RESTRICTED to alive docs — df/idf/avgdl/
+    n_docs recomputed over the survivors, what physical reclaim
+    (compact_index) converges the statistics to. Contrast with the
+    tombstoned oracle, which keeps stats corpus-global."""
+    from .search_docs import TOMB_MOD
+
+    mod = TOMB_MOD if mod is None else int(mod)
+    return _bm25_ranked_sql(k, alive_where=f"doc_id % {mod} <> 0")
 
 
 def search_topk_grouped_sql(k: int = 3) -> str:

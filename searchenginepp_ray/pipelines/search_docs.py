@@ -691,6 +691,48 @@ def search_topk_tombstoned(sf_dir: str, k: int = 10,
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
 
 
+def get_compacted_engine(sf_dir: str, mod: int = TOMB_MOD) -> QueryEngine:
+    """Engine over the PHYSICAL RECLAIM of the tombstoned index:
+    :func:`..index.build.compact_index` drops the deleted docs' postings,
+    renumbers docids densely and recomputes df/idf/avgdl — the
+    statistics the tombstone contract left stale converge here, with no
+    access to the raw corpus (the doc partitions' token lists are the
+    input). Cached per source lineage + tombstone set."""
+    import json
+
+    from ..index.build import compact_index
+    from ..index.tombstone import load_tombstones
+
+    cfg = _cfg(simple=True)
+    src_eng = get_tombstoned_engine(sf_dir, mod)  # materializes the copy
+    src = src_eng.index_dir
+    lineage = (str(src_eng.meta.get("lineage_key", "")),
+               tuple(load_tombstones(src)))
+    key = (os.path.abspath(sf_dir), cfg.params_id, "compacted", mod, lineage)
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng
+    out = os.path.join(
+        "/tmp", "seppray_index_cache",
+        "compact_" + hashlib.sha256(repr(key).encode()).hexdigest()[:12])
+    compact_index(src, out)  # stage markers make reruns cache hits
+    eng = QueryEngine(out, scorer="bm25", use_actors=True,
+                      num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
+    _ENGINES[key] = eng
+    return eng
+
+
+def search_topk_compacted(sf_dir: str, k: int = 10,
+                          mode: str = "bmm") -> pd.DataFrame:
+    """BM25 top-``k`` over the COMPACTED index — the full lifecycle
+    composition (build → delete → physical reclaim → serve): deleted
+    docs are gone from the postings and, unlike the tombstoned view,
+    idf/avgdl/n_docs now reflect only the alive corpus, so scores equal
+    a fresh build over it (the compaction equivalence contract)."""
+    eng = get_compacted_engine(sf_dir)
+    return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
+
+
 def search_topk_grouped(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Diversified / per-facet retrieval: for every query, the exact
     BM25 top-``k`` WITHIN EACH language — one result table spanning all

@@ -942,3 +942,103 @@ def test_fsck_clean_and_corrupted(built, tmp_path_factory):
     assert "sum_doclen" in msgs
     # the deep check sees the df_global sum broken by the df_local bump
     assert "df_global" in msgs
+
+
+def test_compact_index_equals_fresh_build(built, tmp_path_factory):
+    """The physical-reclaim contract: compact_index over a tombstoned
+    index is BYTE-IDENTICAL (segments + partitioned global lexicon +
+    collection stats) to a fresh build over the alive corpus with the
+    same config — and the compacted engine's ranking equals that fresh
+    build's. Also pins the resume path (second call is all cache hits)
+    and that no tombstone file survives compaction."""
+    import filecmp
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from searchenginepp_ray.index.build import compact_index
+    from searchenginepp_ray.index.fsck import fsck_index
+    from searchenginepp_ray.index.tombstone import delete_docs, load_tombstones
+
+    summary, _, _ = built
+    tmp = tmp_path_factory.mktemp("compact")
+    src = str(tmp / "src_idx")
+    shutil.copytree(summary["out_dir"], src)
+    corpus_path = os.path.join(os.path.dirname(summary["out_dir"]),
+                               "corpus.parquet")
+
+    # delete every 7th docno (spread across all segments)
+    table = pq.read_table(corpus_path)
+    all_docnos = [
+        docno_of(r, p, c)
+        for r, p, c in zip(table["repo"].to_pylist(),
+                           table["path"].to_pylist(),
+                           table["commit"].to_pylist())
+    ]
+    dead = set(all_docnos[::7])
+    delete_docs(src, sorted(dead))
+
+    cfg = BuildConfig(docs_per_segment=300)
+    out = str(tmp / "compacted")
+    csum = compact_index(src, out)
+    assert csum["n_docs"] == len(all_docnos) - len(dead)
+    assert csum["n_reclaimed"] == len(dead)
+
+    # fresh build over the alive corpus, same config
+    alive_mask = pa.array([d not in dead for d in all_docnos])
+    alive_path = str(tmp / "alive_corpus.parquet")
+    pq.write_table(table.filter(alive_mask), alive_path,
+                   row_group_size=128)
+    fresh_dir = str(tmp / "fresh_idx")
+    fsum = build_index(alive_path, fresh_dir, cfg, CODE_CORPUS)
+    assert fsum["n_docs"] == csum["n_docs"]
+    assert fsum["n_postings"] == csum["n_postings"]
+
+    # byte-identical segments and global lexicon partitions
+    segs = sorted(d for d in os.listdir(fresh_dir) if d.startswith("db_"))
+    assert segs == sorted(d for d in os.listdir(out) if d.startswith("db_"))
+    for d in segs:
+        assert filecmp.cmp(os.path.join(fresh_dir, d, "terms.parquet"),
+                           os.path.join(out, d, "terms.parquet"),
+                           shallow=False), d
+    ftd = os.path.join(fresh_dir, "global", "term_df")
+    ctd = os.path.join(out, "global", "term_df")
+    assert sorted(os.listdir(ftd)) == sorted(os.listdir(ctd))
+    for f in os.listdir(ftd):
+        assert filecmp.cmp(os.path.join(ftd, f), os.path.join(ctd, f),
+                           shallow=False), f
+    with open(os.path.join(fresh_dir, "global", "metadata.json")) as f:
+        fm = json.load(f)
+    with open(os.path.join(out, "global", "metadata.json")) as f:
+        cm = json.load(f)
+    for k in ("n_docs", "sum_doclen", "avgdl", "n_terms_global"):
+        assert fm[k] == cm[k], k
+
+    # stats CONVERGED (unlike the tombstone serving view) and no
+    # tombstone file came along
+    assert cm["n_docs"] < summary["n_docs"]
+    assert load_tombstones(out) == []
+
+    # identical ranking, and deleted docs gone
+    ce = QueryEngine(out, use_actors=False, cfg=cfg)
+    fe = QueryEngine(fresh_dir, use_actors=False, cfg=cfg)
+    for q in ("hash index query search", "merge merge merge sort",
+              "naïve café"):
+        for mode in ("daat", "bmm"):
+            a = ce.search(q, k=10, mode=mode)
+            b = fe.search(q, k=10, mode=mode)
+            assert [(r[1], round(r[2], 12)) for r in a] \
+                == [(r[1], round(r[2], 12)) for r in b], (q, mode)
+            assert not ({r[1] for r in a} & dead), (q, mode)
+
+    rep = fsck_index(out, deep=True)
+    assert rep["ok"], rep["errors"]
+
+    # resume: a rerun is pure cache hits (terms.parquet untouched)
+    mt = os.path.getmtime(os.path.join(out, segs[0], "terms.parquet"))
+    csum2 = compact_index(src, out)
+    assert csum2["n_docs"] == csum["n_docs"]
+    assert os.path.getmtime(
+        os.path.join(out, segs[0], "terms.parquet")) == mt
