@@ -2340,67 +2340,65 @@ def nation_market_share(sf_dir: str, nation: int = 1,
     by_order = hash_groupby_apply(hop_b, ["suppkey"], join_supp) \
         .materialize()
 
-    # ---- hop C: orderkey join attaches year + custkey (window filter
-    # already applied at the order scan, so this is also a semi-join) --
+    # ---- dimension chain (runs in PARALLEL with hops A-B): orders ⋈
+    # region-filtered customers on custkey → (orderkey, year) for the
+    # region's orders only. Joining the two dimensions first keeps the
+    # critical path at three exchanges deep and shrinks the final hop's
+    # dimension side by the region selectivity.
     def order_rows(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
         return pd.DataFrame({
-            "orderkey": df["o_orderkey"].to_numpy(np.int64),
-            "is_nat": np.full(n, False),
-            "rev4": np.zeros(n, np.int64),
             "custkey": df["o_custkey"].to_numpy(np.int64),
+            "orderkey": df["o_orderkey"].to_numpy(np.int64),
             "year": df["o_orderdate"].dt.year.to_numpy(np.int64),
-            "_side": np.zeros(n, np.int8),
+            "_side": np.ones(len(df), np.int8),
         })
 
-    def factc_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["orderkey", "is_nat", "rev4"]].copy()
-        out["custkey"] = np.full(len(df), -1, np.int64)
-        out["year"] = np.zeros(len(df), np.int64)
-        out["_side"] = np.ones(len(df), np.int8)
-        return out[["orderkey", "is_nat", "rev4", "custkey", "year",
-                    "_side"]]
-
-    hop_c = orders.map_batches(order_rows, batch_format="pandas").union(
-        by_order.map_batches(factc_rows, batch_format="pandas"))
-
-    def join_order(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df["_side"] == 0][["orderkey", "custkey", "year"]]
-        f = df[df["_side"] == 1]
-        j = f[["orderkey", "is_nat", "rev4"]].merge(o, on="orderkey")
-        return (j.groupby(["custkey", "year", "is_nat"], as_index=False)
-                ["rev4"].sum())
-
-    by_cust = hash_groupby_apply(hop_c, ["orderkey"], join_order) \
-        .materialize()
-
-    # ---- hop D: custkey semi-join (region) + final collapse ----------
     def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         return pd.DataFrame({
             "custkey": df["c_custkey"].to_numpy(np.int64),
+            "orderkey": np.zeros(n, np.int64),
             "year": np.zeros(n, np.int64),
-            "is_nat": np.full(n, False),
-            "rev4": np.zeros(n, np.int64),
             "_side": np.zeros(n, np.int8),
         })
 
-    def factd_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["custkey", "year", "is_nat", "rev4"]].copy()
-        out["_side"] = np.ones(len(df), np.int8)
-        return out
-
-    hop_d = cust.map_batches(cust_rows, batch_format="pandas").union(
-        by_cust.map_batches(factd_rows, batch_format="pandas"))
+    dim_u = orders.map_batches(order_rows, batch_format="pandas").union(
+        cust.map_batches(cust_rows, batch_format="pandas"))
 
     def join_cust(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df["_side"] == 0]["custkey"].unique()
+        o = df[df["_side"] == 1]
+        return o.loc[o["custkey"].isin(keep), ["orderkey", "year"]]
+
+    ord_dim = hash_groupby_apply(dim_u, ["custkey"], join_cust) \
+        .materialize()
+
+    # ---- hop C: orderkey join of the fact with the pre-joined,
+    # region-filtered order dimension + final collapse ----------------
+    def dim_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["orderkey", "year"]].copy()
+        out["is_nat"] = np.full(len(df), False)
+        out["rev4"] = np.zeros(len(df), np.int64)
+        out["_side"] = np.zeros(len(df), np.int8)
+        return out[["orderkey", "year", "is_nat", "rev4", "_side"]]
+
+    def factc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["orderkey", "is_nat", "rev4"]].copy()
+        out["year"] = np.zeros(len(df), np.int64)
+        out["_side"] = np.ones(len(df), np.int8)
+        return out[["orderkey", "year", "is_nat", "rev4", "_side"]]
+
+    hop_c = ord_dim.map_batches(dim_rows, batch_format="pandas").union(
+        by_order.map_batches(factc_rows, batch_format="pandas"))
+
+    def join_order(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["orderkey", "year"]]
         f = df[df["_side"] == 1]
-        f = f[f["custkey"].isin(keep)]
-        return (f.groupby(["year", "is_nat"], as_index=False)
+        j = f[["orderkey", "is_nat", "rev4"]].merge(o, on="orderkey")
+        return (j.groupby(["year", "is_nat"], as_index=False)
                 ["rev4"].sum())
 
-    parts = hash_groupby_apply(hop_d, ["custkey"], join_cust).to_pandas()
+    parts = hash_groupby_apply(hop_c, ["orderkey"], join_order).to_pandas()
     if len(parts) == 0:
         return pd.DataFrame({
             "o_year": pd.Series([], dtype=np.int64),
