@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both broadcast-scan retrieval (one streaming pass, zero
         # exchanges, only hit rows leave each task)
         "phrase_search": lambda sf: _filters().phrase_search(sf),
+        # the same phrase contract served from the POSITIONAL index
+        # (postings + position-adjacency intersection, no corpus scan)
+        "search_phrase_indexed":
+            lambda sf: search_docs.search_phrase_indexed(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -528,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": osql.dup_span_stats_sql(),
         "collocations": osql.collocations_sql(),
         "phrase_search": osql.phrase_search_sql(),
+        # identical oracle: the indexed and scan plans must agree
+        "search_phrase_indexed": osql.phrase_search_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),

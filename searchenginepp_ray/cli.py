@@ -53,8 +53,9 @@ def cmd_build(args) -> int:
     cfg = BuildConfig(
         profile=SIMPLE_PROFILE if args.profile == "simple" else FULL_PROFILE,
         docs_per_segment=args.docs_per_segment,
+        positions=args.positions,
     )
-    if args.format in ("tsv", "jsonl"):
+    if args.format in ("tsv", "jsonl", "csv"):
         summary = build_index(args.corpus, args.out, cfg, None,
                               force=args.force, source_format=args.format)
     else:
@@ -88,10 +89,17 @@ def cmd_query(args) -> int:
                 continue
             qid, _, text = line.partition("\t")
             pairs.append((qid, text))
-    results = eng.search_batch([t for _, t in pairs], k=args.k, mode=args.algorithm)
-    for (qid, _), res in zip(pairs, results):
-        for ln in eng.trec_lines(qid, res, run_name=args.run_name):
-            print(ln)
+    if args.phrase:
+        hits = eng.phrase_search_batch([t for _, t in pairs])
+        for (qid, _), per in zip(pairs, hits):
+            for docno, n in per:
+                print(f"{qid}\t{docno}\t{n}")
+    else:
+        results = eng.search_batch([t for _, t in pairs], k=args.k,
+                                   mode=args.algorithm)
+        for (qid, _), res in zip(pairs, results):
+            for ln in eng.trec_lines(qid, res, run_name=args.run_name):
+                print(ln)
     ray.shutdown()
     return 0
 
@@ -200,6 +208,9 @@ def main(argv=None) -> int:
                    help="tsv = the reference's native <docno>\\t<text> lines")
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--force", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="write the positional sidecar (per-posting token "
+                        "positions) enabling indexed phrase queries")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="serve top-k queries over a built index")
@@ -216,6 +227,9 @@ def main(argv=None) -> int:
     q.add_argument("--docs-per-segment", type=int, default=65_536)
     q.add_argument("--no-actors", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase retrieval over the positional "
+                        "sidecar (prints qid\\tdocno\\tcount)")
     q.set_defaults(fn=cmd_query)
 
     c = sub.add_parser(

@@ -72,6 +72,12 @@ class BuildConfig:
     # into docid-range salt buckets during the shuffle and re-concatenated
     # in salt order (docid order) at encode time.
     hot_term_salt_docs: int = 1_000_000
+    # Positional sidecar: record every posting's token positions
+    # (delta-gap VarByte per posting, one stream per term) enabling
+    # indexed phrase retrieval. Off by default — positions roughly
+    # double the tokenize output and the reference's postings are
+    # positionless (reference src/index/types.hpp).
+    positions: bool = False
 
     @property
     def params_id(self) -> str:
@@ -79,4 +85,7 @@ class BuildConfig:
             f"{self.profile.profile_id};seg={self.docs_per_segment};"
             f"blk={self.skip_block_size};k1={self.bm25_k1};b={self.bm25_b}"
         )
+        # appended only when enabled so pre-positional caches stay valid
+        if self.positions:
+            key += ";pos=1"
         return hashlib.sha256(key.encode()).hexdigest()[:16]

@@ -67,6 +67,11 @@ DOCS_SCHEMA = pa.schema(
     ]
 )
 
+#: positional-build doc schema: per doc, the flat 0-based token
+#: positions of every posting's occurrences in (term, occurrence)
+#: order (slice boundaries derivable from tfs; flat length == doclen)
+DOCS_SCHEMA_POS = DOCS_SCHEMA.append(pa.field("poss", pa.list_(pa.uint32())))
+
 
 class TokenizeShards:
     """map_batches callable over shard-descriptor rows.
@@ -144,7 +149,16 @@ class TokenizeShards:
         # vectorized tokenizer: per-doc term-sorted unique terms + tfs
         # (the lexicon is term-sorted everywhere in the reference,
         # std::map, reference src/indexBuilder/IndexBuilder.hpp:41)
-        doclens, terms_list, tfs_list = tokenize_batch(texts, self.cfg.profile)
+        cols_out = {}
+        if self.cfg.positions:
+            from ..normalizer.batch import tokenize_batch_positions
+
+            doclens, terms_list, tfs_list, pos_list = \
+                tokenize_batch_positions(texts, self.cfg.profile)
+            cols_out["poss"] = pos_list.cast(pa.list_(pa.uint32()))
+        else:
+            doclens, terms_list, tfs_list = tokenize_batch(
+                texts, self.cfg.profile)
 
         return pa.table(
             {
@@ -155,8 +169,9 @@ class TokenizeShards:
                 "seg": segs,
                 "terms": terms_list.cast(pa.list_(pa.string())),
                 "tfs": tfs_list.cast(pa.list_(pa.uint32())),
+                **cols_out,
             },
-            schema=DOCS_SCHEMA,
+            schema=DOCS_SCHEMA_POS if self.cfg.positions else DOCS_SCHEMA,
         )
 
 
@@ -446,6 +461,7 @@ def _global_stage(docs_dir: str, global_dir: str, n_docs: int,
                     "bm25_k1": cfg.bm25_k1,
                     "bm25_b": cfg.bm25_b,
                     "docs_per_segment": cfg.docs_per_segment,
+                    "positions": cfg.positions,
                 },
                 "lineage_key": lineage_key,
             },
@@ -716,7 +732,10 @@ class AssembleSegment:
             for f in os.listdir(os.path.join(self.docs_dir, f"seg={s}"))
             if f.endswith(".parquet")
         )
-        t = pads.dataset(files).to_table(columns=["docid", "doclen", "terms", "tfs"])
+        cols = ["docid", "doclen", "terms", "tfs"]
+        if self.cfg.positions:
+            cols.append("poss")
+        t = pads.dataset(files).to_table(columns=cols)
         order = pc.sort_indices(t, sort_keys=[("docid", "ascending")])
         t = t.take(order)
         _timings["read"] = _time.perf_counter() - _t
@@ -757,19 +776,31 @@ class AssembleSegment:
         docid_s = docid_rep[order]
         tf_s = tfs_flat[order].astype(np.int64)
         dl_s = doclen_rep[order]
+        pos_s = None
+        if self.cfg.positions:
+            # per-pair position slices follow the pair permutation: the
+            # flat stream is already in (doc, term, occurrence) order,
+            # pair starts are the per-pair tf prefix sums
+            pos_flat = np.asarray(pc.list_flatten(t["poss"].combine_chunks()))
+            tfs64 = tfs_flat.astype(np.int64)
+            pair_starts = np.cumsum(tfs64) - tfs64
+            gather = np.repeat(pair_starts[order], tf_s) + _ranges(tf_s)
+            pos_s = pos_flat[gather]
         _timings["sort"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
 
         return self._encode_write(
             seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
-            dl_s, _timings,
+            dl_s, _timings, pos_s=pos_s,
         )
 
     def _encode_write(self, seg, files, docid, doclen, uniq_terms, codes_s,
-                      docid_s, tf_s, dl_s, _timings) -> dict:
+                      docid_s, tf_s, dl_s, _timings, pos_s=None) -> dict:
         """Shared encode tail: (term-code, docid)-sorted posting arrays →
         encoded segment on disk. Used by both the raw-docs build path and
-        the segment-merge path."""
+        the segment-merge path. ``pos_s`` (positional builds): per-posting
+        flat occurrence positions aligned with the sorted posting order
+        (posting i owns the ``tf_s[i]`` values after ``sum(tf_s[:i])``)."""
         import time as _time
 
         _t = _time.perf_counter()
@@ -900,6 +931,29 @@ class AssembleSegment:
         tmp = os.path.join(seg_dir, "terms.parquet.tmp")
         pq.write_table(terms_table, tmp)
         os.replace(tmp, os.path.join(seg_dir, "terms.parquet"))
+
+        if pos_s is not None:
+            # ---- positional sidecar: per posting, occurrence positions
+            # delta-gapped (absolute restart at each posting's first
+            # occurrence), one VarByte stream per term, aligned with the
+            # term table's row order ----
+            tf64 = tf_s.astype(np.int64)
+            p_starts = np.cumsum(tf64) - tf64
+            pos64 = pos_s.astype(np.int64)
+            pgaps = np.empty_like(pos64)
+            pgaps[1:] = pos64[1:] - pos64[:-1]
+            pgaps[p_starts] = pos64[p_starts]
+            pb_bytes, pb_lens = varbyte.encode(pgaps.astype(np.uint64))
+            val_offs = np.concatenate(([0], np.cumsum(pb_lens)))
+            term_pos_offs = np.concatenate(
+                (val_offs[p_starts[term_starts]], [val_offs[-1]]))
+            pos_table = pa.table({
+                "term": pa.array(uniq_terms, pa.string()),
+                "pos_bytes": _binary_col(pb_bytes, term_pos_offs),
+            })
+            tmp = os.path.join(seg_dir, "positions.parquet.tmp")
+            pq.write_table(pos_table, tmp)
+            os.replace(tmp, os.path.join(seg_dir, "positions.parquet"))
         _timings["write"] = _time.perf_counter() - _t
 
         manifest = {
@@ -913,6 +967,7 @@ class AssembleSegment:
             "doc_files": files,
             "docid_encoding": "varbyte-dgap-blockrestart",
             "freq_encoding": "unary-lsb",
+            "positions": pos_s is not None,
             "skip_block_size": self.cfg.skip_block_size,
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
@@ -968,6 +1023,36 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)
     out = np.arange(total, dtype=np.int64)
     out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def decode_pos_stream(gaps: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Absolute occurrence positions from a decoded delta-gap stream:
+    each posting's first gap is absolute (the encode's restart), the
+    rest are deltas; ``tfs`` gives the per-posting run lengths. Shared
+    by the positional merge and the searcher's phrase path."""
+    tf64 = np.asarray(tfs, dtype=np.int64)
+    if len(gaps) == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.cumsum(tf64) - tf64
+    c = np.cumsum(gaps.astype(np.int64))
+    base = c[starts] - gaps[starts].astype(np.int64)
+    return c - np.repeat(base, tf64)
+
+
+def read_segment_positions(seg_dir: str, tfs: np.ndarray) -> np.ndarray:
+    """Fully-decoded flat occurrence positions of a built positional
+    segment, aligned with :func:`read_segment_postings`'s posting order
+    (``tfs`` is that function's per-posting frequency array)."""
+    from .searcher import _np_offsets
+
+    t = pq.read_table(os.path.join(seg_dir, "positions.parquet"),
+                      columns=["pos_bytes"])
+    offs, vals = _np_offsets(t["pos_bytes"])
+    gaps = varbyte.decode(vals[offs[0]: offs[-1]]) if len(offs) > 1 \
+        else np.zeros(0, dtype=np.uint64)
+    out = decode_pos_stream(gaps, tfs)
+    assert len(out) == int(np.asarray(tfs, dtype=np.int64).sum())
     return out
 
 
@@ -1099,6 +1184,20 @@ class MergeAssemble(AssembleSegment):
         docid_s = docids_flat[gather]
         tf_s = tfs_flat[gather]
         codes_s = np.repeat(row_codes[row_order], lens_o)
+        pos_s = None
+        if self.cfg.positions:
+            # positions are one nesting level below postings: decode each
+            # segment's stream (posting-aligned), then gather per-posting
+            # slices through the SAME posting permutation
+            pos_flat = np.concatenate([
+                read_segment_positions(d, p["tfs"])
+                for d, p in zip(src_dirs, parts)
+            ]) if parts else np.zeros(0, np.int64)
+            tfs64 = tfs_flat.astype(np.int64)
+            p_starts = np.cumsum(tfs64) - tfs64
+            tf_o = tf_s.astype(np.int64)
+            pgather = np.repeat(p_starts[gather], tf_o) + _ranges(tf_o)
+            pos_s = pos_flat[pgather]
 
         base0 = int(docid[0])
         assert int(docid[-1]) - base0 == len(docid) - 1, "docids must be dense"
@@ -1107,7 +1206,7 @@ class MergeAssemble(AssembleSegment):
 
         return self._encode_write(
             seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
-            dl_s, _timings,
+            dl_s, _timings, pos_s=pos_s,
         )
 
 
@@ -1170,6 +1269,7 @@ def merge_segments(
             skip_block_size=bp["skip_block_size"],
             bm25_k1=bp["bm25_k1"],
             bm25_b=bp["bm25_b"],
+            positions=bp.get("positions", False),
         )
         if cfg is not None and cfg.params_id != derived.params_id:
             raise ValueError(
@@ -1316,6 +1416,7 @@ def _compact_doc_file(doc_file: str, tomb_ref, new_base: int,
         return 0
     docids = np.arange(new_base, new_base + n, dtype=np.uint64)
     segs = ((docids - 1) // docs_per_segment).astype(np.int32)
+    has_pos = "poss" in t.column_names
     t = pa.table(
         {
             "docid": pa.array(docids),
@@ -1325,8 +1426,9 @@ def _compact_doc_file(doc_file: str, tomb_ref, new_base: int,
             "seg": pa.array(segs),
             "terms": t["terms"],
             "tfs": t["tfs"],
+            **({"poss": t["poss"]} if has_pos else {}),
         },
-        schema=DOCS_SCHEMA,
+        schema=DOCS_SCHEMA_POS if has_pos else DOCS_SCHEMA,
     )
     name = f"part-{new_base:012d}-00000.parquet"
     for seg in pc.unique(t["seg"]).to_pylist():
@@ -1387,6 +1489,7 @@ def compact_index(index_dir: str, out_dir: str, force: bool = False) -> dict:
         skip_block_size=bp["skip_block_size"],
         bm25_k1=bp["bm25_k1"],
         bm25_b=bp["bm25_b"],
+        positions=bp.get("positions", False),
     )
     tombs = load_tombstones(index_dir)
     lineage_key = hashlib.sha256(

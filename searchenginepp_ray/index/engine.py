@@ -66,6 +66,14 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
+    def phrase_batch(self, tok_batch):
+        """Per phrase query, this worker's (docno, occurrence count)
+        hits — segments hold disjoint docs, so a plain concat merges."""
+        return [
+            [hit for s in self.searchers for hit in s.phrase_docnos(toks)]
+            for toks in tok_batch
+        ]
+
     @staticmethod
     def _merge(per_seg, n_queries, k):
         out = []
@@ -231,6 +239,32 @@ class QueryEngine:
             merged = [r for w in per_worker for r in w[qi]]
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
+        return out
+
+    def phrase_search_batch(self, phrases: list[str]):
+        """Indexed exact-phrase retrieval over the positional sidecar:
+        per phrase, EVERY matching doc with its occurrence count
+        (overlapping starts all count) as ``[(docno, n), ...]`` sorted
+        by docno. Phrases are normalized ORDER-PRESERVING (no
+        dedup/sort — adjacency is the whole point), so phrase semantics
+        live in the same normalized token space as the index. Requires
+        an index built with ``BuildConfig(positions=True)``."""
+        from ..normalizer.word_normalizer import normalize_tokens
+
+        toks = [
+            normalize_tokens(p, self.profile) if isinstance(p, str) else p
+            for p in phrases
+        ]
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.phrase_batch.remote(toks) for w in self.workers])
+        else:
+            per_worker = [w.phrase_batch(toks) for w in self.workers]
+        out = []
+        for qi in range(len(toks)):
+            hits = [h for w in per_worker for h in w[qi]]
+            hits.sort()
+            out.append(hits)
         return out
 
     def trec_lines(self, query_id, results, run_name: str = "seppray") -> list[str]:

@@ -142,6 +142,7 @@ class SegmentSearcher:
         prewarm_df: int | None = 5000,
         tombstones: list[str] | None = None,
     ):
+        self.seg_dir = seg_dir
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
@@ -952,3 +953,87 @@ class SegmentSearcher:
         if len(self._match_cache) > self._cache_cap:
             self._match_cache.popitem(last=False)
         return m
+
+    # ---- positional sidecar (indexed phrase retrieval) ----------------
+
+    def _pos_streams(self):
+        """Lazy (offsets, values) view of the positional sidecar — read
+        once per actor on first phrase query (non-phrase workloads never
+        touch the file)."""
+        if getattr(self, "_pos_offs", None) is None:
+            p = os.path.join(self.seg_dir, "positions.parquet")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"{self.seg_dir} has no positional sidecar — build "
+                    "with BuildConfig(positions=True) for phrase queries")
+            t = pq.read_table(p, columns=["pos_bytes"])
+            self._pos_offs, self._pos_vals = _np_offsets(t["pos_bytes"])
+            self._pos_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        return self._pos_offs, self._pos_vals
+
+    def term_positions(self, ti: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, tfs, flat absolute positions) of term ``ti`` —
+        posting ``i`` owns the ``tfs[i]`` ascending positions after
+        ``sum(tfs[:i])``. Positions are 0-based offsets in each doc's
+        normalized kept-token stream. LRU-cached beside the postings."""
+        from .build import decode_pos_stream
+
+        offs, vals = self._pos_streams()
+        docids, tfs = self.postings(ti)
+        pos = self._pos_cache.get(ti)
+        if pos is None:
+            gaps = varbyte.decode(vals[offs[ti]: offs[ti + 1]])
+            pos = decode_pos_stream(gaps, tfs)
+            self._pos_cache[ti] = pos
+            if len(self._pos_cache) > self._cache_cap:
+                self._pos_cache.popitem(last=False)
+        else:
+            self._pos_cache.move_to_end(ti)
+        return docids, tfs, pos
+
+    def phrase(self, tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase match over the positional sidecar: docs
+        containing ``tokens`` as CONSECUTIVE positions in the normalized
+        token stream, with occurrence counts (overlapping starts all
+        count). Returns (global docids int64, counts int64).
+
+        Adjacency is one sorted-set intersection per phrase token: term
+        occurrences become ``docid·2³² + (pos − j)`` keys (strictly
+        increasing by construction — docids ascend, positions ascend
+        within a doc), so surviving keys after all intersections are
+        exactly the phrase start positions. Decode cost is the phrase
+        terms' postings + positions, never the whole segment."""
+        idxs = []
+        for tok in tokens:
+            ti = self.term_index.get(tok)
+            if ti is None:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            idxs.append(ti)
+        # rarest-first: the first key set bounds all later intersections
+        order = sorted(range(len(idxs)), key=lambda j: self.df_local[idxs[j]])
+        keys = None
+        for j in order:
+            docids, tfs, pos = self.term_positions(idxs[j])
+            dd = np.repeat(docids.astype(np.int64), tfs.astype(np.int64))
+            ok = pos >= j  # a token at position < j can't start-align
+            arr = ((dd[ok] << np.int64(32))
+                   | (pos[ok] - np.int64(j)).astype(np.int64))
+            keys = arr if keys is None else np.intersect1d(
+                keys, arr, assume_unique=True)
+            if len(keys) == 0:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        docs = (keys >> np.int64(32))
+        uniq, counts = np.unique(docs, return_counts=True)
+        if self._alive_mask is not None:
+            alive = self._alive_mask[uniq - self.base_docid]
+            uniq, counts = uniq[alive], counts[alive]
+        return uniq, counts.astype(np.int64)
+
+    def phrase_docnos(self, tokens: list[str]) -> list[tuple[str, int]]:
+        """(docno, occurrence count) rows for one phrase query."""
+        docs, counts = self.phrase(tokens)
+        if len(docs) == 0:
+            return []
+        local = pa.array(docs - self.base_docid, pa.int64())
+        docnos = self.docnos.take(local).to_pylist()
+        return list(zip(docnos, counts.tolist()))

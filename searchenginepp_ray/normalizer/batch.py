@@ -323,3 +323,70 @@ def tokenize_batch(texts: list[str], profile: NormalizerProfile):
     terms_list = pa.LargeListArray.from_arrays(offsets, term_values)
     tfs_list = pa.LargeListArray.from_arrays(offsets, pa.array(tf, pa.uint32()))
     return doclens, terms_list, tfs_list
+
+
+def tokenize_batch_positions(texts: list[str], profile: NormalizerProfile):
+    """Position-carrying twin of :func:`tokenize_batch` for POSITIONAL
+    index builds: additionally returns, per document, the 0-based token
+    positions (within the document's KEPT, normalized token stream) of
+    every posting's occurrences — laid out flat in (term, occurrence)
+    order, so the slice for term ``i`` of a doc is the ``tf[i]``
+    consecutive ascending positions after ``sum(tf[:i])``; the per-doc
+    flat length is exactly ``doclen``.
+
+    Returns ``(doclens, term_lists, tf_lists, pos_lists)``; the first
+    three are element-identical to :func:`tokenize_batch`'s output
+    (pytest-pinned). Uses an argsort instead of the in-place key sort —
+    positions are the pre-sort stream order, which the in-place path
+    discards; positional builds pay this one extra stream-sized
+    permutation, non-positional builds keep the cheaper path.
+    """
+    n = len(texts)
+    ms = _mapped_stream(texts, profile)
+    if ms is None:
+        doclens, terms_list, tfs_list = _empty_term_lists(n)
+        empty_pos = pa.LargeListArray.from_arrays(
+            np.zeros(n + 1, dtype=np.int64), pa.array([], pa.uint32()))
+        return doclens, terms_list, tfs_list, empty_pos
+    tok_counts, codes, full_map, final_vocab_pa, n_terms = ms
+
+    stream = full_map[codes]  # final term code per token, stream order
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+    keep = stream < n_terms
+    kd = doc_idx[keep]
+    kt = stream[keep]
+    kept_per_doc = np.bincount(kd, minlength=n)
+    doc_offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int64)
+    # kd is non-decreasing, so position-within-doc is one subtraction
+    pos = (np.arange(len(kd), dtype=np.int64) - doc_offs[kd]).astype(np.uint32)
+
+    width = n_terms + 1
+    key = kd * width + kt
+    order = np.argsort(key, kind="stable")  # keeps stream order per pair
+    key_s = key[order]
+    pos_s = pos[order]
+    n_tok = len(key_s)
+    if n_tok == 0:
+        doclens, terms_list, tfs_list = _empty_term_lists(n)
+        empty_pos = pa.LargeListArray.from_arrays(
+            np.zeros(n + 1, dtype=np.int64), pa.array([], pa.uint32()))
+        return doclens, terms_list, tfs_list, empty_pos
+    change = np.empty(n_tok, dtype=bool)
+    change[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    pair_key = key_s[starts]
+    tf = np.diff(np.append(starts, n_tok))
+    pair_doc = pair_key // width
+    pair_term = pair_key - pair_doc * width
+
+    doclens = np.bincount(pair_doc, weights=tf, minlength=n).astype(np.uint64)
+    pairs_per_doc = np.bincount(pair_doc, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(pairs_per_doc))).astype(np.int64)
+    term_values = final_vocab_pa.take(pa.array(pair_term, pa.int64()))
+    terms_list = pa.LargeListArray.from_arrays(offsets, term_values)
+    tfs_list = pa.LargeListArray.from_arrays(offsets, pa.array(tf, pa.uint32()))
+    # per-doc flat positions: pos_s is already (doc, term, stream-order)
+    # sorted; the doc boundaries are the kept-token doc offsets
+    pos_list = pa.LargeListArray.from_arrays(doc_offs, pa.array(pos_s))
+    return doclens, terms_list, tfs_list, pos_list

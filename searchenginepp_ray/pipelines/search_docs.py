@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 
 from ..config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
@@ -70,6 +71,54 @@ def get_engine(sf_dir: str, simple: bool = True, scorer: str = "bm25") -> QueryE
                           num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
         _ENGINES[key] = eng
     return eng
+
+
+def get_positional_engine(sf_dir: str) -> QueryEngine:
+    """Engine over a POSITIONAL build of the documents corpus
+    (``BuildConfig(positions=True)`` — per-posting occurrence positions
+    in a VarByte sidecar). The positions flag is part of ``params_id``,
+    so this index caches beside, never over, the plain one."""
+    from dataclasses import replace
+
+    cfg = replace(_cfg(simple=True), positions=True)
+    key = (os.path.abspath(sf_dir), cfg.params_id, "positional")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        out_dir = _index_dir(sf_dir, cfg)
+        build_index(
+            f"{sf_dir}/documents.parquet", out_dir, cfg, DOCUMENTS_CORPUS
+        )
+        eng = QueryEngine(out_dir, scorer="bm25", use_actors=True,
+                          num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
+        _ENGINES[key] = eng
+    return eng
+
+
+def search_phrase_indexed(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase retrieval THROUGH THE INDEX: every doc containing
+    each query phrase as consecutive normalized tokens, with overlapping
+    occurrence counts — same contract and output schema as the
+    scan-based :func:`..filters.phrase_search`, but served from the
+    positional sidecar (postings ∩ + position-adjacency intersection)
+    instead of a corpus scan: decode cost is the phrase terms' postings
+    + positions, never the corpus. The right plan once query volume
+    amortizes the positional build; the scan stays right for ad-hoc
+    sweeps. Returns (query, doc_id, n) sorted by (query, doc_id)."""
+    from .filters import PHRASE_QUERIES
+
+    eng = get_positional_engine(sf_dir)
+    hits = eng.phrase_search_batch(list(PHRASE_QUERIES))
+    rows = [
+        (q, int(docno), int(n))
+        for q, per in zip(PHRASE_QUERIES, hits)
+        for docno, n in per
+    ]
+    rows.sort()
+    return pd.DataFrame({
+        "query": pd.Series([r[0] for r in rows], dtype=object),
+        "doc_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "n": pd.Series([r[2] for r in rows], dtype=np.int64),
+    })
 
 
 def _to_frame(all_results) -> pd.DataFrame:

@@ -1,0 +1,220 @@
+"""Positional sidecar: position-carrying tokenizer vs the scalar
+reference, encode/decode roundtrip through a built index, indexed
+phrase retrieval vs a scalar scan, and the lifecycle (merge, physical
+compaction, tombstones) carrying positions correctly."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from searchenginepp_ray.config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
+from searchenginepp_ray.index.build import build_index
+from searchenginepp_ray.index.engine import QueryEngine
+from searchenginepp_ray.normalizer.batch import (
+    tokenize_batch,
+    tokenize_batch_positions,
+)
+from searchenginepp_ray.normalizer.word_normalizer import normalize_tokens
+from searchenginepp_ray.sources.corpus_gen import write_corpus
+
+ADVERSARIAL = [
+    "the quick brown fox the quick",
+    "",
+    "   multiple   spaces   here ",
+    "AntonÃ­n DvoÅ™Ã¡k wrote symphonies AntonÃ­n",
+    "a a a b b c",
+    "«punct» — ¿marks? hash sort",
+    "LATIN ÀÉÎ case Test",
+    "x" * 300 + " tail",  # >240-byte token (dropped under FULL)
+]
+
+
+@pytest.mark.parametrize("profile", [SIMPLE_PROFILE, FULL_PROFILE],
+                         ids=["simple", "full"])
+def test_tokenize_positions_matches_scalar(profile):
+    dl0, tl0, tf0 = tokenize_batch(ADVERSARIAL, profile)
+    dl1, tl1, tf1, pl1 = tokenize_batch_positions(ADVERSARIAL, profile)
+    assert (dl0 == dl1).all()
+    assert tl0.to_pylist() == tl1.to_pylist()
+    assert tf0.to_pylist() == tf1.to_pylist()
+    for i, text in enumerate(ADVERSARIAL):
+        toks = normalize_tokens(text, profile)
+        want: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            want.setdefault(t, []).append(p)
+        terms, tfs, poss = tl1[i].as_py(), tf1[i].as_py(), pl1[i].as_py()
+        assert len(poss) == int(dl1[i]) == len(toks)
+        off = 0
+        for t, f in zip(terms, tfs):
+            assert poss[off:off + f] == want[t], (i, t)
+            off += f
+
+
+@pytest.fixture(scope="module")
+def pos_built(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("positions")
+    corpus = str(tmp / "corpus.parquet")
+    write_corpus(corpus, 500, seed=7, rows_per_group=64)
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=150,
+                      positions=True)
+    idx = str(tmp / "idx")
+    summary = build_index(corpus, idx, cfg)
+    return corpus, idx, cfg, summary
+
+
+def _scan_phrase(corpus: str, phrase: str) -> list[tuple[str, int]]:
+    t = pq.read_table(corpus)
+    docnos = [f"{r}:{p}@{c}" for r, p, c in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist())]
+    ptoks = normalize_tokens(phrase, SIMPLE_PROFILE)
+    w = len(ptoks)
+    out = []
+    for d, text in zip(docnos, t["content"].to_pylist()):
+        toks = normalize_tokens(text, SIMPLE_PROFILE)
+        n = sum(1 for i in range(len(toks) - w + 1) if toks[i:i + w] == ptoks)
+        if n:
+            out.append((d, n))
+    return sorted(out)
+
+
+PHRASES = ["return if", "hash sort merge", "int int", "no such phrase",
+           "static const int"]
+
+
+def test_positions_roundtrip(pos_built):
+    """Decoded segment positions equal the scalar per-(doc, term)
+    positions for every posting of every segment."""
+    from searchenginepp_ray.index.build import (read_segment_positions,
+                                                read_segment_postings)
+
+    corpus, idx, _, _ = pos_built
+    t = pq.read_table(corpus)
+    texts = t["content"].to_pylist()
+    want = {}
+    for i, text in enumerate(texts):
+        for p, term in enumerate(normalize_tokens(text, SIMPLE_PROFILE)):
+            want.setdefault((i + 1, term), []).append(p)
+    checked = 0
+    for seg in sorted(d for d in os.listdir(idx) if d.startswith("db_")):
+        sd = os.path.join(idx, seg)
+        parts = read_segment_postings(sd)
+        pos = read_segment_positions(sd, parts["tfs"])
+        pi = vi = 0
+        for ti, term in enumerate(parts["terms"].to_pylist()):
+            for _ in range(parts["df"][ti]):
+                d_, f_ = int(parts["docids"][pi]), int(parts["tfs"][pi])
+                assert pos[vi:vi + f_].tolist() == want[(d_, term)]
+                pi += 1
+                vi += f_
+        checked += pi
+    assert checked > 10_000
+
+
+def test_indexed_phrase_equals_scan(pos_built):
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    got = eng.phrase_search_batch(PHRASES)
+    n_hits = 0
+    for p, g in zip(PHRASES, got):
+        assert g == _scan_phrase(corpus, p), p
+        n_hits += len(g)
+    assert n_hits > 0
+
+
+def test_positional_merge_preserves_phrases(pos_built, tmp_path_factory):
+    """merge_segments over a positional index re-merges the position
+    streams; phrase results are identical through the merged index."""
+    from searchenginepp_ray.index.build import merge_segments
+
+    corpus, idx, cfg, _ = pos_built
+    tmp = tmp_path_factory.mktemp("pos_merge")
+    merged = str(tmp / "merged")
+    merge_segments(idx, merged, group_size=2)
+    assert os.path.exists(os.path.join(merged, "db_0", "positions.parquet"))
+    e1 = QueryEngine(idx, use_actors=False, cfg=cfg)
+    e2 = QueryEngine(merged, use_actors=False, cfg=cfg)
+    for p, a, b in zip(PHRASES, e1.phrase_search_batch(PHRASES),
+                       e2.phrase_search_batch(PHRASES)):
+        assert a == b, p
+
+
+def test_positional_compact_equals_fresh_build(pos_built, tmp_path_factory):
+    """compact_index carries the positional sidecar: after deletes, the
+    compacted index is byte-identical to a fresh positional build over
+    the alive corpus, and phrase hits drop exactly the deleted docs."""
+    import filecmp
+
+    import pyarrow as pa
+
+    from searchenginepp_ray.index.build import compact_index
+    from searchenginepp_ray.index.tombstone import delete_docs
+
+    corpus, idx, cfg, _ = pos_built
+    tmp = tmp_path_factory.mktemp("pos_compact")
+    src = str(tmp / "src")
+    shutil.copytree(idx, src)
+
+    t = pq.read_table(corpus)
+    docnos = [f"{r}:{p}@{c}" for r, p, c in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist())]
+    dead = set(docnos[::5])
+    delete_docs(src, sorted(dead))
+
+    out = str(tmp / "compacted")
+    compact_index(src, out)
+
+    alive_path = str(tmp / "alive.parquet")
+    pq.write_table(t.filter(pa.array([d not in dead for d in docnos])),
+                   alive_path, row_group_size=64)
+    fresh = str(tmp / "fresh")
+    build_index(alive_path, fresh, cfg)
+
+    segs = sorted(d for d in os.listdir(fresh) if d.startswith("db_"))
+    assert segs == sorted(d for d in os.listdir(out) if d.startswith("db_"))
+    for d in segs:
+        for f in ("terms.parquet", "positions.parquet"):
+            assert filecmp.cmp(os.path.join(fresh, d, f),
+                               os.path.join(out, d, f), shallow=False), (d, f)
+
+    ec = QueryEngine(out, use_actors=False, cfg=cfg)
+    ef = QueryEngine(fresh, use_actors=False, cfg=cfg)
+    for p, a, b in zip(PHRASES, ec.phrase_search_batch(PHRASES),
+                       ef.phrase_search_batch(PHRASES)):
+        assert a == b, p
+        assert not ({d for d, _ in a} & dead), p
+
+
+def test_phrase_honors_tombstones(pos_built, tmp_path_factory):
+    corpus, idx, cfg, _ = pos_built
+    tmp = tmp_path_factory.mktemp("pos_tomb")
+    src = str(tmp / "src")
+    shutil.copytree(idx, src)
+    from searchenginepp_ray.index.tombstone import delete_docs
+
+    base = QueryEngine(src, use_actors=False, cfg=cfg)
+    hits = base.phrase_search_batch(["return if"])[0]
+    assert hits
+    dead = hits[0][0]
+    delete_docs(src, [dead])
+    eng = QueryEngine(src, use_actors=False, cfg=cfg)
+    after = eng.phrase_search_batch(["return if"])[0]
+    assert dead not in [d for d, _ in after]
+    assert after == [h for h in hits if h[0] != dead]
+
+
+def test_plain_engine_rejects_phrase(pos_built, tmp_path_factory):
+    """A positionless index answers phrase queries with a clear error,
+    not silently wrong results."""
+    corpus, _, _, _ = pos_built
+    tmp = tmp_path_factory.mktemp("plain")
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=150)
+    idx = str(tmp / "idx")
+    build_index(corpus, idx, cfg)
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    with pytest.raises(ValueError, match="positional sidecar"):
+        eng.phrase_search_batch(["return if"])
