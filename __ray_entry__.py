@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (postings + position-adjacency intersection, no corpus scan)
         "search_phrase_indexed":
             lambda sf: search_docs.search_phrase_indexed(sf),
+        # proximity retrieval: min co-occurrence distance within a
+        # window, via the positional sidecar (two lists per query)
+        "search_near": lambda sf: search_docs.search_near(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -534,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": osql.phrase_search_sql(),
         # identical oracle: the indexed and scan plans must agree
         "search_phrase_indexed": osql.phrase_search_sql(),
+        "search_near": osql.search_near_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),

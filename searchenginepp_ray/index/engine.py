@@ -74,6 +74,14 @@ class SegmentGroupWorker:
             for toks in tok_batch
         ]
 
+    def near_batch(self, queries):
+        """Per (term_a, term_b, window) query, this worker's
+        (docno, min distance) hits — disjoint segments, plain concat."""
+        return [
+            [hit for s in self.searchers for hit in s.near_docnos(a, b, w)]
+            for a, b, w in queries
+        ]
+
     @staticmethod
     def _merge(per_seg, n_queries, k):
         out = []
@@ -263,6 +271,33 @@ class QueryEngine:
         out = []
         for qi in range(len(toks)):
             hits = [h for w in per_worker for h in w[qi]]
+            hits.sort()
+            out.append(hits)
+        return out
+
+    def near_search_batch(self, queries):
+        """Proximity retrieval over the positional sidecar: per
+        ``(term_a, term_b, window)`` query — terms normalized through
+        the index profile — every doc where the two terms co-occur
+        within ``window`` tokens, with the doc's MINIMUM occurrence
+        distance, as ``[(docno, min_dist), ...]`` sorted by docno."""
+        from ..normalizer.word_normalizer import normalize_tokens
+
+        norm = []
+        for a, b, w in queries:
+            ta = normalize_tokens(a, self.profile)
+            tb = normalize_tokens(b, self.profile)
+            # a term that normalizes away can never match
+            norm.append((ta[0] if ta else "\x00", tb[0] if tb else "\x00",
+                         int(w)))
+        if self.use_actors:
+            per_worker = ray.get(
+                [w_.near_batch.remote(norm) for w_ in self.workers])
+        else:
+            per_worker = [w_.near_batch(norm) for w_ in self.workers]
+        out = []
+        for qi in range(len(norm)):
+            hits = [h for w_ in per_worker for h in w_[qi]]
             hits.sort()
             out.append(hits)
         return out

@@ -1037,3 +1037,59 @@ class SegmentSearcher:
         local = pa.array(docs - self.base_docid, pa.int64())
         docnos = self.docnos.take(local).to_pylist()
         return list(zip(docnos, counts.tolist()))
+
+    def near(self, term_a: str, term_b: str, window: int
+             ) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity (NEAR) over the positional sidecar: docs where
+        ``term_a`` and ``term_b`` co-occur within ``window`` tokens,
+        with each doc's MINIMUM occurrence distance. Returns (global
+        docids int64, min distances int64).
+
+        Fully vectorized across all candidate docs at once: both terms'
+        occurrences become ``docid·2³² + pos`` keys (sorted by
+        construction), one ``searchsorted`` finds each A-occurrence's
+        nearest B-neighbors on both sides, same-doc distances reduce
+        per doc with ``np.minimum.at``. Decode cost = the two terms'
+        postings + positions."""
+        ia = self.term_index.get(term_a)
+        ib = self.term_index.get(term_b)
+        if ia is None or ib is None:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        da, ta, pa_ = self.term_positions(ia)
+        db_, tb, pb_ = self.term_positions(ib)
+        ka = ((np.repeat(da.astype(np.int64), ta.astype(np.int64))
+               << np.int64(32)) | pa_)
+        kb = ((np.repeat(db_.astype(np.int64), tb.astype(np.int64))
+               << np.int64(32)) | pb_)
+        idx = np.searchsorted(kb, ka)
+        adoc = ka >> np.int64(32)
+        apos = ka & np.int64(0xFFFFFFFF)
+        best = np.full(len(ka), np.iinfo(np.int64).max, np.int64)
+        # neighbor at idx (first B-key >= A-key) and at idx-1, same doc only
+        for nb in (idx, idx - 1):
+            ok = (nb >= 0) & (nb < len(kb))
+            cand = np.where(ok, nb, 0)
+            same = ok & ((kb[cand] >> np.int64(32)) == adoc)
+            d = np.abs((kb[cand] & np.int64(0xFFFFFFFF)) - apos)
+            best = np.where(same, np.minimum(best, d), best)
+        hit = best <= window
+        if not hit.any():
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        hdoc = adoc[hit]
+        local = hdoc - self.base_docid
+        mins = np.full(self.n_docs_seg, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, local, best[hit])
+        docs = np.flatnonzero(mins <= window)
+        if self._alive_mask is not None:
+            docs = docs[self._alive_mask[docs]]
+        return (docs + self.base_docid, mins[docs])
+
+    def near_docnos(self, term_a: str, term_b: str, window: int
+                    ) -> list[tuple[str, int]]:
+        """(docno, min distance) rows for one NEAR query."""
+        docs, dists = self.near(term_a, term_b, window)
+        if len(docs) == 0:
+            return []
+        docnos = self.docnos.take(
+            pa.array(docs - self.base_docid, pa.int64())).to_pylist()
+        return list(zip(docnos, dists.tolist()))

@@ -2981,3 +2981,29 @@ JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE p.p_name LIKE '{name_prefix}%'
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+def search_near_sql(queries: tuple | None = None) -> str:
+    """Oracle for search_docs.search_near: per (a, b, window) query the
+    min |pos_a − pos_b| per doc over the word-token positions (the
+    filters family's tokenization, positions via the same
+    generate_series indexing as the phrase oracle)."""
+    from .search_docs import NEAR_QUERIES
+
+    queries = queries or NEAR_QUERIES
+    subs = []
+    for a, b, w in queries:
+        ea, eb = a.replace("'", "''"), b.replace("'", "''")
+        label = f"{ea} ~{int(w)} {eb}"
+        subs.append(f"""
+SELECT '{label}' AS query, p1.doc_id,
+       CAST(MIN(ABS(p1.pos - p2.pos)) AS BIGINT) AS dist
+FROM tp p1 JOIN tp p2 USING (doc_id)
+WHERE p1.term = '{ea}' AND p2.term = '{eb}'
+GROUP BY p1.doc_id
+HAVING MIN(ABS(p1.pos - p2.pos)) <= {int(w)}""")
+    return f"""WITH {_word_toks_cte()},
+tp AS (
+    SELECT doc_id, i - 1 AS pos, w[i] AS term
+    FROM wtoks, unnest(generate_series(1, len(w))) AS t(i)
+)""" + "\nUNION ALL".join(subs)

@@ -121,6 +121,41 @@ def search_phrase_indexed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+#: proximity gate queries: (term_a, term_b, max token distance);
+#: last pair can never match (vocabulary miss)
+NEAR_QUERIES = (
+    ("hash", "merge", 3),
+    ("scan", "filter", 5),
+    ("spark", "window", 2),
+    ("vector", "stream", 4),
+    ("zebra", "table", 3),
+)
+
+
+def search_near(sf_dir: str,
+                queries: tuple = NEAR_QUERIES) -> pd.DataFrame:
+    """Proximity (NEAR) retrieval through the positional index: for
+    each (term_a, term_b, window) query, every doc where the terms
+    co-occur within ``window`` tokens of each other, with the doc's
+    minimum occurrence distance — the classic proximity operator the
+    scan-based phrase family can't express without a full corpus pass.
+    Decode cost is the two terms' postings + positions per query.
+    Returns (query, doc_id, dist) sorted by (query, doc_id)."""
+    eng = get_positional_engine(sf_dir)
+    hits = eng.near_search_batch(list(queries))
+    rows = [
+        (f"{a} ~{w} {b}", int(docno), int(d))
+        for (a, b, w), per in zip(queries, hits)
+        for docno, d in per
+    ]
+    rows.sort()
+    return pd.DataFrame({
+        "query": pd.Series([r[0] for r in rows], dtype=object),
+        "doc_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "dist": pd.Series([r[2] for r in rows], dtype=np.int64),
+    })
+
+
 def _to_frame(all_results) -> pd.DataFrame:
     rows = []
     for qi, results in enumerate(all_results):

@@ -218,3 +218,31 @@ def test_plain_engine_rejects_phrase(pos_built, tmp_path_factory):
     eng = QueryEngine(idx, use_actors=False, cfg=cfg)
     with pytest.raises(ValueError, match="positional sidecar"):
         eng.phrase_search_batch(["return if"])
+
+
+def test_near_matches_scalar(pos_built):
+    """NEAR (min occurrence distance within a window) equals a scalar
+    all-pairs scan, including window boundary and vocabulary misses."""
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    t = pq.read_table(corpus)
+    docnos = [f"{r}:{p}@{c}" for r, p, c in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist())]
+    queries = [("return", "if", 2), ("hash", "sort", 5),
+               ("int", "const", 1), ("nosuchword", "if", 9)]
+    got = eng.near_search_batch(queries)
+    n_hits = 0
+    for (a, b, w), g in zip(queries, got):
+        want = []
+        for d, text in zip(docnos, t["content"].to_pylist()):
+            toks = normalize_tokens(text, SIMPLE_PROFILE)
+            pa_ = [i for i, x in enumerate(toks) if x == a]
+            pb_ = [i for i, x in enumerate(toks) if x == b]
+            if pa_ and pb_:
+                m = min(abs(i - j) for i in pa_ for j in pb_)
+                if m <= w:
+                    want.append((d, m))
+        assert g == sorted(want), (a, b, w)
+        n_hits += len(g)
+    assert n_hits > 0
