@@ -1000,10 +1000,18 @@ class AssembleSegment:
             }
         )
         pq.write_table(empty, os.path.join(seg_dir, "terms.parquet"))
+        if self.cfg.positions:
+            # the positional sidecar must exist (empty) for every
+            # positional segment — the merge reads it unconditionally
+            pq.write_table(
+                pa.table({"term": pa.array([], pa.string()),
+                          "pos_bytes": pa.array([], pa.large_binary())}),
+                os.path.join(seg_dir, "positions.parquet"))
         manifest = {
             "seg": seg, "base_docid": 0, "n_docs": 0, "n_terms": 0,
             "n_postings": 0, "sum_doclen": 0, "doc_files": files,
             "docid_encoding": "varbyte-dgap-blockrestart", "freq_encoding": "unary-lsb",
+            "positions": self.cfg.positions,
             "skip_block_size": self.cfg.skip_block_size,
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
@@ -1048,9 +1056,10 @@ def read_segment_positions(seg_dir: str, tfs: np.ndarray) -> np.ndarray:
 
     t = pq.read_table(os.path.join(seg_dir, "positions.parquet"),
                       columns=["pos_bytes"])
+    if len(t) == 0:
+        return np.zeros(0, dtype=np.int64)
     offs, vals = _np_offsets(t["pos_bytes"])
-    gaps = varbyte.decode(vals[offs[0]: offs[-1]]) if len(offs) > 1 \
-        else np.zeros(0, dtype=np.uint64)
+    gaps = varbyte.decode(vals[offs[0]: offs[-1]])
     out = decode_pos_stream(gaps, tfs)
     assert len(out) == int(np.asarray(tfs, dtype=np.int64).sum())
     return out
@@ -1501,6 +1510,21 @@ def compact_index(index_dir: str, out_dir: str, force: bool = False) -> dict:
     out_docs = os.path.join(out_dir, "docs")
     out_global = os.path.join(out_dir, "global")
     os.makedirs(out_dir, exist_ok=True)
+    # a reused out_dir may hold a PREVIOUS compaction (e.g. fewer deletes
+    # → more segments): stale db_N dirs beyond the new segment count
+    # would be served by list_segment_dirs with resurrected docs and
+    # wrong numbering. Same lineage-mismatch wipe as merge_segments.
+    if os.path.isdir(out_global):
+        try:
+            with open(os.path.join(out_global, "metadata.json")) as f:
+                existing_key = json.load(f).get("lineage_key")
+        except OSError:
+            existing_key = None
+        if existing_key != lineage_key:
+            for d in os.listdir(out_dir):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+                if os.path.isfile(os.path.join(out_dir, d)):
+                    os.remove(os.path.join(out_dir, d))
     stage_secs: dict[str, float] = {}
 
     # ---- stage A: filtered + renumbered docs ----

@@ -287,6 +287,13 @@ class QueryEngine:
         for a, b, w in queries:
             ta = normalize_tokens(a, self.profile)
             tb = normalize_tokens(b, self.profile)
+            if len(ta) > 1 or len(tb) > 1:
+                # silently matching only the first token would answer a
+                # DIFFERENT query — reject loudly (multi-token operands
+                # belong to phrase_search_batch)
+                raise ValueError(
+                    f"NEAR operands must normalize to single tokens: "
+                    f"{a!r} -> {ta}, {b!r} -> {tb}")
             # a term that normalizes away can never match
             norm.append((ta[0] if ta else "\x00", tb[0] if tb else "\x00",
                          int(w)))

@@ -137,6 +137,32 @@ def _fsck_segment(seg_dir: str, deep: bool = False) -> dict:
         err(f"Σ postings {total_postings} != manifest n_postings "
             f"{manifest['n_postings']}")
 
+    # --- positional sidecar (when the manifest declares one) ---
+    if manifest.get("positions"):
+        if not os.path.exists(os.path.join(seg_dir, "positions.parquet")):
+            err("manifest says positions but positions.parquet missing")
+        else:
+            for ti in range(len(terms)):
+                try:
+                    docids, tfs, pos = s.term_positions(ti)
+                except Exception as e:  # noqa: BLE001
+                    err(f"term {terms[ti]!r}: positions undecodable: {e!r}")
+                    continue
+                if len(pos) != int(tfs.sum()):
+                    err(f"term {terms[ti]!r}: {len(pos)} positions != "
+                        f"Σtf {int(tfs.sum())}")
+                    continue
+                if len(pos):
+                    # within each posting, positions strictly ascend and
+                    # start non-negative
+                    tf64 = tfs.astype(np.int64)
+                    starts = np.cumsum(tf64) - tf64
+                    bad = np.diff(pos) <= 0
+                    bad[starts[1:] - 1] = False  # posting boundaries
+                    if bad.any() or (pos[starts] < 0).any():
+                        err(f"term {terms[ti]!r}: positions not strictly "
+                            "ascending within a posting")
+
     out = {
         "seg_dir": seg_dir,
         "seg": manifest["seg"],

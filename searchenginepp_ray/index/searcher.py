@@ -1003,6 +1003,8 @@ class SegmentSearcher:
         within a doc), so surviving keys after all intersections are
         exactly the phrase start positions. Decode cost is the phrase
         terms' postings + positions, never the whole segment."""
+        if not tokens:  # a phrase that normalized away matches nothing
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
         idxs = []
         for tok in tokens:
             ti = self.term_index.get(tok)

@@ -2469,15 +2469,17 @@ def product_profit(sf_dir: str, name_prefix: str = "red"):
             .astype(np.int64)
         q = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5) \
             .astype(np.int64)
-        return pd.DataFrame({
-            "_k": df["l_partkey"].to_numpy(np.int64),
-            "suppkey": df["l_suppkey"].to_numpy(np.int64),
-            "orderkey": df["l_orderkey"].to_numpy(np.int64),
-            "rev4": p * (100 - d),
-            "qty_c": q,
-            "retail_c": np.zeros(len(df), np.int64),
-            "_side": np.ones(len(df), np.int8),
-        })
+        # profit is linear in (Σrev4, Σqty_c) for a fixed part, so the
+        # fact pre-aggregates map-side before the exchange
+        g = (pd.DataFrame({"_k": df["l_partkey"].to_numpy(np.int64),
+                           "suppkey": df["l_suppkey"].to_numpy(np.int64),
+                           "orderkey": df["l_orderkey"].to_numpy(np.int64),
+                           "rev4": p * (100 - d), "qty_c": q})
+             .groupby(["_k", "suppkey", "orderkey"], as_index=False)
+             [["rev4", "qty_c"]].sum())
+        g["retail_c"] = np.zeros(len(g), np.int64)
+        g["_side"] = np.ones(len(g), np.int8)
+        return g
 
     def part_rows(df: pd.DataFrame) -> pd.DataFrame:
         m = df["p_name"].str.startswith(name_prefix).to_numpy()

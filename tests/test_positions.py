@@ -246,3 +246,110 @@ def test_near_matches_scalar(pos_built):
         assert g == sorted(want), (a, b, w)
         n_hits += len(g)
     assert n_hits > 0
+
+
+def test_phrase_empty_and_near_multitoken(pos_built):
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    # a phrase that normalizes to zero tokens matches nothing, no crash
+    assert eng.phrase_search_batch(["", "  «» — ", "return if"])[:2] \
+        == [[], []]
+    # multi-token NEAR operands are rejected loudly, not silently
+    # answered as a different query
+    with pytest.raises(ValueError, match="single tokens"):
+        eng.near_search_batch([("return if", "const", 3)])
+
+
+def test_positional_merge_with_empty_segment(ray_session, tmp_path_factory):
+    """A docid range that tokenizes entirely empty still merges: the
+    empty segment carries an empty positional sidecar."""
+    import pyarrow as pa
+
+    from searchenginepp_ray.index.build import merge_segments
+
+    tmp = tmp_path_factory.mktemp("pos_empty")
+    n = 240
+    texts = ["return if else value" for _ in range(n)]
+    # docids 81..160 (segment 1 of docs_per_segment=80) all punctuation
+    for i in range(80, 160):
+        texts[i] = "!!! ??? ..."
+    tbl = pa.table({
+        "repo": [f"r{i:04d}" for i in range(n)],
+        "path": [f"p{i}.py" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["py"] * n,
+        "content": texts,
+    })
+    corpus = str(tmp / "c.parquet")
+    pq.write_table(tbl, corpus, row_group_size=32)
+    cfg = BuildConfig(profile=SIMPLE_PROFILE, docs_per_segment=80,
+                      positions=True)
+    idx = str(tmp / "idx")
+    build_index(corpus, idx, cfg)
+    merged = str(tmp / "merged")
+    merge_segments(idx, merged, group_size=3)  # groups the empty segment
+    e1 = QueryEngine(idx, use_actors=False, cfg=cfg)
+    e2 = QueryEngine(merged, use_actors=False, cfg=cfg)
+    assert e1.phrase_search_batch(["return if"]) \
+        == e2.phrase_search_batch(["return if"])
+    assert len(e2.phrase_search_batch(["return if"])[0]) == 160
+
+
+def test_compact_rerun_wipes_stale_segments(pos_built, tmp_path_factory):
+    """Re-reclaiming into the same out_dir after MORE deletes must not
+    leave stale db_N dirs serving resurrected docs."""
+    from searchenginepp_ray.index.build import compact_index
+    from searchenginepp_ray.index.tombstone import delete_docs
+
+    corpus, idx, cfg, _ = pos_built
+    tmp = tmp_path_factory.mktemp("re_reclaim")
+    src = str(tmp / "src")
+    shutil.copytree(idx, src)
+    t = pq.read_table(corpus)
+    docnos = [f"{r}:{p}@{c}" for r, p, c in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist())]
+
+    out = str(tmp / "out")
+    delete_docs(src, docnos[:10])
+    s1 = compact_index(src, out)
+    # delete MOST docs -> far fewer segments on the second reclaim
+    delete_docs(src, docnos[: len(docnos) - 60])
+    s2 = compact_index(src, out)
+    assert s2["n_docs"] == 60
+    segs = [d for d in os.listdir(out) if d.startswith("db_")]
+    assert len(segs) == s2["n_segments"] < s1["n_segments"]
+    eng = QueryEngine(out, use_actors=False, cfg=cfg)
+    hits = eng.phrase_search_batch(["return if"])[0]
+    assert all(d in set(docnos[len(docnos) - 60:]) for d, _ in hits)
+
+
+def test_fsck_catches_positional_corruption(pos_built, tmp_path_factory):
+    from searchenginepp_ray.index.fsck import fsck_index
+
+    corpus, idx, cfg, _ = pos_built
+    rep = fsck_index(idx, deep=False)
+    assert rep["ok"], rep["errors"]
+
+    tmp = tmp_path_factory.mktemp("pos_fsck")
+    bad = str(tmp / "bad")
+    shutil.copytree(idx, bad)
+    os.remove(os.path.join(bad, "db_0", "positions.parquet"))
+    rep = fsck_index(bad)
+    assert not rep["ok"]
+    assert any("positions.parquet missing" in e for e in rep["errors"])
+
+    bad2 = str(tmp / "bad2")
+    shutil.copytree(idx, bad2)
+    p = os.path.join(bad2, "db_1", "positions.parquet")
+    t = pq.read_table(p)
+    # truncate one term's position stream (drop its last byte)
+    vals = t["pos_bytes"].to_pylist()
+    vals[0] = vals[0][:-1] if len(vals[0]) else vals[0]
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"term": t["term"],
+                             "pos_bytes": pa.array(vals, pa.large_binary())}),
+                   p)
+    rep = fsck_index(bad2)
+    assert not rep["ok"], "truncated position stream must fail fsck"
