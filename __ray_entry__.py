@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity retrieval: min co-occurrence distance within a
         # window, via the positional sidecar (two lists per query)
         "search_near": lambda sf: search_docs.search_near(sf),
+        # wildcard retrieval: prefix expanded against the partitioned
+        # global lexicon (pruned sorted-file read), then standard OR-BM25
+        "search_wildcard": lambda sf: search_docs.search_wildcard(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -538,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         # identical oracle: the indexed and scan plans must agree
         "search_phrase_indexed": osql.phrase_search_sql(),
         "search_near": osql.search_near_sql(),
+        "search_wildcard": osql.search_wildcard_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),

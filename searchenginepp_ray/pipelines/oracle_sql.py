@@ -3007,3 +3007,43 @@ tp AS (
     SELECT doc_id, i - 1 AS pos, w[i] AS term
     FROM wtoks, unnest(generate_series(1, len(w))) AS t(i)
 )""" + "\nUNION ALL".join(subs)
+
+
+def search_wildcard_sql(prefixes: tuple | None = None, k: int = 10) -> str:
+    """Oracle for search_docs.search_wildcard: the full BM25 stack with
+    each query's term set EXPANDED in SQL (df terms LIKE 'p%') — the
+    same vocabulary the engine expands from its global lexicon."""
+    from .search_docs import WILDCARD_QUERIES
+
+    prefixes = prefixes or WILDCARD_QUERIES
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    pre_rows = ", ".join(
+        f"({qi}, '{p.replace(chr(39), chr(39) * 2)}')"
+        for qi, p in enumerate(prefixes))
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q AS (SELECT p.query_id, df.term
+      FROM (VALUES {pre_rows}) p(query_id, pre)
+      JOIN df ON df.term LIKE p.pre || '%'),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""

@@ -121,6 +121,46 @@ def search_phrase_indexed(sf_dir: str) -> pd.DataFrame:
     })
 
 
+#: wildcard gate queries: term prefixes — "s" expands to several terms
+#: (scan slow sort spark small stream...), "zz" to none
+WILDCARD_QUERIES = ("s", "va", "qu", "zz")
+
+
+def expand_prefix(index_dir: str, prefix: str,
+                  cap: int = 1024) -> list[str]:
+    """All index vocabulary terms starting with ``prefix``, resolved
+    from the PARTITIONED global lexicon with one filtered read (each
+    ``term_df/part-K`` file is term-sorted, so parquet row-group
+    statistics prune the scan to the prefix range). Capped: a prefix
+    expanding past ``cap`` terms is a user error at any corpus size
+    (classic engines refuse it rather than scoring the vocabulary)."""
+    import pyarrow.dataset as pads
+
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    d = pads.dataset(os.path.join(index_dir, "global", "term_df"))
+    t = d.to_table(columns=["term"],
+                   filter=(pads.field("term") >= prefix)
+                   & (pads.field("term") < hi))
+    if len(t) > cap:
+        raise ValueError(
+            f"wildcard {prefix!r}* expands to {len(t)} terms (cap {cap})")
+    return sorted(t["term"].to_pylist())
+
+
+def search_wildcard(sf_dir: str, k: int = 10, mode: str = "daat",
+                    prefixes: tuple = WILDCARD_QUERIES) -> pd.DataFrame:
+    """Wildcard (prefix) retrieval: each query ``p*`` expands against
+    the index's own global lexicon (one pruned read of the sorted
+    term_df partition files — never the corpus) and the expansion runs
+    as a standard disjunctive query: score = Σ over matched vocabulary
+    terms of BM25. Returns (query_id, rank, doc_id, score)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    tok_lists = [expand_prefix(eng.index_dir, p) for p in prefixes]
+    return _to_frame(eng.search_batch(tok_lists, k=k, mode=mode))
+
+
 #: proximity gate queries: (term_a, term_b, max token distance);
 #: last pair can never match (vocabulary miss)
 NEAR_QUERIES = (

@@ -353,3 +353,30 @@ def test_fsck_catches_positional_corruption(pos_built, tmp_path_factory):
                    p)
     rep = fsck_index(bad2)
     assert not rep["ok"], "truncated position stream must fail fsck"
+
+
+def test_wildcard_expansion_and_scoring(pos_built):
+    """Prefix expansion equals the vocabulary's prefix matches, and the
+    wildcard query scores exactly as the explicit OR over them; cap and
+    empty-prefix misuse raise."""
+    from searchenginepp_ray.pipelines.search_docs import expand_prefix
+
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    vocab = sorted({t for s in (ss for w in eng.workers
+                                for ss in w.searchers) for t in s.terms})
+    got = expand_prefix(idx, "s")
+    want = [t for t in vocab if t.startswith("s")]
+    assert got == want and len(got) >= 2
+    assert expand_prefix(idx, "zz") == []
+
+    a = eng.search_batch([got], k=10, mode="daat")[0]
+    b = eng.search_batch([got], k=10, mode="bmm")[0]
+    assert [(r[1], round(r[2], 10)) for r in a] \
+        == [(r[1], round(r[2], 10)) for r in b]
+    assert a, "prefix 's' must match docs"
+
+    with pytest.raises(ValueError, match="cap"):
+        expand_prefix(idx, "s", cap=1)
+    with pytest.raises(ValueError, match="empty"):
+        expand_prefix(idx, "")
