@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wildcard retrieval: prefix expanded against the partitioned
         # global lexicon (pruned sorted-file read), then standard OR-BM25
         "search_wildcard": lambda sf: search_docs.search_wildcard(sf),
+        # proximity-boosted re-rank: BM25 top-n candidates re-scored by
+        # min query-term pair distance from the positional sidecar
+        "search_bm25_prox": lambda sf: search_docs.search_bm25_prox(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -542,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_indexed": osql.phrase_search_sql(),
         "search_near": osql.search_near_sql(),
         "search_wildcard": osql.search_wildcard_sql(),
+        "search_bm25_prox": osql.search_bm25_prox_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),

@@ -455,6 +455,8 @@ def run_default() -> None:
           lambda: search_docs.search_phrase_indexed(sf_dir))
     timed("search_near", lambda: search_docs.search_near(sf_dir))
     timed("search_wildcard", lambda: search_docs.search_wildcard(sf_dir))
+    timed("search_bm25_prox",
+          lambda: search_docs.search_bm25_prox(sf_dir))
     timed("search_bm25_grouped",
           lambda: search_docs.search_topk_grouped(sf_dir))
     from searchenginepp_ray.pipelines import classifier

@@ -74,6 +74,15 @@ class SegmentGroupWorker:
             for toks in tok_batch
         ]
 
+    def prox_batch(self, pair_lists, docno_lists):
+        """Per query, (docno, min pair distance) rows over this
+        worker's segments for the query's candidate docs."""
+        return [
+            [r for s in self.searchers
+             for r in s.prox_min_dists(pairs, docnos)]
+            for pairs, docnos in zip(pair_lists, docno_lists)
+        ]
+
     def near_batch(self, queries):
         """Per (term_a, term_b, window) query, this worker's
         (docno, min distance) hits — disjoint segments, plain concat."""
@@ -307,6 +316,27 @@ class QueryEngine:
             hits = [h for w_ in per_worker for h in w_[qi]]
             hits.sort()
             out.append(hits)
+        return out
+
+    def prox_min_dists_batch(self, pair_lists, docno_lists):
+        """Re-ranking support: per query, a dict docno → minimum
+        occurrence distance over any of its term ``pairs`` that
+        co-occur, restricted to that query's candidate ``docnos``
+        (candidate-sized traffic; posting-bounded segment work)."""
+        if self.use_actors:
+            per_worker = ray.get([
+                w.prox_batch.remote(pair_lists, docno_lists)
+                for w in self.workers])
+        else:
+            per_worker = [w.prox_batch(pair_lists, docno_lists)
+                          for w in self.workers]
+        out = []
+        for qi in range(len(pair_lists)):
+            d: dict[str, int] = {}
+            for w in per_worker:
+                for docno, m in w[qi]:  # disjoint segments: no conflicts
+                    d[docno] = m
+            out.append(d)
         return out
 
     def trec_lines(self, query_id, results, run_name: str = "seppray") -> list[str]:

@@ -1095,3 +1095,29 @@ class SegmentSearcher:
         docnos = self.docnos.take(
             pa.array(docs - self.base_docid, pa.int64())).to_pylist()
         return list(zip(docnos, dists.tolist()))
+
+    def prox_min_dists(self, pairs: list[tuple[str, str]],
+                       docnos: list[str]) -> list[tuple[str, int]]:
+        """For re-ranking: per CANDIDATE doc (by docno, restricted to
+        this segment), the minimum occurrence distance over any of the
+        query-term ``pairs`` that co-occur in it. Returns
+        (docno, min_dist) rows for candidates with at least one
+        co-occurring pair. Cost per pair = the two terms' postings +
+        positions (posting-bounded, like scoring them); only
+        candidate-sized rows leave the segment."""
+        if not docnos or not pairs:
+            return []
+        want = np.asarray(pc.is_in(
+            self.docnos, value_set=pa.array(sorted(set(docnos)))))
+        best: dict[int, int] = {}
+        for a, b in pairs:
+            docs, dists = self.near(a, b, window=1 << 30)
+            if not len(docs):
+                continue
+            loc = docs - self.base_docid
+            keep = want[loc]
+            for d, dist in zip(loc[keep], dists[keep]):
+                d = int(d)
+                if dist < best.get(d, 1 << 31):
+                    best[d] = int(dist)
+        return [(self.docnos[d].as_py(), m) for d, m in best.items()]

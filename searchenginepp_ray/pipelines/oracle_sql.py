@@ -3047,3 +3047,74 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {k}"""
+
+
+def search_bm25_prox_sql(n_cand: int = 30, k: int = 10,
+                         bonus: float = 0.5) -> str:
+    """Oracle for search_docs.search_bm25_prox: the full BM25 stack,
+    candidates = top-``n_cand`` per query, min pair distance over the
+    index-tokenization positions, final = s + bonus/(1+mind) on the
+    shared floor(x*1e6+0.5)/1e6 grid."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    cls = _regex_class().replace("'", "''")
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+cand AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+),
+itoks AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text),
+                                                  '{cls}', ' ', 'g')),
+                              ' +') AS w
+    FROM documents
+),
+tp AS (
+    SELECT doc_id, i - 1 AS pos, w[i] AS term
+    FROM itoks, unnest(generate_series(1, len(w))) AS t(i)
+    WHERE w[i] <> ''
+),
+prox AS (
+    SELECT c.query_id, c.doc_id, MIN(ABS(p1.pos - p2.pos)) AS mind
+    FROM cand c
+    JOIN q qa ON qa.query_id = c.query_id
+    JOIN q qb ON qb.query_id = c.query_id AND qa.term < qb.term
+    JOIN tp p1 ON p1.doc_id = c.doc_id AND p1.term = qa.term
+    JOIN tp p2 ON p2.doc_id = c.doc_id AND p2.term = qb.term
+    WHERE c.rank <= {int(n_cand)}
+    GROUP BY 1, 2
+),
+final AS (
+    SELECT c.query_id, c.doc_id,
+           c.s + COALESCE({bonus} / (1 + p.mind), 0.0) AS f
+    FROM cand c LEFT JOIN prox p USING (query_id, doc_id)
+    WHERE c.rank <= {int(n_cand)}
+),
+ranked AS (
+    SELECT query_id, doc_id, f,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY f DESC, doc_id ASC) AS rank
+    FROM final
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, floor(f * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= {int(k)}"""

@@ -161,6 +161,56 @@ def search_wildcard(sf_dir: str, k: int = 10, mode: str = "daat",
     return _to_frame(eng.search_batch(tok_lists, k=k, mode=mode))
 
 
+def search_bm25_prox(sf_dir: str, k: int = 10, n_cand: int = 30,
+                     bonus: float = 0.5) -> pd.DataFrame:
+    """Proximity-BOOSTED ranking (a sequential-dependence-flavoured
+    re-rank): first pass takes the BM25 top-``n_cand`` candidates per
+    query; for each candidate the positional sidecar yields the MINIMUM
+    occurrence distance over any pair of distinct query terms
+    co-occurring in it, and the final score is
+    ``bm25 + bonus/(1 + min_dist)`` (no co-occurring pair → no boost).
+    Docs where the query terms appear near each other outrank
+    bag-of-words-equal docs.
+
+    Scale shape: stage 2's traffic is candidate-sized both ways (the
+    candidate docno lists ship to the segment actors; only matched
+    (docno, min_dist) rows return); segment work per pair is
+    posting-bounded, the same cost class as scoring the pair.
+    Determinism: distances are exact ints, the boost divides the same
+    two doubles on both engines, candidates and final ranks tie-break
+    on doc_id. Returns (query_id, rank, doc_id, score) with the final
+    score on the 6 dp grid."""
+    from itertools import combinations
+
+    from .text_stats import round6_half_up
+
+    eng = get_positional_engine(sf_dir)
+    cands = eng.search_batch(DOC_QUERIES, k=n_cand, mode="bmm")
+    pair_lists, docno_lists = [], []
+    for q, res in zip(DOC_QUERIES, cands):
+        terms = eng.normalize_query(q)
+        pair_lists.append(list(combinations(terms, 2)))
+        docno_lists.append([docno for _, docno, _ in res])
+    mins = eng.prox_min_dists_batch(pair_lists, docno_lists)
+    rows = []
+    for qi, (res, m) in enumerate(zip(cands, mins)):
+        scored = []
+        for _, docno, s in res:
+            d = m.get(docno)
+            final = s + (bonus / (1 + d) if d is not None else 0.0)
+            scored.append((int(docno), final))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (doc_id, s) in enumerate(scored[:k], start=1):
+            rows.append((qi, rank, doc_id,
+                         float(round6_half_up(np.array([s]))[0])))
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "rank": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "doc_id": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "score": pd.Series([r[3] for r in rows], dtype=np.float64),
+    })
+
+
 #: proximity gate queries: (term_a, term_b, max token distance);
 #: last pair can never match (vocabulary miss)
 NEAR_QUERIES = (

