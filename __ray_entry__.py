@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity-boosted re-rank: BM25 top-n candidates re-scored by
         # min query-term pair distance from the positional sidecar
         "search_bm25_prox": lambda sf: search_docs.search_bm25_prox(sf),
+        # spell-tolerant retrieval: SymSpell expansion streamed over the
+        # partitioned global lexicon, then standard OR-BM25
+        "search_fuzzy": lambda sf: search_docs.search_fuzzy(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -211,6 +214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- similarity search ---
         "knn_brute_force": lambda sf: similarity.knn_brute_force(sf),
+        # MMR-diversified nearest neighbors: greedy 0.7·rel −
+        # 0.3·max-sim re-rank of the exact top-n_cand, all comparisons
+        # on the exact integer micro-grid
+        "knn_mmr": lambda sf: similarity.knn_mmr(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
         # nprobe == nlist scans every bucket: IVF degenerates to exact
         # brute force, making the bucketed machinery SQL-oracle-checkable
@@ -546,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "search_near": osql.search_near_sql(),
         "search_wildcard": osql.search_wildcard_sql(),
         "search_bm25_prox": osql.search_bm25_prox_sql(),
+        "search_fuzzy": osql.search_fuzzy_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),
@@ -568,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive bucketing == the exact kernel, same oracle
         "embedding_near_dup_lsh_exhaustive": osql.embedding_near_dup_sql(),
         "knn_brute_force": osql.knn_brute_force_sql(),
+        "knn_mmr": osql.knn_mmr_sql(),
         # exhaustive probe == exact brute force, same oracle
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),

@@ -329,6 +329,7 @@ def run_default() -> None:
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
     timed("minhash_dedup_pairs", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("knn_brute_force", lambda: similarity.knn_brute_force(sf_dir))
+    timed("knn_mmr", lambda: similarity.knn_mmr(sf_dir))
     timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)
     timed("corpus_clean", lambda: clean.corpus_clean(sf_dir))
     timed("windowed_agg", lambda: events.windowed_agg(sf_dir))
@@ -457,6 +458,7 @@ def run_default() -> None:
     timed("search_wildcard", lambda: search_docs.search_wildcard(sf_dir))
     timed("search_bm25_prox",
           lambda: search_docs.search_bm25_prox(sf_dir))
+    timed("search_fuzzy", lambda: search_docs.search_fuzzy(sf_dir))
     timed("search_bm25_grouped",
           lambda: search_docs.search_topk_grouped(sf_dir))
     from searchenginepp_ray.pipelines import classifier

@@ -187,8 +187,15 @@ class QueryEngine:
         shards = [s for s in shards if s]
         if use_actors:
             actor_cls = ray.remote(SegmentGroupWorker)
+            # fault-tolerant serving: worker state is a pure read-once
+            # view of the on-disk segments, so a died actor (node loss,
+            # OOM kill) restarts anywhere with identical state and the
+            # in-flight query method retries transparently — the engine
+            # survives worker churn without a rebuild or re-scatter
             self.workers = [
-                actor_cls.options(num_cpus=num_cpus_per_actor).remote(s, **args)
+                actor_cls.options(num_cpus=num_cpus_per_actor,
+                                  max_restarts=-1,
+                                  max_task_retries=-1).remote(s, **args)
                 for s in shards
             ]
         else:

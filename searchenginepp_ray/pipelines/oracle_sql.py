@@ -3118,3 +3118,109 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, floor(f * 1000000 + 0.5) / 1000000 AS score
 FROM ranked WHERE rank <= {int(k)}"""
+
+
+def search_fuzzy_sql(queries: tuple | None = None, k: int = 10,
+                     max_dist: int = 1) -> str:
+    """Oracle for search_docs.search_fuzzy: the full BM25 stack with
+    each query's term set EXPANDED in SQL — every vocabulary term
+    within ``levenshtein <= max_dist`` of any query word (DISTINCT:
+    two words expanding to the same term score it once, like the
+    engine's deduped token list)."""
+    from .search_docs import FUZZY_SEARCH_QUERIES
+
+    queries = queries or FUZZY_SEARCH_QUERIES
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    w_rows = ", ".join(
+        f"({qi}, '{w.replace(chr(39), chr(39) * 2)}')"
+        for qi, q in enumerate(queries) for w in sorted(set(q.split())))
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q AS (SELECT DISTINCT w.query_id, df.term
+      FROM (VALUES {w_rows}) w(query_id, word)
+      JOIN df ON levenshtein(w.word, df.term) <= {int(max_dist)}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {int(k)}"""
+
+
+def knn_mmr_sql(n_queries: int = 4, n_cand: int = 16, k: int = 5) -> str:
+    """Oracle for similarity.knn_mmr: the greedy MMR loop UNROLLED to
+    ``k`` CTE stages. All comparisons happen on the shared integer
+    micro-grid (rel/sim = floor(cos·1e6 + 0.5); λ = 0.7 as the exact
+    integer rule score10 = 7·rel − 3·max_sim), so every pick and tie
+    matches the engine bit-for-bit."""
+    steps = []
+    for i in range(2, int(k) + 1):
+        steps.append(f"""sel{i} AS (
+    SELECT c.query_id, c.vec_id, c.rel,
+           7*c.rel - 3*MAX(p.sim) AS score10
+    FROM cand c
+    JOIN pair p ON p.query_id = c.query_id AND p.va = c.vec_id
+    JOIN picked{i-1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+    LEFT JOIN picked{i-1} x
+           ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+    WHERE x.vec_id IS NULL
+    GROUP BY c.query_id, c.vec_id, c.rel
+    QUALIFY row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY (7*c.rel - 3*MAX(p.sim)) DESC,
+                                        c.vec_id ASC) = 1
+),
+picked{i} AS (
+    SELECT * FROM picked{i-1}
+    UNION ALL
+    SELECT query_id, vec_id, rel, score10, {i} AS rank FROM sel{i}
+)""")
+    chain = ",\n".join(steps)
+    return f"""WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {int(n_queries)}
+),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(floor(list_cosine_similarity(q.qe,
+                CAST(e.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS rel
+    FROM q CROSS JOIN embeddings e
+),
+cand AS (
+    SELECT query_id, vec_id, rel FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, vec_id ASC) <= {int(n_cand)}
+),
+ce AS (
+    SELECT c.query_id, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+    FROM cand c JOIN embeddings e USING (vec_id)
+),
+pair AS (
+    SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+           CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1e6 + 0.5)
+                AS BIGINT) AS sim
+    FROM ce a JOIN ce b ON a.query_id = b.query_id
+),
+picked1 AS (
+    SELECT query_id, vec_id, rel, 7*rel AS score10, 1 AS rank FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, vec_id ASC) = 1
+),
+{chain}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score10
+FROM picked{int(k)}"""

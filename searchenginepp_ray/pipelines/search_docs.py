@@ -161,6 +161,75 @@ def search_wildcard(sf_dir: str, k: int = 10, mode: str = "daat",
     return _to_frame(eng.search_batch(tok_lists, k=k, mode=mode))
 
 
+#: fuzzy gate queries: misspelled words (1-edit from corpus vocabulary);
+#: "qzx" can never expand (vocabulary miss, empty result)
+FUZZY_SEARCH_QUERIES = ("tble scann", "sprk windoww", "vale merge", "qzx")
+
+
+def expand_fuzzy(index_dir: str, words: list[str],
+                 max_dist: int = 1, cap: int = 1024) -> list[str]:
+    """Union of index-vocabulary terms within edit distance ``max_dist``
+    of any query word, resolved by STREAMING the partitioned global
+    lexicon through the SymSpell deletion-neighborhood matcher
+    (text_stats.fuzzy_hits_batch): the query side ships as a tiny
+    broadcast set of deletion keys riding the task closure; the
+    vocabulary side is one ``map_batches`` over the term-sorted
+    ``term_df/part-K`` files reading ONLY the term column; only matched
+    terms return (a bounded handful per word, never vocabulary-sized).
+    Capped like wildcard expansion: past ``cap`` terms is a user error."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .text_stats import _deletes1, fuzzy_hits_batch
+
+    words = sorted({w for w in words if w})
+    if not words:
+        raise ValueError("empty fuzzy query")
+    qdel = {w: _deletes1(w) for w in words}
+    probe_arr = pa.array(sorted(frozenset().union(*qdel.values())),
+                         pa.string())
+    wtup = tuple(words)
+
+    def match(t):
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        _, idxs, _ = fuzzy_hits_batch(terms, wtup, qdel, probe_arr,
+                                      max_dist)
+        return pa.table(
+            {"term": terms.take(pa.array(sorted(set(idxs)), pa.int64()))})
+
+    files = sorted(_glob.glob(os.path.join(index_dir, "global",
+                                           "term_df", "*")))
+    hits = rd.read_parquet(files, columns=["term"]).map_batches(
+        match, batch_format="pyarrow").to_pandas()
+    # an expansion with zero hits can come back schema-less
+    terms = sorted(set(hits["term"])) if "term" in hits.columns else []
+    if len(terms) > cap:
+        raise ValueError(
+            f"fuzzy query {words!r} expands to {len(terms)} terms (cap {cap})")
+    return terms
+
+
+def search_fuzzy(sf_dir: str, k: int = 10, mode: str = "bmm",
+                 queries: tuple = FUZZY_SEARCH_QUERIES,
+                 max_dist: int = 1) -> pd.DataFrame:
+    """Spell-tolerant retrieval: each query's words expand to every
+    index-vocabulary term within edit distance ``max_dist`` (SymSpell
+    deletion-neighborhood streaming over the partitioned global
+    lexicon — never a corpus touch), and the union expansion runs as a
+    standard disjunctive query: score = Σ BM25 over matched vocabulary
+    terms. The retrieval twin of :func:`..text_stats.fuzzy_term_match`
+    (which returns the match table itself). Returns
+    (query_id, rank, doc_id, score)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    tok_lists = [expand_fuzzy(eng.index_dir, q.split(), max_dist)
+                 for q in queries]
+    return _to_frame(eng.search_batch(tok_lists, k=k, mode=mode))
+
+
 def search_bm25_prox(sf_dir: str, k: int = 10, n_cand: int = 30,
                      bonus: float = 0.5) -> pd.DataFrame:
     """Proximity-BOOSTED ranking (a sequential-dependence-flavoured

@@ -268,6 +268,76 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def knn_mmr(sf_dir: str, n_queries: int = 4, n_cand: int = 16,
+            k: int = 5) -> pd.DataFrame:
+    """MMR-DIVERSIFIED nearest neighbors (maximal marginal relevance,
+    Carbonell & Goldstein 1998): per query, greedily pick ``k`` of the
+    exact top-``n_cand`` cosine candidates maximizing
+    ``λ·rel − (1−λ)·max_sim_to_selected`` with λ = 0.7, so redundant
+    near-identical neighbors are demoted in favour of coverage.
+
+    Determinism across engines: every cosine snaps to the integer
+    micro-grid ``floor(x·1e6 + 0.5)`` first, and λ = 0.7 becomes the
+    EXACT integer rule ``score10 = 7·rel_micro − 3·max_sim_micro``
+    (10× the micro-MMR score) — candidate selection, the greedy argmax
+    and all ties (→ vec_id ASC) compare integers only, so the unrolled
+    SQL oracle reproduces every pick bit-for-bit.
+
+    Scale shape: stage 1 is the knn_brute_force streaming scan
+    (queries broadcast once, per-batch partial top-k, tiny merge);
+    stage 2 fetches ONLY the ≤ n_queries·n_cand candidate vectors with
+    one vec_id-filtered pruned read, and the greedy loop runs on that
+    candidate-sized set — nothing corpus-sized ever leaves the scan.
+
+    Returns (query_id, rank, vec_id, score10)."""
+    import pyarrow.dataset as pads
+
+    # stage 1: raw candidates with a tie margin, then re-rank on the
+    # micro grid (grid ranking is ULP-robust where raw doubles are not)
+    raw = knn_brute_force(sf_dir, n_queries=n_queries,
+                          k=n_cand + 8).to_pandas()
+    raw["rel"] = np.floor(
+        raw["cosine"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    raw = raw.sort_values(["query_id", "rel", "neighbor_id"],
+                          ascending=[True, False, True])
+    cand = raw.groupby("query_id", sort=True).head(n_cand)
+
+    # stage 2: candidate vectors only — one filtered (row-group pruned)
+    # read of the candidate vec_ids
+    ids = sorted(set(cand["neighbor_id"].tolist()))
+    d = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = d.to_table(columns=["vec_id", "embedding"],
+                   filter=pads.field("vec_id").isin(ids))
+    vid = t["vec_id"].to_numpy()
+    emb = _normalize(_vec_matrix(t["embedding"]))
+    row_of = {int(v): i for i, v in enumerate(vid)}
+
+    rows = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        c_ids = g["neighbor_id"].to_numpy()
+        rel = g["rel"].to_numpy()
+        m = emb[[row_of[int(v)] for v in c_ids]]
+        sim = np.floor(m @ m.T * 1e6 + 0.5).astype(np.int64)
+        n = len(c_ids)
+        maxsim = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            score10 = 7 * rel - 3 * maxsim
+            # argmax on (score10 DESC, vec_id ASC) among unpicked
+            idx = np.flatnonzero(alive)
+            best = int(idx[np.lexsort((c_ids[idx], -score10[idx]))[0]])
+            rows.append((int(qid), rank, int(c_ids[best]),
+                         int(score10[best])))
+            alive[best] = False
+            np.maximum(maxsim, sim[:, best], out=maxsim)
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "rank": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "vec_id": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "score10": pd.Series([r[3] for r in rows], dtype=np.int64),
+    })
+
+
 def embedding_norm_stats(sf_dir: str):
     """Per-label mean L2 norm + count (vectorized per batch partials)."""
     from ray.data.aggregate import Count, Sum

@@ -448,6 +448,44 @@ def _deletes1(s: str) -> set[str]:
     return {s[: i] + s[i + 1:] for i in range(len(s))} | {s}
 
 
+def fuzzy_hits_batch(terms: pa.Array, queries: tuple[str, ...],
+                     qdel: dict[str, set[str]], probe_arr: pa.Array,
+                     max_dist: int) -> tuple[list[str], list[int], list[int]]:
+    """The SymSpell per-batch kernel shared by :func:`fuzzy_term_match`
+    and the fuzzy retrieval expansion (search_docs.expand_fuzzy):
+    candidate terms via ``maxlen`` vectorized deletion-key probes
+    against the broadcast set, exact DP verification on candidates
+    only. Returns parallel (query, term row index, distance) hit
+    lists."""
+    lens = np.asarray(pc.utf8_length(terms)).astype(np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    # candidate mask: term itself, or any single-deletion variant,
+    # hits the broadcast deletion-key set
+    cand = np.asarray(pc.is_in(terms, value_set=probe_arr))
+    for i in range(maxlen):
+        dele = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(terms, 0, i),
+            pc.utf8_slice_codeunits(terms, i + 1, np.iinfo(np.int32).max),
+            "")
+        hit = np.asarray(pc.is_in(dele, value_set=probe_arr))
+        cand |= hit & (lens > i)
+    out_q: list[str] = []
+    out_i: list[int] = []
+    out_d: list[int] = []
+    for i in np.flatnonzero(cand):
+        term = terms[int(i)].as_py()
+        tdel = _deletes1(term)
+        for q in queries:
+            if tdel.isdisjoint(qdel[q]):
+                continue
+            d = _levenshtein(q, term)
+            if d <= max_dist:
+                out_q.append(q)
+                out_i.append(int(i))
+                out_d.append(d)
+    return out_q, out_i, out_d
+
+
 def fuzzy_term_match(sf_dir: str, queries: tuple[str, ...] = FUZZY_QUERIES,
                      max_dist: int = 1):
     """Fuzzy term lookup (spelling correction over the index vocabulary):
@@ -467,7 +505,7 @@ def fuzzy_term_match(sf_dir: str, queries: tuple[str, ...] = FUZZY_QUERIES,
     beyond the df aggregate itself; output is hit rows only.
     Reference parity: none (beyond-reference; the reference engine has
     no fuzzy matching)."""
-    qdel: dict[str, list[str]] = {q: sorted(_deletes1(q)) for q in queries}
+    qdel: dict[str, set[str]] = {q: _deletes1(q) for q in queries}
     probe = frozenset().union(*qdel.values()) if qdel else frozenset()
     probe_arr = pa.array(sorted(probe), pa.string())
 
@@ -481,39 +519,14 @@ def fuzzy_term_match(sf_dir: str, queries: tuple[str, ...] = FUZZY_QUERIES,
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = np.asarray(pc.utf8_length(terms)).astype(np.int64)
-        maxlen = int(lens.max()) if len(lens) else 0
-        # candidate mask: term itself, or any single-deletion variant,
-        # hits the broadcast deletion-key set
-        cand = np.asarray(pc.is_in(terms, value_set=probe_arr))
-        for i in range(maxlen):
-            dele = pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(terms, 0, i),
-                pc.utf8_slice_codeunits(terms, i + 1, np.iinfo(np.int32).max),
-                "")
-            hit = np.asarray(pc.is_in(dele, value_set=probe_arr))
-            cand |= hit & (lens > i)
-        idx = np.flatnonzero(cand)
-        if idx.size == 0:
-            return empty
-        out_q, out_t, out_df, out_d = [], [], [], []
-        for i in idx:
-            term = terms[int(i)].as_py()
-            tdel = _deletes1(term)
-            for q in queries:
-                if tdel.isdisjoint(qdel[q]):
-                    continue
-                d = _levenshtein(q, term)
-                if d <= max_dist:
-                    out_q.append(q)
-                    out_t.append(term)
-                    out_df.append(int(dfs[i]))
-                    out_d.append(d)
+        out_q, out_i, out_d = fuzzy_hits_batch(
+            terms, queries, qdel, probe_arr, max_dist)
         if not out_q:
             return empty
         return pa.table({"query": pa.array(out_q, pa.string()),
-                         "term": pa.array(out_t, pa.string()),
-                         "df": pa.array(out_df, pa.int64()),
+                         "term": terms.take(pa.array(out_i, pa.int64())),
+                         "df": pa.array([int(dfs[i]) for i in out_i],
+                                        pa.int64()),
                          "dist": pa.array(out_d, pa.int64())})
 
     return term_df(sf_dir).map_batches(match, batch_format="pyarrow")

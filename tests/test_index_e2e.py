@@ -1042,3 +1042,27 @@ def test_compact_index_equals_fresh_build(built, tmp_path_factory):
     assert csum2["n_docs"] == csum["n_docs"]
     assert os.path.getmtime(
         os.path.join(out, segs[0], "terms.parquet")) == mt
+
+
+def test_actor_pool_survives_worker_kill(built, tmp_path_factory):
+    """Serving fault tolerance: the segment actors are read-once views
+    of the on-disk index, spawned with max_restarts/max_task_retries,
+    so killing a worker mid-service must not change any answer — Ray
+    restarts it (re-running __init__, reloading its segments) and the
+    next query's method call retries transparently."""
+    import ray
+
+    summary, oracle, engine = built
+    aeng = QueryEngine(engine.index_dir, use_actors=True, num_workers=2,
+                       num_cpus_per_actor=0.1)
+    q = "hash sort merge"
+    before = aeng.search(q, k=10)
+    assert before == engine.search(q, k=10)
+    ray.kill(aeng.workers[0], no_restart=False)
+    after = aeng.search(q, k=10)
+    assert after == before
+    # and a second kill of the other worker, same contract
+    ray.kill(aeng.workers[-1], no_restart=False)
+    assert aeng.search(q, k=10) == before
+    for w in aeng.workers:
+        ray.kill(w, no_restart=True)

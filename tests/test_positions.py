@@ -412,3 +412,34 @@ def test_prox_min_dists_matches_scalar(pos_built):
                 best = m if best is None else min(best, m)
         assert got.get(d) == best, (d, got.get(d), best)
     assert got, "candidates must include co-occurring pairs"
+
+
+def test_fuzzy_expansion_and_scoring(pos_built):
+    """Fuzzy expansion (SymSpell stream over the partitioned global
+    lexicon) equals the vocabulary's exact-levenshtein matches, the
+    expansion scores identically under DAAT and BMM, and cap/empty
+    misuse raise."""
+    from searchenginepp_ray.pipelines.search_docs import expand_fuzzy
+    from searchenginepp_ray.pipelines.text_stats import _levenshtein
+
+    corpus, idx, cfg, _ = pos_built
+    eng = QueryEngine(idx, use_actors=False, cfg=cfg)
+    vocab = sorted({t for w in eng.workers
+                    for ss in w.searchers for t in ss.terms})
+    words = ["hsh", "mergee"]  # 1-edit typos of hash / merge
+    got = expand_fuzzy(idx, words)
+    want = sorted({t for t in vocab
+                   if min(_levenshtein(w, t) for w in words) <= 1})
+    assert got == want and got, (got, want)
+    assert expand_fuzzy(idx, ["qzx"]) == []
+
+    a = eng.search_batch([got], k=10, mode="daat")[0]
+    b = eng.search_batch([got], k=10, mode="bmm")[0]
+    assert [(r[1], round(r[2], 10)) for r in a] \
+        == [(r[1], round(r[2], 10)) for r in b]
+    assert a, "fuzzy expansion must match docs"
+
+    with pytest.raises(ValueError, match="cap"):
+        expand_fuzzy(idx, words, cap=1)
+    with pytest.raises(ValueError, match="empty"):
+        expand_fuzzy(idx, [])

@@ -353,3 +353,53 @@ def test_kmeans_inertia_matches_numpy(ray_session):
     np.add.at(want_i, a, d2[np.arange(len(a)), a])
     assert got["n"].tolist() == want_n.tolist()
     assert np.allclose(got["inertia"].to_numpy(), want_i, atol=1e-5)
+
+
+def test_knn_mmr_matches_scalar_greedy(ray_session):
+    """knn_mmr's picks equal a from-scratch scalar greedy over the same
+    micro-grid candidate set, and diversification is real: with λ < 1
+    the selected set's max pairwise similarity never exceeds plain
+    top-k's (and rank 1 is pure relevance = the query itself)."""
+    import pyarrow.dataset as pads
+
+    n_q, n_cand, k = 3, 12, 4
+    got = similarity.knn_mmr(SF, n_queries=n_q, n_cand=n_cand, k=k)
+
+    # scalar reference: full cosine matrix, grid candidates, greedy MMR
+    d = pads.dataset(f"{SF}/embeddings.parquet")
+    t = d.to_table(columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = similarity._normalize(similarity._vec_matrix(t["embedding"]))
+    for qi in range(n_q):
+        rel_all = np.floor(m[qi] @ m.T * 1e6 + 0.5).astype(np.int64)
+        order = sorted(range(len(ids)), key=lambda i: (-rel_all[i], ids[i]))
+        cand = order[:n_cand]
+        picked, maxsim = [], {i: 0 for i in cand}
+        for rank in range(1, k + 1):
+            best = min((i for i in cand if i not in picked),
+                       key=lambda i: (-(7 * rel_all[i] - 3 * maxsim[i]),
+                                      ids[i]))
+            picked.append(best)
+            for i in cand:
+                s = int(np.floor(m[best] @ m[i] * 1e6 + 0.5))
+                maxsim[i] = max(maxsim[i], s)
+        g = got[got["query_id"] == ids[qi]].sort_values("rank")
+        assert g["vec_id"].tolist() == [int(ids[i]) for i in picked]
+        assert g.iloc[0]["vec_id"] == ids[qi]  # rank 1 = self (rel=1e6)
+
+    # diversification: MMR's selected-set max pairwise sim <= top-k's
+    plain = similarity.knn_brute_force(SF, n_queries=n_q, k=k).to_pandas()
+    row_of = {int(v): i for i, v in enumerate(ids)}
+
+    def max_pair(vids):
+        mm = m[[row_of[v] for v in vids]]
+        s = mm @ mm.T
+        np.fill_diagonal(s, -1)
+        return s.max()
+
+    worse = 0
+    for qid in got["query_id"].unique():
+        a = max_pair(got[got["query_id"] == qid]["vec_id"].tolist())
+        b = max_pair(plain[plain["query_id"] == qid]["neighbor_id"].tolist())
+        worse += a > b + 1e-12
+    assert worse == 0
