@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # df/idf/avgdl converged to the alive corpus, then served
         "search_bm25_compacted_topk":
             lambda sf: search_docs.search_topk_compacted(sf),
+        # the lifecycle OPEN end: append-incremental build (corpus in
+        # two shipments; old shards' tokenize outputs reused verbatim) —
+        # serving must equal one fresh full build (same oracle)
+        "search_bm25_appended_topk":
+            lambda sf: search_docs.search_topk_appended(sf),
         # diversified retrieval: exact top-k per (query, lang facet) —
         # one masked pass per facet over cached per-actor masks
         "search_bm25_grouped_topk":
@@ -520,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_filtered_topk": osql.search_topk_filtered_sql(),
         "search_bm25_tombstoned_topk": osql.search_topk_tombstoned_sql(),
         "search_bm25_compacted_topk": osql.search_topk_compacted_sql(),
+        # appended == fresh full build, so the plain top-k oracle applies
+        "search_bm25_appended_topk": osql.search_topk_sql("bm25",
+                                                          conj=False),
         "search_bm25_grouped_topk": osql.search_topk_grouped_sql(),
         "logreg_train": osql.logreg_train_sql(),
         "search_bm25_conj_topk": osql.search_topk_sql("bm25", conj=True),

@@ -452,6 +452,8 @@ def run_default() -> None:
           lambda: search_docs.search_topk_tombstoned(sf_dir))
     timed("search_bm25_compacted",
           lambda: search_docs.search_topk_compacted(sf_dir))
+    timed("search_bm25_appended",
+          lambda: search_docs.search_topk_appended(sf_dir))
     timed("search_phrase_indexed",
           lambda: search_docs.search_phrase_indexed(sf_dir))
     timed("search_near", lambda: search_docs.search_near(sf_dir))

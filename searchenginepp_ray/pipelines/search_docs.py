@@ -1013,3 +1013,69 @@ def search_topk_grouped(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["query_id", "lang", "rank"]) \
         .reset_index(drop=True)
+
+
+def get_appended_engine(sf_dir: str) -> QueryEngine:
+    """Engine over an APPEND-INCREMENTAL build: the corpus arrives in
+    two shipments (first half, then the rest) and the second
+    ``build_index`` run extends the first — ``_append_compatible``
+    keeps every old shard's stage-1 tokenize outputs verbatim and only
+    the appended shards tokenize, while stages 2-3 recompute (df/idf
+    shift with N, the correct split). Serving over the result must be
+    indistinguishable from one fresh full build — the same SQL oracle
+    as ``search_bm25_topk`` checks it end-to-end.
+
+    The half-split is gate scaffolding to DRIVE the append path (a real
+    deployment passes the new shipment's files); it caches per corpus
+    content fingerprint."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    cfg = _cfg(simple=True)
+    key = (os.path.abspath(sf_dir), cfg.params_id, "appended")
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    n_rows = pq_.ParquetFile(src).metadata.num_rows
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{n_rows}"
+        f":{cfg.params_id}:append".encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", "seppray_index_cache", f"app_{fp}")
+    parts = [os.path.join(base, "part1.parquet"),
+             os.path.join(base, "part2.parquet")]
+    marker = os.path.join(base, "_split_done.json")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        t = pq_.read_table(src)
+        half = len(t) // 2
+        pq_.write_table(t.slice(0, half), parts[0] + ".tmp",
+                        row_group_size=4096)
+        pq_.write_table(t.slice(half), parts[1] + ".tmp",
+                        row_group_size=4096)
+        os.replace(parts[0] + ".tmp", parts[0])
+        os.replace(parts[1] + ".tmp", parts[1])
+        with open(marker, "w") as f:
+            json.dump({"rows": n_rows, "half": half}, f)
+
+    out_dir = os.path.join(base, "idx")
+    # shipment 1, then shipment 1+2 — the second run takes the
+    # append-incremental path (old shard list is a strict prefix)
+    build_index([parts[0]], out_dir, cfg, DOCUMENTS_CORPUS)
+    build_index(parts, out_dir, cfg, DOCUMENTS_CORPUS)
+    eng = QueryEngine(out_dir, scorer="bm25", use_actors=True,
+                      num_workers=4, num_cpus_per_actor=0.25, cfg=cfg)
+    _ENGINES[key] = eng
+    return eng
+
+
+def search_topk_appended(sf_dir: str, k: int = 10,
+                         mode: str = "bmm") -> pd.DataFrame:
+    """BM25 top-``k`` served from the append-extended index — must
+    equal a fresh full build's ranking exactly (same oracle as
+    ``search_bm25_topk``)."""
+    eng = get_appended_engine(sf_dir)
+    return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
