@@ -398,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem — partials for the algebraic stats, ONE shared
         # (colid, key64) exchange for every column's distinct count
         "table_profile": lambda sf: relational.table_profile(sf),
+        # ingest-gate data validation: every declared FK (anti-join
+        # violation count) + unique key, one key-hash exchange each
+        "integrity_check": lambda sf: relational.integrity_check(sf),
         # per-stratum content-addressed sampling (corpus rebalancing)
         # budgeted per-group curation: exact top-q% per lang by
         # quality score — grouped selection at scaling k with NO sort
@@ -635,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": osql.vocab_stats_sql(),
         "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),
+        "integrity_check": osql.integrity_check_sql(),
         "quality_select": osql.quality_select_sql(),
         "stratified_sample": osql.stratified_sample_sql(),
         "simhash_md5": osql.simhash_md5_sql(),

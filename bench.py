@@ -373,6 +373,7 @@ def run_default() -> None:
     timed("order_shipping_priority",
           lambda: relational.order_shipping_priority(sf_dir))
     timed("table_profile", lambda: relational.table_profile(sf_dir))
+    timed("integrity_check", lambda: relational.integrity_check(sf_dir))
     from searchenginepp_ray.pipelines import tokenizer
 
     timed("bpe_train", lambda: tokenizer.bpe_train(sf_dir))

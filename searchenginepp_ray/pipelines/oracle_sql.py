@@ -3224,3 +3224,26 @@ picked1 AS (
 {chain}
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score10
 FROM picked{int(k)}"""
+
+
+def integrity_check_sql() -> str:
+    """Oracle for relational.integrity_check: per-constraint FK anti-join
+    counts and duplicate-key counts, one UNION ALL branch per declared
+    constraint (same declarations, same order-insensitive rows)."""
+    from .relational import INTEGRITY_FKS, INTEGRITY_UNIQUES
+
+    branches = []
+    for child, ckey, parent, pkey in INTEGRITY_FKS:
+        branches.append(f"""SELECT '{child}.{ckey}->{parent}.{pkey}' AS check_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p
+               ON c.{ckey} = p.{pkey}
+        WHERE p.{pkey} IS NULL) AS violations""")
+    for table, key in INTEGRITY_UNIQUES:
+        branches.append(f"""SELECT '{table}.{key} unique' AS check_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT {key} FROM {table} GROUP BY {key}
+           HAVING COUNT(*) > 1)) AS violations""")
+    return "\nUNION ALL\n".join(branches)

@@ -2582,3 +2582,119 @@ def product_profit(sf_dir: str, name_prefix: str = "red"):
         "o_year": out["year"].to_numpy(np.int64),
         "profit_c4": out["profit4"].to_numpy(np.int64),
     })
+
+
+#: declarative integrity contract for the testdata star schema:
+#: (child table, FK column) -> (parent table, PK column), plus the key
+#: columns that must be unique
+INTEGRITY_FKS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+INTEGRITY_UNIQUES = (
+    ("customer", "c_custkey"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def _fk_check(sf_dir: str, child: str, ckey: str,
+              parent: str, pkey: str) -> tuple[int, int]:
+    """(child rows, child rows whose key has no parent) via ONE
+    key-hash exchange of map-side-reduced (key, child_n, parent_seen)
+    partials — traffic is key-domain-sized on both sides, never
+    row-sized, and the anti-join happens where the key co-locates."""
+    from .agg import hash_groupby_apply
+
+    def cpart(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t[ckey].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"key": pa.array(k),
+                         "child_n": pa.array(n.astype(np.int64)),
+                         "parent_seen": pa.array(np.zeros(len(k), np.int64))})
+
+    def ppart(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t[pkey].to_numpy(zero_copy_only=False).astype(np.int64))
+        z = np.zeros(len(k), np.int64)
+        return pa.table({"key": pa.array(k), "child_n": pa.array(z),
+                         "parent_seen": pa.array(np.ones(len(k), np.int64))})
+
+    u = table_ds(sf_dir, child, [ckey]).map_batches(
+        cpart, batch_format="pyarrow").union(
+        table_ds(sf_dir, parent, [pkey]).map_batches(
+            ppart, batch_format="pyarrow"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False).agg(
+            child_n=("child_n", "sum"), parent_seen=("parent_seen", "sum"))
+        return pd.DataFrame({
+            "n": [int(g["child_n"].sum())],
+            "violations": [int(g.loc[g["parent_seen"] == 0,
+                                     "child_n"].sum())],
+        })
+
+    tiny = hash_groupby_apply(u, ["key"], per_part).to_pandas()
+    return int(tiny["n"].sum()), int(tiny["violations"].sum())
+
+
+def _unique_check(sf_dir: str, table: str, key: str) -> tuple[int, int]:
+    """(rows, keys appearing more than once) — per-batch value_counts
+    partials through one key-hash exchange."""
+    from .agg import hash_groupby_sum
+
+    def part(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t[key].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"key": pa.array(k),
+                         "n_part": pa.array(n.astype(np.int64))})
+
+    tot = hash_groupby_sum(
+        table_ds(sf_dir, table, [key]).map_batches(
+            part, batch_format="pyarrow"),
+        ["key"], {"n": ("n_part", "sum")})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([int(n.sum())]),
+                         "violations": pa.array([int((n > 1).sum())])})
+
+    tiny = tot.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return int(tiny["n"].sum()), int(tiny["violations"].sum())
+
+
+def integrity_check(sf_dir: str) -> pd.DataFrame:
+    """Data-validation audit over the whole star schema — the ingest
+    gate a production pipeline runs before anything downstream trusts
+    the tables: every declared foreign key (child rows whose key is
+    missing from the parent) and every declared unique key (keys with
+    duplicates). Returns one row per constraint:
+    (check_name, n, violations) with n = rows checked.
+
+    Scale shape: each constraint is ONE key-hash exchange of map-side
+    value_counts partials (key-domain-sized, never row-sized); the
+    violation counts reduce to one row per partition, so the driver sees
+    P rows per constraint. Constraints are independent — they pipeline
+    through the session concurrently. Reference parity: none
+    (beyond-reference; data validation for the LLM-pipeline surface)."""
+    rows = []
+    for child, ckey, parent, pkey in INTEGRITY_FKS:
+        n, v = _fk_check(sf_dir, child, ckey, parent, pkey)
+        rows.append((f"{child}.{ckey}->{parent}.{pkey}", n, v))
+    for table, key in INTEGRITY_UNIQUES:
+        n, v = _unique_check(sf_dir, table, key)
+        rows.append((f"{table}.{key} unique", n, v))
+    return pd.DataFrame({
+        "check_name": pd.Series([r[0] for r in rows], dtype=object),
+        "n": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "violations": pd.Series([r[2] for r in rows], dtype=np.int64),
+    })

@@ -677,3 +677,37 @@ def test_product_profit_matches_pandas(ray_session, sf_dir):
     assert got["o_year"].tolist() == want["year"].tolist()
     assert got["profit_c4"].tolist() == want["profit"].tolist()
     assert len(got) > 10
+
+
+def test_integrity_check_planted_violations(ray_session, tmp_path):
+    """FK anti-join and duplicate-key counting pinned on a constructed
+    star schema with known violations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.relational import (
+        _fk_check,
+        _unique_check,
+    )
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": [1, 2, 3, 3]}),
+                   f"{d}/customer.parquet", row_group_size=2)
+    pq.write_table(
+        pa.table({"o_orderkey": [10, 11, 12, 13, 14],
+                  "o_custkey": [1, 2, 3, 99, 98]}),
+        f"{d}/orders.parquet", row_group_size=2)
+
+    n, v = _fk_check(d, "orders", "o_custkey", "customer", "c_custkey")
+    assert (n, v) == (5, 2)  # custkeys 99 and 98 are orphans
+    n, v = _unique_check(d, "customer", "c_custkey")
+    assert (n, v) == (4, 1)  # key 3 duplicated
+    n, v = _unique_check(d, "orders", "o_orderkey")
+    assert (n, v) == (5, 0)
+
+    # and the real testdata star schema is clean
+    from searchenginepp_ray.pipelines.relational import integrity_check
+
+    rep = integrity_check("/root/testdata/sf0.001")
+    assert (rep["violations"] == 0).all()
+    assert len(rep) == 12
