@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spell-tolerant retrieval: SymSpell expansion streamed over the
         # partitioned global lexicon, then standard OR-BM25
         "search_fuzzy": lambda sf: search_docs.search_fuzzy(sf),
+        # query-by-document: seed doc's top TF-IDF terms as the query,
+        # seed excluded from its own results (Lucene MoreLikeThis shape)
+        "search_more_like_this":
+            lambda sf: search_docs.search_more_like_this(sf),
         "regex_search": lambda sf: _filters().regex_search(sf),
         # DSIR-shaped data selection: per-doc log importance weight
         # under hashed-unigram target-vs-source LMs (two streaming
@@ -423,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank WITHOUT a global sort (prefix histogram + one
         # bounded-bucket exchange; only int/hex rows move)
         "epoch_shuffle": lambda sf: sample.epoch_shuffle(sf),
+        # curriculum ordering: exact global rank by (quality DESC,
+        # doc_id) via histogram offsets on the bounded 6 dp score grid
+        "curriculum_order": lambda sf: sample.curriculum_order(sf),
         # fixed-iteration PageRank over the part co-purchase graph —
         # iterative distributed algorithm, rank state never on the driver
         # bounded multi-source BFS (hop distances from seed parts):
@@ -565,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard": osql.search_wildcard_sql(),
         "search_bm25_prox": osql.search_bm25_prox_sql(),
         "search_fuzzy": osql.search_fuzzy_sql(),
+        "search_more_like_this": osql.search_more_like_this_sql(),
         "regex_search": osql.regex_search_sql(),
         "importance_weights": osql.importance_weights_sql(),
         "importance_resample": osql.importance_resample_sql(),
@@ -648,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_mix_sample": osql.lang_mix_sample_sql(),
         "dataset_split": osql.dataset_split_sql(),
         "epoch_shuffle": osql.epoch_shuffle_sql(),
+        "curriculum_order": osql.curriculum_order_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_bfs": osql.part_bfs_sql(),
         "part_components": osql.part_components_sql(),

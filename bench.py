@@ -415,6 +415,7 @@ def run_default() -> None:
     timed("source_mixture", lambda: sample.source_mixture(sf_dir))
     timed("lang_mix_sample", lambda: sample.lang_mix_sample(sf_dir))
     timed("epoch_shuffle", lambda: sample.epoch_shuffle(sf_dir))
+    timed("curriculum_order", lambda: sample.curriculum_order(sf_dir))
     timed("simhash_md5", lambda: dedup.simhash_md5(sf_dir))
     timed("corpus_diff", lambda: dedup.corpus_diff(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
@@ -462,6 +463,8 @@ def run_default() -> None:
     timed("search_bm25_prox",
           lambda: search_docs.search_bm25_prox(sf_dir))
     timed("search_fuzzy", lambda: search_docs.search_fuzzy(sf_dir))
+    timed("search_more_like_this",
+          lambda: search_docs.search_more_like_this(sf_dir))
     timed("search_bm25_grouped",
           lambda: search_docs.search_topk_grouped(sf_dir))
     from searchenginepp_ray.pipelines import classifier

@@ -3247,3 +3247,75 @@ def integrity_check_sql() -> str:
           (SELECT {key} FROM {table} GROUP BY {key}
            HAVING COUNT(*) > 1)) AS violations""")
     return "\nUNION ALL\n".join(branches)
+
+
+def search_more_like_this_sql(seed_ids: tuple | None = None,
+                              m_terms: int = 5, k: int = 10) -> str:
+    """Oracle for search_docs.search_more_like_this: per seed doc, the
+    top-m TF-IDF terms on the shared 6 dp grid (ties → term ASC) run as
+    a disjunctive BM25 query with the seed anti-joined out of its own
+    results — ONE statement for selection + retrieval."""
+    from .search_docs import MLT_SEED_IDS
+
+    seed_ids = seed_ids or MLT_SEED_IDS
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    seeds = ", ".join(f"({int(s)})" for s in sorted(set(seed_ids)))
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+seeds(seed_id) AS (VALUES {seeds}),
+cand AS (
+    SELECT s.seed_id, tf.term,
+           floor(tf.tf * log2((SELECT n_docs FROM stats) / df.df)
+                 * 1e6 + 0.5) / 1e6 AS w
+    FROM seeds s
+    JOIN tf ON tf.doc_id = s.seed_id
+    JOIN df ON df.term = tf.term),
+q AS (
+    SELECT seed_id, term FROM (
+        SELECT seed_id, term,
+               row_number() OVER (PARTITION BY seed_id
+                                  ORDER BY w DESC, term ASC) AS rn
+        FROM cand) WHERE rn <= {int(m_terms)}),
+scores AS (
+    SELECT q.seed_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    WHERE tf.doc_id <> q.seed_id
+    GROUP BY q.seed_id, tf.doc_id),
+ranked AS (
+    SELECT seed_id, doc_id, s,
+           row_number() OVER (PARTITION BY seed_id
+                              ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores)
+SELECT CAST(seed_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {int(k)}"""
+
+
+def curriculum_order_sql() -> str:
+    """Oracle for sample.curriculum_order: global row_number over
+    (distinct-token-ratio quality DESC, doc_id ASC) on the shared 6 dp
+    grid — the same quality expression as quality_score_sql."""
+    return f"""WITH {tok_cte()},
+per AS (
+    SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT term) AS n_dis
+    FROM toks GROUP BY doc_id
+),
+q AS (
+    SELECT d.doc_id,
+           floor(COALESCE(p.n_dis * 1.0 / p.n_tok, 0.0) * 1000000 + 0.5)
+             / 1000000 AS quality
+    FROM documents d LEFT JOIN per p USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, quality
+FROM q"""

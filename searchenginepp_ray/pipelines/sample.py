@@ -566,3 +566,64 @@ def epoch_shuffle(sf_dir: str, epoch: int = 1, shard_size: int = 100,
                              "shard": (pos // S).astype(np.int64)})
 
     return hash_groupby_apply(keys_ds, ["bucket"], rank)
+
+
+def curriculum_order(sf_dir: str):
+    """Curriculum ordering for training: every document's exact global
+    position under (quality DESC, doc_id ASC), quality = the
+    distinct-token ratio on the shared 6 dp grid — the easy-to-hard
+    schedule a curriculum-learning loader consumes (read in rank order,
+    or reversed for anti-curriculum). Returns (rank, doc_id, quality).
+
+    Scale shape (rank-without-sort — :func:`epoch_shuffle`'s offsets
+    pattern on a BOUNDED score grid): quality lives on the 6 dp grid in
+    [0, 1], so the key domain is ≤ 1e6+1 values at ANY corpus size.
+    Pass 1 streams a sparse per-batch histogram of q_micro (driver
+    reduces value-domain-sized ints → exclusive prefix offsets in DESC
+    quality order, broadcast once); pass 2 is ONE quality-keyed
+    exchange of (q_micro, doc_id) rows — never payloads — whose kernel
+    ranks each bucket locally by doc_id and adds the global offset."""
+    import pandas as pd
+    import ray
+
+    from .agg import hash_groupby_apply
+    from .text_stats import quality_score
+
+    def to_key(t: pa.Table) -> pa.Table:
+        q = t["distinct_ratio"].to_numpy()
+        return pa.table({
+            "q_micro": pa.array(np.floor(q * 1e6 + 0.5).astype(np.int64)),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+        })
+
+    # (q_micro, doc_id) rows are metadata-sized; materialize once so the
+    # histogram pass and the rank exchange don't re-run the tokenize
+    keys_ds = quality_score(sf_dir).map_batches(
+        to_key, batch_format="pyarrow").materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        k, n = np.unique(t["q_micro"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"q_micro": pa.array(k),
+                         "n_part": pa.array(n.astype(np.int64))})
+
+    hp = keys_ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    g = hp.groupby("q_micro")["n_part"].sum().sort_index(ascending=False)
+    offsets = dict(zip(
+        (int(k) for k in g.index.to_numpy()),
+        (int(o) for o in np.concatenate(([0], np.cumsum(g.to_numpy())[:-1])))))
+    off_ref = ray.put(offsets)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        of = ray.get(off_ref)
+        df = df.sort_values(["q_micro", "doc_id"],
+                            ascending=[False, True])
+        pos = df.groupby("q_micro", sort=False).cumcount().to_numpy()
+        base = df["q_micro"].map(of).to_numpy()
+        return pd.DataFrame({
+            "rank": (base + pos + 1).astype(np.int64),
+            "doc_id": df["doc_id"].to_numpy(),
+            "quality": df["q_micro"].to_numpy() / 1e6,
+        })
+
+    return hash_groupby_apply(keys_ds, ["q_micro"], rank)

@@ -1079,3 +1079,97 @@ def search_topk_appended(sf_dir: str, k: int = 10,
     ``search_bm25_topk``)."""
     eng = get_appended_engine(sf_dir)
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
+
+
+#: seed documents for the query-by-document gate op
+MLT_SEED_IDS = (0, 7, 21)
+
+
+def search_more_like_this(sf_dir: str, seed_ids: tuple = MLT_SEED_IDS,
+                          m_terms: int = 5, k: int = 10,
+                          mode: str = "bmm") -> pd.DataFrame:
+    """Query-BY-DOCUMENT retrieval (the Lucene MoreLikeThis shape):
+    each seed doc's top-``m_terms`` TF-IDF terms (grid-rounded weights,
+    ties → term ASC) become a disjunctive BM25 query, and the seed
+    itself is excluded from its results. Returns
+    (query_id = seed doc_id, rank, doc_id, score).
+
+    Scale shape: ONE pruned parquet read of the seed docs (filter
+    pushdown on doc_id, bounded by the seed set), a term-filtered read
+    of the partitioned global lexicon for just the seeds' vocabulary,
+    then the standard segment-actor engine — the same corpus-touch
+    contract as RM3's expansion stage."""
+    import json
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..normalizer.word_normalizer import term_frequencies
+    from .text_stats import round6_half_up
+
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    cfg = _cfg(True)
+    out_dir = _index_dir(sf_dir, cfg)
+    ids = sorted(set(int(i) for i in seed_ids))
+
+    def tf_rows(t):
+        import pyarrow as pa
+
+        out_i, out_t, out_f = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for term, f in term_frequencies(text, cfg.profile).items():
+                out_i.append(d)
+                out_t.append(term)
+                out_f.append(f)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "tf": pa.array(out_f, pa.int64())})
+
+    seed_tf = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids))
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .to_pandas()  # bounded by the seed set
+    )
+    cand_terms = sorted(set(seed_tf["term"]))
+    df_tbl = (
+        ray.data.read_parquet(
+            os.path.join(out_dir, "global", "term_df"),
+            columns=["term", "df"],
+            filter=pads.field("term").isin(cand_terms))
+        .to_pandas()
+    )
+    with open(os.path.join(out_dir, "global", "metadata.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
+
+    tok_lists = []
+    for sid in ids:
+        sub = seed_tf[seed_tf["doc_id"] == sid]
+        terms = sub["term"].to_numpy()
+        w = sub["tf"].to_numpy(dtype=np.float64) * np.log2(
+            n_docs / np.array([dfs[t] for t in terms], dtype=np.float64))
+        w = round6_half_up(w)  # shared grid
+        order = sorted(range(len(terms)), key=lambda i: (-w[i], terms[i]))
+        tok_lists.append([terms[i] for i in order[:m_terms]])
+
+    results = eng.search_batch(tok_lists, k=k + 1, mode=mode)
+    rows = []
+    for sid, res in zip(ids, results):
+        rank = 0
+        for _, docno, score in res:
+            if int(docno) == sid:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            rows.append((sid, rank, int(docno), score))
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "rank": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "doc_id": pd.Series([r[2] for r in rows], dtype=np.int64),
+        # same rounding as _to_frame (matches SQL ROUND at 6 dp)
+        "score": pd.Series([round(r[3], 6) for r in rows],
+                           dtype=np.float64),
+    })

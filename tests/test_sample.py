@@ -240,3 +240,22 @@ def test_epoch_shuffle_permutation_and_decorrelation(ray_session, sf_dir):
         assert got["doc_id"].tolist() == want_ids
         orders[epoch] = got["doc_id"].tolist()
     assert orders[1] != orders[2]  # epochs reshuffle independently
+
+
+def test_curriculum_order_is_exact_global_rank(ray_session):
+    """curriculum_order's ranks are a permutation of 1..N that equals a
+    driver-side stable sort by (quality DESC, doc_id ASC)."""
+    import numpy as np
+
+    from searchenginepp_ray.pipelines.sample import curriculum_order
+
+    df = curriculum_order("/root/testdata/sf0.001").to_pandas()
+    n = len(df)
+    assert sorted(df["rank"]) == list(range(1, n + 1))
+    want = df.sort_values(["quality", "doc_id"],
+                          ascending=[False, True])["doc_id"].to_numpy()
+    got = df.sort_values("rank")["doc_id"].to_numpy()
+    assert (got == want).all()
+    # quality is non-increasing along the curriculum
+    qs = df.sort_values("rank")["quality"].to_numpy()
+    assert (np.diff(qs) <= 1e-12).all()
