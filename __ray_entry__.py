@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pseudo-relevance feedback (RM3-style expansion): first-pass
         # top-k_fb docs feed back top TF-IDF terms, second pass re-scores
         "search_bm25_rm3": lambda sf: search_docs.search_bm25_rm3(sf),
+        # Dirichlet query-likelihood: the LM scorer family served from
+        # the same binary index (ctf gathered from postings at query
+        # time — phase-1 scatter — since the lexicon bakes df/idf only)
+        "search_lm_dirichlet": lambda sf: search_docs.search_lm_dirichlet(sf),
         # HYBRID retrieval: BM25 (inverted index) + embedding cosine
         # (text_knn) fused by reciprocal ranks — one SQL statement
         # value-checks the whole composition
@@ -544,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_rm3": osql.search_bm25_rm3_sql(),
+        "search_lm_dirichlet": osql.search_lm_dirichlet_sql(),
         "search_bm25_cleaned_topk": osql.search_topk_cleaned_sql("bm25"),
         "index_stats": osql.index_stats_sql(),
         "term_postings_global": osql.term_postings_global_sql(),

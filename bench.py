@@ -463,6 +463,8 @@ def run_default() -> None:
     timed("search_bm25_prox",
           lambda: search_docs.search_bm25_prox(sf_dir))
     timed("search_fuzzy", lambda: search_docs.search_fuzzy(sf_dir))
+    timed("search_lm_dirichlet",
+          lambda: search_docs.search_lm_dirichlet(sf_dir))
     timed("search_more_like_this",
           lambda: search_docs.search_more_like_this(sf_dir))
     timed("search_bm25_grouped",

@@ -66,6 +66,23 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
+    def term_ctf_batch(self, terms):
+        """Summed per-term collection frequency over this worker's
+        segments (phase 1 of Dirichlet QL serving)."""
+        out: dict[str, int] = {}
+        for s in self.searchers:
+            for t, c in s.term_ctf_batch(terms).items():
+                out[t] = out.get(t, 0) + c
+        return out
+
+    def lm_batch(self, toks_batch, k, mu, ctf, total_tokens):
+        per_seg = [
+            [s.query_lm_dirichlet(toks, k, mu, ctf, total_tokens)
+             for toks in toks_batch]
+            for s in self.searchers
+        ]
+        return self._merge(per_seg, len(toks_batch), k)
+
     def phrase_batch(self, tok_batch):
         """Per phrase query, this worker's (docno, occurrence count)
         hits — segments hold disjoint docs, so a plain concat merges."""
@@ -227,6 +244,43 @@ class QueryEngine:
             )
         else:
             per_worker = [w.query_batch(toks, k, mode, scorer_name) for w in self.workers]
+        out = []
+        for qi in range(len(toks)):
+            merged = [r for w in per_worker for r in w[qi]]
+            merged.sort(key=lambda r: (-r[2], r[0]))
+            out.append(merged[:k])
+        return out
+
+    def search_lm_batch(self, queries, k: int = 10, mu: float = 2000.0):
+        """Dirichlet query-likelihood retrieval (beyond-reference scorer
+        family): two scatter/gather phases. Phase 1 gathers global ctf
+        for the batch's union of query terms (|terms| ints per worker —
+        the index bakes df/idf, not ctf). Phase 2 scatters the queries
+        with the ctf map + the exact integer collection length from the
+        global metadata; per-segment top-k merges like every other mode.
+        Exact at any segment count: ctf and T are global, the candidate
+        set is the union over segments, and the merge is deterministic
+        (score desc, docid asc)."""
+        toks = [
+            self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
+            for q in queries
+        ]
+        union = sorted({t for q in toks for t in q})
+        if self.use_actors:
+            maps = ray.get([w.term_ctf_batch.remote(union) for w in self.workers])
+        else:
+            maps = [w.term_ctf_batch(union) for w in self.workers]
+        ctf: dict[str, int] = {}
+        for m in maps:
+            for t, c in m.items():
+                ctf[t] = ctf.get(t, 0) + c
+        T = int(self.meta["sum_doclen"])
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.lm_batch.remote(toks, k, mu, ctf, T) for w in self.workers]
+            )
+        else:
+            per_worker = [w.lm_batch(toks, k, mu, ctf, T) for w in self.workers]
         out = []
         for qi in range(len(toks)):
             merged = [r for w in per_worker for r in w[qi]]

@@ -424,6 +424,68 @@ class SegmentSearcher:
             return []
         return self._topk(cand, acc[cand], k)
 
+    # ---------- query-likelihood (Dirichlet) serving ----------
+
+    def term_ctf_batch(self, terms: list[str]) -> dict[str, int]:
+        """Per-term collection frequency WITHIN this segment (Σ tf over
+        the term's postings) — phase 1 of Dirichlet query-likelihood
+        serving. The index bakes df/idf but not ctf (the reference's
+        lexicon has no LM scorer either), so ctf for the handful of
+        query terms is derived from the postings at query time; the
+        driver sums the per-segment values into global ctf. Traffic is
+        |terms| ints per worker."""
+        out: dict[str, int] = {}
+        for term in terms:
+            ti = self.term_index.get(term)
+            if ti is not None:
+                _, tfs = self.postings(ti)
+                out[term] = int(tfs.sum())
+        return out
+
+    def query_lm_dirichlet(self, qterms: list[str], k: int, mu: float,
+                           ctf: dict[str, int], total_tokens: int):
+        """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001),
+        rank-equivalent decomposition over matching postings:
+
+            score(q,d) = Σ_{t∈q∩d} log2(1 + tf·T/(μ·ctf_t))
+                         + |q|·log2(μ/(dl_d + μ))
+
+        (the doc-independent Σ log2 p(t|C) term is dropped — rank-inert).
+        ``ctf`` maps each GLOBALLY-present query term to its collection
+        frequency; terms absent from the collection have p(t|C)=0 and are
+        dropped from the query (the standard convention), so |q| counts
+        ctf-bearing terms only. Candidates are docs matching ≥1 query
+        term — the same disjunctive candidate set as DAAT (a non-matching
+        doc's rank-relevant score is the pure length norm; retrieval
+        returns matches, as every QL system does). The per-posting and
+        per-doc expressions mirror the DuckDB oracle's operand order
+        exactly so both engines sum identical IEEE doubles."""
+        T = float(total_tokens)
+        terms = [t for t in sorted(set(qterms)) if t in ctf]
+        n_q = len(terms)
+        if n_q == 0:
+            return []
+        acc = np.zeros(self.n_docs_seg, dtype=np.float64)
+        touched = []
+        for term in terms:
+            ti = self.term_index.get(term)
+            if ti is None:
+                continue  # present globally, absent in this segment
+            docids, tfs = self.postings(ti)
+            local = (docids - self.base_docid).astype(np.int64)
+            c = float(ctf[term])
+            acc[local] += np.log2(1.0 + (tfs.astype(np.float64) * T) / (mu * c))
+            touched.append(local)
+        if not touched:
+            return []
+        cand = np.unique(np.concatenate(touched))
+        if self._alive_mask is not None and len(cand):
+            cand = cand[self._alive_mask[cand]]
+        if len(cand) == 0:
+            return []
+        scores = acc[cand] + n_q * np.log2(mu / (self.doclen[cand] + mu))
+        return self._topk(cand, scores, k)
+
     def predicate_mask(self, src_path: str, column: str, value,
                        fp: str, id_col: str = "doc_id") -> np.ndarray:
         """Segment-length bool mask of docs whose ``column == value`` in

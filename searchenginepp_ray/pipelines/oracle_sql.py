@@ -276,6 +276,42 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {k}"""
 
 
+def search_lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
+    """Oracle for pipelines.search_docs.search_lm_dirichlet: Dirichlet
+    query likelihood recomputed from the corpus. Mirrors the engine's
+    rank-equivalent decomposition and operand order exactly:
+    Σ_{t∈q∩d} log2(1 + tf·T/(μ·ctf)) + |q'|·log2(μ/(dl+μ)), where |q'|
+    counts the query's collection-present terms (p(t|C)=0 terms are
+    dropped on both sides) and candidates are docs matching ≥1 term."""
+    rows, _ = _query_values()
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+ctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+q(query_id, term) AS (VALUES {rows}),
+qk AS (SELECT q.query_id, q.term, ctf.c FROM q JOIN ctf USING (term)),
+nq AS (SELECT query_id, COUNT(*) AS n FROM qk GROUP BY query_id),
+scores AS (
+    SELECT qk.query_id, tf.doc_id,
+           SUM(log2(1 + (tf.tf * tot.t) / ({mu} * qk.c)))
+             + MAX(nq.n) * log2({mu} / (dl.dl + {mu})) AS s
+    FROM qk
+    JOIN tf ON tf.term = qk.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN nq ON nq.query_id = qk.query_id, tot
+    GROUP BY qk.query_id, tf.doc_id, dl.dl
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""
+
+
 def search_bm25_rm3_sql(k_fb: int = 5, m_exp: int = 3, k: int = 10) -> str:
     """Oracle for search_docs.search_bm25_rm3: first-pass BM25 top-k_fb,
     TF-IDF expansion-term selection on the shared 6 dp grid (original

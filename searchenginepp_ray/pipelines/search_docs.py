@@ -336,6 +336,17 @@ def search_topk(sf_dir: str, k: int = 10, mode: str = "daat",
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
 
 
+def search_lm_dirichlet(sf_dir: str, k: int = 10, mu: float = 2000.0) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval served from the
+    SAME binary index as BM25/TF-IDF (QueryEngine.search_lm_batch): the
+    language-model scorer family the reference lacks, expressed as two
+    scatter/gather phases over the segment actors. Oracle-checked
+    end-to-end (the SQL recomputes tf/ctf/dl/T from the corpus and
+    scores with the identical expression)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    return _to_frame(eng.search_lm_batch(DOC_QUERIES, k=k, mu=mu))
+
+
 def get_cleaned_engine(sf_dir: str, scorer: str = "bm25") -> QueryEngine:
     """Engine over the CLEANED corpus — the full-stack training-data
     composition: quality/language floors + exact dedup

@@ -43,6 +43,28 @@ class OracleIndex:
         dl = self.doclen[docid]
         return tf / (self.k1 * ((1 - self.b) + self.b * dl / self.avgdl) + tf) * idf
 
+    def query_lm(self, qterms: list[str], k: int,
+                 mu: float = 2000.0) -> list[tuple[int, str, float]]:
+        """Dirichlet query likelihood (rank-equivalent matching-terms
+        decomposition), scalar reference for QueryEngine.search_lm_batch."""
+        terms = [t for t in sorted(set(qterms)) if t in self.postings]
+        if not terms:
+            return []
+        T = float(self.sum_doclen)
+        nq = len(terms)
+        ctf = {t: sum(tf for _, tf in self.postings[t]) for t in terms}
+        per_doc: dict[int, float] = {}
+        for t in terms:
+            for docid, tf in self.postings[t]:
+                per_doc[docid] = per_doc.get(docid, 0.0) + math.log2(
+                    1.0 + (tf * T) / (mu * ctf[t]))
+        results = [
+            (d, s + nq * math.log2(mu / (self.doclen[d] + mu)))
+            for d, s in sorted(per_doc.items())
+        ]
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return [(d, self.docno[d], s) for d, s in results[:k]]
+
     def query(self, qterms: list[str], k: int, conj: bool = False,
               scorer: str = "bm25") -> list[tuple[int, str, float]]:
         terms = sorted(set(qterms))

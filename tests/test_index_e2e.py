@@ -101,6 +101,25 @@ def test_tfidf_matches_oracle(built):
         _assert_same(got, want)
 
 
+def test_lm_dirichlet_matches_oracle(built):
+    """Dirichlet query-likelihood serving (QueryEngine.search_lm_batch,
+    two-phase ctf gather + scatter) vs the scalar QL reference, across
+    smoothing strengths. The fixture's multi-segment engine also checks
+    that per-segment ctf sums compose to the global collection model."""
+    _, oracle, engine = built
+    for mu in (500.0, 2000.0):
+        got_all = engine.search_lm_batch(QUERIES, k=K, mu=mu)
+        n_nonempty = 0
+        for q, got in zip(QUERIES, got_all):
+            want = oracle.query_lm(engine.normalize_query(q), K, mu=mu)
+            _assert_same(got, want)
+            n_nonempty += bool(got)
+        assert n_nonempty >= 7  # the comparison is not vacuous
+    # determinism: a second identical batch returns identical results
+    again = engine.search_lm_batch(QUERIES, k=K, mu=2000.0)
+    assert again == engine.search_lm_batch(QUERIES, k=K, mu=2000.0)
+
+
 def test_bmm_equals_daat(built):
     """BMM is safe pruning — results must equal DAAT's (SURVEY §7.5.7) for
     positive scores. Degenerate zero-score docs (a term with df == N has
