@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON props extraction + per-type aggregate —
         # DuckDB's C JSON parser as the shared per-batch kernel
         "event_props_stats": lambda sf: events.event_props_stats(sf),
+        # first-order Markov transition matrix over per-user event
+        # streams: per-partition vectorized pair reduction, then a
+        # transition-matrix-sized exchange + per-prev normalization
+        "event_transitions": lambda sf: events.event_transitions(sf),
         # conversion-funnel analysis: ordered step completion per user
         # (earliest-completion chain), one user-keyed exchange
         "funnel_analysis": lambda sf: events.funnel_analysis(sf),
@@ -615,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         "event_props_stats": osql.event_props_stats_sql(),
+        "event_transitions": osql.event_transitions_sql(),
         "funnel_analysis": osql.funnel_analysis_sql(),
         "cohort_retention": osql.cohort_retention_sql(),
         "asof_join": osql.asof_join_sql(),

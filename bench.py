@@ -419,6 +419,7 @@ def run_default() -> None:
     timed("simhash_md5", lambda: dedup.simhash_md5(sf_dir))
     timed("corpus_diff", lambda: dedup.corpus_diff(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
+    timed("event_transitions", lambda: events.event_transitions(sf_dir))
     timed("returned_item_report",
           lambda: relational.returned_item_report(sf_dir))
     timed("small_order_revenue",

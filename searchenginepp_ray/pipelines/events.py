@@ -159,6 +159,67 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     )
 
 
+def event_transitions(sf_dir: str):
+    """First-order Markov transition model over per-user event streams:
+    for every (prev_type → next_type) pair of CONSECUTIVE events of the
+    same user (ordered by ts, event_id — the same total order as
+    ``user_value_running``), the global transition count and the
+    conditional probability P(next | prev) on the shared 6 dp grid.
+
+    Scale shape: one user-keyed exchange; each partition reduces its
+    users' streams to per-pair counts in ONE vectorized pass (sort →
+    same-user shift mask → pair groupby), so what leaves a partition is
+    ≤ n_types² rows — the transition matrix, not the events. A second
+    exchange on the TINY pair key space sums partials, and the per-prev
+    normalization runs inside a prev-keyed kernel over ≤ n_types rows."""
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = user[1:] == user[:-1]
+        if not same.any():
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        g = (pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+             .groupby(["prev_type", "next_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .text_stats import round6_half_up
+
+    parts = hash_groupby_apply(
+        events_ds(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"], per_partition)
+    counts = hash_groupby_sum(parts, ["prev_type", "next_type"],
+                              {"n": ("n", "sum")})
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "prob": pd.Series([], dtype=np.float64)})
+        out = df.copy()
+        tot = out.groupby("prev_type")["n"].transform("sum").to_numpy()
+        out["prob"] = round6_half_up(
+            out["n"].to_numpy(dtype=np.float64) / tot)
+        return out[["prev_type", "next_type", "n", "prob"]]
+
+    return hash_groupby_apply(counts, ["prev_type"], normalize)
+
+
 def asof_join(sf_dir: str, left_type: str = "purchase",
               right_type: str = "click"):
     """Event-time AS-OF join — the canonical operator Ray Data lacks:

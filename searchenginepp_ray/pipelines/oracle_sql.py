@@ -725,6 +725,28 @@ def deterministic_sample_sql(frac: float = 0.1) -> str:
     """
 
 
+def event_transitions_sql() -> str:
+    """Oracle for events.event_transitions: per-user consecutive-event
+    pairs via LAG over the same (ts, event_id) total order, global pair
+    counts, P(next|prev) on the shared 6 dp grid."""
+    return """WITH ordered AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       floor(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type) * 1e6 + 0.5)
+           / 1e6 AS prob
+FROM counts"""
+
+
 def event_props_stats_sql() -> str:
     """Oracle for events.event_props_stats: the identical JSON
     extraction expression, aggregated per type."""

@@ -359,3 +359,43 @@ def test_event_props_stats_matches_pandas(ray_session, sf_dir):
         assert got[c].tolist() == want[c].tolist()
     avg_err = (got["k_avg"] - want["k_sum"] / want["n_events"]).abs().max()
     assert avg_err < 1e-6
+
+
+def test_event_transitions_constructed(ray_session, tmp_path):
+    """Hand-checkable Markov transitions: tie timestamps order by
+    event_id, per-user streams never mix, probabilities normalize per
+    prev_type on the 6 dp grid; the DuckDB oracle agrees."""
+    from searchenginepp_ray.pipelines.events import event_transitions
+    from searchenginepp_ray.pipelines.oracle_sql import event_transitions_sql
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    rows = [
+        # user 1: view -> click -> click -> purchase; the two middle
+        # clicks share a timestamp (order falls back to event_id)
+        (1, base, 1, "view"), (2, base + us, 1, "click"),
+        (3, base + us, 1, "click"), (4, base + 2 * us, 1, "purchase"),
+        # user 2: view -> view (no cross-user pair with user 1's tail)
+        (10, base, 2, "view"), (11, base + us, 2, "view"),
+        # user 3: single event -> contributes no transition
+        (20, base, 3, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+
+    got = (event_transitions(str(tmp_path)).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    want_pairs = {("view", "click"): 1, ("click", "click"): 1,
+                  ("click", "purchase"): 1, ("view", "view"): 1}
+    assert dict(zip(zip(got["prev_type"], got["next_type"]), got["n"])) \
+        == want_pairs
+    probs = dict(zip(zip(got["prev_type"], got["next_type"]), got["prob"]))
+    assert probs[("view", "click")] == 0.5 and probs[("view", "view")] == 0.5
+    assert probs[("click", "click")] == 0.5
+    want = (_oracle(str(tmp_path), event_transitions_sql())
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
