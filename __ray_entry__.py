@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass touches text once; each iteration = one streaming pass
         # over the materialized features, P x 65 floats to the driver)
         "logreg_train": lambda sf: _classifier().logreg_train(sf),
+        # multinomial naive-Bayes lang classifier trained on the corpus's
+        # own labels and applied back: one term-keyed exchange (postings
+        # + map-side (term,lang) ctf partials), one doc-keyed argmax
+        # exchange, confusion-matrix output
+        "naive_bayes_lang": lambda sf: _classifier().naive_bayes_lang(sf),
         "search_bm25_conj_topk": lambda sf: search_docs.search_topk(sf, mode="daat_conj", scorer="bm25"),
         "search_tfidf_topk": lambda sf: search_docs.search_topk(sf, mode="daat", scorer="tfidf"),
         "search_bm25_bmm_topk": lambda sf: search_docs.search_topk(sf, mode="bmm", scorer="bm25"),
@@ -619,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": osql.sessionize_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         "event_props_stats": osql.event_props_stats_sql(),
+        "naive_bayes_lang": osql.naive_bayes_lang_sql(),
         "event_transitions": osql.event_transitions_sql(),
         "funnel_analysis": osql.funnel_analysis_sql(),
         "cohort_retention": osql.cohort_retention_sql(),

@@ -472,6 +472,8 @@ def run_default() -> None:
           lambda: search_docs.search_topk_grouped(sf_dir))
     from searchenginepp_ray.pipelines import classifier
     timed("logreg_train", lambda: classifier.logreg_train(sf_dir))
+    timed("naive_bayes_lang",
+          lambda: classifier.naive_bayes_lang(sf_dir))
     timed("part_bfs", lambda: graph.part_bfs(sf_dir))
     # part_triangles / part_clustering are gate-checked at sf0.01 but
     # not benched: the sf0.1 co-purchase graph is dense (1.2M edges /

@@ -747,6 +747,46 @@ SELECT prev_type, next_type, n,
 FROM counts"""
 
 
+def naive_bayes_lang_sql() -> str:
+    """Oracle for classifier.naive_bayes_lang: multinomial NB with
+    add-one smoothing, recomputed in SQL with the identical decomposition
+    log2 p(l) + Σ tf·log2(ctf_{t,l}+1) − n_d·log2(T_l+V) and the shared
+    6 dp grid + lang-ASC argmax tie-break. Zero-token docs are excluded
+    (no dl row); unseen (term, lang) pairs contribute log2(1)=0 and are
+    simply absent from the join."""
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM toks),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+pri AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS nd FROM documents GROUP BY lang),
+tl AS (SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS t
+       FROM toks JOIN documents d USING (doc_id) GROUP BY d.lang),
+ctfl AS (SELECT t.term, d.lang, CAST(COUNT(*) AS DOUBLE) AS c
+         FROM toks t JOIN documents d USING (doc_id) GROUP BY t.term, d.lang),
+spart AS (SELECT tf.doc_id, c.lang, SUM(tf.tf * log2(c.c + 1)) AS s
+          FROM tf JOIN ctfl c USING (term) GROUP BY tf.doc_id, c.lang),
+cand AS (
+    SELECT dl.doc_id, p.lang,
+           log2(p.nd / (SELECT n FROM nn))
+             + COALESCE(s.s, 0.0)
+             - dl.n * log2(COALESCE(t.t, 0) + (SELECT v FROM v)) AS score
+    FROM dl CROSS JOIN pri p
+    LEFT JOIN spart s ON s.doc_id = dl.doc_id AND s.lang = p.lang
+    LEFT JOIN tl t ON t.lang = p.lang
+),
+pred AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+               ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, lang ASC) AS rn
+    FROM cand
+)
+SELECT d.lang, p.lang AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rn = 1
+GROUP BY d.lang, p.lang"""
+
+
 def event_props_stats_sql() -> str:
     """Oracle for events.event_props_stats: the identical JSON
     extraction expression, aggregated per type."""
