@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side pair dedup, two exchanges)
         "part_supplier_counts":
             lambda sf: relational.part_supplier_counts(sf),
+        # TPC-H Q12: late-shipment priority counts — fact rows cross ONE
+        # orderkey exchange tagged-union with priority-flagged orders
+        "shipment_priority":
+            lambda sf: relational.shipment_priority(sf),
         # TPC-H Q4: EXISTS correlated on the outer row's own attribute
         # (max-shipdate map-side collapse, one orderkey exchange)
         "order_priority_late":
@@ -650,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "discounted_revenue": osql.discounted_revenue_sql(),
         "part_supplier_counts": osql.part_supplier_counts_sql(),
         "order_priority_late": osql.order_priority_late_sql(),
+        "shipment_priority": osql.shipment_priority_sql(),
         "promo_revenue_share": osql.promo_revenue_share_sql(),
         "top_supplier_revenue": osql.top_supplier_revenue_sql(),
         "nation_market_share": osql.nation_market_share_sql(),

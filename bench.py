@@ -440,6 +440,8 @@ def run_default() -> None:
           lambda: relational.part_supplier_counts(sf_dir))
     timed("order_priority_late",
           lambda: relational.order_priority_late(sf_dir))
+    timed("shipment_priority",
+          lambda: relational.shipment_priority(sf_dir))
     timed("promo_revenue_share",
           lambda: relational.promo_revenue_share(sf_dir))
     timed("top_supplier_revenue",

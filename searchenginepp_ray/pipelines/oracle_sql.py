@@ -3417,3 +3417,22 @@ SELECT CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC)
             AS BIGINT) AS rank,
        doc_id, quality
 FROM q"""
+
+
+def shipment_priority_sql(late_days: int = 60,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1998-01-01") -> str:
+    """Oracle for relational.shipment_priority (TPC-H Q12): identical
+    lateness contract (strictly more than ``late_days`` past the order
+    date) and high-priority set."""
+    return f"""SELECT l_linestatus,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS high_line_count,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END), 0) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{date_lo}'
+  AND l.l_shipdate < TIMESTAMP '{date_hi}'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL {int(late_days)} DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus"""

@@ -2698,3 +2698,98 @@ def integrity_check(sf_dir: str) -> pd.DataFrame:
         "n": pd.Series([r[1] for r in rows], dtype=np.int64),
         "violations": pd.Series([r[2] for r in rows], dtype=np.int64),
     })
+
+
+def shipment_priority(sf_dir: str, late_days: int = 60,
+                      date_lo: str = "1996-01-01",
+                      date_hi: str = "1998-01-01") -> pd.DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): for LATE lines
+    shipped in a date window, count per line status how many belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs everything else. (The
+    testdata has no shipmode/commit/receipt columns, so the group key is
+    l_linestatus and "late" is l_shipdate strictly more than
+    ``late_days`` past o_orderdate — the same exact integer-microsecond
+    lateness contract as suppliers_kept_waiting / order_priority_late.)
+    Returns (l_linestatus, high_line_count, low_line_count) sorted by
+    status.
+
+    Scale shape: the shipdate window is pushed into the lineitem scan;
+    lateness needs the order's own date, so the fact rows cross ONE
+    orderkey exchange tagged-union with the (orderkey, priority-flag,
+    orderdate) order rows — raw lineitems move once, orders move once.
+    The per-partition kernel joins, applies the lateness compare, and
+    collapses to (linestatus, high, low) partials, so the driver merge
+    is bounded by 2×P rows. Reference parity: none (beyond-reference;
+    relational surface for the LLM-pipeline family)."""
+    import pyarrow.dataset as pads
+
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
+    lpath = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi),
+        override_num_blocks=_read_blocks(lpath, target_rows=20_000),
+    )
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_k": df["l_orderkey"].to_numpy(np.int64),
+            "status": df["l_linestatus"].to_numpy(object),
+            "t_us": df["l_shipdate"].astype("datetime64[us]")
+            .astype(np.int64),
+            "high": np.zeros(len(df), np.int8),
+            "_side": np.ones(len(df), np.int8),
+        })
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        prio = df["o_orderpriority"].to_numpy(object)
+        high = np.isin(prio, ("1-URGENT", "2-HIGH")).astype(np.int8)
+        return pd.DataFrame({
+            "_k": df["o_orderkey"].to_numpy(np.int64),
+            # keep the union schema's string type (never read on this side)
+            "status": pd.Series([""] * len(df), dtype=object),
+            "t_us": df["o_orderdate"].astype("datetime64[us]")
+            .astype(np.int64),
+            "high": high,
+            "_side": np.zeros(len(df), np.int8),
+        })
+
+    u = li.map_batches(li_rows, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas"))
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_side"] == 0][["_k", "t_us", "high"]].rename(
+            columns={"t_us": "odate_us"})
+        f = df[df["_side"] == 1][["_k", "status", "t_us"]]
+        j = f.merge(o, on="_k")
+        j = j[j["t_us"].to_numpy() > j["odate_us"].to_numpy() + late_us]
+        if len(j) == 0:
+            return pd.DataFrame({
+                "status": pd.Series([], dtype=object),
+                "high_part": pd.Series([], dtype=np.int64),
+                "low_part": pd.Series([], dtype=np.int64)})
+        hi_ = j["high"].to_numpy(np.int64)
+        g = (pd.DataFrame({"status": j["status"].to_numpy(object),
+                           "high_part": hi_, "low_part": 1 - hi_})
+             .groupby("status", as_index=False).sum())
+        return g
+
+    tiny = hash_groupby_apply(u, ["_k"], count_partials).to_pandas()
+    out = (tiny.groupby("status", as_index=False)[["high_part", "low_part"]]
+           .sum().sort_values("status").reset_index(drop=True))
+    return pd.DataFrame({
+        "l_linestatus": out["status"].astype(object),
+        "high_line_count": out["high_part"].to_numpy(np.int64),
+        "low_line_count": out["low_part"].to_numpy(np.int64),
+    })

@@ -711,3 +711,24 @@ def test_integrity_check_planted_violations(ray_session, tmp_path):
     rep = integrity_check("/root/testdata/sf0.001")
     assert (rep["violations"] == 0).all()
     assert len(rep) == 12
+
+
+def test_shipment_priority_matches_pandas(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import shipment_priority
+
+    late, lo, hi = 60, "1996-01-01", "1998-01-01"
+    got = shipment_priority(sf_dir, late, lo, hi)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp(lo))
+            & (li["l_shipdate"] < pd.Timestamp(hi))]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=late)]
+    hi_ = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    want = (j.assign(high=hi_.astype(int), low=(~hi_).astype(int))
+            .groupby("l_linestatus")[["high", "low"]].sum().sort_index())
+    assert got["l_linestatus"].tolist() == want.index.tolist()
+    assert got["high_line_count"].tolist() == want["high"].tolist()
+    assert got["low_line_count"].tolist() == want["low"].tolist()
+    assert len(got) == 2  # both linestatus values present at sf0.001+
