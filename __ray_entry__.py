@@ -496,6 +496,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc cardinality; same explode + term exchange as
         # doc_embedding, one doc exchange with a sort/cumcount kernel)
         "doc_keywords": lambda sf: _embed().doc_keywords(sf),
+        # index-based all-pairs similarity join: TF-IDF cosine >= t
+        # enumerated per POSTING LIST (df-capped), never O(N^2) —
+        # the text complement of embedding_near_dup
+        "doc_similarity_pairs":
+            lambda sf: _embed().doc_similarity_pairs(sf),
         # composed semantic search: embedding GENERATION -> dense pivot
         # -> exact cosine top-k vs the first 5 docs (rank over the
         # shared-rounded cosine so the composition is hash-checkable)
@@ -686,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank_bsp": osql.part_pagerank_sql(),
         "doc_embedding": osql.doc_embedding_sql(),
         "doc_keywords": osql.doc_keywords_sql(),
+        "doc_similarity_pairs": osql.doc_similarity_pairs_sql(),
         "text_knn": osql.text_knn_sql(),
         "label_centroids": osql.label_centroids_sql(),
         "pq_encode": osql.pq_encode_sql(),

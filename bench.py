@@ -364,6 +364,8 @@ def run_default() -> None:
     timed("dup_span_stats", lambda: filters.dup_span_stats(sf_dir))
     timed("collocations", lambda: filters.collocations(sf_dir))
     timed("doc_keywords", lambda: embed.doc_keywords(sf_dir))
+    timed("doc_similarity_pairs",
+          lambda: embed.doc_similarity_pairs(sf_dir))
     timed("kmeans_embeddings",
           lambda: similarity.kmeans_embeddings(sf_dir))
     timed("embedding_covariance",

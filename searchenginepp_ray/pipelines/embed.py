@@ -288,3 +288,172 @@ def text_knn(sf_dir: str, n_queries: int = 5, k: int = 5,
 
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pandas")
+
+
+def doc_similarity_pairs(sf_dir: str, threshold: float = 0.6,
+                         max_df_frac: float = 0.05) -> ray.data.Dataset:
+    """All document pairs with TF-IDF cosine ≥ ``threshold`` — the
+    INDEX-BASED similarity join (inverted-list / "all-pairs" shape): two
+    docs can only be similar if they share a term, so candidate pairs are
+    enumerated per POSTING LIST instead of per doc pair, and the exact
+    O(N²) scan never happens. The classic text complement of the
+    embedding-space near-dup family (embedding_near_dup works on dense
+    vectors; this works straight off the postings).
+
+    Similarity contract (identical in the SQL oracle): weights are
+    ``tf · log2(N/df)`` over terms with ``df ≤ max(16, floor(N ·
+    max_df_frac))`` — the heavy-term cut that bounds per-list work (a
+    term in x% of the corpus contributes O((xN)²) candidate pairs and
+    ~zero idf mass, so similarity joins cap df; both engines apply the
+    same cap). Norms include the capped vocabulary's df=1 terms; dots
+    can't see them (no pair shares a df=1 term — an EXACT skip, not an
+    approximation). Cosines are compared on the shared 6 dp
+    floor-rounding grid. Returns (doc_a, doc_b, cosine), doc_a < doc_b.
+
+    Scale shape: one explode pass (shared with :func:`doc_embedding`),
+    ONE term-keyed exchange whose per-partition kernel finalizes df,
+    enumerates each posting list's C(df,2) weighted pairs with two-level
+    index arithmetic (no per-term Python) and map-side-combines both
+    pair-dot and norm partials; then a (doc_a, doc_b) exchange sums the
+    dots, a doc-keyed exchange sums the norms, and two tagged-union
+    doc-keyed exchanges attach ||a|| and ||b|| (the norms table scales
+    with the corpus, so it is exchanged, never broadcast). Pair traffic
+    is Σ_{df≤cap} C(df,2) — bounded by the df cap, not N²."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .text_stats import round6_half_up, term_counts_ds
+
+    n_docs_i = _n_docs(sf_dir)
+    n_docs = float(n_docs_i)
+    max_df = max(16, int(n_docs_i * max_df_frac))
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "v": pd.Series([], dtype=np.float64),
+            "kind": pd.Series([], dtype=np.int8)})
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        posts = df[df["is_post"] == 1]
+        dfs = df[df["is_post"] == 0].groupby("term")["tf"].sum()
+        dfs = dfs[dfs <= max_df]
+        if len(posts) == 0 or len(dfs) == 0:
+            return _empty()
+        lut = pd.DataFrame({
+            "term": dfs.index.to_numpy(),
+            "idf": np.log2(n_docs / dfs.to_numpy(dtype=np.float64))})
+        j = posts.merge(lut, on="term")  # inner: heavy terms drop here
+        w = j["tf"].to_numpy(dtype=np.float64) * j["idf"].to_numpy()
+        doc = j["doc_id"].to_numpy(np.int64)
+        # norm partials over the capped vocabulary (df=1 included)
+        nrm = (pd.DataFrame({"a": doc, "v": w * w})
+               .groupby("a", as_index=False)["v"].sum())
+        nrm["b"] = np.full(len(nrm), -1, np.int64)
+        nrm["kind"] = np.zeros(len(nrm), np.int8)
+        # pair enumeration: every posting of a term is co-located here,
+        # so each term's C(df,2) doc pairs come from one sorted run
+        code = pd.factorize(j["term"].to_numpy(object), sort=False)[0]
+        o = np.lexsort((doc, code))
+        code, doc_s, w_s = code[o], doc[o], w[o]
+        starts = (np.concatenate(
+            ([0], np.flatnonzero(code[1:] != code[:-1]) + 1))
+            if len(code) else np.zeros(1, np.int64))
+        lens = np.diff(np.append(starts, len(code)))
+        li = lens - 1
+        tot_i = int(li.sum())
+        if tot_i <= 0:
+            return nrm[["a", "b", "v", "kind"]]
+        # i = 0..L-2 within each run; each i pairs with the L-1-i later js
+        iw = np.arange(tot_i, dtype=np.int64) \
+            - np.repeat(np.cumsum(li) - li, li)
+        first_idx = np.repeat(starts, li) + iw
+        cnts = np.repeat(lens, li) - 1 - iw
+        total = int(cnts.sum())
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        fi = np.repeat(first_idx, cnts)
+        si = fi + 1 + within
+        # doc-sorted within each run ⇒ doc_s[fi] < doc_s[si]
+        pairs = (pd.DataFrame({"a": doc_s[fi], "b": doc_s[si],
+                               "v": w_s[fi] * w_s[si]})
+                 .groupby(["a", "b"], as_index=False)["v"].sum())
+        pairs["kind"] = np.ones(len(pairs), np.int8)
+        return pd.concat([nrm[["a", "b", "v", "kind"]],
+                          pairs[["a", "b", "v", "kind"]]],
+                         ignore_index=True)
+
+    tagged = hash_groupby_apply(
+        term_counts_ds(sf_dir).map_batches(
+            _explode_posts_df, batch_format="pyarrow"),
+        ["term"], per_term,
+    ).materialize()  # two consumers below — don't re-run the exchange
+
+    def _norm_fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t["a"],
+            "nrm": pc.sqrt(t["v"]),
+        })
+
+    norms = hash_groupby_sum(
+        tagged.filter(expr="kind == 0"), ["a"], {"v": ("v", "sum")}
+    ).map_batches(_norm_fin, batch_format="pyarrow").materialize()
+
+    dots = hash_groupby_sum(
+        tagged.filter(expr="kind == 1"), ["a", "b"], {"v": ("v", "sum")})
+
+    # attach ||a||: tagged union keyed on doc_a
+    def dot_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["a"].cast(pa.int64()), "b": t["b"].cast(pa.int64()),
+            "v": t["v"], "_side": pa.array(np.ones(len(t), np.int8))})
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["a"].cast(pa.int64()),
+            "b": pa.array(np.full(len(t), -1, np.int64)),
+            "v": t["nrm"], "_side": pa.array(np.zeros(len(t), np.int8))})
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[df["_side"] == 0][["k", "v"]].rename(columns={"v": "na"})
+        d = df[df["_side"] == 1]
+        j = d.merge(n, on="k")
+        return pd.DataFrame({"a": j["k"].to_numpy(np.int64),
+                             "k": j["b"].to_numpy(np.int64),
+                             "v": j["v"].to_numpy(),
+                             "na": j["na"].to_numpy()})
+
+    with_na = hash_groupby_apply(
+        dots.map_batches(dot_rows, batch_format="pyarrow").union(
+            norms.map_batches(norm_rows, batch_format="pyarrow")),
+        ["k"], attach_a)
+
+    # attach ||b|| and finish: tagged union keyed on doc_b
+    def na_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["k"], "a": t["a"], "v": t["v"], "na": t["na"],
+            "_side": pa.array(np.ones(len(t), np.int8))})
+
+    def norm_rows_b(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "k": t["a"].cast(pa.int64()),
+            "a": pa.array(np.full(n, -1, np.int64)),
+            "v": t["nrm"], "na": pa.array(np.zeros(n, np.float64)),
+            "_side": pa.array(np.zeros(n, np.int8))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[df["_side"] == 0][["k", "v"]].rename(columns={"v": "nb"})
+        d = df[df["_side"] == 1]
+        j = d.merge(n, on="k")
+        cos = round6_half_up(
+            j["v"].to_numpy() / (j["na"].to_numpy() * j["nb"].to_numpy()))
+        keep = cos >= threshold
+        return pd.DataFrame({
+            "doc_a": j["a"].to_numpy(np.int64)[keep],
+            "doc_b": j["k"].to_numpy(np.int64)[keep],
+            "cosine": cos[keep]})
+
+    return hash_groupby_apply(
+        with_na.map_batches(na_rows, batch_format="pyarrow").union(
+            norms.map_batches(norm_rows_b, batch_format="pyarrow")),
+        ["k"], finish)

@@ -3436,3 +3436,45 @@ WHERE l.l_shipdate >= TIMESTAMP '{date_lo}'
   AND l.l_shipdate > o.o_orderdate + INTERVAL {int(late_days)} DAY
 GROUP BY l_linestatus
 ORDER BY l_linestatus"""
+
+
+def doc_similarity_pairs_sql(threshold: float = 0.6,
+                             max_df_frac: float = 0.05) -> str:
+    """Oracle for embed.doc_similarity_pairs: identical df cap (both
+    engines floor the same double product), identical tf·log2(N/df)
+    weights, norms over the capped vocabulary, dots via the term
+    self-join, cosine compared on the shared 6 dp floor grid."""
+    return f"""WITH {tok_cte()},
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dfs AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY term
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              GREATEST(16, CAST(floor(COUNT(*) * {max_df_frac}) AS BIGINT))
+                  AS max_df
+       FROM documents),
+w AS (
+    SELECT t.doc_id, t.term, t.tf * log2((SELECT n FROM nn) / d.df) AS w
+    FROM tf t JOIN dfs d USING (term)
+    WHERE d.df <= (SELECT max_df FROM nn)
+),
+norms AS (
+    SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, SUM(x.w * y.w) AS dot
+    FROM w x JOIN w y USING (term)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000
+      >= {threshold}"""

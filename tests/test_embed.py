@@ -64,3 +64,46 @@ def test_text_knn_self_top1(ray_session):
         g = g.sort_values("rank")
         assert g.iloc[0]["neighbor_id"] == qid
         assert abs(g.iloc[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_doc_similarity_pairs_matches_bruteforce(ray_session, sf_dir):
+    """The posting-list pair enumeration equals the brute-force cosine
+    over the same df-capped TF-IDF space (sequential reference)."""
+    from collections import Counter
+
+    from searchenginepp_ray.config import SIMPLE_PROFILE
+    from searchenginepp_ray.normalizer.word_normalizer import normalize_tokens
+    from searchenginepp_ray.pipelines.embed import doc_similarity_pairs
+    from searchenginepp_ray.pipelines.text_stats import round6_half_up
+
+    threshold = 0.6
+    got = (doc_similarity_pairs(sf_dir, threshold=threshold).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    max_df = max(16, int(n * 0.05))
+    tfs = {int(r.doc_id): Counter(normalize_tokens(r.text, SIMPLE_PROFILE))
+           for r in docs.itertuples()}
+    df_ = Counter(t for tf in tfs.values() for t in tf)
+    w = {d: {t: c * np.log2(n / df_[t]) for t, c in tf.items()
+             if df_[t] <= max_df} for d, tf in tfs.items()}
+    nrm = {d: np.sqrt(sum(x * x for x in v.values())) for d, v in w.items()}
+    rows = []
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            c6 = float(round6_half_up(np.array([dot / (nrm[a] * nrm[b])])))
+            if c6 >= threshold:
+                rows.append((a, b, c6))
+    want = (pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(got) == len(want) and len(got) > 0
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    assert got["cosine"].tolist() == want["cosine"].tolist()
