@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-stack training-data composition: quality/lang floors +
         # exact dedup -> cleaned parquet -> index build -> BM25 serving
         "search_bm25_cleaned_topk": lambda sf: search_docs.search_topk_cleaned(sf, mode="bmm"),
+        # deep pagination (search-after): page 2 = ranks k+1..2k via a
+        # per-query (score, docid) cursor — heap depth stays k per
+        # segment at any page depth
+        "search_bm25_page2": lambda sf: search_docs.search_bm25_page2(sf),
         # result presentation: top-k + first-match position + ±3-token
         # snippet (hit-set-pruned parquet re-read, vectorized positions)
         "search_snippets": lambda sf: search_docs.search_snippets(sf),
@@ -566,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_topk": osql.search_topk_sql("tfidf", conj=False),
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_rm3": osql.search_bm25_rm3_sql(),
+        "search_bm25_page2": osql.search_after_page_sql(),
         "search_lm_dirichlet": osql.search_lm_dirichlet_sql(),
         "search_bm25_cleaned_topk": osql.search_topk_cleaned_sql("bm25"),
         "index_stats": osql.index_stats_sql(),

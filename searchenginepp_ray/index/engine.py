@@ -57,6 +57,18 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
+    def query_after_batch(self, toks_batch, k, cursors, scorer_name):
+        """Search-after (deep paging): per-query (score, docid) cursors;
+        a None cursor means the previous page was short — nothing
+        follows it, so the query returns empty everywhere."""
+        per_seg = [
+            [s.query_after(q, k, cur, scorer_name) if cur is not None
+             else []
+             for q, cur in zip(toks_batch, cursors)]
+            for s in self.searchers
+        ]
+        return self._merge(per_seg, len(toks_batch), k)
+
     def query_batch_filtered(self, toks_batch, k, scorer_name, src_path,
                              column, value, fp, mode="bmm"):
         per_seg = [
@@ -244,6 +256,38 @@ class QueryEngine:
             )
         else:
             per_worker = [w.query_batch(toks, k, mode, scorer_name) for w in self.workers]
+        out = []
+        for qi in range(len(toks)):
+            merged = [r for w in per_worker for r in w[qi]]
+            merged.sort(key=lambda r: (-r[2], r[0]))
+            out.append(merged[:k])
+        return out
+
+    def search_after_batch(self, queries, k: int = 10, cursors=None,
+                           scorer_name: str | None = None):
+        """Deep pagination: top-``k`` results STRICTLY after each query's
+        (score, global docid) cursor in result order (score DESC, docid
+        ASC) — page N+1 given page N's last hit, Elasticsearch's
+        search_after contract. Exact and rank-identical to slicing a
+        global top-(page·k), but every segment's heap stays depth ``k``
+        regardless of how deep the paging goes: the cursor excludes the
+        already-served prefix INSIDE the segment scoring pass (scores are
+        deterministic doubles from the same code path as the pass that
+        produced the cursor, so the equality compare is exact). A None
+        cursor (previous page was short) yields an empty page."""
+        toks = [
+            self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
+            for q in queries
+        ]
+        cursors = list(cursors) if cursors is not None else [None] * len(toks)
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.query_after_batch.remote(toks, k, cursors, scorer_name)
+                 for w in self.workers]
+            )
+        else:
+            per_worker = [w.query_after_batch(toks, k, cursors, scorer_name)
+                          for w in self.workers]
         out = []
         for qi in range(len(toks)):
             merged = [r for w in per_worker for r in w[qi]]

@@ -397,12 +397,21 @@ class SegmentSearcher:
     # ---------- DAAT (Q2/Q3) ----------
 
     def query_daat(self, qterms: list[str], k: int, conj: bool = False,
-                   scorer=None, mask: np.ndarray | None = None):
+                   scorer=None, mask: np.ndarray | None = None,
+                   after: tuple[float, int] | None = None):
         """``mask`` (optional segment-length bool array) restricts the
         candidate set BEFORE top-k selection — exact filtered retrieval,
         not post-filtering: a masked-out doc can never displace an
         allowed one. Scores of surviving docs are bit-identical to the
-        unfiltered run (the mask only removes candidates)."""
+        unfiltered run (the mask only removes candidates).
+
+        ``after`` is a (score, global docid) pagination cursor: only
+        docs STRICTLY after it in result order (score DESC, docid ASC)
+        can enter the top-k — the search-after deep-paging contract.
+        Scores are deterministic doubles from the same code path as the
+        cursor's own pass, so the equality compare is exact; the heap
+        depth stays ``k`` at ANY page depth (no depth-``page·k`` heap
+        per segment)."""
         scorer = scorer or self.default_scorer
         idxs = self._resolve_terms(qterms, conj)
         if not idxs:
@@ -420,9 +429,22 @@ class SegmentSearcher:
             cand = cand[cnt[cand] == len(idxs)]
         if mask is not None and len(cand):
             cand = cand[mask[cand]]
+        if after is not None and len(cand):
+            cs, cd = after
+            sc = acc[cand]
+            glob = cand + self.base_docid
+            cand = cand[(sc < cs) | ((sc == cs) & (glob > cd))]
         if len(cand) == 0:
             return []
         return self._topk(cand, acc[cand], k)
+
+    def query_after(self, qterms: list[str], k: int,
+                    after: tuple[float, int] | None,
+                    scorer_name: str | None = None):
+        """Search-after entry point (page N+1 given page N's last hit)."""
+        scorer = make_scorer(scorer_name) if scorer_name else None
+        return self.query_daat(qterms, k, conj=False, scorer=scorer,
+                               mask=self._alive_mask, after=after)
 
     # ---------- query-likelihood (Dirichlet) serving ----------
 

@@ -241,7 +241,8 @@ def _tfidf_score_expr() -> str:
     return "(1 + log2(tf.tf)) * log2(stats.n_docs/df.df)"
 
 
-def search_topk_sql(scorer: str = "bm25", conj: bool = False, k: int = 10) -> str:
+def search_topk_sql(scorer: str = "bm25", conj: bool = False, k: int = 10,
+                    rank_lo: int = 0) -> str:
     cfg = BuildConfig()
     rows, per_q = _query_values()
     expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b) if scorer == "bm25" else _tfidf_score_expr()
@@ -273,7 +274,15 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, ROUND(s, 6) AS score
-FROM ranked WHERE rank <= {k}"""
+FROM ranked WHERE rank > {rank_lo} AND rank <= {k}"""
+
+
+def search_after_page_sql(k: int = 10) -> str:
+    """Oracle for search_docs.search_bm25_page2: the standard BM25 stack
+    sliced to ranks k+1..2k — the cursor path must be rank-identical to
+    the global slice. Queries with < k page-1 hits have no rank > k rows,
+    matching the engine's empty-page-after-short-page contract."""
+    return search_topk_sql("bm25", conj=False, k=2 * k, rank_lo=k)
 
 
 def search_lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:

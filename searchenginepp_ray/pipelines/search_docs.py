@@ -336,6 +336,28 @@ def search_topk(sf_dir: str, k: int = 10, mode: str = "daat",
     return _to_frame(eng.search_batch(DOC_QUERIES, k=k, mode=mode))
 
 
+def search_bm25_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Deep pagination (search-after): the SECOND page of BM25 results —
+    ranks k+1..2k — fetched with a per-query (score, docid) cursor from
+    page 1's last hit instead of a depth-2k retrieval. Rank-identical to
+    slicing a global top-2k, but each segment's heap stays depth k at
+    ANY page depth: the cursor excludes the served prefix inside the
+    scoring pass (QueryEngine.search_after_batch). Queries whose page 1
+    came back short produce an empty page 2 (nothing follows the end).
+    Reference parity: none (beyond-reference serving surface)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    page1 = eng.search_batch(DOC_QUERIES, k=k, mode="bmm")
+    cursors = [(res[-1][2], res[-1][0]) if len(res) == k else None
+               for res in page1]
+    page2 = eng.search_after_batch(DOC_QUERIES, k=k, cursors=cursors)
+    rows = []
+    for qi, results in enumerate(page2):
+        for i, (docid, docno, score) in enumerate(results):
+            rows.append({"query_id": qi, "rank": k + 1 + i,
+                         "doc_id": int(docno), "score": round(score, 6)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def search_lm_dirichlet(sf_dir: str, k: int = 10, mu: float = 2000.0) -> pd.DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval served from the
     SAME binary index as BM25/TF-IDF (QueryEngine.search_lm_batch): the

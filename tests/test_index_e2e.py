@@ -1085,3 +1085,29 @@ def test_actor_pool_survives_worker_kill(built, tmp_path_factory):
     assert aeng.search(q, k=10) == before
     for w in aeng.workers:
         ray.kill(w, no_restart=True)
+
+
+def test_search_after_pages_equal_global_slice(built):
+    """Walking pages with (score, docid) cursors must reproduce the
+    global ranking exactly — page p == oracle top-(p·k) sliced — and a
+    short page must end the walk (empty page after it)."""
+    _, oracle, engine = built
+    k = 4
+    for q in QUERIES:
+        terms = engine.normalize_query(q)
+        deep = oracle.query(terms, 10_000, conj=False, scorer="bm25")
+        page = engine.search_batch([terms], k=k, mode="bmm")[0]
+        served = list(page)
+        while len(page) == k:
+            cur = (page[-1][2], page[-1][0])
+            page = engine.search_after_batch([terms], k=k, cursors=[cur])[0]
+            served.extend(page)
+        _assert_same(served, deep)
+        # nothing follows the final short page
+        if served and len(served) % k != 0:
+            cur = (served[-1][2], served[-1][0])
+            assert engine.search_after_batch([terms], k=k,
+                                             cursors=[cur])[0] == []
+        # a None cursor (short previous page) serves an empty page
+        assert engine.search_after_batch([terms], k=k,
+                                         cursors=[None])[0] == []
