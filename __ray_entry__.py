@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-query (score, docid) cursor — heap depth stays k per
         # segment at any page depth
         "search_bm25_page2": lambda sf: search_docs.search_bm25_page2(sf),
+        # score EXPLANATION: per-term contribution breakdown of every
+        # hit (sums exactly to the ranked score; hit-pruned second pass)
+        "search_explain": lambda sf: search_docs.search_explain(sf),
         # result presentation: top-k + first-match position + ±3-token
         # snippet (hit-set-pruned parquet re-read, vectorized positions)
         "search_snippets": lambda sf: search_docs.search_snippets(sf),
@@ -571,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_rm3": osql.search_bm25_rm3_sql(),
         "search_bm25_page2": osql.search_after_page_sql(),
+        "search_explain": osql.search_explain_sql(),
         "search_lm_dirichlet": osql.search_lm_dirichlet_sql(),
         "search_bm25_cleaned_topk": osql.search_topk_cleaned_sql("bm25"),
         "index_stats": osql.index_stats_sql(),

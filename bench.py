@@ -455,6 +455,8 @@ def run_default() -> None:
     timed("search_bm25_rm3", lambda: search_docs.search_bm25_rm3(sf_dir))
     timed("search_bm25_page2",
           lambda: search_docs.search_bm25_page2(sf_dir))
+    timed("search_explain",
+          lambda: search_docs.search_explain(sf_dir))
     timed("search_bm25_filtered",
           lambda: search_docs.search_topk_filtered(sf_dir))
     timed("search_bm25_tombstoned",

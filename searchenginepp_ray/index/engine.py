@@ -69,6 +69,14 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
+    def explain_batch(self, toks_batch, docids_batch, scorer_name):
+        """Per-term score decomposition for the given docids (each doc
+        lives in exactly one segment, so the concatenation is a join)."""
+        return [
+            [r for s in self.searchers for r in s.explain(toks, d, scorer_name)]
+            for toks, d in zip(toks_batch, docids_batch)
+        ]
+
     def query_batch_filtered(self, toks_batch, k, scorer_name, src_path,
                              column, value, fp, mode="bmm"):
         per_seg = [
@@ -294,6 +302,35 @@ class QueryEngine:
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
         return out
+
+    def search_explain_batch(self, queries, k: int = 10, mode: str = "bmm",
+                             scorer_name: str | None = None):
+        """Top-``k`` with per-term score decomposition ("explain"): for
+        every hit, the contribution of each matching query term, summing
+        exactly to the ranked score (same per-term scorer kernel the
+        ranking pass ran — contributions are the identical doubles).
+        Returns (top, expl): ``top`` as in :meth:`search_batch`; ``expl``
+        per query a list of (docid, term, contribution). Second
+        scatter/gather is hit-pruned — only the k hit docs' skip blocks
+        decode on segments that don't hold them hot."""
+        toks = [
+            self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
+            for q in queries
+        ]
+        top = self.search_batch(toks, k, mode, scorer_name)
+        docids_batch = [[r[0] for r in res] for res in top]
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.explain_batch.remote(toks, docids_batch, scorer_name)
+                 for w in self.workers]
+            )
+        else:
+            per_worker = [w.explain_batch(toks, docids_batch, scorer_name)
+                          for w in self.workers]
+        expl = [
+            [r for w in per_worker for r in w[qi]] for qi in range(len(toks))
+        ]
+        return top, expl
 
     def search_lm_batch(self, queries, k: int = 10, mu: float = 2000.0):
         """Dirichlet query-likelihood retrieval (beyond-reference scorer

@@ -446,6 +446,31 @@ class SegmentSearcher:
         return self.query_daat(qterms, k, conj=False, scorer=scorer,
                                mask=self._alive_mask, after=after)
 
+    def explain(self, qterms: list[str], docids,
+                scorer_name: str | None = None):
+        """(docid, term, contribution) rows for this segment's subset of
+        the given GLOBAL docids — the per-term decomposition of each
+        doc's final score (Σ contributions == the ranked score, same
+        addition order). Uses the block-pruned :meth:`_score_at` kernel,
+        so only skip blocks containing the requested docs decode.
+        Zero contributions (idf == 0, i.e. a term in every doc) are
+        dropped — the oracle filters the identical expression."""
+        scorer = make_scorer(scorer_name) if scorer_name else self.default_scorer
+        cand = np.asarray(list(docids), np.int64)
+        cand = np.unique(cand[(cand >= self.base_docid)
+                              & (cand < self.base_docid + self.n_docs_seg)])
+        rows: list[tuple[int, str, float]] = []
+        if len(cand) == 0:
+            return rows
+        for term in sorted(set(qterms)):
+            ti = self.term_index.get(term)
+            if ti is None:
+                continue
+            s = self._score_at(ti, cand, scorer)
+            for j in np.flatnonzero(s != 0.0):
+                rows.append((int(cand[j]), term, float(s[j])))
+        return rows
+
     # ---------- query-likelihood (Dirichlet) serving ----------
 
     def term_ctf_batch(self, terms: list[str]) -> dict[str, int]:

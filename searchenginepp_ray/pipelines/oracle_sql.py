@@ -285,6 +285,48 @@ def search_after_page_sql(k: int = 10) -> str:
     return search_topk_sql("bm25", conj=False, k=2 * k, rank_lo=k)
 
 
+def search_explain_sql(k: int = 10) -> str:
+    """Oracle for search_docs.search_explain: the BM25 stack WITHOUT the
+    final SUM — one row per (query, hit, matching term), joined back to
+    the ranked top-k. The per-term expression is the identical scorer
+    formula, so contributions match the engine's doubles on the 6 dp
+    grid; zero contributions (idf == 0 terms) are filtered on both
+    engines."""
+    cfg = BuildConfig()
+    rows, _ = _query_values()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {rows}),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS BIGINT) AS rank,
+       r.doc_id, q.term,
+       ROUND({expr}, 6) AS contribution, ROUND(r.s, 6) AS score
+FROM ranked r
+JOIN q ON q.query_id = r.query_id
+JOIN tf ON tf.doc_id = r.doc_id AND tf.term = q.term
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id, stats
+WHERE r.rank <= {k} AND {expr} <> 0"""
+
+
 def search_lm_dirichlet_sql(mu: float = 2000.0, k: int = 10) -> str:
     """Oracle for pipelines.search_docs.search_lm_dirichlet: Dirichlet
     query likelihood recomputed from the corpus. Mirrors the engine's

@@ -358,6 +358,32 @@ def search_bm25_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def search_explain(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Score EXPLANATION: BM25 top-k with the per-term contribution
+    breakdown of every hit's score (Lucene/ES "explain" shape) — the
+    debugging/relevance-tuning surface of the serving stack. One row per
+    (query, hit, matching term): (query_id, rank, doc_id, term,
+    contribution, score); Σ contributions == score (same doubles the
+    ranking pass summed). The explain pass re-touches ONLY the k hit
+    docs per query (block-pruned gather on the segment actors).
+    Reference parity: none (beyond-reference serving surface)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    top, expl = eng.search_explain_batch(DOC_QUERIES, k=k, mode="bmm")
+    rows = []
+    for qi, (results, contribs) in enumerate(zip(top, expl)):
+        rank_of = {docid: (rank, docno, score)
+                   for rank, (docid, docno, score)
+                   in enumerate(results, start=1)}
+        for docid, term, c in contribs:
+            rank, docno, score = rank_of[docid]
+            rows.append({"query_id": qi, "rank": rank,
+                         "doc_id": int(docno), "term": term,
+                         "contribution": round(c, 6),
+                         "score": round(score, 6)})
+    return pd.DataFrame(rows, columns=[
+        "query_id", "rank", "doc_id", "term", "contribution", "score"])
+
+
 def search_lm_dirichlet(sf_dir: str, k: int = 10, mu: float = 2000.0) -> pd.DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval served from the
     SAME binary index as BM25/TF-IDF (QueryEngine.search_lm_batch): the

@@ -1111,3 +1111,34 @@ def test_search_after_pages_equal_global_slice(built):
         # a None cursor (short previous page) serves an empty page
         assert engine.search_after_batch([terms], k=k,
                                          cursors=[None])[0] == []
+
+
+def test_search_explain_decomposition(built):
+    """Per-term contributions must equal the scalar oracle's per-term
+    scores and sum (in sorted-term order) exactly to the ranked score."""
+    _, oracle, engine = built
+    k = 5
+    top, expl = engine.search_explain_batch(QUERIES, k=k, mode="bmm")
+    assert any(len(e) for e in expl)
+    for q, results, contribs in zip(QUERIES, top, expl):
+        terms = engine.normalize_query(q)
+        per_doc = {}
+        for docid, term, c in contribs:
+            assert term in terms
+            per_doc.setdefault(docid, []).append((term, c))
+        for docid, docno, score in results:
+            if docid not in per_doc:
+                # every matching term has idf == 0 (df == N): score 0.0,
+                # zero contributions dropped on both engines
+                assert score == 0.0
+                continue
+            parts = sorted(per_doc[docid])  # sorted-term addition order
+            total = 0.0
+            for term, c in parts:
+                tf = dict(oracle.postings[term])[docid]
+                want = oracle.score_one(term, tf, docid, "bm25")
+                assert c == pytest.approx(want, rel=1e-12, abs=1e-12)
+                total += c
+            # idf-0 terms contribute exactly 0.0, so the partial sum
+            # still equals the ranked score
+            assert total == pytest.approx(score, rel=1e-12, abs=1e-12)
