@@ -297,6 +297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: events.sliding_window_agg(sf),
         "sessionize": lambda sf: events.sessionize(sf),
         "event_type_stats": lambda sf: events.event_type_stats(sf),
+        # composed sessionize -> distribution readout: exact session-
+        # duration quantiles from a domain-bounded histogram exchange
+        "session_duration_quantiles":
+            lambda sf: events.session_duration_quantiles(sf),
         # semi-structured JSON props extraction + per-type aggregate —
         # DuckDB's C JSON parser as the shared per-batch kernel
         "event_props_stats": lambda sf: events.event_props_stats(sf),
@@ -640,6 +644,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_agg": osql.windowed_agg_sql(),
         "sliding_window_agg": osql.sliding_window_agg_sql(),
         "sessionize": osql.sessionize_sql(),
+        "session_duration_quantiles":
+            osql.session_duration_quantiles_sql(),
         "event_type_stats": osql.event_type_stats_sql(),
         "event_props_stats": osql.event_props_stats_sql(),
         "naive_bayes_lang": osql.naive_bayes_lang_sql(),

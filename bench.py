@@ -333,6 +333,8 @@ def run_default() -> None:
     timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)
     timed("corpus_clean", lambda: clean.corpus_clean(sf_dir))
     timed("windowed_agg", lambda: events.windowed_agg(sf_dir))
+    timed("session_duration_quantiles",
+          lambda: events.session_duration_quantiles(sf_dir))
     timed("asof_join", lambda: events.asof_join(sf_dir))
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
     timed("nation_revenue", lambda: relational.nation_revenue(sf_dir))

@@ -829,3 +829,64 @@ def event_props_stats(sf_dir: str):
                    "k_avg"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def session_duration_quantiles(sf_dir: str, gap_s: int = 1800,
+                               qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact quantiles of SESSION DURATION (last ts − first ts, whole
+    seconds) over every session in the corpus — the composed
+    sessionize → distribution readout an analytics pipeline runs on top
+    of :func:`sessionize` (median session length, p99, ...).
+
+    Scale shape: the sessionize partition kernel (one user-keyed
+    exchange, vectorized boundary flags) is extended one line — per-run
+    first/last timestamps — and each partition emits a DURATION
+    HISTOGRAM (dur_s, count) instead of per-session rows, so the second
+    exchange and the final collect are bounded by the distinct-duration
+    DOMAIN (≤ seconds in a session, never the session count). Quantiles
+    interpolate the cumulative histogram with the same quantile_cont
+    rule as :func:`value_quantiles`."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"dur_s": pd.Series([], dtype=np.int64),
+                                 "n_part": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # µs → s
+        n = len(user)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_s
+        new_sess = new_user | gap_break
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        dur = ts[ends] - ts[starts]
+        vals, cnts = np.unique(dur, return_counts=True)
+        return pd.DataFrame({"dur_s": vals.astype(np.int64),
+                             "n_part": cnts.astype(np.int64)})
+
+    hist = hash_groupby_sum(
+        hash_groupby_apply(events_ds(sf_dir, ["user_id", "ts"]),
+                           ["user_id"], per_partition),
+        ["dur_s"], {"n": ("n_part", "sum")},
+    ).to_pandas()  # domain-bounded: distinct whole-second durations
+
+    hist = hist.sort_values("dur_s")
+    v = hist["dur_s"].to_numpy(dtype=np.float64)
+    c = hist["n"].to_numpy()
+    cum = np.cumsum(c)
+    n_sessions = int(cum[-1]) if len(cum) else 0
+    row = {"n_sessions": np.int64(n_sessions)}
+    for q in qs:
+        pos = q * (n_sessions - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        vlo = v[np.searchsorted(cum, lo, side="right")]
+        vhi = v[np.searchsorted(cum, hi, side="right")]
+        row[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+    return pd.DataFrame([row])

@@ -3529,3 +3529,28 @@ JOIN norms na ON na.doc_id = doc_a
 JOIN norms nb ON nb.doc_id = doc_b
 WHERE floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000
       >= {threshold}"""
+
+
+def session_duration_quantiles_sql(gap_s: int = 1800,
+                                   qs: tuple = (0.25, 0.5, 0.75,
+                                                0.9, 0.99)) -> str:
+    """Oracle for events.session_duration_quantiles: the sessionize CTE
+    chain + per-session MAX(t)−MIN(t) + quantile_cont (the identical
+    linear-interpolation rule the histogram pass evaluates)."""
+    cols = ",\n       ".join(
+        # CAST, not *1.0: DECIMAL would truncate the interpolation scale
+        f"ROUND(quantile_cont(CAST(dur AS DOUBLE), {q}), 6) AS p{int(q * 100)}"
+        for q in qs)
+    return f"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+o AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+s AS (SELECT user_id, t,
+             CASE WHEN pt IS NULL OR t - pt > {gap_s} THEN 1 ELSE 0 END AS ns
+      FROM o),
+g AS (SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+d AS (SELECT user_id, sid, MAX(t) - MIN(t) AS dur FROM g GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       {cols}
+FROM d"""

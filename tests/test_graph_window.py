@@ -237,3 +237,25 @@ def test_bfs_bsp_equals_dataset_form(ray_session, sf_dir):
     b = (graph.bfs_distances(edges2, seed_mod=31, rounds=3).to_pandas()
          .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_session_duration_quantiles_matches_pandas(ray_session, sf_dir):
+    """Histogram-interpolated quantiles == np.quantile over the exact
+    per-session durations (sequential reference)."""
+    from searchenginepp_ray.pipelines.events import session_duration_quantiles
+
+    got = session_duration_quantiles(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts"], kind="stable")
+    durs = []
+    for _, g in ev.groupby("user_id"):
+        t = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        brk = np.flatnonzero(np.diff(t) > 1800) + 1
+        for run in np.split(t, brk):
+            durs.append(run[-1] - run[0])
+    durs = np.array(durs, dtype=np.float64)
+    assert int(got["n_sessions"].iloc[0]) == len(durs)
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        want = round(float(np.quantile(durs, q)), 6)
+        assert float(got[f"p{int(q * 100)}"].iloc[0]) == want, q
