@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each near-dup component (tagged-union doc_id join + one
         # component-keyed argmax exchange; integer-exact)
         "dup_components_best": lambda sf: dedup.dup_components_best(sf),
+        # ASYMMETRIC near-dup: shingle containment |A∩B|/min(|A|,|B|) —
+        # the subset/quote-inclusion signal Jaccard misses; exact
+        # integers via one shingle-keyed + one pair-keyed exchange
+        "containment_pairs": lambda sf: dedup.containment_pairs(sf),
         "simhash": lambda sf: dedup.simhash(sf),
         # md5-hash twin of simhash: the bit-vote machinery value-checked
         # cross-engine (the production op's xxhash space stays rows-only)
@@ -626,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": osql.span_dedup_sql(),
         "boilerplate_spans": osql.boilerplate_spans_sql(),
         "dup_components": osql.dup_components_sql(),
+        "containment_pairs": osql.containment_pairs_sql(),
         "dup_components_best": osql.dup_components_best_sql(),
         "embedding_near_dup": osql.embedding_near_dup_sql(),
         # exhaustive bucketing == the exact kernel, same oracle

@@ -328,6 +328,7 @@ def run_default() -> None:
     timed("term_df", lambda: text_stats.term_df(sf_dir))
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
     timed("minhash_dedup_pairs", lambda: dedup.minhash_dedup_pairs(sf_dir))
+    timed("containment_pairs", lambda: dedup.containment_pairs(sf_dir))
     timed("knn_brute_force", lambda: similarity.knn_brute_force(sf_dir))
     timed("knn_mmr", lambda: similarity.knn_mmr(sf_dir))
     timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)

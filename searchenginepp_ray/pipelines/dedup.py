@@ -1434,3 +1434,110 @@ def corpus_diff(sf_dir: str, add_mod: int = 13, add_res: int = 3,
     return hash_groupby_apply(
         documents_ds(sf_dir).map_batches(tag, batch_format="pyarrow"),
         ["doc_id"], status)
+
+
+def containment_pairs(sf_dir: str, shingle: int = 3, thr_num: int = 4,
+                      thr_den: int = 5,
+                      max_df_frac: float = 0.05) -> ray.data.Dataset:
+    """ASYMMETRIC near-dup detection: document pairs where the smaller
+    shingle set is ≥ ``thr_num/thr_den`` CONTAINED in the other —
+    |A∩B| / min(|A|,|B|) — the subset/quote-inclusion signal symmetric
+    Jaccard misses (a doc fully embedded in a 10× larger one has Jaccard
+    ≈ 0.1 but containment 1.0, so Jaccard-LSH candidate generation would
+    never surface it). Returns exact integers (doc_a, doc_b, n_common,
+    n_a, n_b), doc_a < doc_b — all-integer output, so the SQL oracle is
+    hash-exact with no float grid.
+
+    Contract (identical in the oracle): candidate common-shingles are
+    counted over shingles in ≤ max(16, floor(N·max_df_frac)) docs (the
+    boilerplate cap that bounds per-list pair work; a shingle in x% of
+    the corpus is boilerplate, not evidence of copying), while set sizes
+    |A|,|B| stay UNcapped. Docs shorter than ``shingle`` emit one padded
+    shingle (the ngram_jaccard machinery's rule).
+
+    Scale shape: one explode pass emits each doc's DISTINCT shingle
+    hashes with the doc's set size riding along as an int (so no
+    size-attach exchange later); ONE shingle-keyed exchange enumerates
+    each capped posting list's C(df,2) pairs with the two-level index
+    arithmetic and map-side-combines counts; one (a,b) exchange sums and
+    applies the integer threshold. Pair traffic ≤ Σ_{df≤cap} C(df,2)."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from .agg import hash_groupby_apply, hash_groupby_sum
+
+    path = sf_dir if sf_dir.endswith(".parquet") \
+        else f"{sf_dir}/documents.parquet"
+    n_docs = pq_.ParquetFile(path).metadata.num_rows
+    max_df = max(16, int(n_docs * max_df_frac))
+
+    def explode(t: pa.Table) -> pa.Table:
+        S, shc = _shingle_hash_batch(t["text"], shingle)
+        vals, dcounts = _distinct_per_doc(S, shc)
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            dcounts)
+        nd = np.repeat(dcounts.astype(np.int64), dcounts)
+        return pa.table({"sh": pa.array(vals), "doc_id": pa.array(doc),
+                         "n_doc": pa.array(nd)})
+
+    def per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "n_part": pd.Series([], dtype=np.int64)})
+        sh = df["sh"].to_numpy(np.uint64)
+        # full posting list of every shingle is co-located here
+        code = pd.factorize(sh, sort=False)[0]
+        cnt = np.bincount(code)
+        keep = (cnt[code] >= 2) & (cnt[code] <= max_df)
+        if not keep.any():
+            return empty
+        code = code[keep]
+        doc = df["doc_id"].to_numpy(np.int64)[keep]
+        nd = df["n_doc"].to_numpy(np.int64)[keep]
+        o = np.lexsort((doc, code))
+        code, doc, nd = code[o], doc[o], nd[o]
+        starts = np.concatenate(([0], np.flatnonzero(code[1:] != code[:-1]) + 1))
+        lens = np.diff(np.append(starts, len(code)))
+        li = lens - 1
+        tot_i = int(li.sum())
+        if tot_i <= 0:
+            return empty
+        iw = np.arange(tot_i, dtype=np.int64) \
+            - np.repeat(np.cumsum(li) - li, li)
+        first_idx = np.repeat(starts, li) + iw
+        cnts = np.repeat(lens, li) - 1 - iw
+        total = int(cnts.sum())
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        fi = np.repeat(first_idx, cnts)
+        si = fi + 1 + within  # doc-sorted per run ⇒ doc[fi] < doc[si]
+        g = (pd.DataFrame({"a": doc[fi], "b": doc[si],
+                           "n_a": nd[fi], "n_b": nd[si]})
+             .groupby(["a", "b", "n_a", "n_b"], as_index=False)
+             .size().rename(columns={"size": "n_part"}))
+        return g[["a", "b", "n_a", "n_b", "n_part"]]
+
+    counts = hash_groupby_sum(
+        hash_groupby_apply(
+            documents_ds(sf_dir).map_batches(explode, batch_format="pyarrow"),
+            ["sh"], per_shingle),
+        ["a", "b", "n_a", "n_b"], {"n_common": ("n_part", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        common = t["n_common"].to_numpy().astype(np.int64)
+        na = t["n_a"].to_numpy().astype(np.int64)
+        nb = t["n_b"].to_numpy().astype(np.int64)
+        keep = common * thr_den >= thr_num * np.minimum(na, nb)
+        return pa.table({
+            "doc_a": pa.array(t["a"].to_numpy().astype(np.int64)[keep]),
+            "doc_b": pa.array(t["b"].to_numpy().astype(np.int64)[keep]),
+            "n_common": pa.array(common[keep]),
+            "n_a": pa.array(na[keep]),
+            "n_b": pa.array(nb[keep]),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")

@@ -3554,3 +3554,50 @@ d AS (SELECT user_id, sid, MAX(t) - MIN(t) AS dur FROM g GROUP BY user_id, sid)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
        {cols}
 FROM d"""
+
+
+def containment_pairs_sql(shingle: int = 3, thr_num: int = 4,
+                          thr_den: int = 5,
+                          max_df_frac: float = 0.05) -> str:
+    """Oracle for dedup.containment_pairs: exact string-shingle
+    containment with the identical df cap (common counted over capped
+    shingles; set sizes uncapped) and integer threshold — pins the Ray
+    side's 64-bit-hash no-collision stance like ngram_jaccard."""
+    k = shingle
+    pad_empty = "'" + " " * (k - 1) + "'"
+    return f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\x0b\x0c]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE
+            WHEN len(toks) = 0 THEN [{pad_empty}]
+            WHEN len(toks) < {k} THEN
+                [array_to_string(toks, ' ') || repeat(' ', {k} - len(toks))]
+            ELSE list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+                     i -> array_to_string(toks[i : i + {k - 1}], ' ')))
+        END AS s
+    FROM tl
+),
+nn AS (SELECT GREATEST(16, CAST(floor(COUNT(*) * {max_df_frac}) AS BIGINT))
+           AS max_df FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfs AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+keep AS (SELECT ex.doc_id, ex.g FROM ex JOIN dfs USING (g)
+         WHERE df >= 2 AND df <= (SELECT max_df FROM nn)),
+pairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM keep x JOIN keep y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
+FROM pairs
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE n_common * {thr_den} >= {thr_num} * LEAST(len(sa.s), len(sb.s))"""

@@ -617,3 +617,33 @@ def test_corpus_diff_statuses(ray_session):
         else:
             want = "unchanged"
         assert by[i] == want, (i, by[i], want)
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
+    """A short doc fully embedded in a 10x larger one: containment 1.0
+    (flagged) while Jaccard is far below the usual 0.8 near-dup bar —
+    the asymmetric signal this operator exists for."""
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.dedup import containment_pairs
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(3000)]
+    small = " ".join(rng.choice(words, 40))
+    big = small + " " + " ".join(rng.choice(words, 400))
+    noise = [" ".join(rng.choice(words, 60)) for _ in range(48)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [small, big] + noise,
+    })
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(docs), path, row_group_size=16)
+    got = containment_pairs(path, thr_num=4, thr_den=5).to_pandas()
+    hit = got[(got["doc_a"] == 0) & (got["doc_b"] == 1)]
+    assert len(hit) == 1
+    r = hit.iloc[0]
+    # full containment of the small doc's shingles
+    assert r["n_common"] == r["n_a"]
+    # ...while Jaccard would have been far below 0.8
+    jac = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+    assert jac < 0.2
