@@ -251,6 +251,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nprobe == nlist scans every bucket: IVF degenerates to exact
         # brute force, making the bucketed machinery SQL-oracle-checkable
         "knn_ivf_full_probe": lambda sf: similarity.knn_ivf(sf, nprobe=16),
+        # ANN ingestion lifecycle: base IVF build + append shipment into
+        # the existing bucket partitions (frozen centroids, O(appended)
+        # cost); full probe ⇒ exact ⇒ the brute-force oracle value-checks
+        # the whole append path
+        "knn_ivf_appended":
+            lambda sf: similarity.knn_ivf_appended(sf),
         "embedding_norm_stats": lambda sf: similarity.embedding_norm_stats(sf),
         # exact k-NN GRAPH (all-vs-all top-k): block-pair self-join with
         # per-block tie-safe partial top-k, one exchange on vec_id
@@ -639,6 +645,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_mmr": osql.knn_mmr_sql(),
         # exhaustive probe == exact brute force, same oracle
         "knn_ivf_full_probe": osql.knn_brute_force_sql(),
+        # full probe over base ∪ appended == exact brute force
+        "knn_ivf_appended": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "knn_graph": osql.knn_graph_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),

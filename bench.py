@@ -332,6 +332,8 @@ def run_default() -> None:
     timed("knn_brute_force", lambda: similarity.knn_brute_force(sf_dir))
     timed("knn_mmr", lambda: similarity.knn_mmr(sf_dir))
     timed("knn_ivf", lambda: similarity.knn_ivf(sf_dir))  # incl. ivf_build (cached)
+    timed("knn_ivf_appended",
+          lambda: similarity.knn_ivf_appended(sf_dir))
     timed("corpus_clean", lambda: clean.corpus_clean(sf_dir))
     timed("windowed_agg", lambda: events.windowed_agg(sf_dir))
     timed("session_duration_quantiles",

@@ -204,9 +204,16 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
     parquet read), then each batch scores only the queries probing its
     bucket. Approximate; recall measured against :func:`knn_brute_force`
     in tests."""
-    import os
-
     index_dir, cents = ivf_build(sf_dir, nlist, sample_size, iters)
+    return _ivf_serve(index_dir, cents, sf_dir, n_queries, k, nprobe)
+
+
+def _ivf_serve(index_dir: str, cents: np.ndarray, sf_dir: str,
+               n_queries: int, k: int, nprobe: int):
+    """Serve top-k from a bucket-partitioned IVF layout (shared by the
+    fresh-build and append-extended paths — appended part files in the
+    same bucket dirs are picked up by the per-bucket listing)."""
+    import os
 
     q_ids, q = _query_matrix(sf_dir, n_queries)
     qn = _normalize(q)
@@ -266,6 +273,122 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, nlist: int = 16,
         return df[["query_id", "neighbor_id", "rank", "cosine"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_append_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
+                     iters: int = 5, append_mod: int = 5
+                     ) -> tuple[str, np.ndarray]:
+    """ANN ingestion LIFECYCLE: build the IVF over the BASE slice
+    (vec_id % append_mod != 0), then APPEND the held-out shipment to the
+    SAME bucket partitions without retraining or rewriting — the vector
+    twin of the inverted index's append-incremental build. Centroids are
+    trained on (and frozen at) the base slice only, appended vectors are
+    assigned with the frozen centroids and written as NEW part files
+    into the existing ``bucket=N`` dirs (base part files untouched), so
+    the append cost is O(appended), not O(corpus). Each phase has its
+    own idempotent marker — a crashed append resumes without redoing the
+    base build."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    n_rows_src = pq.ParquetFile(src).metadata.num_rows
+    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}:{n_rows_src}"
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:ivfapp:{nlist}:{sample_size}:{iters}:"
+        f"{append_mod}:{fingerprint}:v1".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/seppray_ivf_cache", key)
+    cents_path = os.path.join(out, "centroids.npy")
+    base_marker = os.path.join(out, "_base_done.json")
+    app_marker = os.path.join(out, "_append_done.json")
+    if os.path.exists(app_marker):
+        return out, np.load(cents_path)
+
+    mod = np.int64(append_mod)
+
+    def is_base(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(v % mod != 0))
+
+    def is_appended(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(v % mod == 0))
+
+    if not os.path.exists(base_marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        # centroids from the BASE slice's bounded head sample — frozen
+        # BEFORE the appended shipment exists (the honest lifecycle)
+        t = _head_table(src, sample_size, ["vec_id", "embedding"])
+        t = is_base(t)
+        sample = _normalize(_vec_matrix(t["embedding"]))
+        rng = np.random.Generator(np.random.PCG64(42))
+        cents = sample[rng.choice(len(sample),
+                                  size=min(nlist, len(sample)),
+                                  replace=False)]
+        for _ in range(iters):
+            assign_s = (sample @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = sample[assign_s == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+            cents = _normalize(cents)
+        cents_ref = ray.put(cents)
+
+        def assign_base(t: pa.Table) -> pa.Table:
+            t = is_base(t)
+            c = ray.get(cents_ref)
+            m = _normalize(_vec_matrix(t["embedding"]))
+            bucket = (m @ c.T).argmax(axis=1).astype(np.int32) \
+                if len(t) else np.zeros(0, np.int32)
+            return t.append_column("bucket", pa.array(bucket))
+
+        embeddings_ds(sf_dir).map_batches(
+            assign_base, batch_format="pyarrow").write_parquet(
+            os.path.join(out, "data"), partition_cols=["bucket"])
+        np.save(cents_path, cents)
+        with open(base_marker + ".tmp", "w") as f:
+            json.dump({"nlist": int(nlist), "phase": "base"}, f)
+        os.replace(base_marker + ".tmp", base_marker)
+    cents = np.load(cents_path)
+    cents_ref = ray.put(cents)
+
+    def assign_appended(t: pa.Table) -> pa.Table:
+        t = is_appended(t)
+        c = ray.get(cents_ref)
+        m = _normalize(_vec_matrix(t["embedding"]))
+        bucket = (m @ c.T).argmax(axis=1).astype(np.int32) \
+            if len(t) else np.zeros(0, np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    # append: write_parquet adds uniquely-named part files into the
+    # existing bucket=N dirs — base parts are never rewritten
+    embeddings_ds(sf_dir).map_batches(
+        assign_appended, batch_format="pyarrow").write_parquet(
+        os.path.join(out, "data"), partition_cols=["bucket"])
+    with open(app_marker + ".tmp", "w") as f:
+        json.dump({"phase": "append"}, f)
+    os.replace(app_marker + ".tmp", app_marker)
+    return out, cents
+
+
+def knn_ivf_appended(sf_dir: str, n_queries: int = 5, k: int = 5,
+                     nlist: int = 16, nprobe: int = 16,
+                     sample_size: int = 2048, iters: int = 5):
+    """Top-k served from the APPEND-EXTENDED IVF index. The default
+    nprobe == nlist scans every bucket, so the bucketed machinery
+    degenerates to exact brute force over base ∪ appended — making the
+    whole append path value-checkable by the same SQL oracle as
+    knn_brute_force (any lost/duplicated/mis-bucketed appended vector
+    breaks the hash)."""
+    index_dir, cents = ivf_append_build(sf_dir, nlist, sample_size, iters)
+    return _ivf_serve(index_dir, cents, sf_dir, n_queries, k, nprobe)
 
 
 def knn_mmr(sf_dir: str, n_queries: int = 4, n_cand: int = 16,

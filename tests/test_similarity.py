@@ -403,3 +403,50 @@ def test_knn_mmr_matches_scalar_greedy(ray_session):
         b = max_pair(plain[plain["query_id"] == qid]["neighbor_id"].tolist())
         worse += a > b + 1e-12
     assert worse == 0
+
+
+def test_ivf_append_lifecycle(ray_session, sf_dir):
+    """Append phase must leave the base part files byte-untouched, add
+    ONLY the held-out shipment as new parts, and serve base ∪ appended
+    exactly (full probe == brute force over the whole table)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.similarity import (
+        ivf_append_build, knn_ivf_appended)
+
+    # force a cold build so the phase markers are exercised
+    idx, cents = ivf_append_build(sf_dir)
+    shutil.rmtree(idx)
+    idx, cents = ivf_append_build(sf_dir)
+    base_marker = os.path.join(idx, "_base_done.json")
+    assert os.path.exists(base_marker)
+
+    parts = sorted(glob.glob(os.path.join(idx, "data", "bucket=*", "*.parquet")))
+    sigs = {p: (os.path.getsize(p), os.path.getmtime(p)) for p in parts}
+
+    # idempotent: a re-run with the done marker present changes nothing
+    idx2, _ = ivf_append_build(sf_dir)
+    assert idx2 == idx
+    parts2 = sorted(glob.glob(os.path.join(idx, "data", "bucket=*", "*.parquet")))
+    assert parts2 == parts
+    assert all(sigs[p] == (os.path.getsize(p), os.path.getmtime(p))
+               for p in parts)
+
+    # the layout holds every vector exactly once (base ∪ appended)
+    got = pd.concat([pd.read_parquet(p, columns=["vec_id"]) for p in parts])
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    assert sorted(got["vec_id"].tolist()) == sorted(emb["vec_id"].tolist())
+
+    # full probe over the appended layout == exact brute force
+    from searchenginepp_ray.pipelines.similarity import knn_brute_force
+    app = knn_ivf_appended(sf_dir).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    bf = knn_brute_force(sf_dir).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        app[["query_id", "neighbor_id", "rank"]],
+        bf[["query_id", "neighbor_id", "rank"]])
