@@ -478,6 +478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to the driver)
         "part_components": lambda sf: _graph().part_components(sf),
         "part_pagerank": lambda sf: _graph().part_pagerank(sf),
+        # item-item collaborative filtering ("also bought"): per-part
+        # top-k by incidence-cosine; support cut before attach traffic
+        "part_recommendations":
+            lambda sf: _graph().part_recommendations(sf),
         # exact distributed triangle census (degree-ordered wedge
         # generation + pair-key co-partition closing)
         "part_triangles": lambda sf: _graph().part_triangles(sf),
@@ -712,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": osql.epoch_shuffle_sql(),
         "curriculum_order": osql.curriculum_order_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
+        "part_recommendations": osql.part_recommendations_sql(),
         "part_bfs": osql.part_bfs_sql(),
         "part_components": osql.part_components_sql(),
         "part_triangles": osql.part_triangles_sql(),

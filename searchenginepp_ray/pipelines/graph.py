@@ -1115,3 +1115,156 @@ def bfs_bsp(
     for s in pool:
         ray.kill(s)
     return ray.data.read_parquet(paths)
+
+
+def part_recommendations(sf_dir: str, k: int = 5, min_co: int = 2):
+    """ITEM-ITEM collaborative filtering over the co-purchase data
+    ("customers who bought X also bought Y"): for every part, the top-k
+    other parts ranked by cosine similarity of their binary
+    order-incidence vectors — co(a,b) / √(n_a·n_b), where co counts
+    distinct orders containing both and n_p counts distinct orders
+    containing p. Returns (part_key, rec_part, rank, score), rank ties
+    on the shared 6 dp rounded score → rec_part ASC (all inputs are the
+    same exact integers on both engines, so even the unrounded doubles
+    agree; the grid is belt-and-braces).
+
+    Scale shape (4 exchanges, all bounded): one orderkey exchange emits
+    per-order distinct pairs a<b (quadratic per ORDER, bounded by order
+    size — the pagerank edge build's argument) with map-side combining;
+    one (a,b) exchange sums co and applies the ``min_co`` support cut
+    BEFORE any attach traffic; per-part incidence counts flow through a
+    part-keyed exchange; the directed expansion then attaches n_dst
+    (tagged union keyed dst) and finally n_src in the same exchange that
+    runs the per-src vectorized top-k kernel. Reference parity: none
+    (beyond-reference; recommender surface for the LLM-pipeline
+    family)."""
+    from .agg import hash_groupby_apply, hash_groupby_sum
+    from .relational import table_ds
+    from .text_stats import round6_half_up
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of an order is co-located here, so the per-order
+        # dedup is EXACT — a map_batches dedup would double-count
+        # (order, part) pairs that span read batches
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = (pd.DataFrame({"a": m["l_partkey_x"].to_numpy(np.int64),
+                           "b": m["l_partkey_y"].to_numpy(np.int64)})
+             .groupby(["a", "b"], as_index=False).size()
+             .rename(columns={"size": "co_part"}))
+        g["kind"] = np.ones(len(g), np.int8)
+        # per-part incidence partials from the SAME exchange (exact
+        # distinct-(order, part) counts, no second pass over the fact)
+        inc = (d.groupby("l_partkey", as_index=False).size()
+               .rename(columns={"l_partkey": "a", "size": "co_part"}))
+        inc["b"] = np.full(len(inc), -1, np.int64)
+        inc["kind"] = np.zeros(len(inc), np.int8)
+        return pd.concat([g[["a", "b", "co_part", "kind"]],
+                          inc[["a", "b", "co_part", "kind"]]],
+                         ignore_index=True)
+
+    tagged = hash_groupby_apply(li, ["l_orderkey"], pair_partials) \
+        .materialize()  # two consumers — don't re-run the fact exchange
+
+    co = hash_groupby_sum(
+        tagged.filter(expr="kind == 1"),
+        ["a", "b"], {"co": ("co_part", "sum")})
+
+    def co_cut(t: pa.Table) -> pa.Table:
+        keep = t["co"].to_numpy().astype(np.int64) >= min_co
+        return t.filter(pa.array(keep))
+
+    co = co.map_batches(co_cut, batch_format="pyarrow").materialize()
+
+    def n_fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"p": t["a"].cast(pa.int64()), "np": t["np"]})
+
+    n = hash_groupby_sum(
+        tagged.filter(expr="kind == 0"),
+        ["a"], {"np": ("co_part", "sum")}
+    ).map_batches(n_fmt, batch_format="pyarrow").materialize()
+
+    # directed expansion, then attach n_dst (tagged union keyed on dst)
+    def directed(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        c = t["co"].to_numpy().astype(np.int64)
+        return pa.table({
+            "dst": pa.array(np.r_[b, a]), "src": pa.array(np.r_[a, b]),
+            "co": pa.array(np.r_[c, c]),
+            "n_other": pa.array(np.zeros(2 * len(t), np.int64)),
+            "_side": pa.array(np.ones(2 * len(t), np.int8))})
+
+    def n_rows_dst(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table({
+            "dst": t["p"].cast(pa.int64()),
+            "src": pa.array(np.full(m, -1, np.int64)),
+            "co": pa.array(np.zeros(m, np.int64)),
+            "n_other": t["np"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(m, np.int8))})
+
+    def attach_dst(df: pd.DataFrame) -> pd.DataFrame:
+        nn = df[df["_side"] == 0][["dst", "n_other"]].rename(
+            columns={"n_other": "n_dst"})
+        e = df[df["_side"] == 1][["src", "dst", "co"]]
+        return e.merge(nn, on="dst")
+
+    with_nd = hash_groupby_apply(
+        co.map_batches(directed, batch_format="pyarrow").union(
+            n.map_batches(n_rows_dst, batch_format="pyarrow")),
+        ["dst"], attach_dst)
+
+    # attach n_src + per-src top-k in one src-keyed exchange
+    def e_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"], "dst": t["dst"], "co": t["co"],
+            "n_dst": t["n_dst"],
+            "n_other": pa.array(np.zeros(len(t), np.int64)),
+            "_side": pa.array(np.ones(len(t), np.int8))})
+
+    def n_rows_src(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table({
+            "src": t["p"].cast(pa.int64()),
+            "dst": pa.array(np.full(m, -1, np.int64)),
+            "co": pa.array(np.zeros(m, np.int64)),
+            "n_dst": pa.array(np.zeros(m, np.int64)),
+            "n_other": t["np"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(m, np.int8))})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        nn = df[df["_side"] == 0][["src", "n_other"]].rename(
+            columns={"n_other": "n_src"})
+        e = df[df["_side"] == 1][["src", "dst", "co", "n_dst"]]
+        j = e.merge(nn, on="src")
+        if len(j) == 0:
+            return pd.DataFrame({
+                "part_key": pd.Series([], dtype=np.int64),
+                "rec_part": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
+        score = round6_half_up(
+            j["co"].to_numpy(np.int64)
+            / np.sqrt(j["n_src"].to_numpy(np.int64)
+                      * j["n_dst"].to_numpy(np.int64)))
+        j = j.assign(score=score).sort_values(
+            ["src", "score", "dst"], ascending=[True, False, True],
+            kind="mergesort")
+        r = j.groupby("src").cumcount().to_numpy()
+        keep = r < k
+        out = j.iloc[keep].copy()
+        out["rank"] = (r[keep] + 1).astype(np.int64)
+        return pd.DataFrame({
+            "part_key": out["src"].to_numpy(np.int64),
+            "rec_part": out["dst"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+            "score": out["score"].to_numpy(np.float64)})
+
+    return hash_groupby_apply(
+        with_nd.map_batches(e_rows, batch_format="pyarrow").union(
+            n.map_batches(n_rows_src, batch_format="pyarrow")),
+        ["src"], topk)

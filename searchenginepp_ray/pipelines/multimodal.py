@@ -107,7 +107,7 @@ class FakeCodec:
 class MediaFeatures:
     """Actor-pool stage: decoder state once per actor, features per batch.
 
-    Use as ``ds.map_batches(MediaFeatures, concurrency=N, batch_size=64,
+    Use as ``ds.map_batches(MediaFeatures, concurrency=(1, N), batch_size=64,
     num_cpus=1, batch_format="pyarrow")`` — small batches because payloads
     are large; one actor per CPU holds one codec instance.
     """
@@ -203,7 +203,7 @@ def media_features(sf_dir: str, concurrency: int = 4):
     """Decode + feature-extract through the actor pool (rows-only check:
     the fake codec is not SQL-expressible, but results are deterministic)."""
     return media_ds(sf_dir).map_batches(
-        MediaFeatures, concurrency=concurrency, batch_size=64,
+        MediaFeatures, concurrency=(1, concurrency), batch_size=64,
         num_cpus=1, batch_format="pyarrow",
     )
 
@@ -215,7 +215,7 @@ def image_resize(sf_dir: str, out: int = 4, concurrency: int = 4):
     )
     return imgs.map_batches(
         ImageResize, fn_constructor_kwargs={"out": out},
-        concurrency=concurrency, batch_size=64, num_cpus=1,
+        concurrency=(1, concurrency), batch_size=64, num_cpus=1,
         batch_format="pyarrow",
     )
 
@@ -270,6 +270,6 @@ def frame_sample(sf_dir: str, stride: int = 2, concurrency: int = 4):
         batch_format="pyarrow")
     return vids.map_batches(
         FrameSampler, fn_constructor_kwargs={"stride": stride},
-        concurrency=concurrency, batch_size=64, num_cpus=1,
+        concurrency=(1, concurrency), batch_size=64, num_cpus=1,
         batch_format="pyarrow",
     )

@@ -3601,3 +3601,33 @@ FROM pairs
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
 WHERE n_common * {thr_den} >= {thr_num} * LEAST(len(sa.s), len(sb.s))"""
+
+
+def part_recommendations_sql(k: int = 5, min_co: int = 2) -> str:
+    """Oracle for graph.part_recommendations: item-item cosine over
+    binary order-incidence vectors, identical support cut, rank on the
+    shared 6 dp floor grid (the inputs are the same exact integers, so
+    the doubles agree even unrounded)."""
+    return f"""WITH po AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM po GROUP BY p),
+co AS (
+    SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS co
+    FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+    GROUP BY x.p, y.p
+    HAVING COUNT(*) >= {int(min_co)}),
+dir AS (SELECT a AS src, b AS dst, co FROM co
+        UNION ALL SELECT b, a, co FROM co),
+sc AS (
+    SELECT src, dst,
+           floor(co / sqrt(CAST(ns.np * nd.np AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS score
+    FROM dir JOIN n ns ON ns.p = src JOIN n nd ON nd.p = dst),
+r AS (
+    SELECT src, dst, score,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY score DESC, dst ASC) AS rank
+    FROM sc)
+SELECT CAST(src AS BIGINT) AS part_key, CAST(dst AS BIGINT) AS rec_part,
+       CAST(rank AS BIGINT) AS rank, score
+FROM r WHERE rank <= {int(k)}"""

@@ -259,3 +259,40 @@ def test_session_duration_quantiles_matches_pandas(ray_session, sf_dir):
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
         want = round(float(np.quantile(durs, q)), 6)
         assert float(got[f"p{int(q * 100)}"].iloc[0]) == want, q
+
+
+def test_part_recommendations_matches_pandas(ray_session):
+    """Item-item cosine top-k == a sequential pandas reference. Runs at
+    sf0.01 — multi-batch reads there exposed a per-batch (vs per-order)
+    incidence dedup bug that sf0.001's single batch cannot see."""
+    from searchenginepp_ray.pipelines.graph import part_recommendations
+    from searchenginepp_ray.pipelines.text_stats import round6_half_up
+
+    sf_dir = "/root/testdata/sf0.01"
+    k, min_co = 5, 2
+    got = (part_recommendations(sf_dir, k=k, min_co=min_co).to_pandas()
+           .sort_values(["part_key", "rank"]).reset_index(drop=True))
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    po = li.drop_duplicates()
+    npart = po.groupby("l_partkey").size()
+    m = po.merge(po, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    co = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    co = co[co >= min_co]
+    rows = []
+    for (a, b), c in co.items():
+        s = float(round6_half_up(
+            np.array([c / np.sqrt(npart[a] * npart[b])])))
+        rows.append((a, b, s))
+        rows.append((b, a, s))
+    df = pd.DataFrame(rows, columns=["part_key", "rec_part", "score"])
+    df = df.sort_values(["part_key", "score", "rec_part"],
+                        ascending=[True, False, True], kind="mergesort")
+    r = df.groupby("part_key").cumcount()
+    want = df[r < k].assign(rank=(r[r < k] + 1).astype(np.int64))
+    want = want.sort_values(["part_key", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["part_key", "rec_part", "rank", "score"]:
+        assert got[c].tolist() == want[c].tolist(), c
