@@ -540,8 +540,16 @@ def _bsp_width() -> int:
     env = int(os.environ.get("SEPPRAY_BSP_SHARDS", "0"))
     if env > 0:
         return env
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus // 2)
+    if not ray.is_initialized():
+        return 4
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # cap by CPUs actually schedulable RIGHT NOW: each shard reserves a
+    # whole CPU, and a session whose cached serving actors hold part of
+    # the cluster would otherwise spawn a pool that can never fully
+    # schedule — the supersteps ray.get() on every shard, so a missing
+    # one deadlocks the job, not just slows it. Any P ≥ 1 is correct.
+    avail = int(ray.available_resources().get("CPU", cpus))
+    return max(1, min(max(2, cpus // 2), avail))
 
 
 def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
