@@ -349,7 +349,7 @@ def _node_part(v: np.ndarray, P: int) -> np.ndarray:
     return (_splitmix64(v.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class _PagerankShard:
     """One hash partition of the edge table + its rank shard, pinned in
     an actor for the whole run. Nodes are this shard's distinct ``src``
@@ -543,13 +543,17 @@ def _bsp_width() -> int:
     if not ray.is_initialized():
         return 4
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # cap by CPUs actually schedulable RIGHT NOW: each shard reserves a
-    # whole CPU, and a session whose cached serving actors hold part of
-    # the cluster would otherwise spawn a pool that can never fully
-    # schedule — the supersteps ray.get() on every shard, so a missing
-    # one deadlocks the job, not just slows it. Any P ≥ 1 is correct.
-    avail = int(ray.available_resources().get("CPU", cpus))
-    return max(1, min(max(2, cpus // 2), avail))
+    # Shards reserve 0.25 CPU each (reservation is a placement hint;
+    # supersteps are sequential bursts, so full-CPU reservations would
+    # only starve OTHER work — measured deadlock: the pool spawns before
+    # the edge exchange and a long session's cached serving actors can
+    # leave too little for the exchange's 1-CPU data tasks, which the
+    # pool then waits on forever). Cap the width so that after the pool
+    # is placed, at least 1 schedulable CPU remains for those tasks.
+    # Any P ≥ 1 is correct, just slower.
+    avail = float(ray.available_resources().get("CPU", cpus))
+    fit = int(max(avail - 1.0, 0.25) / 0.25)
+    return max(1, min(max(2, cpus // 2), fit))
 
 
 def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
@@ -986,7 +990,7 @@ def part_bfs(sf_dir: str, seed_mod: int = 31, rounds: int = 3):
     return bfs_bsp(edges, seed_mod, rounds)
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=0.25)
 class _BfsShard:
     """One hash partition of the edge table + its distance shard, pinned
     in an actor for the whole BFS run — the :class:`_PagerankShard`
