@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score EXPLANATION: per-term contribution breakdown of every
         # hit (sums exactly to the ranked score; hit-pruned second pass)
         "search_explain": lambda sf: search_docs.search_explain(sf),
+        # exact result counts (OR + AND) per query — no scoring/top-k
+        "search_hit_counts":
+            lambda sf: search_docs.search_hit_counts(sf),
         # result presentation: top-k + first-match position + ±3-token
         # snippet (hit-set-pruned parquet re-read, vectorized positions)
         "search_snippets": lambda sf: search_docs.search_snippets(sf),
@@ -593,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_rm3": osql.search_bm25_rm3_sql(),
         "search_bm25_page2": osql.search_after_page_sql(),
         "search_explain": osql.search_explain_sql(),
+        "search_hit_counts": osql.search_hit_counts_sql(),
         "search_lm_dirichlet": osql.search_lm_dirichlet_sql(),
         "search_bm25_cleaned_topk": osql.search_topk_cleaned_sql("bm25"),
         "index_stats": osql.index_stats_sql(),

@@ -464,6 +464,8 @@ def run_default() -> None:
           lambda: search_docs.search_bm25_page2(sf_dir))
     timed("search_explain",
           lambda: search_docs.search_explain(sf_dir))
+    timed("search_hit_counts",
+          lambda: search_docs.search_hit_counts(sf_dir))
     timed("search_bm25_filtered",
           lambda: search_docs.search_topk_filtered(sf_dir))
     timed("search_bm25_tombstoned",

@@ -69,6 +69,12 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
+    def hit_count_batch(self, toks_batch, conj):
+        """Per-query exact hit counts summed over this worker's segments
+        (docid ranges are disjoint, so the sum is a union count)."""
+        return [sum(s.hit_count(toks, conj) for s in self.searchers)
+                for toks in toks_batch]
+
     def explain_batch(self, toks_batch, docids_batch, scorer_name):
         """Per-term score decomposition for the given docids (each doc
         lives in exactly one segment, so the concatenation is a join)."""
@@ -302,6 +308,23 @@ class QueryEngine:
             merged.sort(key=lambda r: (-r[2], r[0]))
             out.append(merged[:k])
         return out
+
+    def search_count_batch(self, queries, conj: bool = False):
+        """Exact total hit count per query (the "about N results"
+        surface, but exact): per-segment candidate counting with no
+        scoring or top-k, summed across workers — counts are additive
+        because segment docid ranges partition the corpus."""
+        toks = [
+            self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
+            for q in queries
+        ]
+        if self.use_actors:
+            per_worker = ray.get(
+                [w.hit_count_batch.remote(toks, conj) for w in self.workers]
+            )
+        else:
+            per_worker = [w.hit_count_batch(toks, conj) for w in self.workers]
+        return [sum(w[qi] for w in per_worker) for qi in range(len(toks))]
 
     def search_explain_batch(self, queries, k: int = 10, mode: str = "bmm",
                              scorer_name: str | None = None):

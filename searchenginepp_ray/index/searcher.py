@@ -446,6 +446,25 @@ class SegmentSearcher:
         return self.query_daat(qterms, k, conj=False, scorer=scorer,
                                mask=self._alive_mask, after=after)
 
+    def hit_count(self, qterms: list[str], conj: bool = False) -> int:
+        """Exact number of matching docs in this segment (no scoring,
+        no top-k) — the result-count display / selectivity-estimation
+        surface. Same candidate semantics as query_daat (OR or AND over
+        the deduped terms, alive-mask applied)."""
+        idxs = self._resolve_terms(qterms, conj)
+        if not idxs:
+            return 0
+        cnt = np.zeros(self.n_docs_seg, dtype=np.int32)
+        for i in idxs:
+            _, local, _ = self.scored_postings(i, self.default_scorer)
+            cnt[local] += 1
+        cand = np.flatnonzero(cnt)
+        if conj:
+            cand = cand[cnt[cand] == len(idxs)]
+        if self._alive_mask is not None and len(cand):
+            cand = cand[self._alive_mask[cand]]
+        return int(len(cand))
+
     def explain(self, qterms: list[str], docids,
                 scorer_name: str | None = None):
         """(docid, term, contribution) rows for this segment's subset of

@@ -3631,3 +3631,35 @@ r AS (
 SELECT CAST(src AS BIGINT) AS part_key, CAST(dst AS BIGINT) AS rec_part,
        CAST(rank AS BIGINT) AS rank, score
 FROM r WHERE rank <= {int(k)}"""
+
+
+def search_hit_counts_sql() -> str:
+    """Oracle for search_docs.search_hit_counts: exact OR / AND match
+    counts per query — COUNT over docs matching ≥1 / all query terms
+    (identical Python-normalizer query tokenization via _query_values);
+    queries with no hits keep a zero row via the id scaffold."""
+    rows, per_q = _query_values()
+    ids = ", ".join(f"({qi})" for qi in per_q)
+    return f"""WITH {tok_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term) AS (VALUES {rows}),
+qt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS nt
+       FROM q GROUP BY query_id),
+m AS (
+    SELECT q.query_id, dt.doc_id,
+           CAST(COUNT(DISTINCT q.term) AS BIGINT) AS nmatch
+    FROM q JOIN dt ON dt.term = q.term
+    GROUP BY q.query_id, dt.doc_id),
+agg AS (
+    SELECT m.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_or,
+           CAST(COALESCE(SUM(CASE WHEN m.nmatch = qt.nt
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_and
+    FROM m JOIN qt USING (query_id)
+    GROUP BY m.query_id),
+ids(query_id) AS (VALUES {ids})
+SELECT CAST(ids.query_id AS BIGINT) AS query_id,
+       COALESCE(agg.n_or, 0) AS n_or,
+       COALESCE(agg.n_and, 0) AS n_and
+FROM ids LEFT JOIN agg ON agg.query_id = ids.query_id
+ORDER BY ids.query_id"""

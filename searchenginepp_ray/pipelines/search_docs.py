@@ -358,6 +358,22 @@ def search_bm25_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def search_hit_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact result counts per query, both OR and AND semantics — the
+    "N results" display and the selectivity signal a query planner
+    reads. No scoring, no top-k: per-segment candidate counting summed
+    across disjoint docid ranges. Reference parity: none
+    (beyond-reference serving surface)."""
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    n_or = eng.search_count_batch(DOC_QUERIES, conj=False)
+    n_and = eng.search_count_batch(DOC_QUERIES, conj=True)
+    return pd.DataFrame({
+        "query_id": np.arange(len(DOC_QUERIES), dtype=np.int64),
+        "n_or": np.asarray(n_or, dtype=np.int64),
+        "n_and": np.asarray(n_and, dtype=np.int64),
+    })
+
+
 def search_explain(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Score EXPLANATION: BM25 top-k with the per-term contribution
     breakdown of every hit's score (Lucene/ES "explain" shape) — the

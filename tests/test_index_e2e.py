@@ -1142,3 +1142,26 @@ def test_search_explain_decomposition(built):
             # idf-0 terms contribute exactly 0.0, so the partial sum
             # still equals the ranked score
             assert total == pytest.approx(score, rel=1e-12, abs=1e-12)
+
+
+def test_hit_counts_match_oracle(built):
+    """Exact OR/AND hit counts == the scalar oracle's candidate sets,
+    across present/missing/empty-normalization queries."""
+    _, oracle, engine = built
+    n_or = engine.search_count_batch(QUERIES, conj=False)
+    n_and = engine.search_count_batch(QUERIES, conj=True)
+    for q, got_or, got_and in zip(QUERIES, n_or, n_and):
+        terms = [t for t in engine.normalize_query(q)]
+        docs_or = set()
+        docs_and = None
+        for t in terms:
+            posts = {d for d, _ in oracle.postings.get(t, [])}
+            docs_or |= posts
+            if t not in oracle.postings:
+                docs_and = set()
+            elif docs_and is None:
+                docs_and = set(posts)
+            elif docs_and:
+                docs_and &= posts
+        assert got_or == len(docs_or), q
+        assert got_and == len(docs_and or set()), q
