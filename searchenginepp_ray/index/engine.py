@@ -69,11 +69,14 @@ class SegmentGroupWorker:
         ]
         return self._merge(per_seg, len(toks_batch), k)
 
-    def hit_count_batch(self, toks_batch, conj):
-        """Per-query exact hit counts summed over this worker's segments
-        (docid ranges are disjoint, so the sum is a union count)."""
-        return [sum(s.hit_count(toks, conj) for s in self.searchers)
-                for toks in toks_batch]
+    def hit_count_batch(self, toks_batch):
+        """Per-query exact (n_or, n_and) summed over this worker's
+        segments (docid ranges are disjoint, so sums are union counts)."""
+        out = []
+        for toks in toks_batch:
+            pairs = [s.hit_count(toks) for s in self.searchers]
+            out.append((sum(p[0] for p in pairs), sum(p[1] for p in pairs)))
+        return out
 
     def explain_batch(self, toks_batch, docids_batch, scorer_name):
         """Per-term score decomposition for the given docids (each doc
@@ -309,22 +312,27 @@ class QueryEngine:
             out.append(merged[:k])
         return out
 
-    def search_count_batch(self, queries, conj: bool = False):
-        """Exact total hit count per query (the "about N results"
-        surface, but exact): per-segment candidate counting with no
-        scoring or top-k, summed across workers — counts are additive
-        because segment docid ranges partition the corpus."""
+    def search_count_batch(self, queries):
+        """Exact total hit counts per query (the "about N results"
+        surface, but exact), BOTH semantics in one pass: returns a list
+        of (n_or, n_and). Per-segment candidate counting with no scoring
+        or top-k, summed across workers — counts are additive because
+        segment docid ranges partition the corpus."""
         toks = [
             self.normalize_query(q) if isinstance(q, str) else sorted(set(q))
             for q in queries
         ]
         if self.use_actors:
             per_worker = ray.get(
-                [w.hit_count_batch.remote(toks, conj) for w in self.workers]
+                [w.hit_count_batch.remote(toks) for w in self.workers]
             )
         else:
-            per_worker = [w.hit_count_batch(toks, conj) for w in self.workers]
-        return [sum(w[qi] for w in per_worker) for qi in range(len(toks))]
+            per_worker = [w.hit_count_batch(toks) for w in self.workers]
+        return [
+            (sum(w[qi][0] for w in per_worker),
+             sum(w[qi][1] for w in per_worker))
+            for qi in range(len(toks))
+        ]
 
     def search_explain_batch(self, queries, k: int = 10, mode: str = "bmm",
                              scorer_name: str | None = None):

@@ -446,24 +446,29 @@ class SegmentSearcher:
         return self.query_daat(qterms, k, conj=False, scorer=scorer,
                                mask=self._alive_mask, after=after)
 
-    def hit_count(self, qterms: list[str], conj: bool = False) -> int:
-        """Exact number of matching docs in this segment (no scoring,
-        no top-k) — the result-count display / selectivity-estimation
-        surface. Same candidate semantics as query_daat (OR or AND over
-        the deduped terms, alive-mask applied)."""
-        idxs = self._resolve_terms(qterms, conj)
+    def hit_count(self, qterms: list[str]) -> tuple[int, int]:
+        """Exact (n_or, n_and) matching-doc counts in this segment —
+        the result-count display / selectivity-estimation surface. No
+        scoring, no top-k: one pass over raw posting docids (never the
+        scorer kernel), both semantics from the same per-doc term
+        counter; alive-mask applied; n_and is 0 when any query term is
+        missing from this segment (query_daat's conjunctive contract)."""
+        idxs = self._resolve_terms(qterms, conj=False)
         if not idxs:
-            return 0
+            return 0, 0
+        n_terms = len(sorted(set(qterms)))
         cnt = np.zeros(self.n_docs_seg, dtype=np.int32)
         for i in idxs:
-            _, local, _ = self.scored_postings(i, self.default_scorer)
-            cnt[local] += 1
+            docids, _ = self.postings(i)
+            cnt[(docids - self.base_docid).astype(np.int64)] += 1
         cand = np.flatnonzero(cnt)
-        if conj:
-            cand = cand[cnt[cand] == len(idxs)]
         if self._alive_mask is not None and len(cand):
             cand = cand[self._alive_mask[cand]]
-        return int(len(cand))
+        n_or = int(len(cand))
+        # conjunction needs every DISTINCT query term present here
+        n_and = int((cnt[cand] == n_terms).sum()) \
+            if len(idxs) == n_terms else 0
+        return n_or, n_and
 
     def explain(self, qterms: list[str], docids,
                 scorer_name: str | None = None):

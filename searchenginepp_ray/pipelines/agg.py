@@ -92,3 +92,33 @@ def hash_groupby_sum(
         return g
 
     return hash_groupby_apply(ds, keys, fn, P)
+
+
+def pairs_within_runs(code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (fi, si) with fi < si, for a
+    run-sorted code array: every run of equal ``code`` values of length
+    L contributes its C(L,2) ordered index pairs, via two-level
+    cumulative index arithmetic (no per-run Python). Shared by the
+    posting-list pair enumerators (doc_similarity_pairs,
+    containment_pairs); callers index their own payload arrays with the
+    returned positions."""
+    n = len(code)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    starts = np.concatenate(([0], np.flatnonzero(code[1:] != code[:-1]) + 1))
+    lens = np.diff(np.append(starts, n))
+    li = lens - 1
+    tot_i = int(li.sum())
+    if tot_i <= 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    # i = 0..L-2 within each run; each i pairs with the L-1-i later js
+    iw = np.arange(tot_i, dtype=np.int64) - np.repeat(np.cumsum(li) - li, li)
+    first_idx = np.repeat(starts, li) + iw
+    cnts = np.repeat(lens, li) - 1 - iw
+    total = int(cnts.sum())
+    within = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(cnts) - cnts, cnts)
+    fi = np.repeat(first_idx, cnts)
+    return fi, fi + 1 + within

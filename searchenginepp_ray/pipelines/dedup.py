@@ -1495,26 +1495,17 @@ def containment_pairs(sf_dir: str, shingle: int = 3, thr_num: int = 4,
         keep = (cnt[code] >= 2) & (cnt[code] <= max_df)
         if not keep.any():
             return empty
+        from .agg import pairs_within_runs
+
         code = code[keep]
         doc = df["doc_id"].to_numpy(np.int64)[keep]
         nd = df["n_doc"].to_numpy(np.int64)[keep]
         o = np.lexsort((doc, code))
         code, doc, nd = code[o], doc[o], nd[o]
-        starts = np.concatenate(([0], np.flatnonzero(code[1:] != code[:-1]) + 1))
-        lens = np.diff(np.append(starts, len(code)))
-        li = lens - 1
-        tot_i = int(li.sum())
-        if tot_i <= 0:
+        fi, si = pairs_within_runs(code)
+        if len(fi) == 0:
             return empty
-        iw = np.arange(tot_i, dtype=np.int64) \
-            - np.repeat(np.cumsum(li) - li, li)
-        first_idx = np.repeat(starts, li) + iw
-        cnts = np.repeat(lens, li) - 1 - iw
-        total = int(cnts.sum())
-        within = np.arange(total, dtype=np.int64) \
-            - np.repeat(np.cumsum(cnts) - cnts, cnts)
-        fi = np.repeat(first_idx, cnts)
-        si = fi + 1 + within  # doc-sorted per run ⇒ doc[fi] < doc[si]
+        # doc-sorted per run ⇒ doc[fi] < doc[si]
         g = (pd.DataFrame({"a": doc[fi], "b": doc[si],
                            "n_a": nd[fi], "n_b": nd[si]})
              .groupby(["a", "b", "n_a", "n_b"], as_index=False)

@@ -352,27 +352,14 @@ def doc_similarity_pairs(sf_dir: str, threshold: float = 0.6,
         nrm["kind"] = np.zeros(len(nrm), np.int8)
         # pair enumeration: every posting of a term is co-located here,
         # so each term's C(df,2) doc pairs come from one sorted run
+        from .agg import pairs_within_runs
+
         code = pd.factorize(j["term"].to_numpy(object), sort=False)[0]
         o = np.lexsort((doc, code))
         code, doc_s, w_s = code[o], doc[o], w[o]
-        starts = (np.concatenate(
-            ([0], np.flatnonzero(code[1:] != code[:-1]) + 1))
-            if len(code) else np.zeros(1, np.int64))
-        lens = np.diff(np.append(starts, len(code)))
-        li = lens - 1
-        tot_i = int(li.sum())
-        if tot_i <= 0:
+        fi, si = pairs_within_runs(code)
+        if len(fi) == 0:
             return nrm[["a", "b", "v", "kind"]]
-        # i = 0..L-2 within each run; each i pairs with the L-1-i later js
-        iw = np.arange(tot_i, dtype=np.int64) \
-            - np.repeat(np.cumsum(li) - li, li)
-        first_idx = np.repeat(starts, li) + iw
-        cnts = np.repeat(lens, li) - 1 - iw
-        total = int(cnts.sum())
-        within = np.arange(total, dtype=np.int64) \
-            - np.repeat(np.cumsum(cnts) - cnts, cnts)
-        fi = np.repeat(first_idx, cnts)
-        si = fi + 1 + within
         # doc-sorted within each run ⇒ doc_s[fi] < doc_s[si]
         pairs = (pd.DataFrame({"a": doc_s[fi], "b": doc_s[si],
                                "v": w_s[fi] * w_s[si]})

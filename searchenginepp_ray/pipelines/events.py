@@ -105,6 +105,48 @@ def sliding_window_agg(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     )
 
 
+def _session_flags(df: pd.DataFrame, gap_s: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """THE session-boundary contract, shared by every sessionization
+    consumer (sessionize, session_duration_quantiles): sort a partition
+    by (user, ts), return (user, ts_seconds, new_sess flags) where a
+    session breaks on user change or a gap strictly greater than
+    ``gap_s`` whole seconds. One definition so the engines can't drift
+    from the shared SQL oracle CTE."""
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    user = df["user_id"].to_numpy()
+    ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # µs → s
+    n = len(user)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = user[1:] != user[:-1]
+    gap_break = np.empty(n, dtype=bool)
+    gap_break[0] = False
+    gap_break[1:] = (ts[1:] - ts[:-1]) > gap_s
+    return user, ts, new_user | gap_break
+
+
+def quantile_cont(v: np.ndarray, cum: np.ndarray, qs) -> dict[str, float]:
+    """quantile_cont interpolation over a cumulative histogram —
+    ``{pNN: value}`` on the rounded 6 dp grid; the one definition both
+    histogram-quantile readouts (value_quantiles,
+    session_duration_quantiles) share. Empty histogram → NaNs (the SQL
+    oracles' NULLs)."""
+    out: dict[str, float] = {}
+    n = int(cum[-1]) if len(cum) else 0
+    for q in qs:
+        if n == 0:
+            out[f"p{int(q * 100)}"] = float("nan")
+            continue
+        pos = q * (n - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        vlo = v[np.searchsorted(cum, lo, side="right")]
+        vhi = v[np.searchsorted(cum, hi, side="right")]
+        out[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+    return out
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800):
     """Per-user session count + longest session length (events within
     ``gap_s`` seconds of the previous event share a session). Ordering is
@@ -125,17 +167,11 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
                  "n_sessions": pd.Series([], dtype=np.int64),
                  "max_session_events": pd.Series([], dtype=np.int64)}
             )
-        df = df.sort_values(["user_id", "ts"], kind="stable")
-        user = df["user_id"].to_numpy()
-        ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # µs → s
+        user, ts, new_sess = _session_flags(df, gap_s)
         n = len(user)
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = user[1:] != user[:-1]
-        gap_break = np.empty(n, dtype=bool)
-        gap_break[0] = False
-        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_s
-        new_sess = new_user | gap_break
         sess_id = np.cumsum(new_sess) - 1          # global session index
         sizes = np.bincount(sess_id)               # events per session
         user_starts = np.flatnonzero(new_user)     # first row of each user
@@ -382,18 +418,9 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
         for typ, g in df.groupby("event_type", sort=False):
             g = g.sort_values("cents")
             v = g["cents"].to_numpy() / 100.0
-            c = g["n"].to_numpy()
-            cum = np.cumsum(c)            # 1-based rank of each value's last copy
-            n = cum[-1]
-            row = {"event_type": typ, "n_events": np.int64(n)}
-            for q in qs:
-                pos = q * (n - 1)         # 0-based fractional rank
-                lo = int(np.floor(pos))
-                hi = int(np.ceil(pos))
-                # value at 0-based rank r = first v whose cum > r
-                vlo = v[np.searchsorted(cum, lo, side="right")]
-                vhi = v[np.searchsorted(cum, hi, side="right")]
-                row[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+            cum = np.cumsum(g["n"].to_numpy())
+            row = {"event_type": typ, "n_events": np.int64(cum[-1])}
+            row.update(quantile_cont(v, cum, qs))
             out.append(row)
         return pd.DataFrame(out)
 
@@ -852,19 +879,9 @@ def session_duration_quantiles(sf_dir: str, gap_s: int = 1800,
         if len(df) == 0:
             return pd.DataFrame({"dur_s": pd.Series([], dtype=np.int64),
                                  "n_part": pd.Series([], dtype=np.int64)})
-        df = df.sort_values(["user_id", "ts"], kind="stable")
-        user = df["user_id"].to_numpy()
-        ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # µs → s
-        n = len(user)
-        new_user = np.empty(n, dtype=bool)
-        new_user[0] = True
-        new_user[1:] = user[1:] != user[:-1]
-        gap_break = np.empty(n, dtype=bool)
-        gap_break[0] = False
-        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_s
-        new_sess = new_user | gap_break
+        user, ts, new_sess = _session_flags(df, gap_s)
         starts = np.flatnonzero(new_sess)
-        ends = np.append(starts[1:], n) - 1
+        ends = np.append(starts[1:], len(user)) - 1
         dur = ts[ends] - ts[starts]
         vals, cnts = np.unique(dur, return_counts=True)
         return pd.DataFrame({"dur_s": vals.astype(np.int64),
@@ -876,17 +893,14 @@ def session_duration_quantiles(sf_dir: str, gap_s: int = 1800,
         ["dur_s"], {"n": ("n_part", "sum")},
     ).to_pandas()  # domain-bounded: distinct whole-second durations
 
+    if len(hist) == 0 or "dur_s" not in hist.columns:
+        # an empty exchange yields a column-less frame
+        hist = pd.DataFrame({"dur_s": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
     hist = hist.sort_values("dur_s")
     v = hist["dur_s"].to_numpy(dtype=np.float64)
-    c = hist["n"].to_numpy()
-    cum = np.cumsum(c)
+    cum = np.cumsum(hist["n"].to_numpy())
     n_sessions = int(cum[-1]) if len(cum) else 0
     row = {"n_sessions": np.int64(n_sessions)}
-    for q in qs:
-        pos = q * (n_sessions - 1)
-        lo = int(np.floor(pos))
-        hi = int(np.ceil(pos))
-        vlo = v[np.searchsorted(cum, lo, side="right")]
-        vhi = v[np.searchsorted(cum, hi, side="right")]
-        row[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+    row.update(quantile_cont(v, cum, qs))
     return pd.DataFrame([row])

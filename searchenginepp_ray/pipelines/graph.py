@@ -349,7 +349,7 @@ def _node_part(v: np.ndarray, P: int) -> np.ndarray:
     return (_splitmix64(v.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class _PagerankShard:
     """One hash partition of the edge table + its rank shard, pinned in
     an actor for the whole run. Nodes are this shard's distinct ``src``
@@ -543,17 +543,18 @@ def _bsp_width() -> int:
     if not ray.is_initialized():
         return 4
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # Shards reserve 0.25 CPU each (reservation is a placement hint;
-    # supersteps are sequential bursts, so full-CPU reservations would
-    # only starve OTHER work — measured deadlock: the pool spawns before
-    # the edge exchange and a long session's cached serving actors can
-    # leave too little for the exchange's 1-CPU data tasks, which the
-    # pool then waits on forever). Cap the width so that after the pool
-    # is placed, at least 1 schedulable CPU remains for those tasks.
-    # Any P ≥ 1 is correct, just slower.
-    avail = float(ray.available_resources().get("CPU", cpus))
-    fit = int(max(avail - 1.0, 0.25) / 0.25)
-    return max(1, min(max(2, cpus // 2), fit))
+    # Shards reserve ZERO CPUs: the pool spawns before the edge exchange
+    # (to hide actor startup) and every superstep ray.get()s on every
+    # shard, so ANY reservation can deadlock the job when a long
+    # session's cached actors hold the rest of the cluster — the
+    # exchange's 1-CPU data tasks must always be able to schedule.
+    # (An availability-aware width was tried first and still deadlocked:
+    # ray.available_resources() omits zero-valued keys, and any freshly
+    # reserved fraction can push the remaining CPU below the exchange's
+    # task size.) Supersteps are sequential compute bursts, so on a
+    # single node the OS schedules them fine unreserved; multi-node
+    # users size P explicitly via SEPPRAY_BSP_SHARDS.
+    return max(2, cpus // 2)
 
 
 def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
@@ -990,7 +991,7 @@ def part_bfs(sf_dir: str, seed_mod: int = 31, rounds: int = 3):
     return bfs_bsp(edges, seed_mod, rounds)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class _BfsShard:
     """One hash partition of the edge table + its distance shard, pinned
     in an actor for the whole BFS run — the :class:`_PagerankShard`

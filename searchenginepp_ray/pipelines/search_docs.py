@@ -346,7 +346,11 @@ def search_bm25_page2(sf_dir: str, k: int = 10) -> pd.DataFrame:
     came back short produce an empty page 2 (nothing follows the end).
     Reference parity: none (beyond-reference serving surface)."""
     eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    page1 = eng.search_batch(DOC_QUERIES, k=k, mode="bmm")
+    # page 1 via DAAT: the cursor compare is EXACT equality on doubles
+    # and query_after scores page 2 with query_daat, so the cursor must
+    # come from the same accumulation path — a 1-ulp difference at the
+    # page boundary would duplicate or drop a boundary doc
+    page1 = eng.search_batch(DOC_QUERIES, k=k, mode="daat")
     cursors = [(res[-1][2], res[-1][0]) if len(res) == k else None
                for res in page1]
     page2 = eng.search_after_batch(DOC_QUERIES, k=k, cursors=cursors)
@@ -365,12 +369,11 @@ def search_hit_counts(sf_dir: str) -> pd.DataFrame:
     across disjoint docid ranges. Reference parity: none
     (beyond-reference serving surface)."""
     eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    n_or = eng.search_count_batch(DOC_QUERIES, conj=False)
-    n_and = eng.search_count_batch(DOC_QUERIES, conj=True)
+    counts = eng.search_count_batch(DOC_QUERIES)  # one pass, both modes
     return pd.DataFrame({
         "query_id": np.arange(len(DOC_QUERIES), dtype=np.int64),
-        "n_or": np.asarray(n_or, dtype=np.int64),
-        "n_and": np.asarray(n_and, dtype=np.int64),
+        "n_or": np.asarray([c[0] for c in counts], dtype=np.int64),
+        "n_and": np.asarray([c[1] for c in counts], dtype=np.int64),
     })
 
 

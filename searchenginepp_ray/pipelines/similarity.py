@@ -301,7 +301,7 @@ def ivf_append_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
     fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}:{n_rows_src}"
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}:ivfapp:{nlist}:{sample_size}:{iters}:"
-        f"{append_mod}:{fingerprint}:v1".encode()
+        f"{append_mod}:{fingerprint}:v2".encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp/seppray_ivf_cache", key)
     cents_path = os.path.join(out, "centroids.npy")
@@ -353,11 +353,28 @@ def ivf_append_build(sf_dir: str, nlist: int = 16, sample_size: int = 2048,
             assign_base, batch_format="pyarrow").write_parquet(
             os.path.join(out, "data"), partition_cols=["bucket"])
         np.save(cents_path, cents)
+        base_parts = sorted(
+            os.path.relpath(os.path.join(r, f), out)
+            for r, _, fs in os.walk(os.path.join(out, "data"))
+            for f in fs if f.endswith(".parquet"))
         with open(base_marker + ".tmp", "w") as f:
-            json.dump({"nlist": int(nlist), "phase": "base"}, f)
+            json.dump({"nlist": int(nlist), "phase": "base",
+                       "parts": base_parts}, f)
         os.replace(base_marker + ".tmp", base_marker)
     cents = np.load(cents_path)
     cents_ref = ray.put(cents)
+
+    # crash-resume idempotency: a retry must not duplicate appended
+    # vectors — scrub any part file a previous (crashed) append attempt
+    # left behind before writing the shipment again. The base marker
+    # records exactly which parts belong to the base build.
+    base_parts = set(json.load(open(base_marker)).get("parts", []))
+    for r, _, fs in os.walk(os.path.join(out, "data")):
+        for f in fs:
+            p = os.path.join(r, f)
+            if f.endswith(".parquet") \
+                    and os.path.relpath(p, out) not in base_parts:
+                os.remove(p)
 
     def assign_appended(t: pa.Table) -> pa.Table:
         t = is_appended(t)

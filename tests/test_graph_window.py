@@ -296,3 +296,24 @@ def test_part_recommendations_matches_pandas(ray_session):
     assert len(got) == len(want) and len(got) > 0
     for c in ["part_key", "rec_part", "rank", "score"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_session_duration_quantiles_empty_corpus(ray_session, tmp_path):
+    """Empty events table → one row with n_sessions=0 and NaN quantiles
+    (the SQL oracle's NULLs), not an IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.events import session_duration_quantiles
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    got = session_duration_quantiles(str(tmp_path))
+    assert int(got["n_sessions"].iloc[0]) == 0
+    assert np.isnan(got["p50"].iloc[0])

@@ -1148,9 +1148,8 @@ def test_hit_counts_match_oracle(built):
     """Exact OR/AND hit counts == the scalar oracle's candidate sets,
     across present/missing/empty-normalization queries."""
     _, oracle, engine = built
-    n_or = engine.search_count_batch(QUERIES, conj=False)
-    n_and = engine.search_count_batch(QUERIES, conj=True)
-    for q, got_or, got_and in zip(QUERIES, n_or, n_and):
+    counts = engine.search_count_batch(QUERIES)
+    for q, (got_or, got_and) in zip(QUERIES, counts):
         terms = [t for t in engine.normalize_query(q)]
         docs_or = set()
         docs_and = None
