@@ -413,6 +413,7 @@ def run_default() -> None:
     timed("term_heavy_hitters",
           lambda: text_stats.term_heavy_hitters(sf_dir))
     timed("vocab_stats", lambda: text_stats.vocab_stats(sf_dir))
+    timed("term_df_drift", lambda: text_stats.term_df_drift(sf_dir))
     timed("retrieval_triplets",
           lambda: search_docs.retrieval_triplets(sf_dir))
     # round-3 session 5: semantic dedup + CDC chunk dedup + metrics

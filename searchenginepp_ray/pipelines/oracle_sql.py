@@ -3663,3 +3663,47 @@ SELECT CAST(ids.query_id AS BIGINT) AS query_id,
        COALESCE(agg.n_and, 0) AS n_and
 FROM ids LEFT JOIN agg ON agg.query_id = ids.query_id
 ORDER BY ids.query_id"""
+
+
+def term_df_drift_sql(k: int = 20, add_mod: int = 13, add_res: int = 3,
+                      rm_res: int = 7, chg_mod: int = 11,
+                      chg_res: int = 4) -> str:
+    """Oracle for text_stats.term_df_drift: the corpus_diff version
+    carve + per-side COUNT(DISTINCT doc_id) + the identical add-one
+    log2 ratio on the shared 6 dp grid, ties → term ASC."""
+    cls = _regex_class().replace("'", "''")
+    drift = ("floor(abs(log2((COALESCE(n.df, 0) + 1.0) "
+             "/ (COALESCE(o.df, 0) + 1.0))) * 1000000 + 0.5) / 1000000")
+    return f"""WITH old_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {add_mod} <> {add_res}),
+new_docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {chg_mod} = {chg_res}
+                THEN text || ' [rev2]' ELSE text END AS text
+    FROM documents WHERE doc_id % {add_mod} <> {rm_res}),
+toks_old AS (
+    SELECT doc_id, t.term
+    FROM old_docs,
+         unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '{cls}', ' ', 'g')),
+             ' +')) AS t(term)
+    WHERE t.term <> ''),
+toks_new AS (
+    SELECT doc_id, t.term
+    FROM new_docs,
+         unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '{cls}', ' ', 'g')),
+             ' +')) AS t(term)
+    WHERE t.term <> ''),
+df_old AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks_old GROUP BY term),
+df_new AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks_new GROUP BY term)
+SELECT COALESCE(o.term, n.term) AS term,
+       COALESCE(o.df, 0) AS df_old,
+       COALESCE(n.df, 0) AS df_new,
+       CASE WHEN COALESCE(n.df, 0) >= COALESCE(o.df, 0)
+            THEN {drift} ELSE -({drift}) END AS drift
+FROM df_old o FULL OUTER JOIN df_new n ON o.term = n.term
+ORDER BY {drift} DESC, COALESCE(o.term, n.term) ASC
+LIMIT {int(k)}"""

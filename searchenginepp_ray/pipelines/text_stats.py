@@ -806,3 +806,86 @@ def vocab_stats(sf_dir: str):
         "entropy_bits": [float(round6_half_up(np.array([h]))[0])],
         "zipf_alpha": [float(round6_half_up(np.array([alpha]))[0])],
     })
+
+
+def term_df_drift(sf_dir: str, k: int = 20, add_mod: int = 13,
+                  add_res: int = 3, rm_res: int = 7, chg_mod: int = 11,
+                  chg_res: int = 4) -> pd.DataFrame:
+    """VOCABULARY DRIFT between two corpus versions — the release-audit
+    readout on top of :func:`..dedup.corpus_diff`'s version contract
+    (same deterministic carve: old = ids % add_mod != add_res, new =
+    ids % add_mod != rm_res with ' [rev2]' revisions at ids % chg_mod ==
+    chg_res; a real deployment passes two corpus paths): the top-``k``
+    terms by |log2((df_new+1)/(df_old+1))| (add-one so newborn/vanished
+    terms are finite and both engines divide identical doubles), ties →
+    term ASC. Returns (term, df_old, df_new, drift) with drift signed on
+    the shared 6 dp grid.
+
+    Scale shape: one corpus pass tokenizes BOTH versions per batch and
+    emits (term, side) df partials; ONE term-keyed exchange finalizes
+    both dfs and keeps a per-partition top-k, so the driver merge is
+    ≤ P×k rows. Reference parity: none (beyond-reference; corpus
+    monitoring for the LLM-pipeline family)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..normalizer.batch import tokenize_batch
+    from .agg import hash_groupby_apply
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        old_keep = ids % add_mod != add_res
+        new_keep = ids % add_mod != rm_res
+        changed = ids % chg_mod == chg_res
+        rev = pc.binary_join_element_wise(
+            t["text"], pa.array([" [rev2]"] * len(ids), pa.string()), "")
+        new_text = pc.if_else(pa.array(changed), rev, t["text"])
+        outs = []
+        for side, keep, texts in ((0, old_keep, t["text"]),
+                                  (1, new_keep, new_text)):
+            sel = texts.filter(pa.array(keep))
+            if len(sel) == 0:
+                continue
+            _, terms_list, _ = tokenize_batch(sel.to_pylist(),
+                                              SIMPLE_PROFILE)
+            flat = pc.list_flatten(terms_list)  # unique per doc already
+            vc = flat.value_counts()
+            n = len(vc)
+            outs.append(pa.table({
+                "term": vc.field("values"),
+                "side": pa.array(np.full(n, side, np.int8)),
+                "n_part": vc.field("counts").cast(pa.int64()),
+            }))
+        if not outs:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int8()),
+                             "n_part": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    def drift_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.pivot_table(index="term", columns="side", values="n_part",
+                            aggfunc="sum", fill_value=0)
+             .reindex(columns=[0, 1], fill_value=0))
+        df_old = g[0].to_numpy(np.int64)
+        df_new = g[1].to_numpy(np.int64)
+        drift = round6_half_up(np.abs(
+            np.log2((df_new + 1.0) / (df_old + 1.0))))
+        sign = np.where(df_new >= df_old, 1.0, -1.0)
+        out = pd.DataFrame({
+            "term": g.index.to_numpy(object),
+            "df_old": df_old, "df_new": df_new,
+            "drift": sign * drift,
+        })
+        out = out.assign(absd=np.abs(out["drift"].to_numpy())).sort_values(
+            ["absd", "term"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return out[["term", "df_old", "df_new", "drift"]]
+
+    parts = hash_groupby_apply(
+        documents_ds(sf_dir).map_batches(df_partials,
+                                         batch_format="pyarrow"),
+        ["term"], drift_topk).to_pandas()  # ≤ P×k rows
+    parts = parts.assign(absd=np.abs(parts["drift"].to_numpy())).sort_values(
+        ["absd", "term"], ascending=[False, True], kind="mergesort").head(k)
+    return parts[["term", "df_old", "df_new", "drift"]].reset_index(
+        drop=True)

@@ -384,3 +384,25 @@ def test_vocab_stats_matches_naive(ray_session, tmp_path):
     assert abs(got["entropy_bits"].iloc[0] - H) < 2e-6
     assert abs(got["zipf_alpha"].iloc[0] - alpha) < 2e-6
     assert 1.0 < got["zipf_alpha"].iloc[0] < 4.0
+
+
+def test_term_df_drift_invariants(ray_session, sf_dir):
+    """The drift readout is internally consistent: the 'rev2' marker
+    term (absent in v1, present in every changed doc in v2) must be the
+    top riser; signs follow df movement; dfs are within corpus bounds."""
+    import pandas as pd
+
+    from searchenginepp_ray.pipelines.text_stats import term_df_drift
+
+    got = term_df_drift(sf_dir, k=20)
+    assert len(got) == 20
+    top = got.iloc[0]
+    assert top["term"] == "rev2" and top["df_old"] == 0
+    n = len(pd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]))
+    assert (got["df_old"] <= n).all() and (got["df_new"] <= n).all()
+    up = got["df_new"] >= got["df_old"]
+    assert ((got["drift"] >= 0) == up).all()
+    # deterministic: a rerun returns the identical frame
+    again = term_df_drift(sf_dir, k=20)
+    assert got.equals(again)
