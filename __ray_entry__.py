@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q6: the fully pushed-down filter aggregate (all
         # predicates at the scan, exact-integer revenue)
         "revenue_forecast": lambda sf: relational.revenue_forecast(sf),
+        # monthly exact-cents revenue + closed-form OLS trend line
+        # (regression over the month-domain-bounded aggregate)
+        "revenue_trend": lambda sf: relational.revenue_trend(sf),
         "local_supplier_volume":
             lambda sf: relational.local_supplier_volume(sf),
         # exact quantiles over an UNBOUNDED value domain: distributed
@@ -704,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": osql.nation_market_share_sql(),
         "product_profit": osql.product_profit_sql(),
         "revenue_forecast": osql.revenue_forecast_sql(),
+        "revenue_trend": osql.revenue_trend_sql(),
         "local_supplier_volume": osql.local_supplier_volume_sql(),
         "price_quantiles": osql.price_quantiles_sql(),
         "term_complete": osql.term_complete_sql(),

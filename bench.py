@@ -452,6 +452,7 @@ def run_default() -> None:
           lambda: relational.order_priority_late(sf_dir))
     timed("shipment_priority",
           lambda: relational.shipment_priority(sf_dir))
+    timed("revenue_trend", lambda: relational.revenue_trend(sf_dir))
     timed("promo_revenue_share",
           lambda: relational.promo_revenue_share(sf_dir))
     timed("top_supplier_revenue",

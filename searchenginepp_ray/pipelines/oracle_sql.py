@@ -3707,3 +3707,37 @@ SELECT COALESCE(o.term, n.term) AS term,
 FROM df_old o FULL OUTER JOIN df_new n ON o.term = n.term
 ORDER BY {drift} DESC, COALESCE(o.term, n.term) ASC
 LIMIT {int(k)}"""
+
+
+def revenue_trend_sql() -> str:
+    """Oracle for relational.revenue_trend: exact-cents monthly sums,
+    month index by dense calendar rank, identical closed-form OLS
+    moments and 6 dp floor grid."""
+    return """WITH m AS (
+    SELECT CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+r AS (SELECT cents,
+             CAST(row_number() OVER (ORDER BY ym) - 1 AS BIGINT) AS t
+      FROM m),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(t * cents) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM r),
+f AS (SELECT n,
+             CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE) AS slope_c
+      FROM s),
+g AS (SELECT n, slope_c,
+             (sy - slope_c * st) / CAST(n AS DOUBLE) AS intercept_c
+      FROM f JOIN s USING (n))
+SELECT n AS n_months,
+       floor(slope_c / 100.0 * 1000000 + 0.5) / 1000000 AS slope,
+       floor(intercept_c / 100.0 * 1000000 + 0.5) / 1000000 AS intercept,
+       floor((intercept_c + slope_c * n) / 100.0 * 1000000 + 0.5)
+           / 1000000 AS next_forecast
+FROM g"""

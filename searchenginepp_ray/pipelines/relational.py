@@ -2793,3 +2793,66 @@ def shipment_priority(sf_dir: str, late_days: int = 60,
         "high_line_count": out["high_part"].to_numpy(np.int64),
         "low_line_count": out["low_part"].to_numpy(np.int64),
     })
+
+
+def revenue_trend(sf_dir: str) -> pd.DataFrame:
+    """Time-series TREND FIT over monthly order revenue: exact-cents
+    revenue per calendar month, then the closed-form OLS line
+    y = a + b·t over (month index, revenue) — the capacity-planning /
+    monitoring regression a pipeline runs on its own output. Returns
+    ONE row (n_months, slope, intercept, next_forecast), slope/intercept
+    on the shared 6 dp grid in whole currency units per month.
+
+    Scale shape: the fact table reduces map-side to (month, cents)
+    partials into a month-domain-bounded aggregate (one tiny exchange);
+    the OLS moments Σt, Σy, Σty, Σt² are EXACT integers over that
+    bounded aggregate, so both engines divide identical doubles —
+    everything after the aggregate is O(months), not O(rows).
+    Reference parity: none (beyond-reference; analytics surface)."""
+    from .agg import hash_groupby_apply
+    from .text_stats import _read_blocks
+
+    opath = f"{sf_dir}/orders.parquet"
+    orders = ray.data.read_parquet(
+        opath, columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_read_blocks(opath, target_rows=20_000),
+    )
+
+    def month_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("datetime64[us]")
+        ym = d.dt.year.to_numpy(np.int64) * 12 + d.dt.month.to_numpy(np.int64)
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame({"ym": ym, "cents": cents})
+             .groupby("ym", as_index=False)["cents"].sum())
+        return g.rename(columns={"cents": "c_part"})
+
+    def month_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ym", as_index=False)["c_part"].sum()
+
+    monthly = hash_groupby_apply(
+        orders.map_batches(month_partials, batch_format="pandas"),
+        ["ym"], month_sum).to_pandas()  # bounded by the month domain
+    monthly = monthly.sort_values("ym").reset_index(drop=True)
+    n = len(monthly)
+    t = np.arange(n, dtype=np.int64)
+    y = monthly["c_part"].to_numpy(np.int64)
+    # OLS from exact integer moments — identical doubles on both engines
+    st, sy = int(t.sum()), int(y.sum())
+    sty = int((t * y).sum())
+    stt = int((t * t).sum())
+    den = float(n * stt - st * st)
+    slope_c = (n * sty - st * sy) / den
+    intercept_c = (sy - slope_c * st) / n
+    from .text_stats import round6_half_up
+
+    def r6(x: float) -> float:
+        return float(round6_half_up(np.array([x])))
+
+    return pd.DataFrame([{
+        "n_months": np.int64(n),
+        "slope": r6(slope_c / 100.0),
+        "intercept": r6(intercept_c / 100.0),
+        "next_forecast": r6((intercept_c + slope_c * n) / 100.0),
+    }])

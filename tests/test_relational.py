@@ -732,3 +732,23 @@ def test_shipment_priority_matches_pandas(ray_session, sf_dir):
     assert got["high_line_count"].tolist() == want["high"].tolist()
     assert got["low_line_count"].tolist() == want["low"].tolist()
     assert len(got) == 2  # both linestatus values present at sf0.001+
+
+
+def test_revenue_trend_matches_numpy_polyfit(ray_session, sf_dir):
+    from searchenginepp_ray.pipelines.relational import revenue_trend
+
+    got = revenue_trend(sf_dir).iloc[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+    ym = (orders["o_orderdate"].dt.year * 12
+          + orders["o_orderdate"].dt.month)
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5)
+    monthly = (pd.DataFrame({"ym": ym, "c": cents})
+               .groupby("ym")["c"].sum().sort_index())
+    t = np.arange(len(monthly), dtype=np.float64)
+    slope_c, intercept_c = np.polyfit(t, monthly.to_numpy(np.float64), 1)
+    assert got["n_months"] == len(monthly)
+    assert abs(got["slope"] - slope_c / 100.0) < 1e-4
+    assert abs(got["intercept"] - intercept_c / 100.0) < 1e-4
+    assert abs(got["next_forecast"]
+               - (intercept_c + slope_c * len(monthly)) / 100.0) < 1e-4
