@@ -491,6 +491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k by incidence-cosine; support cut before attach traffic
         "part_recommendations":
             lambda sf: _graph().part_recommendations(sf),
+        # PERSONALIZED PageRank: teleport mass restricted to a seed
+        # part set — proximity-to-seeds instead of global centrality
+        "part_pagerank_seeded":
+            lambda sf: _graph().part_pagerank_seeded(sf),
         # exact distributed triangle census (degree-ordered wedge
         # generation + pair-key co-partition closing)
         "part_triangles": lambda sf: _graph().part_triangles(sf),
@@ -729,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": osql.curriculum_order_sql(),
         "part_pagerank": osql.part_pagerank_sql(),
         "part_recommendations": osql.part_recommendations_sql(),
+        "part_pagerank_seeded": osql.part_pagerank_seeded_sql(),
         "part_bfs": osql.part_bfs_sql(),
         "part_components": osql.part_components_sql(),
         "part_triangles": osql.part_triangles_sql(),

@@ -354,6 +354,8 @@ def run_default() -> None:
     timed("part_pagerank_bsp", lambda: graph.part_pagerank_bsp(sf_dir))
     timed("part_recommendations",
           lambda: graph.part_recommendations(sf_dir))
+    timed("part_pagerank_seeded",
+          lambda: graph.part_pagerank_seeded(sf_dir))
     # training-data filters + export stages (round-3 session 2)
     from searchenginepp_ray.pipelines import export, filters
 

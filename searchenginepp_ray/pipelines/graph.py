@@ -218,6 +218,7 @@ def pagerank(
     iters: int = 5,
     src: str = "src",
     dst: str = "dst",
+    seed_mod: int | None = None,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank over a SYMMETRIC directed edge Dataset
     (every node must have out-degree ≥ 1 — symmetrized graphs satisfy
@@ -266,13 +267,34 @@ def pagerank(
         ["node"], dedup_nodes,
     ).materialize()
     n_nodes = nodes.count()
-    base = (1.0 - damping) / n_nodes
+    if seed_mod is None:
+        base = (1.0 - damping) / n_nodes
+        init = 1.0 / n_nodes
+    else:
+        # PERSONALIZED variant: teleport mass goes only to the seed set
+        # (node % seed_mod == 0) — r measures proximity to the seeds.
+        # n_seeds is one tiny aggregate over the node-sized dataset.
+        def seed_flags(t: pa.Table) -> pa.Table:
+            v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array((v % seed_mod == 0)
+                                           .astype(np.int64))})
 
-    ranks = nodes.map_batches(
-        lambda t: t.append_column(
-            "pr", pa.array(np.full(len(t), 1.0 / n_nodes))),
-        batch_format="pyarrow",
-    ).materialize()
+        n_seeds = int(nodes.map_batches(
+            seed_flags, batch_format="pyarrow").sum("s"))
+        if n_seeds == 0:
+            raise ValueError(f"no seed nodes (node % {seed_mod} == 0)")
+        base = (1.0 - damping) / n_seeds
+        init = 1.0 / n_seeds
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        if seed_mod is None:
+            pr = np.full(len(t), init)
+        else:
+            v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pr = np.where(v % seed_mod == 0, init, 0.0)
+        return t.append_column("pr", pa.array(pr))
+
+    ranks = nodes.map_batches(init_rows, batch_format="pyarrow").materialize()
 
     def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
         # map-side combiner: per-batch partial sums per dst
@@ -283,9 +305,14 @@ def pagerank(
 
     def finish(t: pa.Table) -> pa.Table:
         s = t["contrib"].to_numpy(zero_copy_only=False)
+        if seed_mod is None:
+            b = base
+        else:
+            v = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = np.where(v % seed_mod == 0, base, 0.0)
         return pa.table({
             "node": t["dst"].cast(pa.int64()),
-            "pr": pa.array(base + damping * s),
+            "pr": pa.array(b + damping * s),
         })
 
     for _ in range(iters):
@@ -328,6 +355,45 @@ def part_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 5):
 
     edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
     pr = pagerank(edges, damping=damping, iters=iters)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_key": t["node"],
+            "pagerank": pc.round(t["pr"], ndigits=10),
+        })
+
+    return pr.map_batches(fmt, batch_format="pyarrow")
+
+
+def part_pagerank_seeded(sf_dir: str, damping: float = 0.85,
+                         iters: int = 5, seed_mod: int = 10):
+    """PERSONALIZED PageRank over the co-purchase graph: teleport mass
+    restricted to a seed part set (part_key % seed_mod == 0 — a real
+    deployment passes the user's catalog/interest set), so rank measures
+    proximity-to-seeds ("related to what you stock") rather than global
+    centrality — the recommender twin of :func:`part_pagerank` with the
+    identical movement contract (same one-time edge exchange, same
+    per-iteration co-partition join + combined contribution aggregate;
+    the only deltas are the seed-indicator init and teleport vectors,
+    both computed batch-side). Rounded to 10 dp for the oracle."""
+    import pyarrow.compute as pc
+
+    from .agg import hash_groupby_apply
+    from .relational import table_ds
+
+    li = table_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({
+            "src": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "dst": m["l_partkey_y"].to_numpy(dtype=np.int64),
+        })
+
+    edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
+    pr = pagerank(edges, damping=damping, iters=iters, seed_mod=seed_mod)
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -3741,3 +3741,43 @@ SELECT n AS n_months,
        floor((intercept_c + slope_c * n) / 100.0 * 1000000 + 0.5)
            / 1000000 AS next_forecast
 FROM g"""
+
+
+def part_pagerank_seeded_sql(damping: float = 0.85, iters: int = 5,
+                             seed_mod: int = 10) -> str:
+    """Oracle for graph.part_pagerank_seeded: the personalized
+    recurrence unrolled — teleport mass only to seed nodes
+    (node % seed_mod == 0), identical init and per-iteration base."""
+    seed_base = (f"CASE WHEN p.dst % {seed_mod} = 0 THEN "
+                 f"(1 - {damping}) / (SELECT ns FROM nseed) ELSE 0 END")
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""r{i} AS (
+    SELECT p.dst AS node,
+           {seed_base}
+           + {damping} * SUM(r.pr / d.deg) AS pr
+    FROM pairs p
+    JOIN r{i - 1} r ON r.node = p.src
+    JOIN deg d ON d.src = p.src
+    GROUP BY p.dst
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey <> l2.l_partkey
+),
+deg AS (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM pairs GROUP BY src
+),
+nseed AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM deg
+          WHERE src % {seed_mod} = 0),
+r0 AS (SELECT src AS node,
+              CASE WHEN src % {seed_mod} = 0
+                   THEN 1.0 / (SELECT ns FROM nseed) ELSE 0 END AS pr
+       FROM deg),
+{chain}
+SELECT node AS part_key, ROUND(pr, 10) AS pagerank FROM r{iters}
+"""

@@ -317,3 +317,39 @@ def test_session_duration_quantiles_empty_corpus(ray_session, tmp_path):
     got = session_duration_quantiles(str(tmp_path))
     assert int(got["n_sessions"].iloc[0]) == 0
     assert np.isnan(got["p50"].iloc[0])
+
+
+def test_seeded_pagerank_properties(ray_session):
+    """Personalized PageRank vs a numpy reference on a random graph;
+    seeds dominate, total mass == 1 (symmetric graph, no dangling)."""
+    from searchenginepp_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 50, 700)
+    b = (a + rng.integers(1, 49, 700)) % 50
+    e = pd.DataFrame({"src": np.r_[a, b], "dst": np.r_[b, a]})
+    mod = 7
+    got = (pagerank(ray.data.from_pandas(e).repartition(4),
+                    damping=0.85, iters=4, seed_mod=mod)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    ed = e.drop_duplicates()
+    nodes = np.unique(ed["src"].to_numpy())
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    deg = ed.groupby("src").size()
+    seeds = (nodes % mod == 0)
+    ns = int(seeds.sum())
+    r = np.where(seeds, 1.0 / ns, 0.0)
+    srcs = ed["src"].map(idx).to_numpy()
+    dsts = ed["dst"].map(idx).to_numpy()
+    w = 1.0 / deg.loc[ed["src"]].to_numpy()
+    for _ in range(4):
+        contrib = np.zeros(N)
+        np.add.at(contrib, dsts, r[srcs] * w)
+        r = np.where(seeds, 0.15 / ns, 0.0) + 0.85 * contrib
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["pr"], r, rtol=1e-12)
+    assert abs(got["pr"].sum() - 1.0) < 1e-9
+    # personalization: mean seed rank far above mean non-seed rank
+    assert got.loc[seeds, "pr"].mean() > 2 * got.loc[~seeds, "pr"].mean()
