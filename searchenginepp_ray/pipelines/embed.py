@@ -39,10 +39,10 @@ DIMS = 64
 
 
 def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+    from .text_stats import parquet_rows
 
     path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/documents.parquet"
-    return pq.ParquetFile(path).metadata.num_rows
+    return parquet_rows(path)
 
 
 def _explode_posts_df(t: pa.Table, partial: str = "df") -> pa.Table:

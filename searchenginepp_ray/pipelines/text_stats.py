@@ -62,15 +62,27 @@ def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     )
 
 
+def parquet_rows(path: str) -> int:
+    """Row count from parquet metadata — file OR directory of files
+    (e.g. a Ray write_parquet output dir)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _read_blocks(path: str, target_rows: int = 2000) -> int:
     """Read parallelism with a ~target_rows/block floor: Ray's default
     splits small files into per-CPU micro-blocks, and a fleet of
     100-row tasks pays per-task fixed costs (worker spin-up, scratch
     warm-up) far exceeding the work. Caps at 2×CPUs for big inputs —
     i.e. natural parallelism is preserved at scale."""
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(path).metadata.num_rows
+    n = parquet_rows(path)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(1, min(2 * cpus, n // target_rows + 1))
 
