@@ -366,7 +366,8 @@ def part_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 5):
 
 
 def part_pagerank_seeded(sf_dir: str, damping: float = 0.85,
-                         iters: int = 5, seed_mod: int = 10):
+                         iters: int = 5, seed_mod: int = 10,
+                         use_bsp: bool = True):
     """PERSONALIZED PageRank over the co-purchase graph: teleport mass
     restricted to a seed part set (part_key % seed_mod == 0 — a real
     deployment passes the user's catalog/interest set), so rank measures
@@ -375,7 +376,16 @@ def part_pagerank_seeded(sf_dir: str, damping: float = 0.85,
     identical movement contract (same one-time edge exchange, same
     per-iteration co-partition join + combined contribution aggregate;
     the only deltas are the seed-indicator init and teleport vectors,
-    both computed batch-side). Rounded to 10 dp for the oracle."""
+    both computed batch-side). Rounded to 10 dp for the oracle.
+
+    Served from the edge-stationary :func:`pagerank_bsp` pool (edges are
+    hash-partitioned ONCE and pinned in actors; each of the ``iters``
+    supersteps moves only pre-summed contribution partials) — the
+    Dataset-form :func:`pagerank` twin re-ships the edge table through a
+    rank⋈edges exchange EVERY iteration, the scale-killer at 100×. The
+    Dataset form stays as the equivalence gate
+    (``test_pagerank_bsp_seeded_equals_dataset``), the part_bfs/bfs_bsp
+    pattern. Set ``use_bsp=False`` to run the Dataset form."""
     import pyarrow.compute as pc
 
     from .agg import hash_groupby_apply
@@ -393,7 +403,12 @@ def part_pagerank_seeded(sf_dir: str, damping: float = 0.85,
         })
 
     edges = hash_groupby_apply(li, ["l_orderkey"], pairs_per_order)
-    pr = pagerank(edges, damping=damping, iters=iters, seed_mod=seed_mod)
+    if use_bsp:
+        pr = pagerank_bsp(edges, damping=damping, iters=iters,
+                          seed_mod=seed_mod)
+    else:
+        pr = pagerank(edges, damping=damping, iters=iters,
+                      seed_mod=seed_mod)
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -463,9 +478,23 @@ class _PagerankShard:
     def n_nodes(self) -> int:
         return len(self.nodes)
 
-    def init_ranks(self, n_total: int) -> None:
+    def n_seed_nodes(self, seed_mod: int) -> int:
+        return int((self.nodes % seed_mod == 0).sum())
+
+    def init_ranks(self, n_total: int, seed_mod: int | None = None,
+                   n_seeds: int | None = None) -> None:
+        """Uniform init (global PageRank) or seed-restricted init+teleport
+        (PERSONALIZED PageRank: mass starts on, and teleports back to, the
+        seed set ``node % seed_mod == 0``). The base vector is fixed for
+        the whole run, so it is precomputed here, not per superstep."""
         self.n_total = n_total
-        self.r = np.full(len(self.nodes), 1.0 / n_total)
+        if seed_mod is None:
+            self.r = np.full(len(self.nodes), 1.0 / n_total)
+            self.base = (1.0 - self.damping) / n_total
+        else:
+            seeded = self.nodes % seed_mod == 0
+            self.r = np.where(seeded, 1.0 / n_seeds, 0.0)
+            self.base = np.where(seeded, (1.0 - self.damping) / n_seeds, 0.0)
 
     def contribs(self) -> list:
         w = self.r[self.src_idx] / self.deg
@@ -487,7 +516,7 @@ class _PagerankShard:
             # symmetric-graph invariant: every dst is an owned node
             assert (idx < len(self.nodes)).all() and (self.nodes[idx] == ud).all()
             acc[idx] += s
-        self.r = (1.0 - self.damping) / self.n_total + self.damping * acc
+        self.r = self.base + self.damping * acc
 
     def write(self, out_path: str) -> str:
         import pyarrow.parquet as pq
@@ -506,8 +535,13 @@ def pagerank_bsp(
     dst: str = "dst",
     P: int | None = None,
     work_dir: str | None = None,
+    seed_mod: int | None = None,
 ) -> ray.data.Dataset:
     """Edge-STATIONARY PageRank — same recurrence as :func:`pagerank`,
+    including its PERSONALIZED variant (``seed_mod`` restricts init and
+    teleport mass to nodes with ``node % seed_mod == 0``; the only deltas
+    vs global PageRank are the two shard-local vectors precomputed in
+    ``init_ranks``, so the per-superstep movement contract is unchanged),
     different movement contract: the Dataset form re-ships the edge
     table through the rank⋈edges exchange every iteration; here edges
     are hash-partitioned by ``src`` ONCE (each partition task writes its
@@ -569,7 +603,15 @@ def pagerank_bsp(
     ray.get([s.load.remote(part_to_path.get(k), P, damping)
              for k, s in enumerate(shards)])
     n_total = sum(ray.get([s.n_nodes.remote() for s in shards]))
-    ray.get([s.init_ranks.remote(n_total) for s in shards])
+    if seed_mod is None:
+        n_seeds = None
+    else:
+        n_seeds = sum(ray.get([s.n_seed_nodes.remote(seed_mod)
+                               for s in shards]))
+        if n_seeds == 0:
+            raise ValueError(f"no seed nodes (node % {seed_mod} == 0)")
+    ray.get([s.init_ranks.remote(n_total, seed_mod, n_seeds)
+             for s in shards])
     for _ in range(iters):
         # ref matrix: lists[i][j] = shard i's partial addressed to shard j
         lists = ray.get([s.contribs.remote() for s in shards])

@@ -136,6 +136,29 @@ def test_pagerank_bsp_equals_dataset_pagerank(ray_session):
     np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
 
 
+def test_pagerank_bsp_seeded_equals_dataset(ray_session):
+    """PERSONALIZED variant: BSP pool with seed-restricted init/teleport
+    must match the Dataset-form pagerank(seed_mod=...) — the equivalence
+    gate that lets part_pagerank_seeded serve from the BSP pool."""
+    from searchenginepp_ray.pipelines.graph import pagerank_bsp
+
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 90, 1500)
+    b = (a + rng.integers(1, 89, 1500)) % 90
+    e = pd.DataFrame({"src": np.r_[a, b], "dst": np.r_[b, a]})
+    got = (pagerank_bsp(ray.data.from_pandas(e).repartition(6),
+                        damping=0.85, iters=4, P=5, seed_mod=7)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (pagerank(ray.data.from_pandas(e).repartition(6),
+                     damping=0.85, iters=4, seed_mod=7)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
+    # seed-restricted mass: non-seed nodes get no teleport, so a node
+    # with no seeded in-neighbors at iters=0 would be 0; total mass ≈ 1
+    np.testing.assert_allclose(got["pr"].sum(), 1.0, rtol=1e-9)
+
+
 def test_clustering_coefficients_constructed(ray_session):
     """Hand-checkable graph: K3 with a pendant + isolated edge.
     cc(K3 member with pendant) = 2·1/(3·2) = 1/3; pure K3 members = 1;
