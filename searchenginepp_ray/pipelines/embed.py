@@ -239,8 +239,16 @@ def text_knn(sf_dir: str, n_queries: int = 5, k: int = 5,
     # twice. The pivot is the pipeline's smallest artifact (dims×8 bytes
     # per doc) and spills via the object store at scale.
     vecs = doc_embedding_vectors(sf_dir, dims, dtype=np.float64).materialize()
-    # bounded collect: the n_queries query vectors only
-    q_rows = (vecs.filter(lambda r: r["doc_id"] < n_queries)
+
+    # bounded collect of the n_queries query vectors only — a VECTORIZED
+    # batch mask (Arrow filter per batch), never a per-row Python
+    # predicate over the corpus
+    def query_mask(t: pa_mod.Table) -> pa_mod.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["doc_id"], pa_mod.scalar(n_queries)))
+
+    q_rows = (vecs.map_batches(query_mask, batch_format="pyarrow")
               .take_all())
     q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
     q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
