@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strided video frame sampling (actor-pool stub codec; frame
         # md5s value-checked by a repeat+slice SQL oracle)
         "frame_sample": lambda sf: multimodal.frame_sample(sf),
+        # REAL container decode (vendored pure-numpy BMP/WAV parsers)
+        # through the actor pool — oracle-hash-checked
+        "media_real_features":
+            lambda sf: multimodal.media_real_features(sf),
         # --- sampling + sketches ---
         # content-addressed Bernoulli sample (stable across reruns)
         "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
@@ -669,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": osql.knn_graph_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "frame_sample": osql.frame_sample_sql(),
+        "media_real_features": osql.media_real_features_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "nation_revenue": osql.nation_revenue_sql(),
         "pricing_summary": osql.pricing_summary_sql(),

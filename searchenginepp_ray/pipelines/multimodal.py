@@ -1,10 +1,21 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
 processed by stateful actor-pool ``map_batches`` stages.
 
-The image/audio libraries are not available in this environment, so the
-*codec* decode is a clearly-marked deterministic fake
-(:class:`FakeCodec` — ``NotImplementedError`` if a real decode is
-requested); everything Ray-side is real and tested: the schema (payload
+Two codec tiers:
+
+- :class:`FakeCodec` (default) — deterministic stand-in that interprets
+  payload bytes directly as samples/pixels, keeping every downstream
+  numeric assertion SQL-checkable.
+- ``FakeCodec(real=True)`` — REAL container decoding via the vendored
+  pure-numpy parsers below (uncompressed 24-bit ``BI_RGB`` BMP and PCM
+  8/16-bit RIFF/WAVE — no wheel needed; PIL/soundfile/av are unavailable
+  in this environment, so formats beyond these raise with a clear
+  message). :func:`media_real_features` exercises real bytes→pixels /
+  bytes→samples end-to-end through the actor pool, and because the
+  containers are built deterministically from the documents table the
+  decoded features remain ORACLE-hash-checkable in SQL.
+
+Everything Ray-side is real and tested either way: the schema (payload
 ``large_binary`` + width/height/sample-rate/frame metadata), the actor
 signature (decoder state built once per actor in ``__init__``), small
 ``batch_size`` for large payloads, and vectorized numpy post-processing
@@ -69,35 +80,173 @@ def media_ds(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(to_media, batch_format="pyarrow")
 
 
-class FakeCodec:
-    """Deterministic stand-in for an image/audio codec.
+# ---------- vendored pure-numpy container codecs (BMP / WAV) ----------
+#
+# Minimal, spec-complete for the subsets they claim: uncompressed 24-bit
+# BI_RGB Windows BMP (BITMAPINFOHEADER, bottom-up or top-down) and
+# canonical RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE, any channel
+# count). ~100 LoC total, no wheel needed — these are the real decode
+# backing FakeCodec(real=True). References: the public BMP file-format
+# layout (BITMAPFILEHEADER 14 B + BITMAPINFOHEADER 40 B) and the
+# Microsoft/IBM RIFF WAVE chunk spec.
 
-    Real decode paths (PIL / soundfile / av) are unavailable in this
-    container — requesting them raises ``NotImplementedError`` so the
-    substitution is impossible to miss. The fake interprets payload bytes
-    directly as samples/pixels, which keeps every downstream numeric
-    assertion deterministic.
+def encode_bmp_gray(img: np.ndarray) -> bytes:
+    """uint8 (H, W) grayscale → uncompressed 24-bit BI_RGB BMP
+    (bottom-up, rows padded to 4-byte boundaries, R=G=B=pixel)."""
+    import struct
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    data_size = stride * h
+    # bottom-up: last row first; replicate gray into B,G,R
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = np.repeat(img[::-1], 3, axis=1)  # (h, w*3)
+    rows[:, :row_bytes] = bgr
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → uint8 (H, W, 3) RGB array.
+    Handles bottom-up (height > 0) and top-down (height < 0) layouts."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic); "
+                         "formats beyond uncompressed BMP need PIL, "
+                         "unavailable in this environment")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (got bpp={bpp}, "
+                         f"compression={compression})")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=stride * h, offset=pix_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 (N,) mono samples → canonical RIFF/WAVE PCM container."""
+    import struct
+
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM container → (int16 samples (N, channels) squeezed to
+    (N,) when mono, sample_rate). 8-bit unsigned payloads are widened to
+    int16 ((b − 128) << 8), the standard PCM8→PCM16 mapping."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload; formats beyond PCM WAV "
+                         "need soundfile/av, unavailable in this environment")
+    pos, n = 12, len(data)
+    fmt_info = None
+    pcm = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported (fmt={audio_fmt})")
+            fmt_info = (channels, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt_info is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt_info
+    if bits == 16:
+        s = np.frombuffer(pcm, dtype="<i2")
+    elif bits == 8:
+        s = ((np.frombuffer(pcm, dtype=np.uint8).astype(np.int16) - 128)
+             << 8)
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (bits={bits})")
+    if channels > 1:
+        s = s[: len(s) // channels * channels].reshape(-1, channels)
+    return s, rate
+
+
+class _RealCodec:
+    """Vendored-parser decode tier: BMP → pixels, WAV → samples. Video
+    has no pure-Python-decodable container, so it raises — the honest
+    remaining stub boundary."""
+
+    def decode_image(self, payload: bytes, width: int = 0,
+                     height: int = 0) -> np.ndarray:
+        return decode_bmp(payload)  # (H, W, 3) uint8; metadata unused
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        samples, _rate = decode_wav(payload)
+        return samples.astype(np.float32) / 32768.0
+
+    def decode_video(self, payload: bytes, width: int, height: int,
+                     n_frames: int) -> np.ndarray:
+        raise NotImplementedError(
+            "real video decoding requires av, unavailable in this "
+            "environment; FakeCodec(real=False) provides the stub")
+
+
+class FakeCodec:
+    """Deterministic stand-in for an image/audio codec, with a REAL tier.
+
+    ``real=False`` (default): interprets payload bytes directly as
+    samples/pixels — keeps every downstream numeric assertion
+    SQL-checkable, and is the oracle twin of the real tier.
+    ``real=True``: dispatches to the vendored pure-numpy BMP/WAV parsers
+    (:func:`decode_bmp` / :func:`decode_wav`); non-BMP/WAV payloads and
+    video raise with a clear message (PIL/soundfile/av are not available
+    in this container).
     """
 
     def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real image/audio decoding requires PIL/soundfile/av, "
-                "which are not available in this environment; "
-                "FakeCodec(real=False) provides the deterministic stub"
-            )
+        self._real = _RealCodec() if real else None
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self._real is not None:
+            return self._real.decode_image(payload, width, height)
         px = np.frombuffer(payload, dtype=np.uint8)[: width * height]
         if len(px) < width * height:
             px = np.pad(px, (0, width * height - len(px)))
         return px.reshape(height, width)
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
+        if self._real is not None:
+            return self._real.decode_audio(payload)
         # bytes → centered float samples in [-1, 1)
         return (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
 
     def decode_video(self, payload: bytes, width: int, height: int, n_frames: int) -> np.ndarray:
+        if self._real is not None:
+            return self._real.decode_video(payload, width, height, n_frames)
         need = width * height * n_frames
         px = np.frombuffer(payload, dtype=np.uint8)
         px = np.resize(px, need)  # deterministic tiling for short payloads
@@ -112,8 +261,8 @@ class MediaFeatures:
     are large; one actor per CPU holds one codec instance.
     """
 
-    def __init__(self):
-        self.codec = FakeCodec()
+    def __init__(self, real: bool = False):
+        self.codec = FakeCodec(real=real)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = len(t)
@@ -254,6 +403,105 @@ class FrameSampler:
              "frame_idx": pa.array([], pa.int64()),
              "n_bytes": pa.array([], pa.int64()),
              "frame_md5": pa.array([], pa.string())})
+
+
+def media_real_ds(sf_dir: str) -> ray.data.Dataset:
+    """Documents table → media table of REAL container payloads: even
+    doc_ids become uncompressed 24-bit BMP images (pixels = the first
+    width×height text bytes, zero-padded when short — the same grid the
+    stub tier uses), odd doc_ids become PCM-16 WAV audio (samples =
+    ``(byte − 128) << 8``, the standard PCM8→PCM16 widening). Container
+    assembly is deterministic, so the DECODED features stay
+    SQL-checkable even though the decode exercises real parsers."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_pylist()
+        kind, payload, width, height = [], [], [], []
+        for i, txt in zip(ids, texts):
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+            nb = len(b)
+            if nb == 0:
+                continue
+            w = 8 if nb >= 64 else 4
+            h = max(nb // w, 1)
+            if i % 2 == 0:
+                px = b[: w * h]
+                if len(px) < w * h:
+                    px = np.pad(px, (0, w * h - len(px)))
+                kind.append("image")
+                payload.append(encode_bmp_gray(px.reshape(h, w)))
+            else:
+                samples = ((b.astype(np.int16) - 128) << 8)
+                kind.append("audio")
+                payload.append(encode_wav_pcm16(samples))
+            width.append(w)
+            height.append(h)
+        keep = [int(i) for i, txt in zip(ids, texts) if len(txt.encode("utf-8")) > 0]
+        return pa.table({
+            "media_id": pa.array(keep, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "payload": pa.array(payload, pa.large_binary()),
+            "width": pa.array(np.asarray(width, dtype=np.int32)),
+            "height": pa.array(np.asarray(height, dtype=np.int32)),
+            "sample_rate": pa.array(
+                np.full(len(keep), 16_000, dtype=np.int32)),
+            "n_frames": pa.array(np.zeros(len(keep), dtype=np.int32)),
+        }, schema=MEDIA_SCHEMA)
+
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_read_blocks(path),
+    ).map_batches(to_media, batch_format="pyarrow")
+
+
+class RealMediaFeatures:
+    """Actor-pool stage over REAL containers: one vendored-parser codec
+    per actor, per-batch decode → (n_samples, mean_value). The image
+    mean is over the decoded (H, W, 3) RGB volume; the audio mean is
+    over float32 samples in [-1, 1) — both reduce to exact integer
+    ratios, so the 6-dp floor-rounded values hash-match the SQL oracle."""
+
+    def __init__(self):
+        self.codec = FakeCodec(real=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        payloads = t["payload"].to_pylist()
+        kinds = t["kind"].to_pylist()
+        mean = np.empty(n, dtype=np.float64)
+        n_samples = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            if kinds[i] == "image":
+                a = self.codec.decode_image(payloads[i], 0, 0)
+            else:
+                a = self.codec.decode_audio(payloads[i])
+            # float64 accumulator: per-sample values are exact dyadic
+            # rationals, so the mean is one correctly-rounded division —
+            # the property the oracle-hash equality relies on
+            mean[i] = float(a.mean(dtype=np.float64))
+            n_samples[i] = a.size
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "n_bytes": pc.binary_length(t["payload"]).cast(pa.int64()),
+            "n_samples": pa.array(n_samples),
+            "mean_value": pa.array(np.floor(mean * 1e6 + 0.5) / 1e6),
+        })
+
+
+def media_real_features(sf_dir: str, concurrency: int = 4):
+    """REAL-container decode + feature extraction through the actor pool
+    (BMP → pixels, WAV → samples via the vendored parsers) — unlike
+    :func:`media_features` this one IS oracle-hash-checkable because the
+    container assembly is a deterministic function of the text bytes."""
+    return media_real_ds(sf_dir).map_batches(
+        RealMediaFeatures, concurrency=(1, concurrency), batch_size=64,
+        num_cpus=1, batch_format="pyarrow",
+    )
 
 
 def frame_sample(sf_dir: str, stride: int = 2, concurrency: int = 4):

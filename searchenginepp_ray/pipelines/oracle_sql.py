@@ -522,6 +522,47 @@ def media_byte_stats_sql() -> str:
     """
 
 
+def media_real_features_sql() -> str:
+    """Oracle for pipelines.multimodal.media_real_features: the REAL
+    container round-trip (text bytes → BMP/WAV encode → vendored-parser
+    decode → features) re-expressed directly over the text bytes. Even
+    doc_ids are 24-bit BMP images (pixel grid = first w·h bytes,
+    zero-padded; decoded volume is (h, w, 3) so n_samples = 3·w·h and
+    the mean equals sum(grid)/(w·h) — 3s/3n and s/n round identically
+    in float64); odd doc_ids are PCM-16 WAV (samples = (b−128)·256 /
+    32768, so the mean is one correctly-rounded division of the exact
+    integer Σ(b−128) by 128·nb). n_bytes is the container size:
+    54 + stride·h for BMP (stride = row bytes padded to 4), 44 + 2·nb
+    for canonical WAV. The corpus is pure ASCII (media_byte_stats pins
+    the byte identity), so ascii(char) == byte."""
+    return """
+WITH v AS (
+  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS nb,
+         CAST(CASE WHEN length(text) >= 64 THEN 8 ELSE 4 END AS BIGINT) AS w
+  FROM documents WHERE length(text) > 0),
+g AS (SELECT media_id, text, nb, w, greatest(nb // w, 1) AS h FROM v),
+s AS (
+  SELECT media_id,
+         SUM(CASE WHEN i <= least(nb, w * h)
+             THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+             AS sum_grid,
+         SUM(ascii(substr(text, CAST(i AS INT), 1))) AS sum_all
+  FROM g, LATERAL (SELECT unnest(generate_series(1, nb)) AS i)
+  GROUP BY media_id)
+SELECT g.media_id,
+  CASE WHEN g.media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN g.media_id % 2 = 0
+       THEN 54 + ((g.w * 3 + 3) // 4) * 4 * g.h
+       ELSE 44 + 2 * g.nb END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN g.media_id % 2 = 0 THEN g.w * g.h * 3
+       ELSE g.nb END AS BIGINT) AS n_samples,
+  floor(CASE WHEN g.media_id % 2 = 0
+        THEN CAST(s.sum_grid AS DOUBLE) / (g.w * g.h)
+        ELSE (CAST(s.sum_all AS DOUBLE) - 128 * g.nb) / (128 * g.nb)
+        END * 1e6 + 0.5) / 1e6 AS mean_value
+FROM g JOIN s USING (media_id)"""
+
+
 def doc_fingerprint_sql(window: int = 4) -> str:
     """Oracle for pipelines.text_stats.fingerprint: min 16-hex-char md5
     prefix over all ``window``-token grams of the normalized token list

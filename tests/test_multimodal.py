@@ -1,6 +1,9 @@
 """Multimodal plumbing: schema, actor-pool decode stage, resize math,
-deterministic fake-codec outputs (the decode itself is stubbed — real
-codecs raise NotImplementedError, pinned here)."""
+deterministic fake-codec outputs, and the REAL vendored BMP/WAV codec
+tier (checked-in binary fixtures decoded through the actor pool; video
+remains the honest stub boundary — real video decode raises)."""
+
+import os
 
 import numpy as np
 import pytest
@@ -8,11 +11,122 @@ import pytest
 from searchenginepp_ray.pipelines import multimodal as mm
 
 SF = "/root/testdata/sf0.001"
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
-def test_fake_codec_real_path_raises():
+def test_real_video_decode_raises():
     with pytest.raises(NotImplementedError):
-        mm.FakeCodec(real=True)
+        mm.FakeCodec(real=True).decode_video(b"xx", 2, 1, 1)
+
+
+def test_real_codec_rejects_foreign_containers():
+    c = mm.FakeCodec(real=True)
+    with pytest.raises(ValueError):
+        c.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, 4, 2)
+    with pytest.raises(ValueError):
+        c.decode_audio(b"OggS" + b"\x00" * 32)
+
+
+def test_decode_bmp_checked_in_fixture():
+    """gradient.bmp was assembled by hand from the BMP spec (raw struct,
+    independent of encode_bmp_gray): 3x2 24-bit bottom-up BI_RGB."""
+    data = open(os.path.join(FIXTURES, "gradient.bmp"), "rb").read()
+    a = mm.decode_bmp(data)
+    assert a.shape == (2, 3, 3) and a.dtype == np.uint8
+    assert a.tolist() == [
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+    ]
+
+
+def test_decode_wav_checked_in_fixture():
+    data = open(os.path.join(FIXTURES, "tone.wav"), "rb").read()
+    s, rate = mm.decode_wav(data)
+    assert rate == 8000
+    assert s.tolist() == [0, 1000, -1000, 32767, -32768, 256]
+
+
+def test_bmp_roundtrip_and_padding():
+    rng = np.random.default_rng(7)
+    for h, w in [(2, 3), (5, 5), (1, 7), (4, 2)]:  # odd widths → row pad
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        back = mm.decode_bmp(mm.encode_bmp_gray(img))
+        assert back.shape == (h, w, 3)
+        for ch in range(3):
+            np.testing.assert_array_equal(back[:, :, ch], img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 101).astype(np.int16)
+    back, rate = mm.decode_wav(mm.encode_wav_pcm16(s, 22_050))
+    assert rate == 22_050
+    np.testing.assert_array_equal(back, s)
+
+
+def test_wav_8bit_widening():
+    """8-bit unsigned PCM widens via (b - 128) << 8."""
+    import struct
+
+    pcm = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = mm.decode_wav(data)
+    assert s.tolist() == [-32768, 0, 127 << 8]
+
+
+def test_real_media_features_actor_pool(ray_session):
+    """Checked-in fixtures + derived corpus through the REAL-codec actor
+    pool; means equal hand-computed byte means."""
+    import ray
+
+    import pyarrow as pa
+
+    # fixtures through the pool: one BMP, one WAV
+    bmp = open(os.path.join(FIXTURES, "gradient.bmp"), "rb").read()
+    wav = open(os.path.join(FIXTURES, "tone.wav"), "rb").read()
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "audio"]),
+        "payload": pa.array([bmp, wav], pa.large_binary()),
+    })
+    out = (ray.data.from_arrow(t)
+           .map_batches(mm.RealMediaFeatures, concurrency=(1, 2),
+                        batch_size=1, batch_format="pyarrow")
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    px = np.array([10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+    assert out.loc[0, "n_samples"] == 18
+    assert out.loc[0, "mean_value"] == pytest.approx(
+        np.floor(px.mean() * 1e6 + 0.5) / 1e6)
+    samples = np.array([0, 1000, -1000, 32767, -32768, 256]) / 32768.0
+    assert out.loc[1, "n_samples"] == 6
+    assert out.loc[1, "mean_value"] == pytest.approx(
+        np.floor(samples.mean() * 1e6 + 0.5) / 1e6)
+
+
+def test_media_real_features_matches_oracle(ray_session):
+    """Full pipeline (encode → real decode → features) vs the DuckDB
+    oracle at sf0.001 — the hash-equality the driver gate checks."""
+    import duckdb
+
+    from searchenginepp_ray.pipelines.oracle_sql import \
+        media_real_features_sql
+
+    got = (mm.media_real_features(SF, concurrency=2).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = (con.execute(media_real_features_sql()).df()
+            .sort_values("media_id").reset_index(drop=True))
+    assert got["media_id"].tolist() == want["media_id"].tolist()
+    assert got["kind"].tolist() == want["kind"].tolist()
+    assert got["n_bytes"].tolist() == want["n_bytes"].astype(int).tolist()
+    assert got["n_samples"].tolist() == want["n_samples"].astype(int).tolist()
+    np.testing.assert_allclose(got["mean_value"], want["mean_value"],
+                               atol=0)
 
 
 def test_media_schema(ray_session):
