@@ -797,15 +797,30 @@ class AssembleSegment:
     def _encode_write(self, seg, files, docid, doclen, uniq_terms, codes_s,
                       docid_s, tf_s, dl_s, _timings, pos_s=None) -> dict:
         """Shared encode tail: (term-code, docid)-sorted posting arrays →
-        encoded segment on disk. Used by both the raw-docs build path and
-        the segment-merge path. ``pos_s`` (positional builds): per-posting
-        flat occurrence positions aligned with the sorted posting order
+        encoded segment on disk. Used by the raw-docs build path (the
+        merge path chunks by term range and calls :meth:`_encode_terms`
+        directly). ``pos_s`` (positional builds): per-posting flat
+        occurrence positions aligned with the sorted posting order
         (posting i owns the ``tf_s[i]`` values after ``sum(tf_s[:i])``)."""
         import time as _time
 
         _t = _time.perf_counter()
-        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
-        manifest_path = os.path.join(seg_dir, "manifest.json")
+        terms_table, pos_table = self._encode_terms(
+            uniq_terms, codes_s, docid_s, tf_s, dl_s, pos_s=pos_s)
+        _timings["encode"] = _time.perf_counter() - _t
+        return self._write_segment(
+            seg, files, docid, doclen, [terms_table],
+            [pos_table] if pos_table is not None else None,
+            int(len(docid_s)), _timings)
+
+    def _encode_terms(self, uniq_terms, codes_s, docid_s, tf_s, dl_s,
+                      pos_s=None) -> tuple[pa.Table, pa.Table | None]:
+        """Encode ONE term-range chunk of (term-code, docid)-sorted
+        posting arrays into per-term lexicon rows. Every value in a row
+        is term-local (byte slices, block offsets relative to the term's
+        own streams), so chunk tables concatenate into a full segment
+        table with no offset fixup — the property the bounded-memory
+        merge relies on. Returns ``(terms_table, positions_table|None)``."""
         n_terms = len(uniq_terms)
         df_local = np.bincount(codes_s, minlength=n_terms).astype(np.int64)
         term_starts = np.concatenate(([0], np.cumsum(df_local)[:-1]))
@@ -925,13 +940,7 @@ class AssembleSegment:
             }
         )
 
-        _timings["encode"] = _time.perf_counter() - _t
-        _t = _time.perf_counter()
-        os.makedirs(seg_dir, exist_ok=True)
-        tmp = os.path.join(seg_dir, "terms.parquet.tmp")
-        pq.write_table(terms_table, tmp)
-        os.replace(tmp, os.path.join(seg_dir, "terms.parquet"))
-
+        pos_table = None
         if pos_s is not None:
             # ---- positional sidecar: per posting, occurrence positions
             # delta-gapped (absolute restart at each posting's first
@@ -951,6 +960,28 @@ class AssembleSegment:
                 "term": pa.array(uniq_terms, pa.string()),
                 "pos_bytes": _binary_col(pb_bytes, term_pos_offs),
             })
+        return terms_table, pos_table
+
+    def _write_segment(self, seg, files, docid, doclen, terms_tables,
+                       pos_tables, n_postings, _timings) -> dict:
+        """Write tail shared by the single-chunk build path and the
+        term-range-chunked merge: concatenate chunk tables (pure row
+        concat — every row is term-local), write the segment files
+        atomically, record the manifest."""
+        import time as _time
+
+        _t = _time.perf_counter()
+        seg_dir = os.path.join(self.out_dir, f"db_{seg}")
+        manifest_path = os.path.join(seg_dir, "manifest.json")
+        terms_table = (terms_tables[0] if len(terms_tables) == 1
+                       else pa.concat_tables(terms_tables).combine_chunks())
+        os.makedirs(seg_dir, exist_ok=True)
+        tmp = os.path.join(seg_dir, "terms.parquet.tmp")
+        pq.write_table(terms_table, tmp)
+        os.replace(tmp, os.path.join(seg_dir, "terms.parquet"))
+        if pos_tables is not None:
+            pos_table = (pos_tables[0] if len(pos_tables) == 1
+                         else pa.concat_tables(pos_tables).combine_chunks())
             tmp = os.path.join(seg_dir, "positions.parquet.tmp")
             pq.write_table(pos_table, tmp)
             os.replace(tmp, os.path.join(seg_dir, "positions.parquet"))
@@ -961,13 +992,13 @@ class AssembleSegment:
             "seg": seg,
             "base_docid": int(docid.min()) if len(docid) else 0,
             "n_docs": int(len(docid)),
-            "n_terms": int(n_terms),
-            "n_postings": int(len(docid_s)),
+            "n_terms": int(len(terms_table)),
+            "n_postings": int(n_postings),
             "sum_doclen": int(doclen.sum()),
             "doc_files": files,
             "docid_encoding": "varbyte-dgap-blockrestart",
             "freq_encoding": "unary-lsb",
-            "positions": pos_s is not None,
+            "positions": pos_tables is not None,
             "skip_block_size": self.cfg.skip_block_size,
             "params_id": self.cfg.params_id,
             "profile_id": self.cfg.profile.profile_id,
@@ -1065,32 +1096,21 @@ def read_segment_positions(seg_dir: str, tfs: np.ndarray) -> np.ndarray:
     return out
 
 
-def read_segment_postings(seg_dir: str) -> dict:
-    """Fully-decoded posting data of a built segment, vectorized:
-    whole-column delta-gap VarByte docid decode (one pass over the
-    concatenated streams) and whole-column unary freq decode (bit-unpack
-    once; each term's values end at its first ``df`` zero-bits, so the
-    phantom padding never parses as data).
-
-    This is the read side of the k-way segment merge: because segments
-    are disjoint increasing docid ranges, per-term posting lists
-    CONCATENATE in (term, docid) order — no per-posting sort exists in
-    the merge at all (S5, the reference's k-way lexicon merge
-    src/builder.cpp:127-170 re-expressed over column batches)."""
+def decode_postings_rows(t: pa.Table, B: int) -> dict:
+    """Vectorized decode of a (row-subset of a) segment term table —
+    each row is one term's two encoded streams: whole-column delta-gap
+    VarByte docid decode (one pass over the concatenated streams) and
+    whole-column unary freq decode (bit-unpack once; each row's values
+    end at its first ``df`` zero-bits, so the phantom padding never
+    parses as data). ``B`` is the stream's skip-block restart period.
+    Works on any row gather/slice because every row's byte slices are
+    self-contained (restarts at row start + every B within the row)."""
     from .searcher import _np_offsets
 
-    with open(os.path.join(seg_dir, "manifest.json")) as f:
-        manifest = json.load(f)
-    B = int(manifest["skip_block_size"])
-    t = pq.read_table(
-        os.path.join(seg_dir, "terms.parquet"),
-        columns=["term", "df_local", "docid_bytes", "freq_bytes"],
-    )
-    terms = t["term"].combine_chunks()
     df = t["df_local"].to_numpy().astype(np.int64)
     P = int(df.sum())
     if P == 0:
-        return {"terms": terms, "df": df,
+        return {"df": df,
                 "docids": np.empty(0, dtype=np.uint64),
                 "tfs": np.empty(0, dtype=np.int64)}
 
@@ -1118,19 +1138,60 @@ def read_segment_postings(seg_dir: str) -> dict:
     nz = df > 0
     starts[term_starts[nz]] = rs_bits[nz]  # term streams are byte-aligned
     tfs = (ends - starts + 1).astype(np.int64)
-    return {"terms": terms, "df": df, "docids": docids, "tfs": tfs}
+    return {"df": df, "docids": docids, "tfs": tfs}
+
+
+def read_segment_postings(seg_dir: str) -> dict:
+    """Fully-decoded posting data of a built segment (the whole-segment
+    form of :func:`decode_postings_rows`).
+
+    This is the read side of the k-way segment merge: because segments
+    are disjoint increasing docid ranges, per-term posting lists
+    CONCATENATE in (term, docid) order — no per-posting sort exists in
+    the merge at all (S5, the reference's k-way lexicon merge
+    src/builder.cpp:127-170 re-expressed over column batches)."""
+    with open(os.path.join(seg_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    B = int(manifest["skip_block_size"])
+    t = pq.read_table(
+        os.path.join(seg_dir, "terms.parquet"),
+        columns=["term", "df_local", "docid_bytes", "freq_bytes"],
+    )
+    out = decode_postings_rows(t, B)
+    out["terms"] = t["term"].combine_chunks()
+    return out
+
+
+#: per-chunk decoded-posting budget for the streaming k-way merge — the
+#: bound on a merge task's DECODED working set (flat int64 arrays are
+#: ~10-20× the encoded bytes, so this is what actually sizes task RSS).
+#: 4M postings ≈ 4M × ~50 B of flats/scratch ≈ 200 MB peak per chunk.
+MERGE_CHUNK_POSTINGS = int(os.environ.get(
+    "SEPPRAY_MERGE_CHUNK_POSTINGS", str(4_000_000)))
 
 
 class MergeAssemble(AssembleSegment):
-    """Segment-merge assembly: reads the SOURCE SEGMENTS (not raw docs),
-    concatenates their decoded posting lists per term — already (term,
-    docid)-sorted by construction — and reuses the shared encode tail.
-    Replaces the raw-path merge, which re-flattened every document and
-    re-sorted every posting."""
+    """Segment-merge assembly: reads the SOURCE SEGMENTS (not raw docs)
+    and concatenates their per-term posting lists — already (term,
+    docid)-sorted by construction.
 
-    def __init__(self, src_index_dir: str, **kwargs):
+    STREAMING by term range: the task holds every source segment's term
+    table in its ENCODED form (byte streams stay varbyte/unary), then
+    decodes → merges → re-encodes one bounded chunk of the merged
+    vocabulary at a time (``SEPPRAY_MERGE_CHUNK_POSTINGS`` postings per
+    chunk, cut at term boundaries). Peak RSS per task is therefore
+    encoded-segment size + ONE chunk's decoded flats — constant in the
+    merged-segment size — instead of the whole merged segment decoded
+    at once. Every lexicon row is term-local, so chunk tables
+    concatenate into the final segment table with no offset fixup."""
+
+    def __init__(self, src_index_dir: str, chunk_postings: int | None = None,
+                 **kwargs):
         super().__init__(**kwargs)
         self.src_index_dir = src_index_dir
+        # captured driver-side and serialized with the callable, so the
+        # env override works regardless of worker-process environment
+        self.chunk_postings = int(chunk_postings or MERGE_CHUNK_POSTINGS)
 
     def _assemble(self, seg: int) -> dict:
         import time as _time
@@ -1149,26 +1210,43 @@ class MergeAssemble(AssembleSegment):
         self._load_global_for(src_segs)
         src_dirs = [os.path.join(self.src_index_dir, f"db_{s}") for s in src_segs]
         files_set: set[str] = set()
+        skip_B = None
         for d in src_dirs:
             with open(os.path.join(d, "manifest.json")) as f:
-                files_set.update(json.load(f)["doc_files"])
+                sm = json.load(f)
+            files_set.update(sm["doc_files"])
+            skip_B = int(sm["skip_block_size"])
         files = sorted(files_set)
         dt = pads.dataset(files).to_table(columns=["docid", "doclen"])
         dt = dt.take(pc.sort_indices(dt, sort_keys=[("docid", "ascending")]))
         docid = dt["docid"].to_numpy(zero_copy_only=False)
         doclen = dt["doclen"].to_numpy(zero_copy_only=False)
 
-        parts = [read_segment_postings(d) for d in src_dirs]
+        # encoded term tables only — byte streams stay compressed until
+        # their chunk decodes them
+        cols = ["term", "df_local", "docid_bytes", "freq_bytes"]
+        metas = [
+            pq.read_table(os.path.join(d, "terms.parquet"), columns=cols)
+            for d in src_dirs
+        ]
+        concat = pa.concat_tables(metas).combine_chunks()
+        pos_concat = None
+        if self.cfg.positions:
+            pos_concat = pa.concat_tables([
+                pq.read_table(os.path.join(d, "positions.parquet"),
+                              columns=["pos_bytes"])
+                for d in src_dirs
+            ]).combine_chunks()
+        lens = concat["df_local"].to_numpy().astype(np.int64)
         _timings["read"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
 
-        if len(docid) == 0 or sum(len(p["docids"]) for p in parts) == 0:
+        if len(docid) == 0 or int(lens.sum()) == 0:
             return self._write_empty(seg, files)
 
         # term union: dictionary-encode the concatenated per-segment term
         # columns (row count = Σ per-seg vocab, not Σ postings)
-        term_col = pa.concat_arrays([p["terms"] for p in parts])
-        de = pc.dictionary_encode(term_col)
+        de = pc.dictionary_encode(concat["term"])
         dict_arr = de.dictionary if hasattr(de, "dictionary") else de.combine_chunks().dictionary
         dict_sort = np.asarray(pc.array_sort_indices(dict_arr))
         rank = np.empty(len(dict_sort), dtype=np.int64)
@@ -1178,45 +1256,67 @@ class MergeAssemble(AssembleSegment):
         ).astype(np.int64)
         row_codes = rank[raw_codes]
         uniq_terms = np.asarray(dict_arr.take(pa.array(dict_sort)).to_pylist(), dtype=object)
+        n_terms = len(uniq_terms)
 
-        # concatenated decoded flats + per-(seg, term) row starts
-        docids_flat = np.concatenate([p["docids"] for p in parts])
-        tfs_flat = np.concatenate([p["tfs"] for p in parts])
-        lens = np.concatenate([p["df"] for p in parts])
-        row_starts = np.cumsum(lens) - lens
-
-        # rows are seg-major; a STABLE sort by term code keeps segment
-        # (= docid) order within each term — no per-posting sort
+        # rows are seg-major; a STABLE sort by term code yields (term,
+        # seg) = (term, docid) row order — no per-posting sort anywhere
         row_order = np.argsort(row_codes, kind="stable")
+        codes_o = row_codes[row_order]
         lens_o = lens[row_order]
-        gather = np.repeat(row_starts[row_order], lens_o) + _ranges(lens_o)
-        docid_s = docids_flat[gather]
-        tf_s = tfs_flat[gather]
-        codes_s = np.repeat(row_codes[row_order], lens_o)
-        pos_s = None
-        if self.cfg.positions:
-            # positions are one nesting level below postings: decode each
-            # segment's stream (posting-aligned), then gather per-posting
-            # slices through the SAME posting permutation
-            pos_flat = np.concatenate([
-                read_segment_positions(d, p["tfs"])
-                for d, p in zip(src_dirs, parts)
-            ]) if parts else np.zeros(0, np.int64)
-            tfs64 = tfs_flat.astype(np.int64)
-            p_starts = np.cumsum(tfs64) - tfs64
-            tf_o = tf_s.astype(np.int64)
-            pgather = np.repeat(p_starts[gather], tf_o) + _ranges(tf_o)
-            pos_s = pos_flat[pgather]
 
+        # chunk cuts: term boundaries in the ordered row space, greedy
+        # up to the posting budget (≥ 1 term per chunk so a megaterm
+        # still fits in one chunk by itself)
+        term_row_bounds = np.searchsorted(codes_o, np.arange(n_terms + 1))
+        post_cum = np.concatenate(([0], np.cumsum(lens_o)))
+        term_post_cum = post_cum[term_row_bounds]
         base0 = int(docid[0])
         assert int(docid[-1]) - base0 == len(docid) - 1, "docids must be dense"
-        dl_s = doclen[(docid_s.astype(np.int64) - base0)]
-        _timings["kway"] = _time.perf_counter() - _t
 
-        return self._encode_write(
-            seg, files, docid, doclen, uniq_terms, codes_s, docid_s, tf_s,
-            dl_s, _timings, pos_s=pos_s,
-        )
+        terms_tables, pos_tables = [], []
+        n_postings = 0
+        _timings["kway"] = 0.0
+        _timings["encode"] = 0.0
+        ta = 0
+        while ta < n_terms:
+            _t = _time.perf_counter()
+            tb = int(np.searchsorted(
+                term_post_cum, term_post_cum[ta] + self.chunk_postings,
+                side="right")) - 1
+            tb = min(max(tb, ta + 1), n_terms)
+            rows = row_order[term_row_bounds[ta]: term_row_bounds[tb]]
+            sub = concat.take(pa.array(rows))
+            dec = decode_postings_rows(sub, skip_B)
+            docid_s, tf_s = dec["docids"], dec["tfs"]
+            chunk_lens = lens_o[term_row_bounds[ta]: term_row_bounds[tb]]
+            codes_s = np.repeat(
+                codes_o[term_row_bounds[ta]: term_row_bounds[tb]] - ta,
+                chunk_lens)
+            dl_s = doclen[(docid_s.astype(np.int64) - base0)]
+            pos_s = None
+            if pos_concat is not None:
+                from .searcher import _np_offsets
+
+                psub = pos_concat.take(pa.array(rows))
+                offs, vals = _np_offsets(psub["pos_bytes"])
+                pgaps = varbyte.decode(vals[offs[0]: offs[-1]]) if len(
+                    psub) else np.zeros(0, np.uint64)
+                pos_s = decode_pos_stream(pgaps, tf_s)
+            _timings["kway"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            tt, pt = self._encode_terms(
+                uniq_terms[ta:tb], codes_s, docid_s, tf_s, dl_s, pos_s=pos_s)
+            terms_tables.append(tt)
+            if pt is not None:
+                pos_tables.append(pt)
+            n_postings += int(len(docid_s))
+            _timings["encode"] += _time.perf_counter() - _t
+            ta = tb
+
+        return self._write_segment(
+            seg, files, docid, doclen, terms_tables,
+            pos_tables if pos_concat is not None else None,
+            n_postings, _timings)
 
 
 def read_global_term_df(
@@ -1245,6 +1345,7 @@ def merge_segments(
     out_dir: str,
     group_size: int = 32,
     cfg: BuildConfig | None = None,
+    chunk_postings: int | None = None,
 ) -> dict:
     """Segment merge/compaction: combine ``group_size`` adjacent
     docid-range segments into one (the analog of the reference's
@@ -1345,6 +1446,7 @@ def merge_segments(
 
     assemble = MergeAssemble(
         src_index_dir=index_dir,
+        chunk_postings=chunk_postings,
         out_dir=out_dir,
         docs_dir=docs_dir,
         cfg=cfg,

@@ -515,6 +515,32 @@ def test_merge_segments_identical_results(built, tmp_path_factory):
             assert [(d, s) for d, _, s in x] == [(d, s) for d, _, s in y], mode
 
 
+def test_merge_chunked_byte_identical(built, tmp_path_factory):
+    """The streaming term-range merge (forced tiny posting budget →
+    many chunks per segment) writes BYTE-identical segment files to a
+    one-chunk merge — the bounded-working-set path changes memory
+    shape only, not a single output byte."""
+    import os
+
+    from searchenginepp_ray.index.build import merge_segments
+
+    summary, _, _ = built
+    cfg = BuildConfig(docs_per_segment=300)
+    one = str(tmp_path_factory.mktemp("m_one") / "idx")
+    many = str(tmp_path_factory.mktemp("m_many") / "idx")
+    a = merge_segments(summary["out_dir"], one, group_size=2, cfg=cfg,
+                       chunk_postings=10**9)  # everything in one chunk
+    b = merge_segments(summary["out_dir"], many, group_size=2, cfg=cfg,
+                       chunk_postings=50)  # tiny budget → many chunks
+    assert a["n_postings"] == b["n_postings"] > 50  # chunking engaged
+    segs = sorted(d for d in os.listdir(one) if d.startswith("db_"))
+    assert segs
+    for d in segs:
+        pa_ = open(os.path.join(one, d, "terms.parquet"), "rb").read()
+        pb_ = open(os.path.join(many, d, "terms.parquet"), "rb").read()
+        assert pa_ == pb_, f"{d} differs between chunked and one-chunk merge"
+
+
 def test_merge_resume_skips_finished_segments(built, tmp_path_factory):
     """Compaction is resumable per merged segment: deleting one segment's
     output and re-running merge_segments rebuilds ONLY that segment

@@ -287,7 +287,9 @@ def test_positional_merge_with_empty_segment(ray_session, tmp_path_factory):
     idx = str(tmp / "idx")
     build_index(corpus, idx, cfg)
     merged = str(tmp / "merged")
-    merge_segments(idx, merged, group_size=3)  # groups the empty segment
+    # tiny chunk budget: exercises the STREAMING term-range merge on the
+    # positional sidecar too (many chunks per merged segment)
+    merge_segments(idx, merged, group_size=3, chunk_postings=40)
     e1 = QueryEngine(idx, use_actors=False, cfg=cfg)
     e2 = QueryEngine(merged, use_actors=False, cfg=cfg)
     assert e1.phrase_search_batch(["return if"]) \
