@@ -33,6 +33,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .agg import hash_groupby_apply
@@ -296,12 +297,15 @@ def pagerank(
 
     ranks = nodes.map_batches(init_rows, batch_format="pyarrow").materialize()
 
-    def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
-        # map-side combiner: per-batch partial sums per dst
-        c = df["pr"].to_numpy() / df["deg"].to_numpy()
-        g = pd.DataFrame({"dst": df["dst"].to_numpy(), "c": c}).groupby(
-            "dst", as_index=False)["c"].sum()
-        return g
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: per-batch partial sums per dst (Arrow-native
+        # groupby-sum — pure C kernel, no pandas conversion)
+        g = pa.table({
+            "dst": t["dst"],
+            "c": pc.divide(pc.cast(t["pr"], pa.float64()),
+                           pc.cast(t["deg"], pa.float64())),
+        }).group_by(["dst"]).aggregate([("c", "sum")])
+        return pa.table({"dst": g["dst"], "c": g["c_sum"]})
 
     def finish(t: pa.Table) -> pa.Table:
         s = t["contrib"].to_numpy(zero_copy_only=False)
@@ -319,7 +323,7 @@ def pagerank(
         joined = shuffle_join(
             edges_deg, ranks, "src", "node", ["dst", "deg"], ["pr"]
         )
-        partials = joined.map_batches(contrib_partial, batch_format="pandas")
+        partials = joined.map_batches(contrib_partial, batch_format="pyarrow")
         ranks = hash_groupby_sum(
             partials, ["dst"], {"contrib": ("c", "sum")}
         ).map_batches(finish, batch_format="pyarrow").materialize()
