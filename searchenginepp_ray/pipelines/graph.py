@@ -701,10 +701,18 @@ def part_pagerank_bsp(sf_dir: str, damping: float = 0.85, iters: int = 5):
     return pr.map_batches(fmt, batch_format="pyarrow")
 
 
-def _oriented_wedges(edges: ray.data.Dataset):
+def _oriented_wedges(edges: ray.data.Dataset, stats: dict | None = None):
     """Shared triangle machinery over an undirected edge Dataset
     (columns ``a`` < ``b``, distinct) — the degree-ordered
     node-iterator ("compact-forward") algorithm, fully distributed.
+    Pass a dict as ``stats`` to have the SKEW GUARD numbers filled in:
+    ``max_out_deg`` (the largest oriented adjacency any wedge task must
+    pair-expand — bounded by O(√E) by the degree orientation REGARDLESS
+    of hub degree, the degeneracy-order property) and ``n_wedges``
+    (Σ C(out, 2), the exact total wedge work). At 100× scale run these
+    two tiny aggregates first; if max_out_deg² is unacceptable, the
+    graph's arboricity — not a hot node — is the problem, and sampling
+    is the only shrink.
     Returns ``(deg, both, edges)``: the materialized node-degree and
     edge Datasets plus the union of apex-carrying wedge rows (kind 0)
     with edge rows (kind 1), keyed for the (v, w) closing co-partition:
@@ -790,6 +798,22 @@ def _oriented_wedges(edges: ray.data.Dataset):
 
     oriented = hash_groupby_apply(u2, ["k"], attach_b_orient)
 
+    if stats is not None:
+        # skew-guard report: two vocabulary-free aggregates over the
+        # ORIENTED edges (node-sized exchange, scalars to the driver).
+        # Materialize so the wedge pass below reuses the exchange.
+        oriented = oriented.materialize()
+        out_deg = hash_groupby_sum(
+            oriented, ["u"], {"out": ("u", "size")}).materialize()
+        stats["max_out_deg"] = int(out_deg.max("out") or 0)
+
+        def wedge_partial(t: pa.Table) -> pa.Table:
+            o = t["out"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"w": pa.array([int((o * (o - 1) // 2).sum())])})
+
+        stats["n_wedges"] = int(out_deg.map_batches(
+            wedge_partial, batch_format="pyarrow").sum("w") or 0)
+
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         # enumerate each source's out-neighbor PAIRS directly (sorted
         # adjacency + two-level index arithmetic) — generates exactly
@@ -863,12 +887,18 @@ def _closed_mask(df: pd.DataFrame) -> np.ndarray:
     return j["_hit"].fillna(False).to_numpy(dtype=bool)
 
 
-def triangle_count(edges: ray.data.Dataset) -> dict:
+def triangle_count(edges: ray.data.Dataset,
+                   report_skew: bool = False) -> dict:
     """Exact triangle census over an undirected edge Dataset — see
-    :func:`_oriented_wedges` for the distributed shape."""
+    :func:`_oriented_wedges` for the distributed shape.
+    ``report_skew=True`` adds ``max_out_deg`` / ``n_wedges`` (the
+    per-task wedge-work bound and exact total) to the returned dict —
+    the pre-flight check for skewed graphs at scale; the default keys
+    stay unchanged for the oracle-pinned census schema."""
     from .agg import hash_groupby_apply
 
-    deg, both, edges = _oriented_wedges(edges)
+    stats: dict | None = {} if report_skew else None
+    deg, both, edges = _oriented_wedges(edges, stats=stats)
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
         hit = _closed_mask(df)
@@ -879,7 +909,10 @@ def triangle_count(edges: ray.data.Dataset) -> dict:
     n_tri = int(parts["tri_part"].sum())
     n_edges = edges.count()
     n_nodes = deg.count()
-    return {"n_nodes": n_nodes, "n_edges": n_edges, "n_triangles": n_tri}
+    out = {"n_nodes": n_nodes, "n_edges": n_edges, "n_triangles": n_tri}
+    if stats is not None:
+        out.update(stats)
+    return out
 
 
 def copurchase_edges(sf_dir: str) -> ray.data.Dataset:

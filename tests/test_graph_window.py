@@ -159,6 +159,36 @@ def test_pagerank_bsp_seeded_equals_dataset(ray_session):
     np.testing.assert_allclose(got["pr"].sum(), 1.0, rtol=1e-9)
 
 
+def test_triangle_census_star_graph_bounded_wedges(ray_session):
+    """Skew guard: a celebrity hub (star of degree 2000) generates ZERO
+    wedge work — the degree orientation points every spoke INTO the hub,
+    so max per-task out-degree is 1 and the census stays exact. With a
+    triangle grafted onto two spokes the work bound stays tiny and the
+    count is exact."""
+    from searchenginepp_ray.pipelines.graph import triangle_count
+
+    n = 2000
+    hub = np.zeros(n, np.int64)
+    spokes = np.arange(1, n + 1, dtype=np.int64)
+    star = pd.DataFrame({"a": hub, "b": spokes})
+    got = triangle_count(ray.data.from_pandas(star).repartition(4),
+                         report_skew=True)
+    assert got["n_triangles"] == 0
+    assert got["max_out_deg"] == 1  # hub emits nothing: all edges inbound
+    assert got["n_wedges"] == 0
+
+    # graft one triangle between spokes 1-2 (hub-1-2 also closes):
+    # edges (1,2) added -> triangles {hub,1,2} via existing (0,1),(0,2)
+    tri = pd.concat([star, pd.DataFrame({"a": [1], "b": [2]})],
+                    ignore_index=True)
+    got2 = triangle_count(ray.data.from_pandas(tri).repartition(4),
+                          report_skew=True)
+    assert got2["n_triangles"] == 1
+    # per-task pair-expansion stays constant-bounded despite the hub
+    assert got2["max_out_deg"] <= 2
+    assert got2["n_wedges"] <= 3
+
+
 def test_clustering_coefficients_constructed(ray_session):
     """Hand-checkable graph: K3 with a pendant + isolated edge.
     cc(K3 member with pendant) = 2·1/(3·2) = 1/3; pure K3 members = 1;
