@@ -334,12 +334,17 @@ class QueryEngine:
             for qi in range(len(toks))
         ]
 
-    def search_explain_batch(self, queries, k: int = 10, mode: str = "bmm",
+    def search_explain_batch(self, queries, k: int = 10, mode: str = "daat",
                              scorer_name: str | None = None):
         """Top-``k`` with per-term score decomposition ("explain"): for
         every hit, the contribution of each matching query term, summing
         exactly to the ranked score (same per-term scorer kernel the
         ranking pass ran — contributions are the identical doubles).
+        Default mode is "daat" because DAAT adds per-term in sorted-term
+        order — the SAME addition order the explain pass uses, making
+        Σ contributions == ranked score an exact float identity; under
+        mode="bmm" Maxscore may add in sigma order on large segments, so
+        equality there holds only up to float addition order.
         Returns (top, expl): ``top`` as in :meth:`search_batch`; ``expl``
         per query a list of (docid, term, contribution). Second
         scatter/gather is hit-pruned — only the k hit docs' skip blocks

@@ -143,7 +143,12 @@ def quantile_cont(v: np.ndarray, cum: np.ndarray, qs) -> dict[str, float]:
         hi = int(np.ceil(pos))
         vlo = v[np.searchsorted(cum, lo, side="right")]
         vhi = v[np.searchsorted(cum, hi, side="right")]
-        out[f"p{int(q * 100)}"] = round(vlo + (vhi - vlo) * (pos - lo), 6)
+        # shared half-up floor grid (NOT Python round(), which is
+        # banker's rounding — DuckDB's ROUND() is half-away-from-zero,
+        # so an interpolated value landing exactly on a .0000005
+        # boundary would hash-mismatch cross-engine)
+        x = vlo + (vhi - vlo) * (pos - lo)
+        out[f"p{int(q * 100)}"] = float(np.floor(x * 1e6 + 0.5) / 1e6)
     return out
 
 

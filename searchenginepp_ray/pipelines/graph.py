@@ -651,6 +651,14 @@ def _bsp_width() -> int:
 
     env = int(os.environ.get("SEPPRAY_BSP_SHARDS", "0"))
     if env > 0:
+        # shards reserve num_cpus=0 (see below), so an oversized env
+        # value oversubscribes the cluster with concurrent superstep
+        # bursts — clamp to 4× cluster CPUs (enough to hide per-shard
+        # load latency, bounded oversubscription) rather than honoring
+        # an arbitrary figure
+        if ray.is_initialized():
+            cap = 4 * int(ray.cluster_resources().get("CPU", 8))
+            return max(2, min(env, cap))
         return env
     if not ray.is_initialized():
         return 4

@@ -733,7 +733,8 @@ def value_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99)) -> str:
     """Oracle for events.value_quantiles — quantile_cont over the same
     2-decimal fixed-point grid the histogram uses."""
     cols = ",\n               ".join(
-        f"ROUND(quantile_cont(round(value, 2), {q}), 6) AS p{int(q * 100)}"
+        f"floor(quantile_cont(round(value, 2), {q}) * 1e6 + 0.5) / 1e6 "
+        f"AS p{int(q * 100)}"
         for q in qs
     )
     return f"""
@@ -3580,7 +3581,8 @@ def session_duration_quantiles_sql(gap_s: int = 1800,
     linear-interpolation rule the histogram pass evaluates)."""
     cols = ",\n       ".join(
         # CAST, not *1.0: DECIMAL would truncate the interpolation scale
-        f"ROUND(quantile_cont(CAST(dur AS DOUBLE), {q}), 6) AS p{int(q * 100)}"
+        f"floor(quantile_cont(CAST(dur AS DOUBLE), {q}) * 1e6 + 0.5) / 1e6 "
+        f"AS p{int(q * 100)}"
         for q in qs)
     return f"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
 o AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),

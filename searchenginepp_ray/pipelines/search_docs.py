@@ -387,7 +387,7 @@ def search_explain(sf_dir: str, k: int = 10) -> pd.DataFrame:
     docs per query (block-pruned gather on the segment actors).
     Reference parity: none (beyond-reference serving surface)."""
     eng = get_engine(sf_dir, simple=True, scorer="bm25")
-    top, expl = eng.search_explain_batch(DOC_QUERIES, k=k, mode="bmm")
+    top, expl = eng.search_explain_batch(DOC_QUERIES, k=k, mode="daat")
     rows = []
     for qi, (results, contribs) in enumerate(zip(top, expl)):
         rank_of = {docid: (rank, docno, score)

@@ -64,15 +64,23 @@ def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
 
 def parquet_rows(path: str) -> int:
     """Row count from parquet metadata — file OR directory of files
-    (e.g. a Ray write_parquet output dir)."""
+    (e.g. a Ray write_parquet output dir, including PARTITIONED layouts
+    with nested subdirectories: the walk is recursive). A directory with
+    no parquet files raises rather than silently reporting 0 rows."""
     import os
 
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path) if f.endswith(".parquet"))
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names if f.endswith(".parquet")
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"no .parquet files under directory {path!r}")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return pq.ParquetFile(path).metadata.num_rows
 
 

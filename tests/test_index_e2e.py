@@ -1144,7 +1144,7 @@ def test_search_explain_decomposition(built):
     scores and sum (in sorted-term order) exactly to the ranked score."""
     _, oracle, engine = built
     k = 5
-    top, expl = engine.search_explain_batch(QUERIES, k=k, mode="bmm")
+    top, expl = engine.search_explain_batch(QUERIES, k=k, mode="daat")
     assert any(len(e) for e in expl)
     for q, results, contribs in zip(QUERIES, top, expl):
         terms = engine.normalize_query(q)
@@ -1166,8 +1166,9 @@ def test_search_explain_decomposition(built):
                 assert c == pytest.approx(want, rel=1e-12, abs=1e-12)
                 total += c
             # idf-0 terms contribute exactly 0.0, so the partial sum
-            # still equals the ranked score
-            assert total == pytest.approx(score, rel=1e-12, abs=1e-12)
+            # still equals the ranked score — EXACTLY: DAAT ranks in the
+            # same sorted-term addition order the explain pass sums in
+            assert total == score
 
 
 def test_hit_counts_match_oracle(built):
