@@ -194,6 +194,19 @@ def cmd_reclaim(args) -> int:
     return 0
 
 
+def cmd_import_ref(args) -> int:
+    import json
+
+    from .config import FULL_PROFILE, SIMPLE_PROFILE
+    from .sources.reference_index import import_reference_index
+
+    profile = FULL_PROFILE if args.profile == "full" else SIMPLE_PROFILE
+    summary = import_reference_index(args.ref_dir, args.out_dir,
+                                     profile=profile)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchenginepp_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -292,6 +305,20 @@ def main(argv=None) -> int:
     r.add_argument("--force", action="store_true")
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_reclaim)
+
+    ir = sub.add_parser(
+        "import-ref", help="one-shot migration: convert an index built "
+        "by the reference C++ engine (disk_map lexicon + VarByte/unary "
+        "posting files) into this engine's native segment format; the "
+        "result serves rank-identically")
+    ir.add_argument("ref_dir", help="reference index directory "
+                    "(db_N/ dirs + global_lexicon + metadata)")
+    ir.add_argument("out_dir")
+    ir.add_argument("--profile", choices=["full", "simple"],
+                    default="full",
+                    help="normalizer the reference index was built with "
+                    "(full = stemming+latin1, the reference CI build)")
+    ir.set_defaults(fn=cmd_import_ref)
 
     e = sub.add_parser("eval", help="score a TREC run file against qrels (mAP/nDCG@k/P@k)")
     e.add_argument("run", help="TREC run file (qid Q0 docno rank score tag)")
