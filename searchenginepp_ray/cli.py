@@ -79,6 +79,30 @@ def cmd_query(args) -> int:
         args.index_dir, scorer=args.scorer, use_actors=not args.no_actors,
         num_workers=args.workers, cfg=cfg,
     )
+    if getattr(args, "interactive", False):
+        # interactive prompt, the reference engine's serving mode
+        # (reference src/engine.cpp:74-79: prompt → parse → answer loop);
+        # one query per line, EOF/empty "q" to exit
+        qid = 0
+        while True:
+            try:
+                line = input("query> ").strip()
+            except EOFError:
+                break
+            if not line or line == "q":
+                break
+            qid += 1
+            if args.phrase:
+                for docno, n in eng.phrase_search_batch([line])[0]:
+                    print(f"{qid}\t{docno}\t{n}")
+            else:
+                res = eng.search_batch([line], k=args.k,
+                                       mode=args.algorithm)[0]
+                for ln in eng.trec_lines(str(qid), res,
+                                         run_name=args.run_name):
+                    print(ln)
+        ray.shutdown()
+        return 0
     if args.query:
         pairs = [("1", args.query)]
     else:
@@ -236,6 +260,9 @@ def main(argv=None) -> int:
     q.add_argument("-t", "--workers", type=int, default=None)  # reference -t
     q.add_argument("-r", "--run-name", default="seppray")  # reference -r
     q.add_argument("--query", help="one-shot query text (else read qid\\ttext from stdin)")
+    q.add_argument("-i", "--interactive", action="store_true",
+                   help="interactive prompt loop (the reference "
+                        "engine's serving mode; empty line or 'q' exits)")
     q.add_argument("--profile", choices=("full", "simple"), default="full")
     q.add_argument("--docs-per-segment", type=int, default=65_536)
     q.add_argument("--no-actors", action="store_true")

@@ -150,6 +150,25 @@ def test_imported_matches_scalar_oracle(imported):
             assert g[2] == pytest.approx(w[2], rel=1e-12, abs=1e-12)
 
 
+def test_interactive_repl_over_imported_index(tmp_path):
+    """The CLI's interactive prompt (reference engine.cpp:74-79 serving
+    mode) answers queries over an imported reference index."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "idx")
+    import_reference_index(FIXTURE, out, profile=SIMPLE_PROFILE)
+    p = subprocess.run(
+        [sys.executable, "-m", "searchenginepp_ray", "query", out,
+         "--interactive", "--profile", "simple", "--no-actors", "-k", "2"],
+        input="zebra\nq\n", capture_output=True, text=True, timeout=300,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.splitlines() if "Q0" in ln]
+    assert len(lines) == 2
+    assert lines[0].split()[2] == "d0009"  # the pure-zebra doc ranks first
+
+
 def test_fixture_regenerates_byte_identical():
     """Provenance check: recompiling the generator against the
     reference headers reproduces the checked-in fixture byte-for-byte
