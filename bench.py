@@ -430,6 +430,9 @@ def run_default() -> None:
     timed("curriculum_order", lambda: sample.curriculum_order(sf_dir))
     timed("simhash_md5", lambda: dedup.simhash_md5(sf_dir))
     timed("corpus_diff", lambda: dedup.corpus_diff(sf_dir))
+    from searchenginepp_ray.pipelines import multimodal
+    timed("media_real_features",
+          lambda: multimodal.media_real_features(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
     timed("event_transitions", lambda: events.event_transitions(sf_dir))
     timed("returned_item_report",
