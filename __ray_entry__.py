@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact grouped COUNT DISTINCT (two-level: dedup exchange on
         # (type,user) spreads hot types over the full partition width)
         "event_user_distinct": lambda sf: events.event_user_distinct(sf),
+        # grouped HLL sketch, bit-reproducible in SQL (exact-integer
+        # registers + one correctly-rounded division) — hash-checked
+        "event_user_distinct_hll":
+            lambda sf: events.event_user_distinct_hll(sf),
         # distributed anti-join / left-outer aggregate join
         "customers_without_orders":
             lambda sf: relational.customers_without_orders(sf),
@@ -695,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_running": osql.user_value_running_sql(),
         "global_value_rank": osql.global_value_rank_sql(),
         "event_user_distinct": osql.event_user_distinct_sql(),
+        "event_user_distinct_hll": osql.event_user_distinct_hll_sql(),
         "customers_without_orders": osql.customers_without_orders_sql(),
         "customer_order_counts": osql.customer_order_counts_sql(),
         "order_rollup": osql.order_rollup_sql(),

@@ -544,6 +544,85 @@ def event_user_distinct(sf_dir: str):
     )
 
 
+def event_user_distinct_hll(sf_dir: str):
+    """Grouped HyperLogLog distinct-user estimate per event_type — the
+    ORACLE-HASH-CHECKED sketch twin of :func:`event_user_distinct`
+    (the corpus-level `sample.hll_distinct_terms` is rows-only because
+    its xxhash-style mixing isn't SQL-portable; this one is built to be
+    bit-reproducible in SQL):
+
+    * hash = 52-bit md5 prefix of ``CAST(user_id AS VARCHAR)`` (the
+      repo's portable content-hash kernel, exact in a double and
+      evaluable verbatim by DuckDB);
+    * register index = ``hash % 512`` (m = 512, b = 9), register value
+      ρ = 1 + leading zeros of the remaining 43-bit field
+      (= 44 − bit_length, computed with EXACT integer ops — the SQL
+      twin smears+popcounts, so no float-log2 boundary risk);
+    * the harmonic denominator Σ 2^(44−M_j) is accumulated as an exact
+      int64 (≤ 512·2^44 < 2^53), so the raw estimate
+      α·m²·2^44 / denom is ONE correctly-rounded double division on
+      both engines, and the small-range branch (E ≤ 2.5m ∧ zeros > 0 →
+      m·ln(m/zeros)) takes identical inputs.
+
+    Scale shape: per-batch (type, bucket, max ρ) partials — ≤
+    |types|·512 rows per batch regardless of event count — ONE
+    type-keyed exchange, per-partition finalize. Returns
+    (event_type, zero_registers, hll_users) on the 6 dp floor grid."""
+    import pyarrow.compute as pc
+
+    from .agg import hash_groupby_apply
+
+    M_REG = 512
+
+    def _bit_length(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64).copy()
+        n = np.zeros(len(v), np.int64)
+        for k in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.int64(1) << np.int64(k))
+            n[big] += k
+            v[big] >>= k
+        n += (v > 0).astype(np.int64)
+        return n
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        from .duck import md5_prefix_int
+
+        h = md5_prefix_int(pc.cast(t["user_id"], pa.string()), 13)
+        bucket = h % M_REG
+        rho = 44 - _bit_length(h // M_REG)
+        return (pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "bucket": bucket, "rho": rho})
+            .groupby(["event_type", "bucket"], as_index=False)["rho"]
+            .max())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            regs = np.zeros(M_REG, dtype=np.int64)
+            np.maximum.at(regs, g["bucket"].to_numpy(np.int64),
+                          g["rho"].to_numpy(np.int64))
+            denom = int((np.int64(1) << (44 - regs)).sum())
+            zeros = int((regs == 0).sum())
+            e_raw = (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 \
+                * 17592186044416.0 / denom
+            if e_raw <= 2.5 * M_REG and zeros > 0:
+                est = 512.0 * np.log(512.0 / zeros)
+            else:
+                est = e_raw
+            rows.append({"event_type": et,
+                         "zero_registers": np.int64(zeros),
+                         "hll_users": np.floor(est * 1e6 + 0.5) / 1e6})
+        return pd.DataFrame(rows, columns=["event_type", "zero_registers",
+                                           "hll_users"])
+
+    return hash_groupby_apply(
+        events_ds(sf_dir, ["event_type", "user_id"])
+        .map_batches(partials, batch_format="pyarrow"),
+        ["event_type"], finalize,
+    )
+
+
 def global_value_rank(sf_dir: str):
     """EXACT global rank of every event by ``value`` (descending; ties
     share a rank, SQL ``RANK() OVER (ORDER BY value DESC)``) — the

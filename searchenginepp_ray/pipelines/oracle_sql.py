@@ -522,6 +522,54 @@ def media_byte_stats_sql() -> str:
     """
 
 
+def event_user_distinct_hll_sql() -> str:
+    """Oracle for events.event_user_distinct_hll: the SAME HyperLogLog
+    sketch evaluated in SQL — 52-bit md5-prefix hash, bucket = hash %
+    512, ρ = 44 − bit_length of the 43-bit suffix (bit_length via the
+    exact smear+popcount identity, no float log2), harmonic denominator
+    as an exact BIGINT Σ 1<<(44−M), identical α·m²·2^44/denom estimate
+    and small-range branch. Register-for-register identical to the Ray
+    side, so the hash gate pins the sketch bit-exactly."""
+    return """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS v
+  FROM events),
+r0 AS (SELECT event_type, v % 512 AS bucket, v // 512 AS x FROM h),
+s1 AS (SELECT event_type, bucket, x | (x >> 1) AS a FROM r0),
+s2 AS (SELECT event_type, bucket, a | (a >> 2) AS a FROM s1),
+s3 AS (SELECT event_type, bucket, a | (a >> 4) AS a FROM s2),
+s4 AS (SELECT event_type, bucket, a | (a >> 8) AS a FROM s3),
+s5 AS (SELECT event_type, bucket, a | (a >> 16) AS a FROM s4),
+s6 AS (SELECT event_type, bucket, a | (a >> 32) AS a FROM s5),
+r AS (SELECT event_type, bucket,
+             44 - bit_count(CAST(a AS BIGINT)) AS rho FROM s6),
+regs AS (SELECT event_type, bucket, MAX(rho) AS m FROM r GROUP BY 1, 2),
+grid AS (
+  SELECT et.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(generate_series(0, 511)) AS bucket) g),
+filled AS (
+  SELECT grid.event_type, grid.bucket, coalesce(regs.m, 0) AS m
+  FROM grid LEFT JOIN regs USING (event_type, bucket)),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS denom,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM filled GROUP BY event_type),
+est AS (
+  SELECT event_type, zeros,
+         (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 17592186044416.0
+             / denom AS e_raw
+  FROM agg)
+SELECT event_type, zeros AS zero_registers,
+       floor(CASE WHEN e_raw <= 1280.0 AND zeros > 0
+             THEN 512.0 * ln(512.0 / zeros) ELSE e_raw END * 1e6 + 0.5)
+           / 1e6 AS hll_users
+FROM est"""
+
+
 def media_real_features_sql() -> str:
     """Oracle for pipelines.multimodal.media_real_features: the REAL
     container round-trip (text bytes → BMP/WAV encode → vendored-parser

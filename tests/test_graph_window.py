@@ -102,6 +102,37 @@ def test_running_window_and_distinct_match_duckdb(ray_session, sf_dir):
     assert got_d["n_users"].tolist() == want_d["n_users"].tolist()
 
 
+def test_event_user_distinct_hll_accuracy_and_oracle(ray_session, sf_dir):
+    """The grouped HLL sketch: (a) bit-identical to its SQL oracle —
+    the property that makes it hash-checkable unlike the xxhash-based
+    corpus sketch — and (b) within the ~3·1.04/√512 ≈ 14% error bound
+    of the exact distinct counts."""
+    import duckdb
+
+    from searchenginepp_ray.pipelines.events import (
+        event_user_distinct, event_user_distinct_hll)
+    from searchenginepp_ray.pipelines.oracle_sql import \
+        event_user_distinct_hll_sql
+
+    got = (event_user_distinct_hll(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = (con.execute(event_user_distinct_hll_sql()).df()
+            .sort_values("event_type").reset_index(drop=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["zero_registers"].tolist() == \
+        want["zero_registers"].astype(int).tolist()
+    np.testing.assert_array_equal(got["hll_users"].to_numpy(),
+                                  want["hll_users"].to_numpy())  # exact
+    exact = (event_user_distinct(sf_dir).to_pandas()
+             .sort_values("event_type").reset_index(drop=True))
+    rel = np.abs(got["hll_users"].to_numpy()
+                 / exact["n_users"].to_numpy() - 1.0)
+    assert (rel < 0.14).all(), rel
+
+
 def test_stratified_sample_rates_and_determinism(ray_session, sf_dir):
     from searchenginepp_ray.pipelines.sample import stratified_sample
 
