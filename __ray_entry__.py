@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: _filters().repetition_stats(sf),
         "pii_redact": lambda sf: _filters().pii_redact(sf),
         "decontaminate": lambda sf: _filters().decontaminate(sf),
+        # the at-scale shape: fixed 16KB Bloom filter instead of the
+        # benchmark-sized broadcast set; bit-reproducible -> hash-checked
+        "decontaminate_bloom":
+            lambda sf: _filters().decontaminate_bloom(sf),
         # train->eval contamination audit: val/test docs sharing any
         # word 8-gram with the (corpus-sized) train split — the
         # gram-keyed-exchange complement of decontaminate's broadcast
@@ -634,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": osql.repetition_stats_sql(),
         "pii_redact": osql.pii_redact_sql(),
         "decontaminate": osql.decontaminate_sql(),
+        "decontaminate_bloom": osql.decontaminate_bloom_sql(),
         "split_leakage": osql.split_leakage_sql(),
         "dup_span_stats": osql.dup_span_stats_sql(),
         "collocations": osql.collocations_sql(),

@@ -233,6 +233,93 @@ def decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97):
     return documents_ds(sf_dir).map_batches(flag, batch_format="pyarrow")
 
 
+#: Bloom decontamination defaults: 2^17 bits (16 KB) × 4 hashes keeps
+#: the per-gram false-positive rate ≈ (1 − e^{−kn/m})^k under 1e-4 for
+#: benchmark gram counts into the tens of thousands
+_BLOOM_M = 1 << 17
+_BLOOM_K = 4
+
+
+def _bloom_positions(grams: pa.Array, k: int, m_bits: int) -> np.ndarray:
+    """(n_grams, k) int64 Bloom position matrix via the PORTABLE md5
+    kernel — position i of gram g is ``md5_prefix(g || '|' || i) %
+    m_bits``, the verbatim expression the SQL oracle evaluates."""
+    from .duck import md5_prefix_int
+
+    cols = [
+        md5_prefix_int(
+            pc.binary_join_element_wise(grams, pa.scalar(str(i)), "|"), 13
+        ) % m_bits
+        for i in range(k)
+    ]
+    return np.stack(cols, axis=1)
+
+
+def decontaminate_bloom(sf_dir: str, w: int = 3, bench_mod: int = 97,
+                        m_bits: int = _BLOOM_M, k: int = _BLOOM_K):
+    """:func:`decontaminate`'s AT-SCALE shape: instead of broadcasting
+    the benchmark gram-hash SET (which grows with the benchmark), the
+    corpus-side membership test runs against a FIXED-SIZE Bloom filter
+    (``m_bits`` bits — 16 KB at the default — whatever the benchmark
+    size). A doc is flagged iff any of its word ``w``-grams has all
+    ``k`` Bloom bits set; flags are a deterministic SUPERSET of the
+    exact op's (no false negatives by construction; the false-positive
+    rate is a pure function of benchmark gram count and is the
+    documented trade for the constant-size broadcast).
+
+    Bit-reproducible across engines: positions come from the portable
+    md5 prefix (exact integer ops only), so the SQL oracle builds the
+    IDENTICAL filter and the driver hash-gates the whole mechanism —
+    sketch twins (`event_user_distinct_hll`, this) are hash-checked,
+    not rows-only. Returns (doc_id, contaminated_bloom) for non-bench
+    docs."""
+    import ray
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"].to_numpy() % bench_mod == 0)
+        sub = t.filter(pa.array(mask))
+        if len(sub) == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        _, flat, n_tokens = _words_flat(sub["text"])
+        _, grams = _grams(flat, n_tokens, w)
+        if len(grams) == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        grams = grams.unique()
+        pos = _bloom_positions(grams, k, m_bits)
+        return pa.table({"p": pa.array(np.unique(pos.ravel()))})
+
+    parts = [
+        np.asarray(b["p"])
+        for b in documents_ds(sf_dir)
+        .map_batches(bench_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bits = np.zeros(m_bits, dtype=bool)
+    if parts:
+        bits[np.concatenate(parts).astype(np.int64)] = True
+    bits_ref = ray.put(bits)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bits_ref)
+        mask = np.asarray(t["doc_id"].to_numpy() % bench_mod != 0)
+        sub = t.filter(pa.array(mask))
+        n = len(sub)
+        flagged = np.zeros(n, dtype=bool)
+        if n:
+            _, flat, n_tokens = _words_flat(sub["text"])
+            gdoc, grams = _grams(flat, n_tokens, w)
+            if len(grams):
+                pos = _bloom_positions(grams, k, m_bits)
+                hit = bloom[pos].all(axis=1)
+                np.logical_or.at(flagged, gdoc, hit)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "contaminated_bloom": pa.array(flagged),
+        })
+
+    return documents_ds(sf_dir).map_batches(flag, batch_format="pyarrow")
+
+
 def dup_span_stats(sf_dir: str, w: int = 8):
     """Per-doc duplicated-span statistics — the exact-substring-dedup
     signal (Lee et al.'s "Deduplicating Training Data" family): for every

@@ -1637,6 +1637,32 @@ SELECT d.doc_id,
 FROM documents d WHERE d.doc_id % {bench_mod} <> 0"""
 
 
+def decontaminate_bloom_sql(w: int = 3, bench_mod: int = 97,
+                            m_bits: int = 1 << 17, k: int = 4) -> str:
+    """Oracle for filters.decontaminate_bloom: the IDENTICAL Bloom
+    filter built in SQL — positions = portable 52-bit md5 prefix of
+    ``g || '|' || i`` mod m_bits; a corpus gram hits iff all k of its
+    positions appear among the benchmark's distinct positions
+    (COUNT(DISTINCT ki) = k per (doc, gram))."""
+    posx = (f"CAST(('0x' || substr(md5(g || '|' || CAST(ki AS VARCHAR)),"
+            f" 1, 13)) AS BIGINT) % {int(m_bits)}")
+    return f"""WITH {_word_toks_cte()},
+pos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - {w - 1}, 0))) AS i FROM wtoks),
+grams AS (SELECT doc_id, array_to_string(w[i:i+{w - 1}], ' ') AS g FROM pos),
+ks AS (SELECT unnest(generate_series(0, {int(k) - 1})) AS ki),
+bpos AS (SELECT DISTINCT {posx} AS p
+         FROM (SELECT DISTINCT g FROM grams
+               WHERE doc_id % {bench_mod} = 0), ks),
+cg AS (SELECT DISTINCT doc_id, g FROM grams
+       WHERE doc_id % {bench_mod} <> 0),
+cpos AS (SELECT doc_id, g, ki, {posx} AS p FROM cg, ks),
+hit AS (SELECT doc_id FROM cpos JOIN bpos USING (p)
+        GROUP BY doc_id, g HAVING COUNT(DISTINCT ki) = {int(k)})
+SELECT d.doc_id,
+       (d.doc_id IN (SELECT doc_id FROM hit)) AS contaminated_bloom
+FROM documents d WHERE d.doc_id % {bench_mod} <> 0"""
+
+
 def shard_export_sql(n_shards: int = 8) -> str:
     """Oracle for export.shard_export — the md5-bucket rule is the
     verbatim expression duck.md5_bucket evaluates; ids_md5 checksums the

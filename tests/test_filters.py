@@ -104,6 +104,24 @@ def test_decontaminate_constructed(ray_session, tmp_path):
     assert got["contaminated"].tolist() == [False, True, True, False]
 
 
+def test_decontaminate_bloom_superset_of_exact(ray_session, sf_dir):
+    """Bloom flags are a SUPERSET of the exact op's (no false
+    negatives by construction) and, at the default 16 KB / 4-hash
+    sizing, false positives are rare on the sf0.001 benchmark."""
+    from searchenginepp_ray.pipelines.filters import (decontaminate,
+                                                      decontaminate_bloom)
+
+    exact = (decontaminate(sf_dir).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    bloom = (decontaminate_bloom(sf_dir).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert exact["doc_id"].tolist() == bloom["doc_id"].tolist()
+    e = exact["contaminated"].to_numpy()
+    b = bloom["contaminated_bloom"].to_numpy()
+    assert not (e & ~b).any()          # no false negatives, ever
+    assert (b & ~e).sum() <= max(2, int(0.01 * len(b)))  # FPs rare
+
+
 def test_filters_match_oracle_sf0001(ray_session, sf_dir):
     import sys
 
@@ -115,7 +133,8 @@ def test_filters_match_oracle_sf0001(ray_session, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    for name in ("repetition_stats", "pii_redact", "decontaminate"):
+    for name in ("repetition_stats", "pii_redact", "decontaminate",
+                 "decontaminate_bloom"):
         got = (
             e.queries()[name](sf_dir).to_pandas()
         )
