@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus vocabulary statistics (entropy/TTR/Zipf MLE) in
         # one rank-free pass — scalar partials per term partition
         "vocab_stats": lambda sf: text_stats.vocab_stats(sf),
+        # per-lang dataset-card rollup (docs/dups/chars/tokens) — one
+        # md5 exchange + one lang rollup, both pre-aggregated map-side
+        "corpus_report": lambda sf: text_stats.corpus_report(sf),
         # vocabulary drift between corpus versions (release audit):
         # top-k terms by add-one log2 df ratio, one term exchange
         "term_df_drift": lambda sf: text_stats.term_df_drift(sf),
@@ -732,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "term_complete": osql.term_complete_sql(),
         "term_heavy_hitters": osql.term_heavy_hitters_sql(),
         "vocab_stats": osql.vocab_stats_sql(),
+        "corpus_report": osql.corpus_report_sql(),
         "term_df_drift": osql.term_df_drift_sql(),
         "search_boolean": osql.search_boolean_sql(),
         "table_profile": osql.table_profile_sql(),

@@ -86,6 +86,30 @@ SELECT doc_id, n_tokens,
 FROM d"""
 
 
+def corpus_report_sql() -> str:
+    """Oracle for text_stats.corpus_report: per-lang dataset-card
+    rollup — token counts via the shared tok CTE, dup membership by
+    full md5(text) corpus-wide, mean on the 6 dp floor grid."""
+    return f"""WITH {tok_cte()},
+d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars,
+             md5(text) AS h
+      FROM documents),
+tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+       FROM toks GROUP BY doc_id),
+dd AS (SELECT h, COUNT(*) AS c FROM d GROUP BY h),
+j AS (SELECT d.lang, d.chars, COALESCE(tc.n_tok, 0) AS n_tok,
+             CASE WHEN dd.c >= 2 THEN 1 ELSE 0 END AS dup
+      FROM d LEFT JOIN tc USING (doc_id) JOIN dd USING (h))
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       floor(SUM(n_tok) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6
+           AS mean_doclen
+FROM j GROUP BY lang"""
+
+
 def token_count_sql() -> str:
     return f"""WITH {tok_cte()}
 SELECT d.doc_id,

@@ -134,6 +134,66 @@ def tokens_ds(sf_dir: str) -> ray.data.Dataset:
 
 # ---------- doclen / metadata aggregates (A3/A4) ----------
 
+def corpus_report(sf_dir: str):
+    """Per-language DATASET-CARD rollup — the release-audit numbers a
+    training corpus ships with: document / exact-duplicate counts,
+    character and token totals, mean document length. One streaming
+    pass computes per-doc (md5, lang, chars, tokens) rows; an md5-keyed
+    exchange resolves exact-duplicate membership (a doc is a dup iff
+    its full text md5 occurs ≥ 2 times corpus-wide) and pre-aggregates
+    per language, so the final exchange is language-cardinality-sized.
+    Token counts use the build's vectorized simple-profile tokenizer —
+    the same definition ``token_count``'s hash-green oracle pins.
+    Returns (lang, n_docs, n_dup_docs, total_chars, total_tokens,
+    mean_doclen) with the mean on the 6 dp floor grid."""
+    import pandas as pd
+
+    from ..normalizer.batch import tokenize_batch
+    from .agg import hash_groupby_apply
+    from .duck import md5_hex
+
+    def rows(t: pa.Table) -> pa.Table:
+        doclens, _terms, _tfs = tokenize_batch(
+            t["text"].to_pylist(), SIMPLE_PROFILE)
+        return pa.table({
+            "h": md5_hex(t["text"]),
+            "lang": t["lang"],
+            "chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "n_tok": pa.array(doclens.astype(np.int64)),
+        })
+
+    def md5_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of a given md5 lands here: dup membership is exact
+        dup = (df.groupby("h")["h"].transform("size") >= 2)
+        return (df.assign(dup=dup.astype(np.int64))
+                .groupby("lang", as_index=False)
+                .agg(n_docs=("h", "size"), n_dup=("dup", "sum"),
+                     chars=("chars", "sum"), n_tok=("n_tok", "sum")))
+
+    partials = hash_groupby_apply(
+        documents_ds(sf_dir, ("doc_id", "lang", "text"))
+        .map_batches(rows, batch_format="pyarrow"),
+        ["h"], md5_partial,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_dup_docs=("n_dup", "sum"),
+            total_chars=("chars", "sum"), total_tokens=("n_tok", "sum"))
+        mean = np.floor(g["total_tokens"].to_numpy()
+                        / g["n_docs"].to_numpy() * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "n_docs": g["n_docs"].astype(np.int64),
+            "n_dup_docs": g["n_dup_docs"].astype(np.int64),
+            "total_chars": g["total_chars"].astype(np.int64),
+            "total_tokens": g["total_tokens"].astype(np.int64),
+            "mean_doclen": mean,
+        })
+
+    return hash_groupby_apply(partials, ["lang"], finish)
+
+
 def doclen_stats(sf_dir: str):
     """Global (n_docs, sum_doclen, avgdl) — the reference's collection
     metadata (reference src/builder.cpp:177-181) under the simple profile."""
