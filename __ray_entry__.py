@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark-sized broadcast set; bit-reproducible -> hash-checked
         "decontaminate_bloom":
             lambda sf: _filters().decontaminate_bloom(sf),
+        # zlib boilerplate signal (rows-only: zlib not SQL-expressible)
+        "compression_ratio":
+            lambda sf: _filters().compression_ratio(sf),
         # train->eval contamination audit: val/test docs sharing any
         # word 8-gram with the (corpus-sized) train split — the
         # gram-keyed-exchange complement of decontaminate's broadcast

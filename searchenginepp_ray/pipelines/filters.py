@@ -233,6 +233,41 @@ def decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97):
     return documents_ds(sf_dir).map_batches(flag, batch_format="pyarrow")
 
 
+def compression_ratio(sf_dir: str, level: int = 6):
+    """Per-doc zlib compression ratio — the classic boilerplate /
+    templated-text quality signal (RefinedWeb-family pipelines cut on
+    it): highly repetitive documents compress far below typical prose,
+    machine-generated noise compresses above it. Output
+    (doc_id, n_bytes, compressed_bytes, ratio) with the ratio on the
+    6 dp floor grid; a downstream selection cuts on the ratio band.
+
+    Rows-only correctness (zlib is not SQL-expressible); determinism is
+    pinned by pytest against direct zlib calls plus an ordering
+    property on constructed repetitive/normal/random docs. Scale shape:
+    one streaming pass; zlib runs C-side per doc (the accepted per-row
+    shape for opaque codec work, cf. multimodal), no exchanges at
+    all."""
+    import zlib
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        nb = np.empty(len(texts), np.int64)
+        cb = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            raw = s.encode("utf-8")
+            nb[i] = len(raw)
+            cb[i] = len(zlib.compress(raw, level))
+        ratio = np.floor(cb / np.maximum(nb, 1) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(nb),
+            "compressed_bytes": pa.array(cb),
+            "ratio": pa.array(ratio),
+        })
+
+    return documents_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
 #: Bloom decontamination defaults: 2^17 bits (16 KB) × 4 hashes keeps
 #: the per-gram false-positive rate ≈ (1 − e^{−kn/m})^k under 1e-4 for
 #: benchmark gram counts into the tens of thousands

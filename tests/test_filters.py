@@ -618,3 +618,25 @@ def test_split_leakage_planted(ray_session, tmp_path):
     want = pd.DataFrame({"split": ["test", "val"],
                          "n_docs": [3, 3], "n_leaked": [1, 1]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_compression_ratio_matches_zlib_and_orders(ray_session, tmp_path):
+    import zlib
+
+    from searchenginepp_ray.pipelines.filters import compression_ratio
+
+    texts = [
+        "spam spam spam " * 50,                      # repetitive -> low
+        "the quick brown fox jumps over the lazy dog and runs away "
+        "through fields of golden wheat toward distant mountains",
+        "qx8#kz!mw9@vj2$fp7&hd4*bn1;ye5^tg3(rc6)ul0sa",  # noise -> high
+    ]
+    path = _write_docs(tmp_path, texts)
+    got = (compression_ratio(path).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        raw = s.encode()
+        assert got.loc[i, "n_bytes"] == len(raw)
+        assert got.loc[i, "compressed_bytes"] == len(zlib.compress(raw, 6))
+    r = got["ratio"].to_numpy()
+    assert r[0] < r[1] < r[2]  # repetitive < prose < noise
