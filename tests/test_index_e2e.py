@@ -1191,3 +1191,30 @@ def test_hit_counts_match_oracle(built):
                 docs_and &= posts
         assert got_or == len(docs_or), q
         assert got_and == len(docs_and or set()), q
+
+
+def test_serving_survives_actor_kill(built):
+    """ST3 fault tolerance: worker actors are pure read-once views of
+    the on-disk segments with max_restarts=-1 / max_task_retries=-1
+    (engine.py), so killing a worker mid-service must be invisible —
+    the restarted actor reloads identical state and the next batch
+    returns bit-identical results."""
+    import ray
+
+    from searchenginepp_ray.index.engine import QueryEngine
+
+    summary, _, _ = built
+    eng = QueryEngine(summary["out_dir"], use_actors=True, num_workers=2,
+                      cfg=BuildConfig(docs_per_segment=300))
+    try:
+        before = eng.search_batch(QUERIES, k=K, mode="bmm")
+        ray.kill(eng.workers[0], no_restart=False)
+        after = eng.search_batch(QUERIES, k=K, mode="bmm")
+        assert after == before
+        # and a second kill of the OTHER worker during steady state
+        ray.kill(eng.workers[-1], no_restart=False)
+        assert eng.search_batch(QUERIES, k=K, mode="daat") == \
+            eng.search_batch(QUERIES, k=K, mode="daat")
+    finally:
+        for w in eng.workers:
+            ray.kill(w, no_restart=True)
