@@ -85,8 +85,10 @@ def cmd_query(args) -> int:
         # one query per line, EOF/empty "q" to exit
         qid = 0
         while True:
+            # prompt on STDERR: piped stdout stays a clean TREC run
+            print("query> ", end="", file=sys.stderr, flush=True)
             try:
-                line = input("query> ").strip()
+                line = input().strip()
             except EOFError:
                 break
             if not line or line == "q":

@@ -1215,7 +1215,12 @@ class MergeAssemble(AssembleSegment):
             with open(os.path.join(d, "manifest.json")) as f:
                 sm = json.load(f)
             files_set.update(sm["doc_files"])
-            skip_B = int(sm["skip_block_size"])
+            b = int(sm["skip_block_size"])
+            # decode applies ONE restart period to every source's
+            # streams — mixed-B sources would decode silently wrong
+            assert skip_B is None or skip_B == b, \
+                f"mixed skip_block_size across source segments ({skip_B} vs {b})"
+            skip_B = b
         files = sorted(files_set)
         dt = pads.dataset(files).to_table(columns=["docid", "doclen"])
         dt = dt.take(pc.sort_indices(dt, sort_keys=[("docid", "ascending")]))

@@ -169,9 +169,13 @@ def verify_term_postings(out_dir: str) -> dict:
             return pd.DataFrame({"n_terms": [n_terms],
                                  "violations": [len(g)]})
         starts = np.cumsum(df_part) - df_part
-        c = np.cumsum(gaps.astype(np.int64))
-        base = c[starts] - gaps[starts].astype(np.int64)
-        docids = c - np.repeat(base, df_part)
+        # uint64 wraparound is deliberate: the partition-wide running
+        # sum may exceed 2^63, but each row's docids are recovered as
+        # c - base, which is exact modulo 2^64 as long as the docids
+        # themselves fit (they do — docid_t is uint64)
+        c = np.cumsum(gaps.astype(np.uint64))
+        base = c[starts] - gaps[starts].astype(np.uint64)
+        docids = (c - np.repeat(base, df_part)).astype(np.int64)
         bad_first = docids[starts] != g["min_docid"].to_numpy(np.int64)
         # strict increase across each TERM's whole (salt-ordered) list:
         # violations only count where consecutive postings share a term

@@ -572,7 +572,13 @@ def event_user_distinct_hll(sf_dir: str):
 
     from .agg import hash_groupby_apply
 
-    M_REG = 512
+    M_REG = 512           # registers (2^9); bucket = hash % M_REG
+    RHO_MAX = 44          # 1 + (52 − 9) suffix bits
+    # α·m²·2^RHO_MAX — every constant derived from the layout, so the
+    # register geometry can't silently desynchronize from the estimate
+    # (the SQL oracle's literals are generated from the same values)
+    ALPHA_NUM = (0.7213 / (1.0 + 1.079 / M_REG)) * float(M_REG * M_REG) \
+        * float(1 << RHO_MAX)
 
     def _bit_length(v: np.ndarray) -> np.ndarray:
         v = v.astype(np.int64).copy()
@@ -589,7 +595,7 @@ def event_user_distinct_hll(sf_dir: str):
 
         h = md5_prefix_int(pc.cast(t["user_id"], pa.string()), 13)
         bucket = h % M_REG
-        rho = 44 - _bit_length(h // M_REG)
+        rho = RHO_MAX - _bit_length(h // M_REG)
         return (pd.DataFrame({
             "event_type": t["event_type"].to_pandas(),
             "bucket": bucket, "rho": rho})
@@ -602,12 +608,11 @@ def event_user_distinct_hll(sf_dir: str):
             regs = np.zeros(M_REG, dtype=np.int64)
             np.maximum.at(regs, g["bucket"].to_numpy(np.int64),
                           g["rho"].to_numpy(np.int64))
-            denom = int((np.int64(1) << (44 - regs)).sum())
+            denom = int((np.int64(1) << (RHO_MAX - regs)).sum())
             zeros = int((regs == 0).sum())
-            e_raw = (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 \
-                * 17592186044416.0 / denom
+            e_raw = ALPHA_NUM / denom
             if e_raw <= 2.5 * M_REG and zeros > 0:
-                est = 512.0 * np.log(512.0 / zeros)
+                est = float(M_REG) * np.log(float(M_REG) / zeros)
             else:
                 est = e_raw
             rows.append({"event_type": et,

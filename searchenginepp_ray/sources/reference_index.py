@@ -74,14 +74,20 @@ def parse_disk_map(data: bytes, n_values: int) -> list[tuple[str, list[int]]]:
     """Parse a reference ``disk_map`` file into sorted (key, values)
     pairs. ``n_values`` > 0 reads that many VarByte values per entry
     (LexiconValue = 5, global lexicon = 1); ``n_values == 0`` reads the
-    count-prefixed variable form (SigmaLexiconValue)."""
+    count-prefixed variable form (SigmaLexiconValue).
+
+    Front-coding operates on BYTES throughout — the reference writer's
+    ``compute_common_prefix`` counts raw chars of the UTF-8 encoding
+    (diskmap/builder.hpp:47-54), so ``common_len`` may split a
+    multi-byte sequence (full-profile latin1 terms like ``café``);
+    keys are reassembled as byte strings and decoded only at the end."""
     n_strings, offset_heads, n_blocks = struct.unpack_from("<QQQ", data, 0)
     heads_blob = data[offset_heads:]
-    heads: list[str] = []
+    heads: list[bytes] = []
     p = 0
     for _ in range(n_blocks):
         q = heads_blob.index(b"\0", p)
-        heads.append(heads_blob[p:q].decode("utf-8"))
+        heads.append(heads_blob[p:q])
         p = q + 1
 
     # first-string index per block (block i's leading VarByte) tells us
@@ -112,15 +118,15 @@ def parse_disk_map(data: bytes, n_values: int) -> list[tuple[str, list[int]]]:
         _, pos = _read_varbyte(data, pos)  # first-string index (== len(out))
         key = heads[i]
         vals, pos = read_values(pos)
-        out.append((key, vals))
+        out.append((key.decode("utf-8"), vals))
         for _ in range(firsts[i + 1] - firsts[i] - 1):
-            common = data[pos]
+            common = data[pos]          # BYTE count, not characters
             pos += 1
             q = data.index(b"\0", pos)
-            key = key[: common] + data[pos:q].decode("utf-8")
+            key = key[:common] + data[pos:q]
             pos = q + 1
             vals, pos = read_values(pos)
-            out.append((key, vals))
+            out.append((key.decode("utf-8"), vals))
     assert len(out) == n_strings
     return out
 
@@ -132,10 +138,12 @@ def read_document_index(data: bytes) -> tuple[int, list[str], np.ndarray]:
     offsets = recs[0::2].astype(np.int64)
     doclens = recs[1::2].astype(np.int64)
     heap = data[16 + 16 * n_docs:]
-    ends = np.append(offsets[1:], len(heap))
     docnos = [heap[int(s): int(heap.index(b"\0", int(s)))].decode("utf-8")
               for s in offsets]
-    assert len(docnos) == n_docs and (ends > offsets).all()
+    assert len(docnos) == n_docs
+    if n_docs:  # offsets must be increasing into the heap
+        ends = np.append(offsets[1:], len(heap))
+        assert (ends > offsets).all()
     return int(base_docid), docnos, doclens
 
 
@@ -180,7 +188,6 @@ def import_reference_index(
 
     docs_root = os.path.join(out_dir, "docs")
     n_postings_total = 0
-    n_terms_max = 0
     for seg in seg_ids:
         d = os.path.join(ref_dir, f"db_{seg}")
         with open(os.path.join(d, "document_index"), "rb") as f:
@@ -249,7 +256,19 @@ def import_reference_index(
             seg, [doc_file], docids_arr, dl_arr.astype(np.uint64),
             uniq_terms, codes_s, docid_s, tf_s, dl_s, timings)
         n_postings_total += manifest["n_postings"]
-        n_terms_max = max(n_terms_max, manifest["n_terms"])
+
+        # per-segment global-df semi-join slice — what merge_segments /
+        # compaction read (_load_global_for); without it a post-import
+        # merge would silently see an empty global lexicon
+        gidx = np.searchsorted(g_terms, uniq_terms)
+        assert (g_terms[gidx] == uniq_terms).all(), "local ⊄ global lexicon"
+        seg_df_dir = os.path.join(out_dir, "global", "seg_df", f"seg={seg}")
+        os.makedirs(seg_df_dir, exist_ok=True)
+        pq.write_table(pa.table({
+            "term": pa.array(list(uniq_terms), pa.string()),
+            "df": pa.array(g_df[gidx]),
+            "idf": pa.array(g_idf[gidx]),
+        }), os.path.join(seg_df_dir, "terms.parquet"))
 
     # global state: legacy single-file term_df (read_global_term_df
     # supports it) + the metadata the engine loads at init

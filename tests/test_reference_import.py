@@ -41,10 +41,15 @@ DOCS = [
     ("d0016", "tree query sort"),
     ("d0017", "engine index hash sort"),
     ("d0018", "zebra merge"),
+    # latin1-domain terms: common_len ("caf\u00e0" vs "caf\u00e9")
+    # counts BYTES and splits the UTF-8 sequence — pins the bytewise
+    # front-coding reassembly in parse_disk_map
+    ("d0019", "cafe caf\u00e0 caf\u00e9 zebra"),
 ]
 
 QUERIES = ["hash sort", "zebra", "query engine index", "tree",
-           "merge hash tree sort", "nosuchterm", "engine zebra"]
+           "merge hash tree sort", "nosuchterm", "engine zebra",
+           "caf\u00e9 cafe", "caf\u00e0"]
 
 
 def test_parse_global_lexicon_df():
@@ -148,6 +153,25 @@ def test_imported_matches_scalar_oracle(imported):
         assert [g[1] for g in got] == [w[1] for w in want]
         for g, w in zip(got, want):
             assert g[2] == pytest.approx(w[2], rel=1e-12, abs=1e-12)
+
+
+def test_imported_index_merges_and_serves(imported, tmp_path):
+    """The importer writes the global/seg_df slices the merge path
+    semi-joins, so an imported index supports the FULL lifecycle:
+    merge_segments over it serves identical (docid, score) rankings."""
+    from searchenginepp_ray.index.build import merge_segments
+
+    summary, eng = imported
+    merged = str(tmp_path / "merged")
+    m = merge_segments(summary["out_dir"], merged, group_size=2)
+    assert m["n_segments"] == 1 and m["n_postings"] == summary["n_postings"]
+    eng_m = QueryEngine(merged, use_actors=False,
+                        cfg=BuildConfig(profile=SIMPLE_PROFILE))
+    for mode in ("daat", "bmm"):
+        a = eng.search_batch(QUERIES, k=10, mode=mode)
+        b = eng_m.search_batch(QUERIES, k=10, mode=mode)
+        for qa, qb in zip(a, b):
+            assert [(d, s) for d, _, s in qa] == [(d, s) for d, _, s in qb]
 
 
 def test_interactive_repl_over_imported_index(tmp_path):

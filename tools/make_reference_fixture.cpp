@@ -61,6 +61,11 @@ static const std::vector<Doc> CORPUS = {
     {"d0016", "tree query sort"},
     {"d0017", "engine index hash sort"},
     {"d0018", "zebra merge"},
+    // latin1-domain terms: "caf\xe0" / "caf\xe9" (UTF-8 C3 A0 / C3 A9)
+    // sort adjacent to "cafe", and compute_common_prefix counts BYTES,
+    // so the front-coded suffix of "caf\xe9" after "caf\xe0" starts
+    // MID-UTF-8-SEQUENCE — the importer must reassemble keys bytewise
+    {"d0019", "cafe caf\xc3\xa0 caf\xc3\xa9 zebra"},
 };
 static const size_t CHUNK = 10;
 
