@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": lambda sf: similarity.pq_encode(sf),
         # ADC serving over the PQ codes (approximate; recall pytest)
         "knn_pq": lambda sf: similarity.knn_pq(sf),
+        # graph ANN (HNSW over k-means buckets; deterministic
+        # content-addressed levels) — rows-only (approximate by design;
+        # recall vs brute force pytest-pinned)
+        "knn_hnsw": lambda sf: _hnsw().knn_hnsw(sf),
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # SemDeDup: k-means bucketing prunes candidate pairs, per-cluster
         # micro-grid cosine edges, keep-farthest-from-centroid per
@@ -580,6 +584,12 @@ def _filters():
     from searchenginepp_ray.pipelines import filters
 
     return filters
+
+
+def _hnsw():
+    from searchenginepp_ray.pipelines import hnsw
+
+    return hnsw
 
 
 def _classifier():

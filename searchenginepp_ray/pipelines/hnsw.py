@@ -1,0 +1,219 @@
+"""HNSW approximate nearest-neighbor search — the graph member of the
+ANN family (brute / IVF / PQ / LSH live in :mod:`.similarity` and
+:mod:`.dedup`), implemented from the published algorithm (Malkov &
+Yashunin 2016, "Efficient and robust approximate nearest neighbor
+search using Hierarchical Navigable Small World graphs").
+
+DETERMINISM: HNSW is normally randomized (level ~ floor(−ln U · mL));
+here U is CONTENT-ADDRESSED — the 52-bit md5 prefix of the external id
+(the repo's portable uniform-key kernel) — and insertion runs in
+ascending id order, so the graph, and therefore every search result,
+is bit-reproducible across reruns and cluster sizes. Neighbor selection
+is plain top-M by cosine (the simple variant of the paper's heuristic),
+ties broken by id.
+
+SCALE SHAPE (``knn_hnsw``): one graph per k-means bucket — the
+HNSW-over-coarse-quantizer layout production systems use — so builds
+parallelize per bucket (one hash exchange co-locates each bucket's
+vectors) and a query searches only its ``nprobe`` nearest buckets'
+graphs. Driver merge is n_queries × nprobe × k rows. Rows-only driver
+check (approximate by design); recall vs brute force is pytest-pinned.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _hash_unit(ids) -> np.ndarray:
+    """Content-addressed uniforms in (0, 1]: (52-bit md5 prefix + 1) /
+    2^52 — exact doubles, portable across engines."""
+    from .duck import md5_prefix_int
+
+    h = md5_prefix_int(pa.array([str(i) for i in ids], pa.string()), 13)
+    return (h.astype(np.float64) + 1.0) / float(1 << 52)
+
+
+class HNSWGraph:
+    """One in-memory HNSW graph over a NORMALIZED vector matrix.
+    Similarity = cosine (dot of unit vectors); bigger is closer."""
+
+    def __init__(self, M: int = 8, ef_construction: int = 64):
+        self.M = M
+        self.M0 = 2 * M          # level-0 degree cap (paper's default)
+        self.mL = 1.0 / np.log(M)
+        self.ef_construction = ef_construction
+        self.vecs: np.ndarray | None = None
+        self.ids: np.ndarray | None = None
+        self.node_level: np.ndarray | None = None
+        self.adj: list[list[list[int]]] = []  # adj[level][node] -> [node]
+        self.entry = -1
+        self.max_level = -1
+
+    # ---- core search over one layer (Algorithm 2) ----
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int,
+                      level: int) -> list[tuple[float, int]]:
+        sims = self.vecs @ q  # dense: bucket-local graphs are small
+        visited = {entry}
+        start = (float(sims[entry]), entry)
+        cand = [(-start[0], entry)]            # max-heap by sim
+        best: list[tuple[float, int]] = [start]  # min-heap of size ef
+        adj = self.adj[level]
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            for nb in adj[c]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(sims[nb])
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(best, (s, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return best  # min-heap list; caller sorts
+
+    def _select(self, cands: list[tuple[float, int]], m: int) -> list[int]:
+        # top-m by (sim desc, id asc) — deterministic
+        return [n for _, n in sorted(cands, key=lambda x: (-x[0], x[1]))[:m]]
+
+    def build(self, ids: np.ndarray, vecs: np.ndarray) -> "HNSWGraph":
+        """Insert in ascending external-id order with content-addressed
+        levels (Algorithm 1 with ef=1 greedy descent above the node's
+        level)."""
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order].astype(np.int64)
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        self.vecs = (vecs / np.maximum(n, 1e-30))[order]
+        u = _hash_unit(self.ids)
+        self.node_level = np.floor(-np.log(u) * self.mL).astype(np.int64)
+        n_nodes = len(self.ids)
+        top = int(self.node_level.max(initial=0))
+        self.adj = [[[] for _ in range(n_nodes)] for _ in range(top + 1)]
+        for i in range(n_nodes):
+            li = int(self.node_level[i])
+            if self.entry < 0:
+                self.entry, self.max_level = i, li
+                continue
+            q = self.vecs[i]
+            ep = self.entry
+            # greedy descent on layers above the node's level
+            for lev in range(self.max_level, li, -1):
+                improved = True
+                sims = None
+                while improved:
+                    improved = False
+                    best_s = float(self.vecs[ep] @ q)
+                    for nb in self.adj[lev][ep]:
+                        s = float(self.vecs[nb] @ q)
+                        if s > best_s:
+                            best_s, ep, improved = s, nb, True
+            # ef-search + connect on layers min(max_level, li)..0
+            for lev in range(min(self.max_level, li), -1, -1):
+                found = self._search_layer(q, ep, self.ef_construction, lev)
+                m_max = self.M0 if lev == 0 else self.M
+                nbrs = self._select(found, self.M)
+                self.adj[lev][i] = list(nbrs)
+                for nb in nbrs:
+                    lst = self.adj[lev][nb]
+                    lst.append(i)
+                    if len(lst) > m_max:
+                        sims_nb = [(float(self.vecs[x] @ self.vecs[nb]), x)
+                                   for x in lst]
+                        self.adj[lev][nb] = self._select(sims_nb, m_max)
+                ep = max(found, key=lambda x: (x[0], -x[1]))[1]
+            if li > self.max_level:
+                self.entry, self.max_level = i, li
+        return self
+
+    def search(self, q: np.ndarray, k: int, ef: int = 48
+               ) -> list[tuple[int, float]]:
+        """(external_id, cosine) top-k, (sim desc, id asc)-ordered."""
+        if self.entry < 0:
+            return []
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        ep = self.entry
+        for lev in range(self.max_level, 0, -1):
+            improved = True
+            while improved:
+                improved = False
+                best_s = float(self.vecs[ep] @ qn)
+                for nb in self.adj[lev][ep]:
+                    s = float(self.vecs[nb] @ qn)
+                    if s > best_s:
+                        best_s, ep, improved = s, nb, True
+        best = self._search_layer(qn, ep, max(ef, k), 0)
+        out = sorted(best, key=lambda x: (-x[0], self.ids[x[1]]))[:k]
+        return [(int(self.ids[n]), s) for s, n in out]
+
+
+def knn_hnsw(sf_dir: str, n_queries: int = 5, k: int = 5,
+             nlist: int = 8, nprobe: int = 3, M: int = 8,
+             ef_construction: int = 64, ef_search: int = 48):
+    """Bucketed HNSW serving: k-means coarse quantizer (the IVF family's
+    deterministic centroids) routes each vector to one bucket; one hash
+    exchange co-locates buckets; each partition builds its buckets'
+    graphs and answers the broadcast queries whose ``nprobe`` nearest
+    centroids it owns. Returns (query_id, rank, neighbor_id, cosine) on
+    the 6 dp grid, ties → neighbor_id ASC."""
+    import ray
+
+    from .agg import hash_groupby_apply
+    from .similarity import (_normalize, _query_matrix, _vec_matrix,
+                             embeddings_ds, kmeans_centroids)
+
+    cents = _normalize(kmeans_centroids(sf_dir, k=nlist))
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(q)
+    # per-query probed buckets (deterministic argmax order)
+    probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    bc = ray.put((cents, q_ids, qn, probe))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents, *_ = ray.get(bc)
+        m = _normalize(_vec_matrix(t["embedding"]))
+        b = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "bucket": pa.array(b)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cents, q_ids, qn, probe = ray.get(bc)
+        rows_q, rows_n, rows_s = [], [], []
+        for b, g in df.groupby("bucket"):
+            hitting = np.flatnonzero((probe == int(b)).any(axis=1))
+            if len(hitting) == 0:
+                continue
+            ids = g["vec_id"].to_numpy(np.int64)
+            vecs = np.stack(g["embedding"].to_numpy())
+            graph = HNSWGraph(M=M, ef_construction=ef_construction) \
+                .build(ids, vecs.astype(np.float64))
+            for qi in hitting:
+                for nid, s in graph.search(qn[qi], k, ef=ef_search):
+                    rows_q.append(int(q_ids[qi]))
+                    rows_n.append(nid)
+                    rows_s.append(s)
+        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
+                             "cosine": rows_s})
+
+    cand = hash_groupby_apply(
+        embeddings_ds(sf_dir).map_batches(assign, batch_format="pyarrow"),
+        ["bucket"], per_bucket,
+    ).to_pandas()  # ≤ n_queries × nprobe × k rows
+    out = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.assign(c6=np.floor(g["cosine"].to_numpy() * 1e6 + 0.5) / 1e6)
+        g = g.sort_values(["c6", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), start=1):
+            out.append({"query_id": int(qid), "rank": r,
+                        "neighbor_id": int(row["neighbor_id"]),
+                        "cosine": float(row["c6"])})
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id",
+                                      "cosine"])
