@@ -433,6 +433,15 @@ def run_default() -> None:
     from searchenginepp_ray.pipelines import multimodal
     timed("media_real_features",
           lambda: multimodal.media_real_features(sf_dir))
+    timed("event_user_distinct_hll",
+          lambda: events.event_user_distinct_hll(sf_dir))
+    timed("decontaminate_bloom",
+          lambda: filters.decontaminate_bloom(sf_dir))
+    timed("corpus_report", lambda: text_stats.corpus_report(sf_dir))
+    timed("compression_ratio",
+          lambda: filters.compression_ratio(sf_dir))
+    from searchenginepp_ray.pipelines import hnsw as hnsw_mod
+    timed("knn_hnsw", lambda: hnsw_mod.knn_hnsw(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
     timed("event_transitions", lambda: events.event_transitions(sf_dir))
     timed("returned_item_report",
