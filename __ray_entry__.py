@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
         # HLL distinct-terms estimate (register partials, max-merge)
         "hll_distinct_terms": lambda sf: sample.hll_distinct_terms(sf),
+        # the PORTABLE-register HLL sibling — oracle-hash-checked
+        "vocab_distinct_hll": lambda sf: sample.vocab_distinct_hll(sf),
         # --- relational (distributed hash join / broadcast dim join /
         # map-side-combined group aggregate over the TPC-H side tables) ---
         "nation_revenue": lambda sf: relational.nation_revenue(sf),
@@ -748,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "term_complete": osql.term_complete_sql(),
         "term_heavy_hitters": osql.term_heavy_hitters_sql(),
         "vocab_stats": osql.vocab_stats_sql(),
+        "vocab_distinct_hll": osql.vocab_distinct_hll_sql(),
         "corpus_report": osql.corpus_report_sql(),
         "term_df_drift": osql.term_df_drift_sql(),
         "search_boolean": osql.search_boolean_sql(),

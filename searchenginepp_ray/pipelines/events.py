@@ -544,6 +544,50 @@ def event_user_distinct(sf_dir: str):
     )
 
 
+# ---- portable HyperLogLog kernel (shared by the grouped event sketch
+# and the corpus-term sketch in sample.py): 52-bit md5-prefix hashes,
+# M_REG registers, ρ from EXACT integer bit_length, harmonic denominator
+# as an exact int64 — every piece reproducible verbatim in SQL ----
+
+M_REG = 512           # registers (2^9); bucket = hash % M_REG
+RHO_MAX = 44          # 1 + (52 − 9) suffix bits
+#: α·m²·2^RHO_MAX — every constant derived from the layout, so the
+#: register geometry can't silently desynchronize from the estimate
+#: (the SQL oracles' literals are generated from the same values)
+ALPHA_NUM = (0.7213 / (1.0 + 1.079 / M_REG)) * float(M_REG * M_REG) \
+    * float(1 << RHO_MAX)
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64).copy()
+    n = np.zeros(len(v), np.int64)
+    for k in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.int64(1) << np.int64(k))
+        n[big] += k
+        v[big] >>= k
+    n += (v > 0).astype(np.int64)
+    return n
+
+
+def hll_bucket_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, ρ) for 52-bit portable hashes."""
+    return h % M_REG, RHO_MAX - _bit_length(h // M_REG)
+
+
+def hll_estimate(regs: np.ndarray) -> tuple[float, int]:
+    """(estimate, zero_registers) from a dense M_REG register vector —
+    one correctly-rounded division over the exact-int64 denominator,
+    identical small-range branch to the SQL twins."""
+    denom = int((np.int64(1) << (RHO_MAX - regs)).sum())
+    zeros = int((regs == 0).sum())
+    e_raw = ALPHA_NUM / denom
+    if e_raw <= 2.5 * M_REG and zeros > 0:
+        est = float(M_REG) * np.log(float(M_REG) / zeros)
+    else:
+        est = e_raw
+    return est, zeros
+
+
 def event_user_distinct_hll(sf_dir: str):
     """Grouped HyperLogLog distinct-user estimate per event_type — the
     ORACLE-HASH-CHECKED sketch twin of :func:`event_user_distinct`
@@ -572,30 +616,11 @@ def event_user_distinct_hll(sf_dir: str):
 
     from .agg import hash_groupby_apply
 
-    M_REG = 512           # registers (2^9); bucket = hash % M_REG
-    RHO_MAX = 44          # 1 + (52 − 9) suffix bits
-    # α·m²·2^RHO_MAX — every constant derived from the layout, so the
-    # register geometry can't silently desynchronize from the estimate
-    # (the SQL oracle's literals are generated from the same values)
-    ALPHA_NUM = (0.7213 / (1.0 + 1.079 / M_REG)) * float(M_REG * M_REG) \
-        * float(1 << RHO_MAX)
-
-    def _bit_length(v: np.ndarray) -> np.ndarray:
-        v = v.astype(np.int64).copy()
-        n = np.zeros(len(v), np.int64)
-        for k in (32, 16, 8, 4, 2, 1):
-            big = v >= (np.int64(1) << np.int64(k))
-            n[big] += k
-            v[big] >>= k
-        n += (v > 0).astype(np.int64)
-        return n
-
     def partials(t: pa.Table) -> pd.DataFrame:
         from .duck import md5_prefix_int
 
         h = md5_prefix_int(pc.cast(t["user_id"], pa.string()), 13)
-        bucket = h % M_REG
-        rho = RHO_MAX - _bit_length(h // M_REG)
+        bucket, rho = hll_bucket_rho(h)
         return (pd.DataFrame({
             "event_type": t["event_type"].to_pandas(),
             "bucket": bucket, "rho": rho})
@@ -608,13 +633,7 @@ def event_user_distinct_hll(sf_dir: str):
             regs = np.zeros(M_REG, dtype=np.int64)
             np.maximum.at(regs, g["bucket"].to_numpy(np.int64),
                           g["rho"].to_numpy(np.int64))
-            denom = int((np.int64(1) << (RHO_MAX - regs)).sum())
-            zeros = int((regs == 0).sum())
-            e_raw = ALPHA_NUM / denom
-            if e_raw <= 2.5 * M_REG and zeros > 0:
-                est = float(M_REG) * np.log(float(M_REG) / zeros)
-            else:
-                est = e_raw
+            est, zeros = hll_estimate(regs)
             rows.append({"event_type": et,
                          "zero_registers": np.int64(zeros),
                          "hll_users": np.floor(est * 1e6 + 0.5) / 1e6})

@@ -594,6 +594,43 @@ SELECT event_type, zeros AS zero_registers,
 FROM est"""
 
 
+def vocab_distinct_hll_sql() -> str:
+    """Oracle for sample.vocab_distinct_hll: the identical portable HLL
+    over the corpus's distinct vocabulary (shared tok CTE) — same
+    register math as event_user_distinct_hll_sql, global (no grouping),
+    one output row."""
+    return f"""WITH {tok_cte()},
+vocab AS (SELECT DISTINCT term FROM toks),
+h AS (SELECT CAST(('0x' || substr(md5(term), 1, 13)) AS BIGINT) AS v
+      FROM vocab),
+r0 AS (SELECT v % 512 AS bucket, v // 512 AS x FROM h),
+s1 AS (SELECT bucket, x | (x >> 1) AS a FROM r0),
+s2 AS (SELECT bucket, a | (a >> 2) AS a FROM s1),
+s3 AS (SELECT bucket, a | (a >> 4) AS a FROM s2),
+s4 AS (SELECT bucket, a | (a >> 8) AS a FROM s3),
+s5 AS (SELECT bucket, a | (a >> 16) AS a FROM s4),
+s6 AS (SELECT bucket, a | (a >> 32) AS a FROM s5),
+r AS (SELECT bucket, 44 - bit_count(CAST(a AS BIGINT)) AS rho FROM s6),
+regs AS (SELECT bucket, MAX(rho) AS m FROM r GROUP BY bucket),
+grid AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+filled AS (SELECT grid.bucket, coalesce(regs.m, 0) AS m
+           FROM grid LEFT JOIN regs USING (bucket)),
+agg AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS denom,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zeros
+        FROM filled),
+est AS (SELECT zeros,
+               (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                   * 17592186044416.0 / denom AS e_raw
+        FROM agg)
+SELECT CAST(512 AS BIGINT) AS n_registers,
+       zeros AS zero_registers,
+       floor(CASE WHEN e_raw <= 1280.0 AND zeros > 0
+             THEN 512.0 * ln(512.0 / zeros) ELSE e_raw END * 1e6 + 0.5)
+           / 1e6 AS distinct_terms_hll
+FROM est"""
+
+
 def media_real_features_sql() -> str:
     """Oracle for pipelines.multimodal.media_real_features: the REAL
     container round-trip (text bytes → BMP/WAV encode → vendored-parser

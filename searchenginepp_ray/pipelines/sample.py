@@ -131,6 +131,56 @@ def hll_distinct_terms(sf_dir: str, p: int = _HLL_P):
     )
 
 
+def vocab_distinct_hll(sf_dir: str):
+    """Distinct-VOCABULARY HyperLogLog on the PORTABLE register kernel
+    (events.py: 52-bit md5 hashes, 512 registers, exact integer ρ and
+    denominator) — the ORACLE-HASH-CHECKED sibling of
+    :func:`hll_distinct_terms` (which keeps the higher-precision 2^14
+    xxhash geometry but is rows-only; this one trades precision for a
+    SQL twin that reproduces the sketch register-for-register).
+
+    Scale shape: per-batch (bucket, max ρ) partials over the batch's
+    deduplicated vocabulary (≤ 512 rows per batch), one tiny bucket
+    groupby-max, driver finalize over 512 rows. Returns a 1-row
+    (n_registers, zero_registers, distinct_terms_hll) frame on the 6 dp
+    floor grid."""
+    import pandas as pd
+
+    from .agg import hash_groupby_sum
+    from .duck import md5_prefix_int
+    from .events import M_REG, hll_bucket_rho, hll_estimate
+    from .text_stats import term_counts_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms = pc.list_flatten(t["terms"])
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        uniq = pc.unique(terms)
+        if len(uniq) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = md5_prefix_int(uniq, 13)
+        bucket, rho = hll_bucket_rho(h)
+        g = (pd.DataFrame({"bucket": bucket, "rho": rho})
+             .groupby("bucket", as_index=False)["rho"].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regs_df = hash_groupby_sum(
+        term_counts_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], {"rho": ("rho", "max")},
+    ).to_pandas()  # ≤ 512 rows
+    regs = np.zeros(M_REG, dtype=np.int64)
+    if len(regs_df):
+        regs[regs_df["bucket"].to_numpy(np.int64)] = \
+            regs_df["rho"].to_numpy(np.int64)
+    est, zeros = hll_estimate(regs)
+    return pd.DataFrame({
+        "n_registers": [np.int64(M_REG)],
+        "zero_registers": [np.int64(zeros)],
+        "distinct_terms_hll": [np.floor(est * 1e6 + 0.5) / 1e6],
+    })
+
+
 #: default per-stratum keep fractions for :func:`stratified_sample` —
 #: rebalance a head-heavy corpus by downsampling the dominant language
 STRATA_FRACS = {"en": 0.1}

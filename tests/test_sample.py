@@ -259,3 +259,24 @@ def test_curriculum_order_is_exact_global_rank(ray_session):
     # quality is non-increasing along the curriculum
     qs = df.sort_values("rank")["quality"].to_numpy()
     assert (np.diff(qs) <= 1e-12).all()
+
+
+def test_vocab_distinct_hll_accuracy(ray_session, sf_dir):
+    """Portable-register vocabulary sketch: within the m=512 error
+    envelope of the exact distinct-term count, and deterministic."""
+    import numpy as np
+
+    from searchenginepp_ray.pipelines.sample import vocab_distinct_hll
+    from searchenginepp_ray.pipelines.text_stats import term_counts_ds
+
+    got = vocab_distinct_hll(sf_dir)
+    again = vocab_distinct_hll(sf_dir)
+    assert got["distinct_terms_hll"][0] == again["distinct_terms_hll"][0]
+    import pyarrow.compute as pc
+
+    exact = len(set(
+        t for b in term_counts_ds(sf_dir).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for t in pc.list_flatten(b["terms"]).to_pylist()))
+    rel = abs(got["distinct_terms_hll"][0] / exact - 1.0)
+    assert rel < 0.14, (got["distinct_terms_hll"][0], exact)
