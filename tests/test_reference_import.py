@@ -174,6 +174,18 @@ def test_imported_index_merges_and_serves(imported, tmp_path):
             assert [(d, s) for d, _, s in qa] == [(d, s) for d, _, s in qb]
 
 
+def test_imported_index_passes_deep_fsck(imported):
+    """Full integrity check over the imported index: every posting list
+    decodes, skip fences hold, df_global cross-checks — the importer's
+    output is indistinguishable from a native build's to the checker."""
+    from searchenginepp_ray.index.fsck import fsck_index
+
+    summary, _ = imported
+    report = fsck_index(summary["out_dir"], deep=True)
+    assert report["ok"], report["errors"]
+    assert report["n_docs"] == len(DOCS)
+
+
 def test_interactive_repl_over_imported_index(tmp_path):
     """The CLI's interactive prompt (reference engine.cpp:74-79 serving
     mode) answers queries over an imported reference index."""
