@@ -7,13 +7,14 @@ Two codec tiers:
   payload bytes directly as samples/pixels, keeping every downstream
   numeric assertion SQL-checkable.
 - ``FakeCodec(real=True)`` — REAL container decoding via the vendored
-  pure-numpy parsers below (uncompressed 24-bit ``BI_RGB`` BMP and PCM
-  8/16-bit RIFF/WAVE — no wheel needed; PIL/soundfile/av are unavailable
-  in this environment, so formats beyond these raise with a clear
-  message). :func:`media_real_features` exercises real bytes→pixels /
-  bytes→samples end-to-end through the actor pool, and because the
-  containers are built deterministically from the documents table the
-  decoded features remain ORACLE-hash-checkable in SQL.
+  pure-numpy parsers below (uncompressed 24-bit ``BI_RGB`` BMP, PCM
+  8/16-bit RIFF/WAVE, and uncompressed 24-bit RIFF/AVI video — no wheel
+  needed; PIL/soundfile/av are unavailable in this environment, so
+  COMPRESSED formats raise with a clear message).
+  :func:`media_real_features` exercises real bytes→pixels/samples/
+  frames end-to-end through the actor pool, and because the containers
+  are built deterministically from the documents table the decoded
+  features remain ORACLE-hash-checkable in SQL.
 
 Everything Ray-side is real and tested either way: the schema (payload
 ``large_binary`` + width/height/sample-rate/frame metadata), the actor
@@ -195,10 +196,97 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+def encode_avi_gray(frames: np.ndarray, fps: int = 25) -> bytes:
+    """uint8 (n_frames, H, W) grayscale → minimal uncompressed AVI
+    (RIFF 'AVI ': avih + one 'vids'/'DIB ' stream, 24-bit bottom-up DIB
+    frames in '00db' chunks, rows padded to 4 bytes — the same pixel
+    layout as the BMP writer). Public AVI RIFF layout per the
+    Microsoft multimedia file-format spec."""
+    import struct
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    nf, h, w = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_size * fps, 0,
+                       0x10, nf, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                            nf, frame_size, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = []
+    for f in range(nf):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = np.repeat(frames[f][::-1], 3, axis=1)  # BGR=gray
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Minimal uncompressed-AVI decoder → uint8 (n_frames, H, W, 3) RGB.
+    Walks the RIFF chunk tree for the 'vids' stream's BITMAPINFOHEADER
+    (strf: 24-bit, BI_RGB) and the movi '00db'/'00dc' frame chunks;
+    frames are bottom-up BGR DIB rows padded to 4 bytes."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload; compressed video needs "
+                         "av, unavailable in this environment")
+    dims: list[tuple[int, int, int]] = []
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_at = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, body_at + 4, body_at + size)
+            elif fourcc == b"strf" and size >= 40:
+                w, hh = struct.unpack_from("<ii", buf, body_at + 4)
+                (bpp,) = struct.unpack_from("<H", buf, body_at + 14)
+                (comp,) = struct.unpack_from("<I", buf, body_at + 16)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24-bit BI_RGB AVI supported (bpp={bpp}, "
+                        f"compression={comp})")
+                dims.append((w, abs(hh), 1 if hh < 0 else 0))
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(buf[body_at: body_at + size])
+            pos = body_at + size + (size & 1)  # chunks are word-aligned
+
+    walk(data, 12, len(data))
+    if not dims:
+        raise ValueError("AVI missing a 24-bit 'strf' stream header")
+    w, h, top_down = dims[0]
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        rows = np.frombuffer(fb, np.uint8, count=stride * h) \
+            .reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        out[i] = rows[:, :, ::-1]  # BGR → RGB
+    return out
+
+
 class _RealCodec:
-    """Vendored-parser decode tier: BMP → pixels, WAV → samples. Video
-    has no pure-Python-decodable container, so it raises — the honest
-    remaining stub boundary."""
+    """Vendored-parser decode tier: BMP → pixels, WAV → samples,
+    uncompressed AVI → frame volume. Compressed formats raise with a
+    clear message (PIL/soundfile/av are unavailable here)."""
 
     def decode_image(self, payload: bytes, width: int = 0,
                      height: int = 0) -> np.ndarray:
@@ -210,9 +298,7 @@ class _RealCodec:
 
     def decode_video(self, payload: bytes, width: int, height: int,
                      n_frames: int) -> np.ndarray:
-        raise NotImplementedError(
-            "real video decoding requires av, unavailable in this "
-            "environment; FakeCodec(real=False) provides the stub")
+        return decode_avi(payload)  # (n_frames, H, W, 3); metadata unused
 
 
 class FakeCodec:
@@ -221,10 +307,10 @@ class FakeCodec:
     ``real=False`` (default): interprets payload bytes directly as
     samples/pixels — keeps every downstream numeric assertion
     SQL-checkable, and is the oracle twin of the real tier.
-    ``real=True``: dispatches to the vendored pure-numpy BMP/WAV parsers
-    (:func:`decode_bmp` / :func:`decode_wav`); non-BMP/WAV payloads and
-    video raise with a clear message (PIL/soundfile/av are not available
-    in this container).
+    ``real=True``: dispatches to the vendored pure-numpy BMP/WAV/AVI
+    parsers (:func:`decode_bmp` / :func:`decode_wav` /
+    :func:`decode_avi`); foreign/compressed containers raise with a
+    clear message (PIL/soundfile/av are not available here).
     """
 
     def __init__(self, real: bool = False):
@@ -406,18 +492,21 @@ class FrameSampler:
 
 
 def media_real_ds(sf_dir: str) -> ray.data.Dataset:
-    """Documents table → media table of REAL container payloads: even
-    doc_ids become uncompressed 24-bit BMP images (pixels = the first
-    width×height text bytes, zero-padded when short — the same grid the
-    stub tier uses), odd doc_ids become PCM-16 WAV audio (samples =
-    ``(byte − 128) << 8``, the standard PCM8→PCM16 widening). Container
-    assembly is deterministic, so the DECODED features stay
-    SQL-checkable even though the decode exercises real parsers."""
+    """Documents table → media table of REAL container payloads, kind
+    cycling by ``doc_id % 3``: images are uncompressed 24-bit BMP
+    (pixels = the first width×height text bytes, zero-padded when
+    short — the same grid the stub tier uses), audio is PCM-16 WAV
+    (samples = ``(byte − 128) << 8``, the standard PCM8→PCM16
+    widening), video is uncompressed AVI whose grayscale frames tile
+    the text bytes into the (n_frames, h, w) volume exactly like the
+    stub codec. Container assembly is deterministic, so the DECODED
+    features stay SQL-checkable even though the decode exercises real
+    parsers."""
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.int64)
         texts = t["text"].to_pylist()
-        kind, payload, width, height = [], [], [], []
+        kind, payload, width, height, nframes = [], [], [], [], []
         for i, txt in zip(ids, texts):
             b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
             nb = len(b)
@@ -425,18 +514,25 @@ def media_real_ds(sf_dir: str) -> ray.data.Dataset:
                 continue
             w = 8 if nb >= 64 else 4
             h = max(nb // w, 1)
-            if i % 2 == 0:
+            nf = 0
+            if i % 3 == 0:
                 px = b[: w * h]
                 if len(px) < w * h:
                     px = np.pad(px, (0, w * h - len(px)))
                 kind.append("image")
                 payload.append(encode_bmp_gray(px.reshape(h, w)))
-            else:
+            elif i % 3 == 1:
                 samples = ((b.astype(np.int16) - 128) << 8)
                 kind.append("audio")
                 payload.append(encode_wav_pcm16(samples))
+            else:
+                nf = int(nb % 7 + 2)
+                vol = np.resize(b, nf * h * w).reshape(nf, h, w)
+                kind.append("video")
+                payload.append(encode_avi_gray(vol))
             width.append(w)
             height.append(h)
+            nframes.append(nf)
         keep = [int(i) for i, txt in zip(ids, texts) if len(txt.encode("utf-8")) > 0]
         return pa.table({
             "media_id": pa.array(keep, pa.int64()),
@@ -446,7 +542,7 @@ def media_real_ds(sf_dir: str) -> ray.data.Dataset:
             "height": pa.array(np.asarray(height, dtype=np.int32)),
             "sample_rate": pa.array(
                 np.full(len(keep), 16_000, dtype=np.int32)),
-            "n_frames": pa.array(np.zeros(len(keep), dtype=np.int32)),
+            "n_frames": pa.array(np.asarray(nframes, dtype=np.int32)),
         }, schema=MEDIA_SCHEMA)
 
     from .text_stats import _read_blocks
@@ -477,8 +573,10 @@ class RealMediaFeatures:
         for i in range(n):
             if kinds[i] == "image":
                 a = self.codec.decode_image(payloads[i], 0, 0)
-            else:
+            elif kinds[i] == "audio":
                 a = self.codec.decode_audio(payloads[i])
+            else:
+                a = self.codec.decode_video(payloads[i], 0, 0, 0)
             # float64 accumulator: per-sample values are exact dyadic
             # rationals, so the mean is one correctly-rounded division —
             # the property the oracle-hash equality relies on

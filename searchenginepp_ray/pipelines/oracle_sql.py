@@ -633,41 +633,55 @@ FROM est"""
 
 def media_real_features_sql() -> str:
     """Oracle for pipelines.multimodal.media_real_features: the REAL
-    container round-trip (text bytes → BMP/WAV encode → vendored-parser
-    decode → features) re-expressed directly over the text bytes. Even
-    doc_ids are 24-bit BMP images (pixel grid = first w·h bytes,
-    zero-padded; decoded volume is (h, w, 3) so n_samples = 3·w·h and
-    the mean equals sum(grid)/(w·h) — 3s/3n and s/n round identically
-    in float64); odd doc_ids are PCM-16 WAV (samples = (b−128)·256 /
-    32768, so the mean is one correctly-rounded division of the exact
-    integer Σ(b−128) by 128·nb). n_bytes is the container size:
-    54 + stride·h for BMP (stride = row bytes padded to 4), 44 + 2·nb
-    for canonical WAV. The corpus is pure ASCII (media_byte_stats pins
-    the byte identity), so ascii(char) == byte."""
+    container round-trip (text bytes → BMP/WAV/AVI encode →
+    vendored-parser decode → features) re-expressed directly over the
+    text bytes, kind cycling by doc_id % 3. Images (kind 0): 24-bit BMP,
+    pixel grid = first w·h bytes zero-padded; decoded (h, w, 3) so
+    n_samples = 3·w·h, mean = sum(grid)/(w·h) (3s/3n ≡ s/n in float64).
+    Audio (kind 1): PCM-16 WAV, mean = Σ(b−128)/(128·nb). Video
+    (kind 2): uncompressed AVI whose frames TILE the bytes into
+    nf·h·w (nf = nb % 7 + 2); the tiled sum is full·Σall + prefix(rem)
+    with full = (nf·h·w) // nb, rem = (nf·h·w) % nb — exact integers.
+    n_bytes is the container size: 54 + stride·h (BMP),
+    44 + 2·nb (WAV), 224 + nf·(8 + stride·h) (AVI; stride = 3·w padded
+    to 4, already a multiple of 4 for w ∈ {4, 8}). Pure-ASCII corpus ⇒
+    ascii(char) == byte (media_byte_stats pins it)."""
     return """
 WITH v AS (
   SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS nb,
          CAST(CASE WHEN length(text) >= 64 THEN 8 ELSE 4 END AS BIGINT) AS w
   FROM documents WHERE length(text) > 0),
-g AS (SELECT media_id, text, nb, w, greatest(nb // w, 1) AS h FROM v),
+g AS (SELECT media_id, text, nb, w, greatest(nb // w, 1) AS h,
+             nb % 7 + 2 AS nf
+      FROM v),
 s AS (
   SELECT media_id,
          SUM(CASE WHEN i <= least(nb, w * h)
              THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
              AS sum_grid,
+         SUM(CASE WHEN i <= (nf * h * w) % nb
+             THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+             AS sum_rem,
          SUM(ascii(substr(text, CAST(i AS INT), 1))) AS sum_all
   FROM g, LATERAL (SELECT unnest(generate_series(1, nb)) AS i)
   GROUP BY media_id)
 SELECT g.media_id,
-  CASE WHEN g.media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-  CAST(CASE WHEN g.media_id % 2 = 0
-       THEN 54 + ((g.w * 3 + 3) // 4) * 4 * g.h
-       ELSE 44 + 2 * g.nb END AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN g.media_id % 2 = 0 THEN g.w * g.h * 3
-       ELSE g.nb END AS BIGINT) AS n_samples,
-  floor(CASE WHEN g.media_id % 2 = 0
-        THEN CAST(s.sum_grid AS DOUBLE) / (g.w * g.h)
-        ELSE (CAST(s.sum_all AS DOUBLE) - 128 * g.nb) / (128 * g.nb)
+  CASE g.media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(CASE g.media_id % 3
+       WHEN 0 THEN 54 + ((g.w * 3 + 3) // 4) * 4 * g.h
+       WHEN 1 THEN 44 + 2 * g.nb
+       ELSE 224 + g.nf * (8 + ((g.w * 3 + 3) // 4) * 4 * g.h)
+       END AS BIGINT) AS n_bytes,
+  CAST(CASE g.media_id % 3 WHEN 0 THEN g.w * g.h * 3
+       WHEN 1 THEN g.nb
+       ELSE g.nf * g.h * g.w * 3 END AS BIGINT) AS n_samples,
+  floor(CASE g.media_id % 3
+        WHEN 0 THEN CAST(s.sum_grid AS DOUBLE) / (g.w * g.h)
+        WHEN 1 THEN (CAST(s.sum_all AS DOUBLE) - 128 * g.nb)
+                    / (128 * g.nb)
+        ELSE CAST((g.nf * g.h * g.w) // g.nb * s.sum_all + s.sum_rem
+                  AS DOUBLE) / (g.nf * g.h * g.w)
         END * 1e6 + 0.5) / 1e6 AS mean_value
 FROM g JOIN s USING (media_id)"""
 

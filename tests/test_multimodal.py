@@ -14,17 +14,66 @@ SF = "/root/testdata/sf0.001"
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
-def test_real_video_decode_raises():
-    with pytest.raises(NotImplementedError):
-        mm.FakeCodec(real=True).decode_video(b"xx", 2, 1, 1)
-
-
 def test_real_codec_rejects_foreign_containers():
     c = mm.FakeCodec(real=True)
     with pytest.raises(ValueError):
         c.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, 4, 2)
     with pytest.raises(ValueError):
         c.decode_audio(b"OggS" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        c.decode_video(b"\x00\x00\x00\x20ftypmp42" + b"\x00" * 24, 2, 2, 1)
+
+
+def test_avi_roundtrip():
+    rng = np.random.default_rng(5)
+    for nf, h, w in [(3, 4, 5), (1, 2, 2), (6, 3, 7)]:  # odd widths pad
+        vol = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+        back = mm.decode_avi(mm.encode_avi_gray(vol))
+        assert back.shape == (nf, h, w, 3)
+        for ch in range(3):
+            np.testing.assert_array_equal(back[:, :, :, ch], vol)
+
+
+def test_avi_container_size_formula():
+    """The oracle's n_bytes closed form: 224 + nf·(8 + stride·h)."""
+    vol = np.zeros((4, 3, 8), dtype=np.uint8)
+    data = mm.encode_avi_gray(vol)
+    stride = (8 * 3 + 3) & ~3
+    assert len(data) == 224 + 4 * (8 + stride * 3)
+
+
+def test_decode_avi_hand_built_fixture():
+    """Single-frame 2x2 AVI assembled by hand from the RIFF spec (raw
+    struct, independent of encode_avi_gray): bottom-up BGR DIB frame."""
+    import struct
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3  # 8
+    # top row pixels (RGB): (1,2,3) (4,5,6); bottom row: (7,8,9) (10,11,12)
+    bot = bytes([9, 8, 7, 12, 11, 10]) + b"\x00" * (stride - 6)
+    top = bytes([3, 2, 1, 6, 5, 4]) + b"\x00" * (stride - 6)
+    frame = bot + top  # bottom-up storage
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(frame),
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, 25, 0, 1,
+                                            len(frame), 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    avih = struct.pack("<14I", 40000, 0, 0, 0x10, 1, 0, 1, len(frame),
+                       w, h, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                         + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    a = mm.decode_avi(data)
+    assert a.shape == (1, 2, 2, 3)
+    assert a[0].tolist() == [[[1, 2, 3], [4, 5, 6]],
+                             [[7, 8, 9], [10, 11, 12]]]
 
 
 def test_decode_bmp_checked_in_fixture():
