@@ -788,6 +788,12 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): minhash_dedup_pairs (float
         # jaccard variant; the exact-integer ngram_jaccard_dedup IS
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +
-        # embedding_near_dup_lsh (approximate by design), media_features,
-        # image_resize (stubbed codec)
+        # embedding_near_dup_lsh + knn_hnsw (approximate by design;
+        # hash-gated degenerate twins exist where exactness is
+        # reachable), media_features, image_resize (stub codec tier —
+        # media_real_features, the real-codec tier, IS hash-checked),
+        # hll_distinct_terms (xxhash precision tier; the portable
+        # vocab_distinct_hll and event_user_distinct_hll ARE
+        # hash-checked), compression_ratio (zlib), bpe_train/tokenize
+        # (iterative merge semantics)
     }
