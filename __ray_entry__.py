@@ -293,6 +293,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-addressed levels) — rows-only (approximate by design;
         # recall vs brute force pytest-pinned)
         "knn_hnsw": lambda sf: _hnsw().knn_hnsw(sf),
+        # degenerate-parameter gate (the IVF-family pattern): one
+        # bucket + saturating ef makes layer-0 search exhaustive, so
+        # HNSW == brute force == the SQL cosine top-k — hash-checked
+        "knn_hnsw_exact": lambda sf: _hnsw().knn_hnsw(
+            sf, nlist=1, nprobe=1, ef_search=4096),
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # SemDeDup: k-means bucketing prunes candidate pairs, per-cluster
         # micro-grid cosine edges, keep-farthest-from-centroid per
@@ -698,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_appended": osql.knn_brute_force_sql(),
         "embedding_norm_stats": osql.embedding_norm_stats_sql(),
         "knn_graph": osql.knn_graph_sql(),
+        "knn_hnsw_exact": osql.knn_brute_force_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "frame_sample": osql.frame_sample_sql(),
         "media_real_features": osql.media_real_features_sql(),
