@@ -442,9 +442,8 @@ def run_default() -> None:
           lambda: filters.compression_ratio(sf_dir))
     from searchenginepp_ray.pipelines import hnsw as hnsw_mod
     timed("knn_hnsw", lambda: hnsw_mod.knn_hnsw(sf_dir))
-    from searchenginepp_ray.pipelines import sample as sample_mod
     timed("vocab_distinct_hll",
-          lambda: sample_mod.vocab_distinct_hll(sf_dir))
+          lambda: sample.vocab_distinct_hll(sf_dir))
     timed("event_props_stats", lambda: events.event_props_stats(sf_dir))
     timed("event_transitions", lambda: events.event_transitions(sf_dir))
     timed("returned_item_report",

@@ -247,6 +247,7 @@ def decode_avi(data: bytes) -> np.ndarray:
                          "av, unavailable in this environment")
     dims: list[tuple[int, int, int]] = []
     frames: list[bytes] = []
+    last_strh_type = [b""]  # a strf describes the PRECEDING strh's stream
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -255,7 +256,15 @@ def decode_avi(data: bytes) -> np.ndarray:
             body_at = pos + 8
             if fourcc == b"LIST":
                 walk(buf, body_at + 4, body_at + size)
-            elif fourcc == b"strf" and size >= 40:
+            elif fourcc == b"strh":
+                last_strh_type[0] = buf[body_at:body_at + 4]
+            elif fourcc == b"strf" and last_strh_type[0] == b"vids":
+                # only the VIDEO stream's format chunk is a
+                # BITMAPINFOHEADER (an 'auds' strf is a WAVEFORMATEX —
+                # misreading it as bpp/compression was a review finding)
+                if size < 40:
+                    raise ValueError("vids strf too small for a "
+                                     "BITMAPINFOHEADER")
                 w, hh = struct.unpack_from("<ii", buf, body_at + 4)
                 (bpp,) = struct.unpack_from("<H", buf, body_at + 14)
                 (comp,) = struct.unpack_from("<I", buf, body_at + 16)
