@@ -39,22 +39,40 @@ def windowed_agg(sf_dir: str, window_s: int = 3600):
     min/max value per (event_type, window_start). Assumes nothing about
     input order — the window key is computed per row."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # map-side combiner: per-batch pre-aggregation shrinks the shuffle
-        # from one row per event to one row per (type, window) per batch
-        epoch = df["ts"].astype("int64") // 1_000_000  # µs → s
-        df = df[["event_type", "value"]].copy()
-        df["window_start"] = (epoch // window_s) * window_s
-        g = df.groupby(["event_type", "window_start"])["value"]
-        out = g.agg(["count", "sum", "min", "max"]).reset_index()
-        return out.rename(columns={"count": "n_part", "sum": "sum_part",
-                                   "min": "min_part", "max": "max_part"})
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: per-batch pre-aggregation shrinks the
+        # shuffle from one row per event to one row per (type, window)
+        # per batch — Arrow-native groupby (C kernel, no pandas
+        # conversion on the event-sized side)
+        import pyarrow.compute as pc
+
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()),
+                          pa.scalar(1_000_000, pa.int64()))  # µs → s
+        win = pc.multiply(pc.divide(epoch, pa.scalar(window_s, pa.int64())),
+                          pa.scalar(window_s, pa.int64()))
+        g = pa.table({
+            "event_type": t["event_type"],
+            "window_start": win,
+            "value": t["value"],
+        }).group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum"),
+             ("value", "min"), ("value", "max")])
+        # select BY NAME (not positional rename): robust to pyarrow
+        # changing key/aggregate column ordering across versions
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_part": g["value_count"],
+            "sum_part": g["value_sum"],
+            "min_part": g["value_min"],
+            "max_part": g["value_max"],
+        })
 
     from .agg import hash_groupby_sum
 
     return hash_groupby_sum(
         events_ds(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pandas"),
+        .map_batches(partial, batch_format="pyarrow"),
         ["event_type", "window_start"],
         {"n_events": ("n_part", "sum"), "value_sum": ("sum_part", "sum"),
          "value_min": ("min_part", "min"), "value_max": ("max_part", "max")},
