@@ -534,20 +534,23 @@ def order_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "_side": pa.array(np.zeros(len(t), np.int8)),
         })
 
-    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(),
-                           "rev_part": p * (100 - d)})
-             .groupby("_k", as_index=False)["rev_part"].sum())
-        g["o_orderdate"] = pd.Series([pd.NaT] * len(g),
-                                     dtype="datetime64[us]")
-        g["o_orderpriority"] = pd.array([None] * len(g), dtype="string")
-        g["_side"] = np.ones(len(g), np.int8)
-        return g[["_k", "o_orderdate", "o_orderpriority", "rev_part", "_side"]]
+    def rev_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (the lineitem-scale side of the union)
+        g = pa.table({
+            "_k": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev_part": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["_k"]).aggregate([("rev_part", "sum")])
+        n = len(g)
+        return pa.table({
+            "_k": g["_k"],
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "rev_part": g["rev_part_sum"],
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     u = orders.map_batches(order_rows, batch_format="pyarrow").union(
-        li.map_batches(rev_partials, batch_format="pandas"))
+        li.map_batches(rev_partials, batch_format="pyarrow"))
 
     def partition_topk(df: pd.DataFrame) -> pd.DataFrame:
         o = df[df["_side"] == 0]
@@ -1050,18 +1053,22 @@ def returned_item_report(sf_dir: str, date_lo: str = "1996-01-01",
             "_side": pa.array(np.zeros(len(t), np.int8)),
         })
 
-    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(),
-                           "rev_part": p * (100 - d)})
-             .groupby("_k", as_index=False)["rev_part"].sum())
-        g["custkey"] = np.full(len(g), -1, np.int64)
-        g["_side"] = np.ones(len(g), np.int8)
-        return g[["_k", "custkey", "rev_part", "_side"]]
+    def rev_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (the lineitem-scale side of the union)
+        g = pa.table({
+            "_k": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev_part": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["_k"]).aggregate([("rev_part", "sum")])
+        n = len(g)
+        return pa.table({
+            "_k": g["_k"],
+            "custkey": pa.array(np.full(n, -1, np.int64)),
+            "rev_part": g["rev_part_sum"],
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     hop1 = orders.map_batches(order_rows, batch_format="pyarrow").union(
-        li.map_batches(rev_partials, batch_format="pandas"))
+        li.map_batches(rev_partials, batch_format="pyarrow"))
 
     def join_orderkey(df: pd.DataFrame) -> pd.DataFrame:
         o = df[df["_side"] == 0]
