@@ -445,12 +445,14 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     li = table_ds(sf_dir, "lineitem",
                   ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
-        return (pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
-                              "rev_part": p * (100 - d)})
-                .groupby("o_orderkey", as_index=False)["rev_part"].sum())
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev_part": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["o_orderkey"]).aggregate([("rev_part", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rev_part": g["rev_part_sum"]})
 
     def partition_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderkey", as_index=False)["rev_part"].sum()
@@ -459,7 +461,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         return g.rename(columns={"rev_part": "rev_e4"})
 
     survivors = hash_groupby_apply(
-        li.map_batches(partial, batch_format="pandas"),
+        li.map_batches(partial, batch_format="pyarrow"),
         ["o_orderkey"], partition_topk,
     ).to_pandas()  # <= P*k rows
 
@@ -1245,16 +1247,20 @@ def large_volume_orders(sf_dir: str, qty_threshold: int = 200,
                       ["o_orderkey", "o_custkey", "o_totalprice",
                        "o_orderdate"])
 
-    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
-        q = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(), "q_c": q})
-             .groupby("_k", as_index=False)["q_c"].sum())
-        g["custkey"] = np.full(len(g), -1, np.int64)
-        g["totalprice"] = np.zeros(len(g), np.float64)
-        g["orderdate"] = pd.Series([pd.NaT] * len(g), dtype="datetime64[us]")
-        g["_side"] = np.ones(len(g), np.int8)
-        return g[["_k", "q_c", "custkey", "totalprice", "orderdate",
-                  "_side"]]
+    def qty_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "_k": pc.cast(t["l_orderkey"], pa.int64()),
+            "q_c": _cents_arrow(t["l_quantity"]),
+        }).group_by(["_k"]).aggregate([("q_c", "sum")])
+        n = len(g)
+        return pa.table({
+            "_k": g["_k"], "q_c": g["q_c_sum"],
+            "custkey": pa.array(np.full(n, -1, np.int64)),
+            "totalprice": pa.array(np.zeros(n, np.float64)),
+            "orderdate": pa.nulls(n, pa.timestamp("us")),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     def order_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -1267,7 +1273,7 @@ def large_volume_orders(sf_dir: str, qty_threshold: int = 200,
             "_side": np.zeros(n, np.int8),
         })
 
-    hop1 = li.map_batches(qty_partials, batch_format="pandas").union(
+    hop1 = li.map_batches(qty_partials, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pandas"))
 
     def having_join(df: pd.DataFrame) -> pd.DataFrame:
@@ -1442,14 +1448,18 @@ def suppliers_kept_waiting(sf_dir: str, region: str = "EUROPE",
         override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
 
-    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        ship_us = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(np.int64),
-                           "suppkey": df["l_suppkey"].to_numpy(np.int64),
-                           "ship_us": ship_us})
-             .groupby(["_k", "suppkey"], as_index=False)["ship_us"].max())
-        g["_side"] = np.ones(len(g), np.int8)
-        return g
+    def li_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "_k": pc.cast(t["l_orderkey"], pa.int64()),
+            "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        }).group_by(["_k", "suppkey"]).aggregate([("ship_us", "max")])
+        return pa.table({
+            "_k": g["_k"], "suppkey": g["suppkey"],
+            "ship_us": g["ship_us_max"],
+            "_side": pa.array(np.ones(len(g), np.int8)),
+        })
 
     def order_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -1462,7 +1472,7 @@ def suppliers_kept_waiting(sf_dir: str, region: str = "EUROPE",
             "_side": np.zeros(n, np.int8),
         })
 
-    hop1 = li.map_batches(li_partials, batch_format="pandas").union(
+    hop1 = li.map_batches(li_partials, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pandas"))
     late_us = np.int64(late_days) * 86_400_000_000
 
@@ -2050,14 +2060,18 @@ def order_priority_late(sf_dir: str, late_days: int = 10,
         override_num_blocks=_read_blocks(opath, target_rows=20_000),
     )
 
-    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        ship_us = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_orderkey"].to_numpy(np.int64),
-                           "ship_us": ship_us})
-             .groupby("_k", as_index=False)["ship_us"].max())
-        g["prio"] = pd.Series([None] * len(g), dtype=object)
-        g["_side"] = np.ones(len(g), np.int8)
-        return g[["_k", "ship_us", "prio", "_side"]]
+    def li_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "_k": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        }).group_by(["_k"]).aggregate([("ship_us", "max")])
+        n = len(g)
+        return pa.table({
+            "_k": g["_k"], "ship_us": g["ship_us_max"],
+            "prio": pa.nulls(n, pa.string()),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     def order_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -2070,7 +2084,7 @@ def order_priority_late(sf_dir: str, late_days: int = 10,
             "_side": np.zeros(n, np.int8),
         })
 
-    hop = li.map_batches(li_partials, batch_format="pandas").union(
+    hop = li.map_batches(li_partials, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pandas"))
     late_us = np.int64(late_days) * 86_400_000_000
 
