@@ -1866,24 +1866,27 @@ def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
         override_num_blocks=_read_blocks(lpath, target_rows=20_000),
     )
 
-    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        q = df["l_quantity"].to_numpy()
+    def li_partials(t: pa.Table) -> pa.Table:
         # clause-membership bitmask over the quantity ranges: partials
-        # collapse to at most 2^|clauses| qty buckets per partkey
-        m = np.zeros(len(df), np.int64)
+        # collapse to at most 2^|clauses| qty buckets per partkey —
+        # Arrow-native hot kernel
+        q = np.asarray(t["l_quantity"].to_pandas(), dtype=np.float64)
+        m = np.zeros(len(q), np.int64)
         for ci, (_, _, _, lo, hi) in enumerate(clauses):
             m |= ((q >= lo) & (q <= hi)).astype(np.int64) << ci
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        g = (pd.DataFrame({"partkey": df["l_partkey"].to_numpy(np.int64),
-                           "qmask": m, "rev": p * (100 - d)})
-             .groupby(["partkey", "qmask"], as_index=False)["rev"].sum())
-        g["brand"] = pd.Series([None] * len(g), dtype=object)
-        g["size"] = np.zeros(len(g), np.int64)
-        g["_side"] = np.ones(len(g), np.int8)
-        return g[["partkey", "qmask", "rev", "brand", "size", "_side"]]
+        g = pa.table({
+            "partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "qmask": pa.array(m),
+            "rev": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["partkey", "qmask"]).aggregate([("rev", "sum")])
+        n = len(g)
+        return pa.table({
+            "partkey": g["partkey"], "qmask": g["qmask"],
+            "rev": g["rev_sum"],
+            "brand": pa.nulls(n, pa.string()),
+            "size": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     def part_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -1896,7 +1899,7 @@ def discounted_revenue(sf_dir: str, clauses: tuple = DISCOUNT_CLAUSES):
             "_side": np.zeros(n, np.int8),
         })
 
-    u = li.map_batches(li_partials, batch_format="pandas").union(
+    u = li.map_batches(li_partials, batch_format="pyarrow").union(
         part.map_batches(part_rows, batch_format="pandas"))
 
     def disjunction(df: pd.DataFrame) -> pd.DataFrame:
@@ -2150,17 +2153,18 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
     )
 
-    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        g = (pd.DataFrame({"_k": df["l_partkey"].to_numpy(np.int64),
-                           "rev4": p * (100 - d)})
-             .groupby("_k", as_index=False)["rev4"].sum())
-        g["promo"] = np.full(len(g), False)
-        g["_side"] = np.ones(len(g), np.int8)
-        return g
+    def li_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "_k": pc.cast(t["l_partkey"], pa.int64()),
+            "rev4": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["_k"]).aggregate([("rev4", "sum")])
+        n = len(g)
+        return pa.table({
+            "_k": g["_k"], "rev4": g["rev4_sum"],
+            "promo": pa.array(np.zeros(n, bool)),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
 
     def part_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -2171,7 +2175,7 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
             "_side": np.zeros(n, np.int8),
         })
 
-    hop = li.map_batches(li_partials, batch_format="pandas").union(
+    hop = li.map_batches(li_partials, batch_format="pyarrow").union(
         part.map_batches(part_rows, batch_format="pandas"))
 
     def ratio_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -2222,21 +2226,20 @@ def top_supplier_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         override_num_blocks=_read_blocks(lpath, target_rows=20_000),
     )
 
-    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5) \
-            .astype(np.int64)
-        return (pd.DataFrame({"_k": df["l_suppkey"].to_numpy(np.int64),
-                              "rev4": p * (100 - d)})
-                .groupby("_k", as_index=False)["rev4"].sum())
+    def li_partials(t: pa.Table) -> pa.Table:
+        # Arrow-native hot kernel (lineitem-scale map-side combiner)
+        g = pa.table({
+            "_k": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev4": _rev4_arrow(t["l_extendedprice"], t["l_discount"]),
+        }).group_by(["_k"]).aggregate([("rev4", "sum")])
+        return pa.table({"_k": g["_k"], "rev4": g["rev4_sum"]})
 
     def part_max(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("_k", as_index=False)["rev4"].sum()
         return g[g["rev4"].to_numpy() == g["rev4"].max()]
 
     cand = hash_groupby_apply(
-        li.map_batches(li_partials, batch_format="pandas"),
+        li.map_batches(li_partials, batch_format="pyarrow"),
         ["_k"], part_max).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({
