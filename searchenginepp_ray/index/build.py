@@ -244,6 +244,96 @@ def _global_stage_single(
     return sum_doclen
 
 
+@ray.remote
+def _fanout_split(files: list[str], P: int) -> list:
+    """Fan-out arm wave 1: read a slice of the partial files, hash-
+    partition rows by term (same hash, same ``P`` as the other two
+    arms), and return ``[sum_doclen_slice, piece_0, …, piece_{P-1}]``
+    via ``num_returns`` so each wave-2 task fetches only its own
+    partition's pieces from the object store."""
+    from ..pipelines.agg import _key_hash
+
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    sum_doclen = int(pc.sum(t["doclen_part"]).as_py() or 0)
+    part = (_key_hash(t, ["term"]) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))  # take copies: slices below are views of a fresh table
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    return [sum_doclen] + [
+        t.slice(bounds[k], bounds[k + 1] - bounds[k]) for k in range(P)
+    ]
+
+
+@ray.remote
+def _fanout_finalize(part: int, n_docs: int, term_df_dir: str, W: int,
+                     *pieces: pa.Table) -> list:
+    """Fan-out arm wave 2: one term-hash partition, the SAME
+    :func:`_finalize_term_part` kernel as both other arms (groupby sums
+    are order-independent ints, keys sorted, so the part-K file is
+    byte-identical regardless of which arm ran). Returns the partition's
+    (seg, term, df, idf) rows split ``seg % W`` ways for wave 3."""
+    import pandas as pd
+
+    tabs = [p for p in pieces if p.num_rows]
+    empty = pa.table({"seg": pa.array([], pa.int32()),
+                      "term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "idf": pa.array([], pa.float64())})
+    if not tabs:
+        # empty partition: no part-K file, matching the other arms
+        return [empty] * W
+    df = pa.concat_tables(tabs).to_pandas()
+    df["_part"] = part
+    st = _finalize_term_part(df, n_docs, term_df_dir)
+    out = pa.Table.from_pandas(
+        st[["seg", "term", "df", "idf"]], preserve_index=False)
+    w = np.mod(st["seg"].to_numpy().astype(np.int64), W)
+    return [out.filter(pa.array(w == i)) if (w == i).any() else empty
+            for i in range(W)]
+
+
+@ray.remote
+def _fanout_write_seg(seg_df_dir: str, *tables: pa.Table) -> int:
+    """Fan-out arm wave 3: write the per-segment lexicon slices for the
+    segments routed here (``_write_seg_df`` sorts each segment's rows by
+    term, so file bytes are independent of arrival order)."""
+    tabs = [t for t in tables if t.num_rows]
+    if tabs:
+        _write_seg_df(pa.concat_tables(tabs).to_pandas(), seg_df_dir)
+    return 0
+
+
+def _global_stage_fanout(partial_files: list[str], n_docs: int,
+                         term_df_dir: str, seg_df_dir: str, P: int) -> int:
+    """Build stage 2 as three waves of plain Ray tasks — the middle arm
+    of the cost-based dispatch. Same kernels, same term-hash partition
+    ids, byte-identical ``global/`` output (pinned by
+    test_global_stage_paths_identical), but parallel across the cluster
+    without the per-exchange fixed cost of the Dataset arm, which
+    dominates at the few-hundred-MB partial sets where the single-task
+    arm is a flat serial constant. Returns sum_doclen."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    M = max(1, min(len(partial_files), cpus))
+    W = P
+    split = [
+        _fanout_split.options(num_returns=P + 1).remote(partial_files[j::M], P)
+        for j in range(M)
+    ]
+    doclen_refs = [refs[0] for refs in split]
+    finalize = [
+        _fanout_finalize.options(num_returns=W).remote(
+            k, n_docs, term_df_dir, W, *[refs[1 + k] for refs in split])
+        for k in range(P)
+    ]
+    writes = [
+        _fanout_write_seg.remote(seg_df_dir, *[refs[w] for refs in finalize])
+        for w in range(W)
+    ]
+    sum_doclen = sum(ray.get(doclen_refs))
+    ray.get(writes)
+    return sum_doclen
+
+
 def _partial_df(batch: pa.Table) -> pa.Table:
     """Per-(segment, term) partial document frequency (terms are unique
     per doc; a shard spans at most a couple of segments), plus each
@@ -400,20 +490,36 @@ def _global_stage(docs_dir: str, global_dir: str, n_docs: int,
     # driver, so their term_df/part-K layouts are identical
     P = _shuffle_width()
     psize = sum(os.path.getsize(f) for f in partial_files)
+    # Cost-based three-way dispatch, all three arms byte-identical
+    # (pinned by test_global_stage_paths_identical):
+    #   tiny    -> one task (exchange fixed costs exceed the data)
+    #   medium  -> fan-out task waves (parallel, no Dataset exchange
+    #              fixed cost; removes the flat serial constant that
+    #              capped strong scaling at 2M-row corpora)
+    #   huge    -> Dataset arm (backpressure + spill for vocabularies
+    #              that outgrow task heaps)
     single_cap = (
-        int(os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "128")) << 20
+        int(os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "16")) << 20
     )
-    if psize <= single_cap:
-        # cost-based dispatch: when the whole (seg, term) partial set
-        # is tiny (bounded vocabulary — the common small/medium case),
-        # two all-to-all exchanges cost more than the data. One Ray
-        # task runs the SAME kernels over the same term-hash partition
-        # ids, producing byte-identical global/ output (pinned by
-        # test_global_stage_paths_identical).
+    # bytes alone under-dispatch: a big corpus with a bounded vocabulary
+    # has TINY partials spread over hundreds of files feeding thousands
+    # of per-segment writes — serial per-file latency, not data volume,
+    # is what the single task pays (measured 2.4 s at 2M docs / 3.9 MB /
+    # 489 files). File count is the proxy for that latency.
+    single_files_cap = int(
+        os.environ.get("SEPPRAY_GLOBAL_SINGLE_TASK_FILES", "64"))
+    fanout_cap = (
+        int(os.environ.get("SEPPRAY_GLOBAL_FANOUT_MB", "4096")) << 20
+    )
+    if psize <= single_cap and len(partial_files) <= single_files_cap:
         sum_doclen = ray.get(
             _global_stage_single.remote(
                 partial_files, n_docs, term_df_dir, seg_df_dir, P
             )
+        )
+    elif psize <= fanout_cap:
+        sum_doclen = _global_stage_fanout(
+            partial_files, n_docs, term_df_dir, seg_df_dir, P
         )
     else:
         parts_ds = ray.data.read_parquet(pdir)

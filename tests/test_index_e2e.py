@@ -176,10 +176,11 @@ def test_query_batch_equals_per_query(built):
 
 
 def test_global_stage_paths_identical(ray_session, tmp_path_factory, monkeypatch):
-    """Build stage 2's cost-based dispatch: the single-task arm (small
-    partial sets) and the two-exchange distributed arm must produce a
-    byte-identical global/ directory — same term_df/part-K hash layout,
-    same per-segment lexicon slices, same metadata-relevant stats."""
+    """Build stage 2's cost-based three-way dispatch: the single-task
+    arm (tiny partial sets), the fan-out task-wave arm (medium), and the
+    two-exchange Dataset arm (huge) must all produce a byte-identical
+    global/ directory — same term_df/part-K hash layout, same
+    per-segment lexicon slices, same metadata-relevant stats."""
     import os
 
     tmp = tmp_path_factory.mktemp("g2")
@@ -190,6 +191,9 @@ def test_global_stage_paths_identical(ray_session, tmp_path_factory, monkeypatch
     monkeypatch.setenv("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "1024")
     build_index(corpus_path, str(tmp / "idx_single"), cfg, CODE_CORPUS)
     monkeypatch.setenv("SEPPRAY_GLOBAL_SINGLE_TASK_MB", "0")
+    monkeypatch.setenv("SEPPRAY_GLOBAL_FANOUT_MB", "1024")
+    build_index(corpus_path, str(tmp / "idx_fanout"), cfg, CODE_CORPUS)
+    monkeypatch.setenv("SEPPRAY_GLOBAL_FANOUT_MB", "0")
     build_index(corpus_path, str(tmp / "idx_dist"), cfg, CODE_CORPUS)
 
     def files(root):
@@ -201,11 +205,14 @@ def test_global_stage_paths_identical(ray_session, tmp_path_factory, monkeypatch
         return out
 
     a = files(str(tmp / "idx_single" / "global"))
-    b = files(str(tmp / "idx_dist" / "global"))
-    assert set(a) == set(b) and any("term_df" in k for k in a)
-    for rel in sorted(a):
-        with open(a[rel], "rb") as fa, open(b[rel], "rb") as fb:
-            assert fa.read() == fb.read(), f"global/{rel} differs between arms"
+    assert any("term_df" in k for k in a)
+    for other in ("idx_fanout", "idx_dist"):
+        b = files(str(tmp / other / "global"))
+        assert set(a) == set(b)
+        for rel in sorted(a):
+            with open(a[rel], "rb") as fa, open(b[rel], "rb") as fb:
+                assert fa.read() == fb.read(), \
+                    f"global/{rel} differs: idx_single vs {other}"
 
 
 def test_sha256_invariant(built):
