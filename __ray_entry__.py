@@ -311,12 +311,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 64x64 result is driver-side by design
         "embedding_covariance":
             lambda sf: similarity.embedding_covariance(sf),
-        # --- multimodal plumbing (decode stubbed, Ray plumbing real) ---
+        # --- multimodal (REAL vendored BMP/WAV/AVI codecs by default;
+        # the byte-interpreting stub remains the real=False oracle twin) ---
         "media_byte_stats": lambda sf: multimodal.media_byte_stats(sf),
         "media_features": lambda sf: multimodal.media_features(sf),
         "image_resize": lambda sf: multimodal.image_resize(sf),
-        # strided video frame sampling (actor-pool stub codec; frame
-        # md5s value-checked by a repeat+slice SQL oracle)
+        # strided video frame sampling: real AVI decode, luma-plane
+        # md5s value-checked by a repeat+slice SQL oracle
         "frame_sample": lambda sf: multimodal.frame_sample(sf),
         # REAL container decode (vendored pure-numpy BMP/WAV parsers)
         # through the actor pool — oracle-hash-checked
@@ -706,6 +707,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_hnsw_exact": osql.knn_brute_force_sql(),
         "media_byte_stats": osql.media_byte_stats_sql(),
         "frame_sample": osql.frame_sample_sql(),
+        "media_features": osql.media_real_features_sql(),
+        "image_resize": osql.image_resize_sql(),
         "media_real_features": osql.media_real_features_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "nation_revenue": osql.nation_revenue_sql(),
@@ -796,8 +799,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle-checked), simhash (internal 64-bit hash), knn_ivf +
         # embedding_near_dup_lsh + knn_hnsw (approximate by design;
         # hash-gated degenerate twins exist where exactness is
-        # reachable), media_features, image_resize (stub codec tier —
-        # media_real_features, the real-codec tier, IS hash-checked),
+        # reachable),
         # hll_distinct_terms (xxhash precision tier; the portable
         # vocab_distinct_hll and event_user_distinct_hll ARE
         # hash-checked), compression_ratio (zlib), bpe_train/tokenize

@@ -3,18 +3,20 @@ processed by stateful actor-pool ``map_batches`` stages.
 
 Two codec tiers:
 
-- :class:`FakeCodec` (default) — deterministic stand-in that interprets
-  payload bytes directly as samples/pixels, keeping every downstream
-  numeric assertion SQL-checkable.
-- ``FakeCodec(real=True)`` — REAL container decoding via the vendored
-  pure-numpy parsers below (uncompressed 24-bit ``BI_RGB`` BMP, PCM
-  8/16-bit RIFF/WAVE, and uncompressed 24-bit RIFF/AVI video — no wheel
-  needed; PIL/soundfile/av are unavailable in this environment, so
-  COMPRESSED formats raise with a clear message).
-  :func:`media_real_features` exercises real bytes→pixels/samples/
-  frames end-to-end through the actor pool, and because the containers
-  are built deterministically from the documents table the decoded
-  features remain ORACLE-hash-checkable in SQL.
+- ``FakeCodec(real=True)`` — the DEFAULT for every pipeline entry
+  (:func:`media_features`, :func:`image_resize`, :func:`frame_sample`,
+  :func:`media_real_features`): REAL container decoding via the
+  vendored pure-numpy parsers below (uncompressed 24-bit ``BI_RGB``
+  BMP, PCM 8/16-bit RIFF/WAVE, and uncompressed 24-bit RIFF/AVI video —
+  no wheel needed; PIL/soundfile/av are unavailable in this
+  environment, so COMPRESSED formats raise with a clear message).
+  Because the containers are built deterministically from the documents
+  table (:func:`media_real_ds`), the decoded features remain
+  ORACLE-hash-checkable in SQL.
+- ``FakeCodec()`` (``real=False``) — deterministic stand-in that
+  interprets payload bytes directly as samples/pixels; retained as the
+  stub twin every entry can be flipped back to (``real=False``) and as
+  the equivalence baseline in tests.
 
 Everything Ray-side is real and tested either way: the schema (payload
 ``large_binary`` + width/height/sample-rate/frame metadata), the actor
@@ -28,6 +30,8 @@ keeps the byte-level aggregates SQL-checkable by the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -396,11 +400,14 @@ class MediaFeatures:
 
 class ImageResize:
     """Actor-pool stage: decode → block-mean resize to (out, out) →
-    per-image mean pixel. The resize math is real vectorized numpy; only
-    the byte→pixel decode is the stub."""
+    per-image mean pixel. ``real=True`` (default) decodes real BMP
+    containers through the vendored parser and resizes the luma plane
+    (R=G=B, so channel 0 IS the gray image); ``real=False`` is the
+    byte→pixel stub twin. The resize math is the same vectorized numpy
+    in both tiers."""
 
-    def __init__(self, out: int = 4):
-        self.codec = FakeCodec()
+    def __init__(self, out: int = 4, real: bool = True):
+        self.codec = FakeCodec(real=real)
         self.out = out
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -411,12 +418,20 @@ class ImageResize:
             t["width"].to_pylist(), t["height"].to_pylist(),
         ):
             img = self.codec.decode_image(payload, w, h)
-            # crop to a multiple of out, then block mean
+            if img.ndim == 3:
+                img = img[:, :, 0]  # real tier: gray replicated across RGB
+            # crop to a multiple of out (tile when smaller), block mean
             hh = (img.shape[0] // o) * o or o
             ww = (img.shape[1] // o) * o or o
-            img2 = np.resize(img, (hh, ww)).astype(np.float64)
+            img2 = np.resize(img, (hh, ww)).astype(np.int64)
             small = img2.reshape(o, hh // o, o, ww // o).mean(axis=(1, 3))
-            rows.append({"media_id": mid, "resized_mean": round(float(small.mean()), 6),
+            assert small.shape == (o, o)
+            # mean of equal-sized block means == grand mean; emit it as
+            # ONE exact-integer-sum division so the 6-dp rounding is
+            # bit-reproducible against the SQL oracle
+            mean = float(img2.sum()) / img2.size
+            rows.append({"media_id": mid,
+                         "resized_mean": math.floor(mean * 1e6 + 0.5) / 1e6,
                          "out_h": o, "out_w": o})
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {"media_id": pa.array([], pa.int64()),
@@ -443,35 +458,50 @@ def media_byte_stats(sf_dir: str):
     )
 
 
-def media_features(sf_dir: str, concurrency: int = 4):
-    """Decode + feature-extract through the actor pool (rows-only check:
-    the fake codec is not SQL-expressible, but results are deterministic)."""
+def media_features(sf_dir: str, concurrency: int = 4, real: bool = True):
+    """Decode + feature-extract through the actor pool. Default tier is
+    REAL container decode (BMP/WAV/AVI via the vendored parsers over
+    :func:`media_real_ds`) — oracle-hash-checked because the containers
+    derive deterministically from the text bytes. ``real=False`` keeps
+    the byte-interpreting stub twin over :func:`media_ds` (rows-only:
+    raw-byte payloads are not valid containers)."""
+    if real:
+        return media_real_features(sf_dir, concurrency)
     return media_ds(sf_dir).map_batches(
         MediaFeatures, concurrency=(1, concurrency), batch_size=64,
         num_cpus=1, batch_format="pyarrow",
     )
 
 
-def image_resize(sf_dir: str, out: int = 4, concurrency: int = 4):
-    """Resize stage over the image subset."""
-    imgs = media_ds(sf_dir).map_batches(
+def image_resize(sf_dir: str, out: int = 4, concurrency: int = 4,
+                 real: bool = True):
+    """Resize stage over the image subset — default tier decodes REAL
+    BMP containers (vendored parser) and resizes the luma plane; the
+    decoded statistic stays oracle-hash-checkable (the BMP pixel grid
+    is a deterministic function of the text bytes)."""
+    src = media_real_ds(sf_dir) if real else media_ds(sf_dir)
+    imgs = src.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
     )
     return imgs.map_batches(
-        ImageResize, fn_constructor_kwargs={"out": out},
+        ImageResize, fn_constructor_kwargs={"out": out, "real": real},
         concurrency=(1, concurrency), batch_size=64, num_cpus=1,
         batch_format="pyarrow",
     )
 
 
 class FrameSampler:
-    """Actor-pool stage: video decode (stub codec) → strided frame
-    selection → per-frame checksum. Decoder state once per actor; the
-    per-row loop is the accepted shape for opaque binary payloads
-    (cf. :class:`MediaFeatures`)."""
+    """Actor-pool stage: video decode → strided frame selection →
+    per-frame checksum. ``real=True`` (default) parses real uncompressed
+    AVI containers and fingerprints each sampled frame's LUMA plane
+    (R=G=B, so channel 0 is the gray frame — byte-identical to the
+    volume the container was built from, keeping the md5 oracle-
+    checkable); ``real=False`` tiles raw payload bytes (stub twin).
+    Decoder state once per actor; the per-row loop is the accepted
+    shape for opaque binary payloads (cf. :class:`MediaFeatures`)."""
 
-    def __init__(self, stride: int = 2):
-        self.codec = FakeCodec()
+    def __init__(self, stride: int = 2, real: bool = True):
+        self.codec = FakeCodec(real=real)
         self.stride = stride
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -487,11 +517,13 @@ class FrameSampler:
                 continue
             vid = self.codec.decode_video(payload, w, h, nf)
             for f in range(0, nf, self.stride):
+                frame = vid[f, :, :, 0] if vid.ndim == 4 else vid[f]
                 rows.append({
                     "media_id": mid,
                     "frame_idx": f,
                     "n_bytes": w * h,
-                    "frame_md5": hashlib.md5(vid[f].tobytes()).hexdigest(),
+                    "frame_md5": hashlib.md5(
+                        np.ascontiguousarray(frame).tobytes()).hexdigest(),
                 })
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {"media_id": pa.array([], pa.int64()),
@@ -611,20 +643,24 @@ def media_real_features(sf_dir: str, concurrency: int = 4):
     )
 
 
-def frame_sample(sf_dir: str, stride: int = 2, concurrency: int = 4):
+def frame_sample(sf_dir: str, stride: int = 2, concurrency: int = 4,
+                 real: bool = True):
     """Strided frame sampling over the video subset — the fourth member
     of the multimodal stage family (decode / feature-extract / resize /
-    frame-sample). The stub codec tiles payload bytes into the declared
-    (n_frames, height, width) volume, so every sampled frame's md5 is
+    frame-sample). Default tier decodes REAL uncompressed-AVI containers
+    (:func:`media_real_ds`) and fingerprints each sampled frame's luma
+    plane; because the AVI frames tile the text bytes into the declared
+    (n_frames, height, width) volume, every sampled frame's md5 is
     value-checkable by a SQL oracle that repeats+slices the SAME bytes
     (the testdata corpus is pure ASCII, where VARCHAR slicing == byte
-    slicing; a real codec slots into FakeCodec's place with the same
-    Ray plumbing)."""
-    vids = media_ds(sf_dir).map_batches(
+    slicing). ``real=False`` tiles raw payload bytes through the stub
+    codec — same volumes, same md5s, the oracle twin."""
+    src = media_real_ds(sf_dir) if real else media_ds(sf_dir)
+    vids = src.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "video")),
         batch_format="pyarrow")
     return vids.map_batches(
-        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        FrameSampler, fn_constructor_kwargs={"stride": stride, "real": real},
         concurrency=(1, concurrency), batch_size=64, num_cpus=1,
         batch_format="pyarrow",
     )

@@ -686,6 +686,43 @@ SELECT g.media_id,
 FROM g JOIN s USING (media_id)"""
 
 
+def image_resize_sql(out: int = 4) -> str:
+    """Oracle for multimodal.image_resize (real-BMP default tier): the
+    decoded pixel grid is the first w·h text bytes zero-padded
+    (h = max(nb // w, 1)); the resize crops to hh = (h//4)·4 rows (or
+    TILES to 4 when h < 4 — np.resize semantics) with ww = w (already a
+    multiple of 4 for w ∈ {4, 8}); and the emitted statistic — the mean
+    of the o×o equal-block means — equals the grand mean of the resized
+    grid, one exact-integer division. Tiling unifies both cases as
+    full·Σgrid + prefix(rem) with full = (hh·w) // (w·h),
+    rem = (hh·w) % (w·h), exactly like the AVI volume oracle."""
+    o = int(out)
+    return f"""
+WITH v AS (
+  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS nb,
+         CAST(CASE WHEN length(text) >= 64 THEN 8 ELSE 4 END AS BIGINT) AS w
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+g AS (SELECT media_id, text, nb, w, greatest(nb // w, 1) AS h FROM v),
+d AS (SELECT media_id, text, nb, w, h,
+             CASE WHEN h >= {o} THEN (h // {o}) * {o} ELSE {o} END AS hh
+      FROM g),
+s AS (
+  SELECT media_id,
+         SUM(CASE WHEN i <= least(nb, w * h)
+             THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+             AS sum_grid,
+         SUM(CASE WHEN i <= least((hh * w) % (w * h), nb)
+             THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+             AS sum_rem
+  FROM d, LATERAL (SELECT unnest(generate_series(1, nb)) AS i)
+  GROUP BY media_id)
+SELECT d.media_id,
+       floor(CAST((d.hh * d.w) // (d.w * d.h) * s.sum_grid + s.sum_rem
+             AS DOUBLE) / (d.hh * d.w) * 1e6 + 0.5) / 1e6 AS resized_mean,
+       CAST({o} AS BIGINT) AS out_h, CAST({o} AS BIGINT) AS out_w
+FROM d JOIN s USING (media_id)"""
+
+
 def doc_fingerprint_sql(window: int = 4) -> str:
     """Oracle for pipelines.text_stats.fingerprint: min 16-hex-char md5
     prefix over all ``window``-token grams of the normalized token list
