@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib boilerplate signal (rows-only: zlib not SQL-expressible)
         "compression_ratio":
             lambda sf: _filters().compression_ratio(sf),
+        # level-0 stored-block degenerate twin: closed-form n + 11
+        # output size makes the same machinery oracle-hash-checked
+        "compression_ratio_stored":
+            lambda sf: _filters().compression_ratio_stored(sf),
         # train->eval contamination audit: val/test docs sharing any
         # word 8-gram with the (corpus-sized) train split — the
         # gram-keyed-exchange complement of decontaminate's broadcast
@@ -711,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": osql.image_resize_sql(),
         "media_real_features": osql.media_real_features_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
+        "compression_ratio_stored": osql.compression_ratio_stored_sql(),
         "nation_revenue": osql.nation_revenue_sql(),
         "pricing_summary": osql.pricing_summary_sql(),
         "windowed_agg": osql.windowed_agg_sql(),
@@ -802,6 +807,8 @@ def oracle_sql() -> dict[str, str]:
         # reachable),
         # hll_distinct_terms (xxhash precision tier; the portable
         # vocab_distinct_hll and event_user_distinct_hll ARE
-        # hash-checked), compression_ratio (zlib), bpe_train/tokenize
+        # hash-checked), compression_ratio (default-level zlib block
+        # chunking; the level-0 compression_ratio_stored twin IS
+        # hash-checked), bpe_train/tokenize
         # (iterative merge semantics)
     }

@@ -255,6 +255,13 @@ def compression_ratio(sf_dir: str, level: int = 6):
         cb = np.empty(len(texts), np.int64)
         for i, s in enumerate(texts):
             raw = s.encode("utf-8")
+            if level == 0 and len(raw) > 65531:
+                # the stored-tier oracle's n + 11 closed form holds only
+                # below one deflate stored block; past it zlib's internal
+                # buffering picks the block boundaries
+                raise ValueError(
+                    "compression_ratio level=0 closed-form gate requires "
+                    f"docs <= 65531 bytes (got {len(raw)})")
             nb[i] = len(raw)
             cb[i] = len(zlib.compress(raw, level))
         ratio = np.floor(cb / np.maximum(nb, 1) * 1e6 + 0.5) / 1e6
@@ -266,6 +273,21 @@ def compression_ratio(sf_dir: str, level: int = 6):
         })
 
     return documents_ds(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
+def compression_ratio_stored(sf_dir: str):
+    """Degenerate-parameter hash gate for :func:`compression_ratio`
+    (the knn_hnsw_exact pattern): zlib level 0 emits STORED deflate
+    blocks, and below one block boundary the output size is the closed
+    form ``n + 11`` (2-byte zlib header + 5-byte stored-block header +
+    payload + 4-byte adler32) — one SQL expression. The pipeline still
+    calls the REAL zlib, so the oracle-hash equality gates everything
+    the default-level entry shares (streaming batch loop, UTF-8 byte
+    counts, the 6-dp ratio grid); only the codec's internal block
+    chunking — what makes level 6 non-SQL-expressible — drops out.
+    Docs must fit one stored block (<= 65531 bytes, asserted loudly;
+    the testdata corpus maxes out around 600 B)."""
+    return compression_ratio(sf_dir, level=0)
 
 
 #: Bloom decontamination defaults: 2^17 bits (16 KB) × 4 hashes keeps

@@ -686,6 +686,22 @@ SELECT g.media_id,
 FROM g JOIN s USING (media_id)"""
 
 
+def compression_ratio_stored_sql() -> str:
+    """Oracle for filters.compression_ratio_stored: zlib level-0 STORED
+    framing below one deflate block is exactly n + 11 bytes (2-byte
+    zlib header + 5-byte stored-block header + payload + 4-byte
+    adler32), so the whole pipeline reduces to one expression on the
+    shared 6-dp floor grid."""
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) + 11 AS BIGINT) AS compressed_bytes,
+       floor((octet_length(encode(text)) + 11.0)
+             / greatest(octet_length(encode(text)), 1) * 1e6 + 0.5) / 1e6
+           AS ratio
+FROM documents"""
+
+
 def image_resize_sql(out: int = 4) -> str:
     """Oracle for multimodal.image_resize (real-BMP default tier): the
     decoded pixel grid is the first w·h text bytes zero-padded

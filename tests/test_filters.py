@@ -640,3 +640,32 @@ def test_compression_ratio_matches_zlib_and_orders(ray_session, tmp_path):
         assert got.loc[i, "compressed_bytes"] == len(zlib.compress(raw, 6))
     r = got["ratio"].to_numpy()
     assert r[0] < r[1] < r[2]  # repetitive < prose < noise
+
+
+def test_compression_ratio_stored_closed_form(ray_session, tmp_path):
+    """The level-0 twin's output equals BOTH direct zlib calls and the
+    n + 11 stored-framing closed form the SQL oracle encodes; oversize
+    docs refuse loudly instead of silently diverging from the oracle."""
+    import zlib
+
+    import ray
+
+    from searchenginepp_ray.pipelines.filters import (compression_ratio,
+                                                      compression_ratio_stored)
+
+    texts = ["spam spam spam " * 50, "", "short", "x" * 6000]
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    path = _write_docs(tmp_path / "a", texts)
+    got = (compression_ratio_stored(path).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        raw = s.encode()
+        assert got.loc[i, "compressed_bytes"] == len(zlib.compress(raw, 0))
+        assert got.loc[i, "compressed_bytes"] == len(raw) + 11
+        want = np.floor((len(raw) + 11) / max(len(raw), 1) * 1e6 + 0.5) / 1e6
+        assert got.loc[i, "ratio"] == want
+    big = _write_docs(tmp_path / "b", ["y" * 70000])
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="closed-form gate requires"):
+        compression_ratio_stored(big).to_pandas()
