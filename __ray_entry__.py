@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ingestion dedup: incoming slice anti-joined
         # against the existing corpus on the content hash
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf),
+        # near-dup shipment filter: persisted bucket-partitioned band
+        # table + exact-Jaccard verify (O(shipment) probe cost)
+        "dedup_incremental_minhash":
+            lambda sf: dedup.dedup_incremental_minhash(sf),
         "corpus_clean": lambda sf: clean.corpus_clean(sf),
         "corpus_clean_neardup": lambda sf: clean.corpus_clean_neardup(sf),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup_pairs(sf),
@@ -690,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": osql.embedding_quantize_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "dedup_incremental": osql.dedup_incremental_sql(),
+        "dedup_incremental_minhash": osql.dedup_incremental_minhash_sql(),
         "corpus_clean": osql.corpus_clean_sql(),
         "ngram_jaccard_dedup": osql.ngram_jaccard_sql(),
         "span_dedup": osql.span_dedup_sql(),

@@ -1314,6 +1314,236 @@ def dedup_incremental(sf_dir: str, mod: int = 2):
         ["text_md5"], anti)
 
 
+# ---------- incremental MinHash-LSH near-dup ingestion ----------
+
+def _band_bucket_rows(t: pa.Table, num_perm: int, bands: int,
+                      salts: np.ndarray, shingle: int,
+                      nbuckets: int) -> pa.Table:
+    """(bucket, band_id, band_hash, doc_id, sh) band rows for a batch —
+    the persisted-band-table twin of :func:`_verified_pairs`'
+    ``bands_with_sets`` (same signature matrix, same band fold, same
+    packed shingle-set blob), with ``bucket = band_hash % nbuckets`` as
+    the on-disk partition key."""
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {"bucket": pa.array([], pa.int32()),
+             "band_id": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64()),
+             "sh": pa.array([], pa.large_binary())})
+    sig_mat, S, shc = _sig_matrix(t["text"], num_perm, shingle, salts)
+    blob = _set_blob(S, shc)
+    rows_per_band = num_perm // bands
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+    doc_ids = np.repeat(
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), bands)
+    bh = np.empty(n * bands, dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig_mat[b * rows_per_band : (b + 1) * rows_per_band]
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(rows_per_band):
+            acc = _splitmix64(acc ^ chunk[c])
+        bh[b::bands] = acc
+    sh = blob.take(pa.array(np.repeat(np.arange(n), bands)))
+    return pa.table(
+        {"bucket": pa.array((bh % np.uint64(nbuckets)).astype(np.int32)),
+         "band_id": pa.array(band_ids),
+         "band_hash": pa.array(bh),
+         "doc_id": pa.array(doc_ids),
+         "sh": sh})
+
+
+def minhash_band_index_build(sf_dir: str, mod: int = 2, shingle: int = 3,
+                             num_perm: int = 128, bands: int = 64,
+                             nbuckets: int = 32) -> str:
+    """Build (or reuse) the persisted MinHash band table of the BASELINE
+    corpus slice (``doc_id % mod == 0``): band rows written as Parquet
+    PARTITIONED BY ``bucket = band_hash % nbuckets`` — the IVF layout
+    pattern applied to LSH. Probing a shipment then reads only the
+    bucket directories its band hashes land in, and accepted docs can be
+    APPENDED as extra part files in the same bucket dirs
+    (:func:`minhash_band_append`), so the table is reusable across
+    shipments at O(shipment) cost. Idempotent per (corpus, params)
+    content-fingerprint cache key."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    n_rows_src = pq.ParquetFile(src).metadata.num_rows
+    fingerprint = f"{st.st_size}:{int(st.st_mtime_ns)}:{n_rows_src}"
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:bandidx:{mod}:{shingle}:{num_perm}:"
+        f"{bands}:{nbuckets}:{fingerprint}:v1".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/seppray_band_cache", key)
+    marker = os.path.join(out, "_done.json")
+    if os.path.exists(marker):
+        return out
+    salts = _salts(num_perm)
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.filter(pa.array(ids % mod == 0))
+        return _band_bucket_rows(tt, num_perm, bands, salts, shingle, nbuckets)
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    documents_ds(sf_dir).map_batches(
+        base_rows, batch_format="pyarrow"
+    ).write_parquet(os.path.join(out, "data"), partition_cols=["bucket"])
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"mod": mod, "shingle": shingle, "num_perm": num_perm,
+                   "bands": bands, "nbuckets": nbuckets}, f)
+    os.replace(marker + ".tmp", marker)
+    return out
+
+
+def minhash_band_append(index_dir: str, sf_dir: str, doc_ids,
+                        shingle: int = 3, num_perm: int = 128,
+                        bands: int = 64, nbuckets: int = 32) -> None:
+    """Append the given docs' band rows to an existing band table as new
+    part files in the same bucket directories (the
+    :func:`~.similarity.ivf_append_build` pattern) — O(appended docs),
+    nothing rewritten; the next shipment's probe sees them through the
+    per-bucket listing."""
+    import os
+
+    salts = _salts(num_perm)
+    ids_ref = ray.put(np.asarray(sorted(doc_ids), dtype=np.int64))
+
+    def rows(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.filter(pa.array(np.isin(ids, want)))
+        return _band_bucket_rows(tt, num_perm, bands, salts, shingle, nbuckets)
+
+    documents_ds(sf_dir).map_batches(
+        rows, batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "data"), partition_cols=["bucket"])
+
+
+def dedup_incremental_minhash(sf_dir: str, mod: int = 2, shingle: int = 3,
+                              thr_num: int = 4, thr_den: int = 5,
+                              num_perm: int = 128, bands: int = 64,
+                              nbuckets: int = 32,
+                              index_dir: str | None = None):
+    """INCREMENTAL NEAR-dup ingestion — the MinHash-LSH twin of
+    :func:`dedup_incremental` (which filters exact content hashes only):
+    docs of the incoming shipment (``doc_id % mod != 0``) are kept only
+    if no BASELINE doc (``doc_id % mod == 0``) has token-shingle Jaccard
+    >= thr_num/thr_den with them. Returns the surviving (doc_id) rows.
+
+    Candidates come through the persisted bucket-partitioned band table
+    (:func:`minhash_band_index_build`): the shipment's band rows are
+    hash-partitioned by bucket, each partition task reads ONLY its
+    bucket directories of the baseline table (pruned read, the IVF
+    probe shape) and verifies every (band_id, band_hash) match by EXACT
+    Jaccard on the packed shingle sets — so, like
+    :func:`ngram_jaccard_dedup`, the output equals the O(N_new × N_base)
+    oracle (2 rows/band × 64 bands: a true pair at j = 0.8 is missed
+    with prob (1-j²)^64 ≈ 4e-29). Cost is O(shipment): the baseline is
+    only ever read bucket-wise, never re-hashed or exchanged.
+
+    Scale shape: one bucket-keyed exchange of the shipment's band rows
+    (bands × set-blob per new doc — the :func:`_verified_pairs` trade),
+    one doc_id-keyed anti-join exchange of ids only."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .agg import hash_groupby_apply
+
+    if index_dir is None:
+        index_dir = minhash_band_index_build(
+            sf_dir, mod, shingle, num_perm, bands, nbuckets)
+    salts = _salts(num_perm)
+
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.filter(pa.array(ids % mod != 0))
+        return _band_bucket_rows(tt, num_perm, bands, salts, shingle, nbuckets)
+
+    new_ds = documents_ds(sf_dir).map_batches(new_rows, batch_format="pyarrow")
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        dup_ids: set[int] = set()
+        for bucket, sub in df.groupby("bucket", sort=False):
+            d = os.path.join(index_dir, "data", f"bucket={int(bucket)}")
+            if not os.path.isdir(d):
+                continue
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+            if not files:
+                continue
+            base = pa.concat_tables([
+                pq.read_table(f, columns=["band_id", "band_hash",
+                                          "doc_id", "sh"])
+                for f in files])
+            if base.num_rows == 0:
+                continue
+            b_bh = base["band_hash"].to_numpy()
+            b_band = base["band_id"].to_numpy()
+            b_sh = base["sh"]
+            order = np.lexsort((b_band, b_bh))
+            b_bh_s, b_band_s = b_bh[order], b_band[order]
+            n_bh = sub["band_hash"].to_numpy()
+            n_band = sub["band_id"].to_numpy()
+            n_doc = sub["doc_id"].to_numpy()
+            n_sh = sub["sh"].to_numpy()
+            lo = np.searchsorted(b_bh_s, n_bh, side="left")
+            hi = np.searchsorted(b_bh_s, n_bh, side="right")
+            for j in np.flatnonzero(hi > lo):  # candidate matches only
+                doc = int(n_doc[j])
+                if doc in dup_ids:
+                    continue
+                a = np.frombuffer(n_sh[j], dtype="<u8")
+                for p in range(lo[j], hi[j]):
+                    if b_band_s[p] != n_band[j]:
+                        continue
+                    b = np.frombuffer(
+                        b_sh[int(order[p])].as_py(), dtype="<u8")
+                    common = len(np.intersect1d(a, b, assume_unique=True))
+                    union = len(a) + len(b) - common
+                    if common * thr_den >= max(union, 1) * thr_num:
+                        dup_ids.add(doc)
+                        break
+        return pd.DataFrame({"doc_id": pd.Series(sorted(dup_ids),
+                                                 dtype=np.int64)})
+
+    dups = hash_groupby_apply(new_ds, ["bucket"], probe, P=nbuckets)
+
+    def new_ids(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids[ids % mod != 0]
+        return pa.table({"doc_id": pa.array(keep),
+                         "is_dup": pa.array(
+                             np.zeros(len(keep), np.int8))})
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "is_dup": pa.array(
+                             np.ones(len(t), np.int8))})
+
+    merged = documents_ds(sf_dir).map_batches(
+        new_ids, batch_format="pyarrow"
+    ).union(dups.map_batches(tag_dup, batch_format="pyarrow"))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        dup = set(df.loc[df["is_dup"] == 1, "doc_id"])
+        keep = df.loc[(df["is_dup"] == 0) & (~df["doc_id"].isin(dup)),
+                      ["doc_id"]]
+        return keep
+
+    return hash_groupby_apply(merged, ["doc_id"], anti)
+
+
 def simhash_md5(sf_dir: str):
     """Oracle-checkable SimHash twin: 64-bit fingerprints over word
     UNIGRAM occurrences whose per-token hash is the portable md5

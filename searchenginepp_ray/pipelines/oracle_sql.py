@@ -796,6 +796,46 @@ WHERE len(list_intersect(a.s, b.s)) * {thr_den}
 """
 
 
+def dedup_incremental_minhash_sql(mod: int = 2, shingle: int = 3,
+                                  thr_num: int = 4,
+                                  thr_den: int = 5) -> str:
+    """Oracle for dedup.dedup_incremental_minhash: EXACT
+    O(N_new × N_base) shipment-vs-baseline anti-join on token-shingle
+    Jaccard >= thr_num/thr_den (same shingle CTE and no-collision stance
+    as :func:`ngram_jaccard_sql`); the Ray side must keep the identical
+    doc set through its persisted-band-table probe + verify path."""
+    k = shingle
+    m = int(mod)
+    pad_empty = "'" + " " * (k - 1) + "'"
+    return f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\x0b\x0c]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE
+            WHEN len(toks) = 0 THEN [{pad_empty}]
+            WHEN len(toks) < {k} THEN
+                [array_to_string(toks, ' ') || repeat(' ', {k} - len(toks))]
+            ELSE list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+                     i -> array_to_string(toks[i : i + {k - 1}], ' ')))
+        END AS s
+    FROM tl
+)
+SELECT n.doc_id FROM sh n
+WHERE n.doc_id % {m} <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM sh b
+    WHERE b.doc_id % {m} = 0
+      AND len(list_intersect(n.s, b.s)) * {thr_den}
+          >= (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s)))
+             * {thr_num})
+"""
+
+
 def term_postings_global_sql() -> str:
     """Oracle for index.term_index.term_postings_stats over the
     simple-profile documents index: per-term global (df, tf)."""

@@ -647,3 +647,97 @@ def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
     # ...while Jaccard would have been far below 0.8
     jac = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
     assert jac < 0.2
+
+
+def _inc_docs(tmp_path, texts):
+    """Write a minimal documents.parquet (doc_id 0..n-1) for the
+    incremental tests; returns the directory documents_ds expects."""
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def test_dedup_incremental_minhash_planted(ray_session, tmp_path):
+    """Planted near-dups: shipment docs (odd ids) survive iff no
+    BASELINE doc (even ids) reaches Jaccard >= 4/5 — an exact copy and
+    a near-copy of baseline docs are dropped, a fresh doc and a
+    near-dup of another SHIPMENT doc are kept (shipment-internal dups
+    are not this filter's job). Verified against the scalar Jaccard
+    oracle doc-by-doc."""
+    base_a = "the quick brown fox jumps over the lazy dog " * 6
+    # NON-repetitive long text: repeated text collapses the distinct
+    # shingle set, making a one-word edit a >20% jaccard change — a
+    # varied 40-token doc keeps the near-dup above the 0.8 threshold
+    base_b = ("pack my box with five dozen liquor jugs while the harbor "
+              "master logs every crate onto the evening manifest before "
+              "the tide turns and the last ferry departs the northern "
+              "quay carrying mail sacks and fresh produce to town")
+    texts = [
+        base_a,                                   # 0 baseline
+        base_a,                                   # 1 new: exact copy -> drop
+        base_b,                                   # 2 baseline
+        base_b.replace("tide", "storm", 1),       # 3 new: near-dup -> drop
+        "completely different content about rust compilers and arrow",  # 4 baseline
+        "unrelated fresh shipment document about distributed tracing "
+        "pipelines and span sampling strategies in production systems",  # 5 new: keep
+        "zebra quartz vivid jackdaws my sphinx of black onyx loves",     # 6 baseline
+        "unrelated fresh shipment document about distributed tracing "
+        "pipelines and span sampling strategies in prod systems",        # 7 new: near-dup of 5 only -> keep
+    ]
+    d = _inc_docs(tmp_path, texts)
+    kept = sorted(
+        dedup.dedup_incremental_minhash(d).to_pandas()["doc_id"].tolist())
+    # scalar oracle
+    want = []
+    for i in range(1, len(texts), 2):
+        dup = False
+        for j in range(0, len(texts), 2):
+            c, u = _scalar_jaccard(texts[i], texts[j])
+            if 5 * c >= 4 * u:
+                dup = True
+        if not dup:
+            want.append(i)
+    assert kept == want == [5, 7]
+
+
+def test_minhash_band_table_appendable_across_shipments(ray_session,
+                                                       tmp_path):
+    """The persisted band table is reusable shipment-over-shipment: docs
+    accepted from shipment 1 are APPENDED as extra part files in the
+    same bucket dirs, and shipment 2's probe (same index_dir) then
+    rejects near-dups of them — without re-hashing the baseline."""
+    import os
+
+    base = "the quick brown fox jumps over the lazy dog again " * 6
+    ship1 = "some genuinely novel first shipment text about minhash " \
+            "band tables persisted across ingestion shipments " * 3
+    (tmp_path / "c1").mkdir()
+    (tmp_path / "c2").mkdir()
+    d1 = _inc_docs(tmp_path / "c1", [base, ship1])
+    idx = dedup.minhash_band_index_build(d1)
+    assert dedup.minhash_band_index_build(d1) == idx  # cached, idempotent
+    kept1 = dedup.dedup_incremental_minhash(
+        d1, index_dir=idx).to_pandas()["doc_id"].tolist()
+    assert kept1 == [1]
+    n_parts_before = sum(len(fs) for _, _, fs in os.walk(f"{idx}/data"))
+    dedup.minhash_band_append(idx, d1, kept1)
+    n_parts_after = sum(len(fs) for _, _, fs in os.walk(f"{idx}/data"))
+    assert n_parts_after > n_parts_before  # appended, nothing rewritten
+
+    # shipment 2: a near-dup of the APPENDED doc + a fresh doc
+    d2 = _inc_docs(tmp_path / "c2", [
+        base,                                   # even: ignored as shipment
+        ship1.replace("novel", "brand-new", 1),  # near-dup of appended -> drop
+        base,                                   # even
+        "an entirely fresh second shipment document about bucket "
+        "pruned probes and exact jaccard verification of candidates",  # keep
+    ])
+    kept2 = sorted(dedup.dedup_incremental_minhash(
+        d2, index_dir=idx).to_pandas()["doc_id"].tolist())
+    assert kept2 == [3]
