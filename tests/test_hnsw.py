@@ -31,7 +31,31 @@ def test_graph_recall_and_determinism():
         want = set(ids[_brute_topk(vecs, q, 10)].tolist())
         hits += len(want & {i for i, _ in got1})
         total += 10
-    assert hits / total >= 0.9, hits / total
+    assert hits / total >= 0.95, hits / total
+
+
+def test_heuristic_recall_on_clustered_data():
+    """The Algorithm-4 neighbor-selection heuristic's reason to exist:
+    at small ef on CLUSTERED data, plain top-M pruning piles every edge
+    into the local cluster and strands the search (measured 0.68
+    recall@10 at M=8 ef=12 on this fixture); the heuristic's
+    spread-across-directions edges keep recall >= 0.95 at the same
+    budget."""
+    rng = np.random.default_rng(3)
+    ids = np.arange(1200, dtype=np.int64)
+    cents = rng.normal(size=(12, 32)) * 3
+    vecs = cents[np.repeat(np.arange(12), 100)] \
+        + rng.normal(size=(1200, 32)) * 0.35
+    queries = [cents[i % 12] + rng.normal(size=32) * 0.35
+               for i in range(60)]
+    g = HNSWGraph(M=8, ef_construction=64).build(ids, vecs)
+    hits = total = 0
+    for q in queries:
+        got = {i for i, _ in g.search(q, 10, ef=12)}
+        want = set(ids[_brute_topk(vecs, q, 10)].tolist())
+        hits += len(want & got)
+        total += 10
+    assert hits / total >= 0.95, hits / total
 
 
 def test_graph_small_and_degenerate():
