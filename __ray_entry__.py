@@ -524,7 +524,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (label propagation + pointer jumping; one scalar per round
         # to the driver)
         "part_components": lambda sf: _graph().part_components(sf),
-        "part_pagerank": lambda sf: _graph().part_pagerank(sf),
+        # Dataset-form equivalence twin of part_pagerank_bsp (the
+        # served path): gated at 2 unrolled iterations — enough to
+        # exercise every exchange shape once while keeping the sf0.1
+        # sweep cheap; the BSP entry carries the 5-iteration gate
+        "part_pagerank": lambda sf: _graph().part_pagerank(sf, iters=2),
         # item-item collaborative filtering ("also bought"): per-part
         # top-k by incidence-cosine; support cut before attach traffic
         "part_recommendations":
@@ -785,7 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": osql.dataset_split_sql(),
         "epoch_shuffle": osql.epoch_shuffle_sql(),
         "curriculum_order": osql.curriculum_order_sql(),
-        "part_pagerank": osql.part_pagerank_sql(),
+        "part_pagerank": osql.part_pagerank_sql(iters=2),
         "part_recommendations": osql.part_recommendations_sql(),
         "part_pagerank_seeded": osql.part_pagerank_seeded_sql(),
         "part_bfs": osql.part_bfs_sql(),
