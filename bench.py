@@ -393,6 +393,8 @@ def run_default() -> None:
     timed("span_dedup", lambda: dedup.span_dedup(sf_dir))
     timed("boilerplate_spans", lambda: dedup.boilerplate_spans(sf_dir))
     timed("dedup_incremental", lambda: dedup.dedup_incremental(sf_dir))
+    timed("dedup_incremental_minhash",
+          lambda: dedup.dedup_incremental_minhash(sf_dir))
     timed("importance_resample",
           lambda: filters.importance_resample(sf_dir))
     timed("sequence_pack", lambda: export.sequence_pack(sf_dir))
@@ -440,6 +442,12 @@ def run_default() -> None:
     timed("corpus_report", lambda: text_stats.corpus_report(sf_dir))
     timed("compression_ratio",
           lambda: filters.compression_ratio(sf_dir))
+    timed("compression_ratio_stored",
+          lambda: filters.compression_ratio_stored(sf_dir))
+    timed("media_features_real_default",
+          lambda: multimodal.media_features(sf_dir))
+    timed("image_resize_real", lambda: multimodal.image_resize(sf_dir))
+    timed("frame_sample_real", lambda: multimodal.frame_sample(sf_dir))
     from searchenginepp_ray.pipelines import hnsw as hnsw_mod
     timed("knn_hnsw", lambda: hnsw_mod.knn_hnsw(sf_dir))
     timed("vocab_distinct_hll",

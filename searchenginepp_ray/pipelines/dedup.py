@@ -438,32 +438,13 @@ def _verified_pairs(
     salts = _salts(num_perm)
 
     def bands_with_sets(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
-            return pa.table(
-                {"band_id": pa.array([], pa.int32()),
-                 "band_hash": pa.array([], pa.uint64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "sh": pa.array([], pa.large_binary()),
-                 "_part": pa.array([], pa.int32())}
-            )
-        sig_mat, S, shc = _sig_matrix(t["text"], num_perm, shingle, salts)
-        blob = _set_blob(S, shc)
-        rows_per_band = num_perm // bands
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        doc_ids = np.repeat(t["doc_id"].to_numpy(), bands)
-        bh = np.empty(n * bands, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig_mat[b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
-            for c in range(rows_per_band):
-                acc = _splitmix64(acc ^ chunk[c])
-            bh[b::bands] = acc
-        sh = blob.take(pa.array(np.repeat(np.arange(n), bands)))
-        part = (bh % np.uint64(P)).astype(np.int32)
+        # same band-row kernel as the incremental path; the in-pipeline
+        # exchange key (_part) replaces the on-disk bucket column
+        rows = _band_bucket_rows(t, num_perm, bands, salts, shingle, P)
         return pa.table(
-            {"band_id": pa.array(band_ids), "band_hash": pa.array(bh),
-             "doc_id": pa.array(doc_ids), "sh": sh, "_part": pa.array(part)}
+            {"band_id": rows["band_id"], "band_hash": rows["band_hash"],
+             "doc_id": rows["doc_id"], "sh": rows["sh"],
+             "_part": rows["bucket"]}
         )
 
     def expand_verify(t: pa.Table) -> pa.Table:
