@@ -331,6 +331,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # through the actor pool — oracle-hash-checked
         "media_real_features":
             lambda sf: multimodal.media_real_features(sf),
+        # COMPRESSED-container tier: zlib-deflated PNG -> inflate ->
+        # scanline unfilter (vendored spec decoder) -> features;
+        # oracle-hash-checked through the compressed round-trip
+        "media_png_features":
+            lambda sf: multimodal.media_png_features(sf),
         # --- sampling + sketches ---
         # content-addressed Bernoulli sample (stable across reruns)
         "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
@@ -723,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": osql.media_real_features_sql(),
         "image_resize": osql.image_resize_sql(),
         "media_real_features": osql.media_real_features_sql(),
+        "media_png_features": osql.media_png_features_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "compression_ratio_stored": osql.compression_ratio_stored_sql(),
         "nation_revenue": osql.nation_revenue_sql(),

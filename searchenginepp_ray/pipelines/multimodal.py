@@ -7,9 +7,10 @@ Two codec tiers:
   (:func:`media_features`, :func:`image_resize`, :func:`frame_sample`,
   :func:`media_real_features`): REAL container decoding via the
   vendored pure-numpy parsers below (uncompressed 24-bit ``BI_RGB``
-  BMP, PCM 8/16-bit RIFF/WAVE, and uncompressed 24-bit RIFF/AVI video —
-  no wheel needed; PIL/soundfile/av are unavailable in this
-  environment, so COMPRESSED formats raise with a clear message).
+  BMP, PCM 8/16-bit RIFF/WAVE, uncompressed 24-bit RIFF/AVI video, and
+  — the COMPRESSED tier — 8-bit PNG via stdlib zlib with full
+  scanline-filter reconstruction; no wheel needed. Formats needing
+  PIL/soundfile/av, e.g. JPEG/MP3, raise with a clear message).
   Because the containers are built deterministically from the documents
   table (:func:`media_real_ds`), the decoded features remain
   ORACLE-hash-checkable in SQL.
@@ -294,6 +295,111 @@ def decode_avi(data: bytes) -> np.ndarray:
             rows = rows[::-1]
         out[i] = rows[:, :, ::-1]  # BGR → RGB
     return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(body)) + typ + body \
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+
+def encode_png_gray(img: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (H, W) grayscale → 8-bit greyscale PNG (color type 0,
+    filter None per scanline, one zlib IDAT stream) — the repo's first
+    COMPRESSED container, built from the public PNG spec with stdlib
+    zlib only."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = np.zeros((h, 1 + w), dtype=np.uint8)
+    scan[:, 1:] = img  # filter byte 0 (None) + row
+    idat = zlib.compress(scan.tobytes(), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit greyscale / truecolor PNG → uint8 (H, W) or (H, W, 3).
+    Spec-complete for the non-interlaced 8-bit subset: all five
+    scanline filters (None/Sub/Up/Average/Paeth) are reconstructed,
+    IDAT may span multiple chunks, chunk CRCs are verified. Sub is
+    vectorized as per-lane cumulative sums; Average/Paeth recurrences
+    are inherently sequential in the left neighbor, so they loop per
+    pixel (rows here are tens of bytes; a SIMD unfilter slots in
+    behind the same signature)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature); "
+                         "formats beyond PNG/BMP need PIL, which is "
+                         "not available in this environment")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos: pos + 4])
+        typ = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln: pos + 12 + ln])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2) or interlace:
+                raise ValueError(
+                    "PNG subset: 8-bit grey/truecolor, non-interlaced "
+                    f"(got depth={depth} color={color} "
+                    f"interlace={interlace})")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = 1 if color == 0 else 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * bpp
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:      # Sub: per-lane cumulative sum mod 256
+            rec = row.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f == 2:      # Up
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth: left-sequential
+            rec = np.empty(w * bpp, dtype=np.int32)
+            for i in range(w * bpp):
+                a = int(rec[i - bpp]) & 0xFF if i >= bpp else 0
+                b = int(prev[i])
+                if f == 3:
+                    rec[i] = row[i] + ((a + b) >> 1)
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    rec[i] = row[i] + pred
+        else:
+            raise ValueError(f"PNG unknown filter type {f}")
+        prev = out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
 
 
 class _RealCodec:
@@ -639,6 +745,89 @@ def media_real_features(sf_dir: str, concurrency: int = 4):
     container assembly is a deterministic function of the text bytes."""
     return media_real_ds(sf_dir).map_batches(
         RealMediaFeatures, concurrency=(1, concurrency), batch_size=64,
+        num_cpus=1, batch_format="pyarrow",
+    )
+
+
+def media_png_ds(sf_dir: str) -> ray.data.Dataset:
+    """Documents table → COMPRESSED-container media table: every
+    non-empty doc becomes an 8-bit greyscale PNG of the same pixel grid
+    the BMP tier uses (first w·h text bytes zero-padded). The container
+    is zlib-compressed, so its byte size is not closed-form — but the
+    DECODED pixels still are, which keeps the features oracle-checkable
+    through a genuinely compressed round-trip."""
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        keep, payload, width, height = [], [], [], []
+        for i, txt in zip(ids, texts):
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+            nb = len(b)
+            if nb == 0:
+                continue
+            w = 8 if nb >= 64 else 4
+            h = max(nb // w, 1)
+            px = b[: w * h]
+            if len(px) < w * h:
+                px = np.pad(px, (0, w * h - len(px)))
+            keep.append(int(i))
+            payload.append(encode_png_gray(px.reshape(h, w)))
+            width.append(w)
+            height.append(h)
+        n = len(keep)
+        return pa.table({
+            "media_id": pa.array(keep, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payload, pa.large_binary()),
+            "width": pa.array(np.asarray(width, dtype=np.int32)),
+            "height": pa.array(np.asarray(height, dtype=np.int32)),
+            "sample_rate": pa.array(np.full(n, 16_000, dtype=np.int32)),
+            "n_frames": pa.array(np.zeros(n, dtype=np.int32)),
+        }, schema=MEDIA_SCHEMA)
+
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_read_blocks(path),
+    ).map_batches(to_png, batch_format="pyarrow")
+
+
+class PngFeatures:
+    """Actor-pool stage over PNG containers: vendored spec decoder per
+    actor, per-batch inflate + unfilter → (n_samples, mean_value)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        payloads = t["payload"].to_pylist()
+        mean = np.empty(n, dtype=np.float64)
+        n_samples = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            a = decode_png(payloads[i])
+            mean[i] = float(a.mean(dtype=np.float64))
+            n_samples[i] = a.size
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": t["width"].cast(pa.int64()),
+            "height": t["height"].cast(pa.int64()),
+            "n_samples": pa.array(n_samples),
+            "mean_value": pa.array(np.floor(mean * 1e6 + 0.5) / 1e6),
+        })
+
+
+def media_png_features(sf_dir: str, concurrency: int = 4):
+    """COMPRESSED-container decode through the actor pool: zlib-deflated
+    PNG → inflate → scanline unfilter → features, oracle-hash-checked
+    because the pixel grid is a deterministic function of the text
+    bytes (the zlib stream round-trips exactly; only the container
+    SIZE is non-closed-form, so it is not emitted)."""
+    return media_png_ds(sf_dir).map_batches(
+        PngFeatures, concurrency=(1, concurrency), batch_size=64,
         num_cpus=1, batch_format="pyarrow",
     )
 

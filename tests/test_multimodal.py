@@ -5,6 +5,8 @@ remains the honest stub boundary — real video decode raises)."""
 
 import os
 
+import pyarrow.parquet as pq
+
 import numpy as np
 import pytest
 
@@ -289,3 +291,82 @@ def test_frame_sample_matches_stub_decode(ray_session, sf_dir):
     for _, r in got.iterrows():
         assert want[(r["media_id"], r["frame_idx"])] == r["frame_md5"]
     assert (got["frame_idx"] % 2 == 0).all()
+
+
+def test_png_roundtrip_and_filters():
+    """Vendored PNG codec: gray round-trip, then a hand-assembled RGB
+    container exercising ALL FIVE scanline filters decodes to the
+    original pixels; CRC and magic failures raise loudly."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 7), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png_gray(img)), img)
+
+    h, w, bpp = 5, 4, 3
+    px = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    scan = bytearray()
+    prev = np.zeros(w * bpp, np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = flat[y]
+        enc = np.empty_like(row)
+        for i in range(w * bpp):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+            enc[i] = (row[i] - pred) % 256
+        scan.append(f)
+        scan.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + mm._png_chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(png), px)
+
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_png(b"not a png at all")
+    bad = bytearray(mm.encode_png_gray(img))
+    bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+
+
+def test_media_png_features_matches_grid_mean(ray_session):
+    """The compressed tier's decoded features equal the BMP grid math:
+    mean over the zero-padded w*h byte grid, n_samples = w*h."""
+    out = mm.media_png_features(SF, concurrency=2).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t[t["text"].str.len() > 0]
+    assert len(out) == len(t)
+    sample = t.head(25)
+    want = {}
+    for _, r in sample.iterrows():
+        b = np.frombuffer(r["text"].encode(), dtype=np.uint8)
+        w = 8 if len(b) >= 64 else 4
+        h = max(len(b) // w, 1)
+        px = np.zeros(w * h, dtype=np.int64)
+        px[: min(len(b), w * h)] = b[: w * h]
+        want[r["doc_id"]] = (w * h,
+                             np.floor(px.sum() / (w * h) * 1e6 + 0.5) / 1e6)
+    got = out.set_index("media_id")
+    for did, (ns, mv) in want.items():
+        assert got.loc[did, "n_samples"] == ns
+        assert got.loc[did, "mean_value"] == mv
