@@ -18,8 +18,9 @@ The smaller-than-32 default scaling levels are deliberate: this sandbox's
 virtualized memory-fault path degrades erratically beyond ~8-16
 concurrently allocating processes (see BASELINE.md "host notes"), so the
 stable pair evidences the engine's scaling rather than the hypervisor's
-limits. The default (32-CPU) mode caps heavy-stage task concurrency via
-SEPPRAY_TASK_CPUS for the same reason.
+limits. (Heavy-stage concurrency is no longer capped by default:
+re-measured in round 5 after the fan-out global stage, one task per
+core beats the old cpus//16 cap ~1.6x — see run_default.)
 """
 
 from __future__ import annotations
@@ -170,11 +171,11 @@ def run_scaling(repeats: int) -> None:
 def run_default() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "SEPPRAY_TASK_CPUS" not in os.environ and cpus >= 16:
-        # cap heavy-stage concurrency on this host (see module docstring);
-        # measured sweet spot: ~16 concurrent heavy tasks (cpus//16 → 2
-        # slots per task at 32 CPUs gave 47.5k docs/s vs 30k at //8)
-        os.environ["SEPPRAY_TASK_CPUS"] = str(max(1, cpus // 16))
+    # One heavy task per core. The pre-round-5 cpus//16 cap (measured
+    # when the fault path serialized heavy allocators) now LOSES:
+    # re-measured after the fan-out global stage, the 600k build is
+    # 4.5 s at TASK_CPUS=1 vs 7.1 s capped (133k vs 85k docs/s).
+    os.environ.setdefault("SEPPRAY_TASK_CPUS", "1")
     # fewer, bigger BSP shards on this host: actor-process startup
     # serializes on the fault path, so the P² superstep routing is never
     # the binding cost here (measured 10.9 s at 8 shards vs 12-14 at 16)

@@ -26,7 +26,10 @@ def main() -> None:
                     help="reuse /tmp/bench2m_idx from a previous run")
     args = ap.parse_args()
 
-    os.environ.setdefault("SEPPRAY_TASK_CPUS", str(max(1, args.cpus // 16)))
+    # One heavy task per core. The old cpus//16 cap predates the round-5
+    # fan-out global stage; re-measured after it: TASK_CPUS=1 builds 2M
+    # rows in 10.4 s vs 16.8 s capped (192.7k vs 119k docs/s).
+    os.environ.setdefault("SEPPRAY_TASK_CPUS", "1")
     import ray
 
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
