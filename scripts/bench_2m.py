@@ -57,7 +57,7 @@ def main() -> None:
 
     merged = "/tmp/bench2m_idx_m32"
     shutil.rmtree(merged, ignore_errors=True)
-    os.environ.setdefault("SEPPRAY_MERGE_TASK_CPUS", str(args.cpus))
+    os.environ.setdefault("SEPPRAY_MERGE_TASK_CPUS", "1")  # parallel merge (see bench.py)
     t0 = time.perf_counter()
     m = merge_segments(idx, merged, group_size=32)
     out["merge32_wall_s"] = round(time.perf_counter() - t0, 1)

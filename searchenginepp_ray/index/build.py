@@ -1573,16 +1573,15 @@ def merge_segments(
     seg_ds = ray.data.from_items(
         [{"seg": m} for m in sorted(groups)], override_num_blocks=len(groups)
     )
-    # Merge tasks have large working sets (a whole merged segment's
-    # postings). On hosts whose page-fault path serializes globally (this
-    # sandbox: ~100 µs/page however many workers fault), total warm-up
-    # cost = n_workers × working set — so FEWER workers merge FASTER
-    # (measured 600k ×32: 8 workers 150 s, 3 workers 180 s, 1 worker
-    # 96 s). Default keeps the scalable parallel shape (real clusters
-    # fault cheaply); set SEPPRAY_MERGE_TASK_CPUS=<cpus> to serialize on
-    # fault-bound hosts (bench.py does).
+    # Merge concurrency. The round-4 streaming term-range merge bounds
+    # each task's working set to the chunk budget, which flipped the
+    # old fault-bound guidance ("one worker fastest", measured when a
+    # task held a whole merged segment): re-measured at 2M docs ×32
+    # post-streaming, fully parallel merges in 4.0 s vs 33.6 s
+    # serialized, byte-identical output. Default one task per core;
+    # SEPPRAY_MERGE_TASK_CPUS overrides.
     merge_cpus = int(os.environ.get(
-        "SEPPRAY_MERGE_TASK_CPUS", max(_task_num_cpus(), 2)
+        "SEPPRAY_MERGE_TASK_CPUS", _task_num_cpus()
     ))
     manifests = seg_ds.map_batches(
         assemble, batch_format="pyarrow", batch_size=None,
