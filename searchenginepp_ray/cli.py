@@ -71,8 +71,25 @@ def cmd_query(args) -> int:
     from .config import BuildConfig, FULL_PROFILE, SIMPLE_PROFILE
     from .index.engine import QueryEngine
 
+    profile = args.profile
+    if profile == "auto":
+        # adopt the profile the index records in global/metadata.json —
+        # the reason profile_id/profile_flags are written at build time
+        # (serving with a mismatched normalizer silently mis-tokenizes
+        # queries, so the engine refuses it; auto makes the refusal
+        # unreachable from the CLI)
+        import json
+        import os
+
+        try:
+            with open(os.path.join(args.index_dir, "global",
+                                   "metadata.json")) as f:
+                pid = json.load(f).get("profile_id")
+            profile = "simple" if pid == SIMPLE_PROFILE.profile_id else "full"
+        except OSError:
+            profile = "full"
     cfg = BuildConfig(
-        profile=SIMPLE_PROFILE if args.profile == "simple" else FULL_PROFILE,
+        profile=SIMPLE_PROFILE if profile == "simple" else FULL_PROFILE,
         docs_per_segment=args.docs_per_segment,
     )
     eng = QueryEngine(
@@ -265,7 +282,10 @@ def main(argv=None) -> int:
     q.add_argument("-i", "--interactive", action="store_true",
                    help="interactive prompt loop (the reference "
                         "engine's serving mode; empty line or 'q' exits)")
-    q.add_argument("--profile", choices=("full", "simple"), default="full")
+    q.add_argument("--profile", choices=("auto", "full", "simple"),
+                   default="auto",
+                   help="normalizer profile; 'auto' (default) adopts the "
+                        "profile recorded in the index's metadata")
     q.add_argument("--docs-per-segment", type=int, default=65_536)
     q.add_argument("--no-actors", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
