@@ -383,6 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by the value domain, not the row count)
         "top_events_per_user": lambda sf: events.top_events_per_user(sf),
         "value_quantiles": lambda sf: events.value_quantiles(sf),
+        # log-linear HDR quantile sketch: the unbounded-domain scale
+        # path (<= 64*m count buckets regardless of rows; exact IEEE
+        # bucket math so the WHOLE sketch is oracle-hash-checked)
+        "price_quantiles_hdr":
+            lambda sf: events.price_quantiles_hdr(sf),
         # per-user running window functions (cumsum in exact integer
         # cents + lag) — one exchange, vectorized per-partition kernel
         "user_value_running": lambda sf: events.user_value_running(sf),
@@ -748,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": osql.range_join_sql(),
         "top_events_per_user": osql.top_events_per_user_sql(),
         "value_quantiles": osql.value_quantiles_sql(),
+        "price_quantiles_hdr": osql.price_quantiles_hdr_sql(),
         "user_value_running": osql.user_value_running_sql(),
         "global_value_rank": osql.global_value_rank_sql(),
         "event_user_distinct": osql.event_user_distinct_sql(),

@@ -452,6 +452,63 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     return hash_groupby_apply(hist, ["event_type"], finish)
 
 
+def price_quantiles_hdr(sf_dir: str, m: int = 16,
+                        qs: tuple = (0.25, 0.5, 0.9, 0.99)):
+    """Log-linear HISTOGRAM quantile sketch over an unbounded numeric
+    column (orders.o_totalprice in cents) — the HdrHistogram/DDSketch
+    family's scale path for quantiles where :func:`value_quantiles`'
+    exact value-domain histogram would blow up: bucket
+    ``(e, s) = (floor(log2(x)), floor((x/2^e − 1)·m))`` bounds relative
+    error by 1/(2m) while the exchange carries COUNTS over at most
+    64·m buckets regardless of row count, and counts-merge is
+    commutative — rerun- and partition-order-stable by construction.
+
+    Exact cross-engine parity with no transcendental hazard: the
+    exponent comes from the binary digit count (numpy ``frexp`` /
+    DuckDB ``length(printf('%b', c))``) and every remaining op
+    (power-of-two divide, subtract, ×m, floor) is exact in IEEE
+    doubles, so the whole sketch — bucketing, cumulative rank pick at
+    ``ceil(q·n)``, and the ``floor((1 + s/m)·2^e)`` representative —
+    is oracle-HASH-checked, not just bounded. Returns
+    (q, est_cents, n)."""
+    from .agg import hash_groupby_sum
+    from .relational import table_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100 + 0.5).astype(np.int64)
+        c = c[c > 0]
+        if not len(c):
+            return pa.table({"bid": pa.array([], pa.int64()),
+                             "cnt_part": pa.array([], pa.int64())})
+        cf = c.astype(np.float64)  # exact: cents < 2^53
+        e = (np.frexp(cf)[1] - 1).astype(np.int64)  # floor(log2(c)), exact
+        s = np.floor((cf / np.exp2(e.astype(np.float64)) - 1.0) * m) \
+            .astype(np.int64)
+        u, counts = np.unique(e * m + s, return_counts=True)
+        return pa.table({"bid": pa.array(u),
+                         "cnt_part": pa.array(counts.astype(np.int64))})
+
+    hist = hash_groupby_sum(
+        table_ds(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["bid"], {"cnt": ("cnt_part", "sum")},
+    ).to_pandas()  # bounded collect: <= 64*m bucket rows
+
+    hist = hist.sort_values("bid").reset_index(drop=True)
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    bid = hist["bid"].to_numpy()
+    out = []
+    for q in qs:
+        r = int(np.ceil(q * n))
+        i = int(np.searchsorted(cum, max(r, 1)))
+        e, s = divmod(int(bid[i]), m)
+        est = int(np.floor((1.0 + s / m) * np.exp2(e)))
+        out.append({"q": float(q), "est_cents": est, "n": n})
+    return pd.DataFrame(out, columns=["q", "est_cents", "n"])
+
+
 def event_type_stats(sf_dir: str):
     """Plain grouped aggregate: per event_type count + value stats
     (rounded for oracle comparability)."""

@@ -702,6 +702,40 @@ SELECT doc_id,
 FROM documents"""
 
 
+def price_quantiles_hdr_sql(m: int = 16,
+                            qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> str:
+    """Oracle for events.price_quantiles_hdr: the ENTIRE log-linear
+    sketch reproduced in SQL — exponent from the binary digit count
+    (exact), power-of-two mantissa bucketing (exact IEEE ops),
+    cumulative rank pick at ceil(q·n), representative
+    floor((1 + s/m)·2^e)."""
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH x AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0),
+b AS (
+  SELECT (length(printf('%b', c)) - 1) * {m}
+         + CAST(floor((CAST(c AS DOUBLE)
+                       / power(2.0, length(printf('%b', c)) - 1) - 1.0)
+                      * {m}) AS BIGINT) AS bid,
+         COUNT(*) AS cnt
+  FROM x GROUP BY 1),
+cum AS (SELECT bid, SUM(cnt) OVER (ORDER BY bid) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM b),
+qv(q) AS (VALUES {vals})
+SELECT CAST(q AS DOUBLE) AS q,
+       (SELECT CAST(floor((1.0 + (bid % {m}) * 1.0 / {m})
+                          * power(2.0, bid // {m})) AS BIGINT)
+        FROM cum
+        WHERE cum >= greatest(CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT),
+                              1)
+        ORDER BY bid LIMIT 1) AS est_cents,
+       (SELECT CAST(n AS BIGINT) FROM cum LIMIT 1) AS n
+FROM qv"""
+
+
 def media_png_features_sql() -> str:
     """Oracle for multimodal.media_png_features: the decoded PNG pixel
     grid equals the first w·h text bytes zero-padded (the compressed

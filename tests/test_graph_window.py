@@ -437,3 +437,29 @@ def test_seeded_pagerank_properties(ray_session):
     assert abs(got["pr"].sum() - 1.0) < 1e-9
     # personalization: mean seed rank far above mean non-seed rank
     assert got.loc[seeds, "pr"].mean() > 2 * got.loc[~seeds, "pr"].mean()
+
+
+def test_price_quantiles_hdr_bounds_and_stability(ray_session, sf_dir):
+    """The log-linear sketch's estimate is the selected bucket's lower
+    bound, so the true rank value lies in [est, est·(1+1/m)); two runs
+    agree exactly (counts-merge is commutative — rerun-stable by
+    construction)."""
+    import pyarrow.parquet as pq
+
+    from searchenginepp_ray.pipelines.events import price_quantiles_hdr
+
+    m = 16
+    got = price_quantiles_hdr(sf_dir, m=m)
+    again = price_quantiles_hdr(sf_dir, m=m)
+    pd.testing.assert_frame_equal(got, again)
+
+    x = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_totalprice"])["o_totalprice"].to_numpy()
+    cents = np.sort(np.floor(x * 100 + 0.5).astype(np.int64))
+    cents = cents[cents > 0]
+    n = len(cents)
+    assert (got["n"] == n).all()
+    for _, r in got.iterrows():
+        true = int(cents[max(int(np.ceil(r["q"] * n)), 1) - 1])
+        est = int(r["est_cents"])
+        assert est <= true <= est * (1 + 1 / m) + 1, (r["q"], est, true)
