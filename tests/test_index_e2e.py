@@ -1225,3 +1225,52 @@ def test_serving_survives_actor_kill(built):
     finally:
         for w in eng.workers:
             ray.kill(w, no_restart=True)
+
+
+def test_fanout_waves_are_replay_safe(ray_session, tmp_path_factory):
+    """Ray retries tasks on worker loss; the fan-out arm's wave tasks
+    must be idempotent replays — re-running finalize and seg-write over
+    the same inputs rewrites byte-identical files (atomic tmp+replace),
+    and re-running the whole arm over an existing global/ dir changes
+    nothing."""
+    import os
+
+    from searchenginepp_ray.index.build import _global_stage_fanout
+
+    tmp = tmp_path_factory.mktemp("fanout")
+    corpus_path = str(tmp / "corpus.parquet")
+    write_corpus(corpus_path, 200, seed=5, rows_per_group=32)
+    cfg = BuildConfig(docs_per_segment=64)
+    idx = str(tmp / "idx")
+    os.environ["SEPPRAY_GLOBAL_SINGLE_TASK_MB"] = "0"
+    os.environ["SEPPRAY_GLOBAL_FANOUT_MB"] = "1024"
+    try:
+        build_index(corpus_path, idx, cfg, CODE_CORPUS)
+    finally:
+        os.environ.pop("SEPPRAY_GLOBAL_SINGLE_TASK_MB", None)
+        os.environ.pop("SEPPRAY_GLOBAL_FANOUT_MB", None)
+
+    gdir = os.path.join(idx, "global")
+
+    def snap(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    before = snap(gdir)
+    # replay the whole arm in place (simulating a retried driver call)
+    pdir = os.path.join(idx, "docs", "_partials")
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    # replay with the same cluster-derived width the build used
+    from searchenginepp_ray.pipelines.dedup import _shuffle_width
+    _global_stage_fanout(files, 200, os.path.join(gdir, "term_df"),
+                         os.path.join(gdir, "seg_df"), _shuffle_width())
+    after = snap(gdir)
+    assert set(before) == set(after)
+    for k in before:
+        assert before[k] == after[k], f"replay changed global/{k}"
