@@ -86,7 +86,9 @@ def cmd_query(args) -> int:
                                    "metadata.json")) as f:
                 pid = json.load(f).get("profile_id")
             profile = "simple" if pid == SIMPLE_PROFILE.profile_id else "full"
-        except OSError:
+        except (OSError, ValueError):
+            # missing OR corrupt metadata (ValueError covers
+            # JSONDecodeError): fall back, let the engine decide
             profile = "full"
     cfg = BuildConfig(
         profile=SIMPLE_PROFILE if profile == "simple" else FULL_PROFILE,

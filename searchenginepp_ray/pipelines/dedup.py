@@ -1385,15 +1385,52 @@ def minhash_band_index_build(sf_dir: str, mod: int = 2, shingle: int = 3,
     return out
 
 
-def minhash_band_append(index_dir: str, sf_dir: str, doc_ids,
-                        shingle: int = 3, num_perm: int = 128,
-                        bands: int = 64, nbuckets: int = 32) -> None:
-    """Append the given docs' band rows to an existing band table as new
-    part files in the same bucket directories (the
-    :func:`~.similarity.ivf_append_build` pattern) — O(appended docs),
-    nothing rewritten; the next shipment's probe sees them through the
-    per-bucket listing."""
+def _band_index_params(index_dir: str) -> dict:
+    """The params a band table was built with (from its _done.json)."""
+    import json
     import os
+
+    with open(os.path.join(index_dir, "_done.json")) as f:
+        return json.load(f)
+
+
+def minhash_band_append(index_dir: str, sf_dir: str, doc_ids,
+                        out_dir: str | None = None,
+                        shingle: int = 3, num_perm: int = 128,
+                        bands: int = 64, nbuckets: int = 32) -> str:
+    """Extend a band table with the given docs' band rows, COPY-ON-WRITE:
+    the base table's part files are HARDLINKED into ``out_dir`` (default
+    ``index_dir + \"-appended\"``) and the new rows land as extra part
+    files in the same bucket directories — O(appended docs) work and
+    disk, the :func:`~.similarity.ivf_append_build` layout pattern,
+    while the PRISTINE base dir (which may be the shared per-corpus
+    cache :func:`minhash_band_index_build` hands to every default-path
+    caller) stays byte-untouched. Returns the appended table's dir, to
+    be passed as ``index_dir`` for the next shipment's probe. Params
+    must match the base table's recorded ones (refuses loudly)."""
+    import json
+    import os
+    import shutil
+
+    have = _band_index_params(index_dir)
+    want = {"shingle": shingle, "num_perm": num_perm,
+            "bands": bands, "nbuckets": nbuckets}
+    mismatch = {k: (have.get(k), v) for k, v in want.items()
+                if have.get(k) != v}
+    if mismatch:
+        raise ValueError(
+            f"minhash_band_append params differ from the base table's: "
+            f"{mismatch} (have vs requested)")
+    out = out_dir or index_dir.rstrip("/") + "-appended"
+    shutil.rmtree(out, ignore_errors=True)
+    src_data = os.path.join(index_dir, "data")
+    dst_data = os.path.join(out, "data")
+    for dirpath, _, names in os.walk(src_data):
+        rel = os.path.relpath(dirpath, src_data)
+        os.makedirs(os.path.join(dst_data, rel), exist_ok=True)
+        for n in names:
+            os.link(os.path.join(dirpath, n),
+                    os.path.join(dst_data, rel, n))
 
     salts = _salts(num_perm)
     ids_ref = ray.put(np.asarray(sorted(doc_ids), dtype=np.int64))
@@ -1406,7 +1443,14 @@ def minhash_band_append(index_dir: str, sf_dir: str, doc_ids,
 
     documents_ds(sf_dir).map_batches(
         rows, batch_format="pyarrow"
-    ).write_parquet(os.path.join(index_dir, "data"), partition_cols=["bucket"])
+    ).write_parquet(dst_data, partition_cols=["bucket"])
+    meta = dict(have)
+    meta["appended"] = True
+    with open(os.path.join(out, "_done.json") + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(os.path.join(out, "_done.json") + ".tmp",
+               os.path.join(out, "_done.json"))
+    return out
 
 
 def dedup_incremental_minhash(sf_dir: str, mod: int = 2, shingle: int = 3,
@@ -1444,6 +1488,19 @@ def dedup_incremental_minhash(sf_dir: str, mod: int = 2, shingle: int = 3,
     if index_dir is None:
         index_dir = minhash_band_index_build(
             sf_dir, mod, shingle, num_perm, bands, nbuckets)
+    else:
+        # a caller-supplied table MUST have been built with the same
+        # band geometry — a silent mismatch would hash with different
+        # salts, match nothing, and admit every near-dup
+        have = _band_index_params(index_dir)
+        want = {"shingle": shingle, "num_perm": num_perm,
+                "bands": bands, "nbuckets": nbuckets}
+        mismatch = {k: (have.get(k), v) for k, v in want.items()
+                    if have.get(k) != v}
+        if mismatch:
+            raise ValueError(
+                "dedup_incremental_minhash params differ from the band "
+                f"table's recorded ones: {mismatch} (have vs requested)")
     salts = _salts(num_perm)
 
     def new_rows(t: pa.Table) -> pa.Table:

@@ -501,12 +501,18 @@ def price_quantiles_hdr(sf_dir: str, m: int = 16,
     bid = hist["bid"].to_numpy()
     out = []
     for q in qs:
+        if n == 0:
+            # degenerate input: mirror the oracle's (q, NULL, 0) rows
+            out.append({"q": float(q), "est_cents": pd.NA, "n": 0})
+            continue
         r = int(np.ceil(q * n))
         i = int(np.searchsorted(cum, max(r, 1)))
         e, s = divmod(int(bid[i]), m)
         est = int(np.floor((1.0 + s / m) * np.exp2(e)))
         out.append({"q": float(q), "est_cents": est, "n": n})
-    return pd.DataFrame(out, columns=["q", "est_cents", "n"])
+    df = pd.DataFrame(out, columns=["q", "est_cents", "n"])
+    df["est_cents"] = df["est_cents"].astype("Int64")  # nullable, BIGINT twin
+    return df
 
 
 def event_type_stats(sf_dir: str):

@@ -347,6 +347,11 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos: pos + 4])
         typ = data[pos + 4: pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"PNG truncated inside chunk {typ!r} "
+                f"(need {ln + 12} bytes at offset {pos}, "
+                f"have {len(data) - pos})")
         body = data[pos + 8: pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln: pos + 12 + ln])
         if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
@@ -530,11 +535,11 @@ class ImageResize:
             hh = (img.shape[0] // o) * o or o
             ww = (img.shape[1] // o) * o or o
             img2 = np.resize(img, (hh, ww)).astype(np.int64)
-            small = img2.reshape(o, hh // o, o, ww // o).mean(axis=(1, 3))
-            assert small.shape == (o, o)
-            # mean of equal-sized block means == grand mean; emit it as
-            # ONE exact-integer-sum division so the 6-dp rounding is
-            # bit-reproducible against the SQL oracle
+            # the o×o resize output's statistic: the mean of its
+            # equal-sized block means equals the grand mean of the
+            # resized grid, so emit it as ONE exact-integer-sum
+            # division (bit-reproducible against the SQL oracle)
+            # instead of materializing the block-mean matrix
             mean = float(img2.sum()) / img2.size
             rows.append({"media_id": mid,
                          "resized_mean": math.floor(mean * 1e6 + 0.5) / 1e6,

@@ -709,10 +709,15 @@ def test_dedup_incremental_minhash_planted(ray_session, tmp_path):
 def test_minhash_band_table_appendable_across_shipments(ray_session,
                                                        tmp_path):
     """The persisted band table is reusable shipment-over-shipment: docs
-    accepted from shipment 1 are APPENDED as extra part files in the
-    same bucket dirs, and shipment 2's probe (same index_dir) then
-    rejects near-dups of them — without re-hashing the baseline."""
+    accepted from shipment 1 are APPENDED copy-on-write (base part
+    files hardlinked, new parts in the same bucket dirs) and shipment
+    2's probe against the appended table rejects near-dups of them —
+    without re-hashing the baseline; the pristine shared-cache dir
+    stays byte-untouched for default-path callers, and geometry
+    mismatches refuse loudly."""
     import os
+
+    import pytest
 
     base = "the quick brown fox jumps over the lazy dog again " * 6
     ship1 = "some genuinely novel first shipment text about minhash " \
@@ -725,12 +730,25 @@ def test_minhash_band_table_appendable_across_shipments(ray_session,
     kept1 = dedup.dedup_incremental_minhash(
         d1, index_dir=idx).to_pandas()["doc_id"].tolist()
     assert kept1 == [1]
-    n_parts_before = sum(len(fs) for _, _, fs in os.walk(f"{idx}/data"))
-    dedup.minhash_band_append(idx, d1, kept1)
-    n_parts_after = sum(len(fs) for _, _, fs in os.walk(f"{idx}/data"))
-    assert n_parts_after > n_parts_before  # appended, nothing rewritten
 
-    # shipment 2: a near-dup of the APPENDED doc + a fresh doc
+    def snap(root):
+        return sorted((os.path.relpath(os.path.join(dp, f), root),
+                       os.path.getsize(os.path.join(dp, f)))
+                      for dp, _, fs in os.walk(root) for f in fs)
+
+    before = snap(f"{idx}/data")
+    idx2 = dedup.minhash_band_append(idx, d1, kept1)
+    assert idx2 != idx and snap(f"{idx}/data") == before  # base pristine
+    assert len(snap(f"{idx2}/data")) > len(before)        # parts appended
+
+    # geometry mismatch refuses instead of silently matching nothing
+    with pytest.raises(ValueError, match="differ"):
+        dedup.dedup_incremental_minhash(d1, index_dir=idx2, num_perm=64)
+    with pytest.raises(ValueError, match="differ"):
+        dedup.minhash_band_append(idx, d1, kept1, num_perm=64)
+
+    # shipment 2 against the APPENDED table: a near-dup of the appended
+    # doc is dropped, a fresh doc survives
     d2 = _inc_docs(tmp_path / "c2", [
         base,                                   # even: ignored as shipment
         ship1.replace("novel", "brand-new", 1),  # near-dup of appended -> drop
@@ -739,5 +757,5 @@ def test_minhash_band_table_appendable_across_shipments(ray_session,
         "pruned probes and exact jaccard verification of candidates",  # keep
     ])
     kept2 = sorted(dedup.dedup_incremental_minhash(
-        d2, index_dir=idx).to_pandas()["doc_id"].tolist())
+        d2, index_dir=idx2).to_pandas()["doc_id"].tolist())
     assert kept2 == [3]

@@ -370,3 +370,13 @@ def test_media_png_features_matches_grid_mean(ray_session):
     for did, (ns, mv) in want.items():
         assert got.loc[did, "n_samples"] == ns
         assert got.loc[did, "mean_value"] == mv
+
+
+def test_png_truncated_payload_raises_cleanly():
+    """A payload cut off inside a chunk raises the decoder's ValueError
+    contract (not struct.error): truncate into the IDAT body — its
+    declared length then overruns the remaining bytes."""
+    png = mm.encode_png_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    idat_at = png.index(b"IDAT") - 4  # chunk start (length field)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(png[: idat_at + 10])
