@@ -759,3 +759,24 @@ def test_minhash_band_table_appendable_across_shipments(ray_session,
     kept2 = sorted(dedup.dedup_incremental_minhash(
         d2, index_dir=idx2).to_pandas()["doc_id"].tolist())
     assert kept2 == [3]
+
+
+def test_dedup_incremental_minhash_degenerate_slices(ray_session, tmp_path):
+    """Empty shipment (all doc_ids in the baseline slice) returns zero
+    rows; empty baseline (no doc_id % mod == 0) keeps every shipment
+    doc — the probe tolerates a band table with no bucket files."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 2, 4], pa.int64()),
+                  "text": ["aaa bbb ccc ddd", "eee fff ggg hhh",
+                           "iii jjj kkk lll"]}),
+        str(tmp_path / "a" / "documents.parquet"))
+    assert len(dedup.dedup_incremental_minhash(
+        str(tmp_path / "a")).to_pandas()) == 0
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 3], pa.int64()),
+                  "text": ["mmm nnn ooo ppp", "qqq rrr sss ttt"]}),
+        str(tmp_path / "b" / "documents.parquet"))
+    got = dedup.dedup_incremental_minhash(str(tmp_path / "b")).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [1, 3]
