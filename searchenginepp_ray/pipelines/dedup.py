@@ -1429,8 +1429,14 @@ def minhash_band_append(index_dir: str, sf_dir: str, doc_ids,
         rel = os.path.relpath(dirpath, src_data)
         os.makedirs(os.path.join(dst_data, rel), exist_ok=True)
         for n in names:
-            os.link(os.path.join(dirpath, n),
-                    os.path.join(dst_data, rel, n))
+            try:
+                os.link(os.path.join(dirpath, n),
+                        os.path.join(dst_data, rel, n))
+            except OSError:
+                # cross-filesystem out_dir (EXDEV) or a hardlink-less
+                # store: fall back to a copy — same contract, more I/O
+                shutil.copy2(os.path.join(dirpath, n),
+                             os.path.join(dst_data, rel, n))
 
     salts = _salts(num_perm)
     ids_ref = ray.put(np.asarray(sorted(doc_ids), dtype=np.int64))
