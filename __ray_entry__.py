@@ -96,6 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (block-lazy skip decode on the negative lists), BM25 over
         # the positive terms only
         "search_boolean": lambda sf: search_docs.search_boolean(sf),
+        # spell-corrected retrieval ("did you mean" + search): per-token
+        # SymSpell correction over the index vocabulary feeding the BM25
+        # stack; one SQL statement value-checks the composition
+        "search_did_you_mean":
+            lambda sf: search_docs.search_did_you_mean(sf),
         # pseudo-relevance feedback (RM3-style expansion): first-pass
         # top-k_fb docs feed back top TF-IDF terms, second pass re-scores
         "search_bm25_rm3": lambda sf: search_docs.search_bm25_rm3(sf),
@@ -663,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_bmm_topk": osql.search_topk_sql("bm25", conj=False),
         "search_bm25_rm3": osql.search_bm25_rm3_sql(),
         "search_bm25_page2": osql.search_after_page_sql(),
+        "search_did_you_mean": osql.search_did_you_mean_sql(),
         "search_explain": osql.search_explain_sql(),
         "search_hit_counts": osql.search_hit_counts_sql(),
         "search_lm_dirichlet": osql.search_lm_dirichlet_sql(),

@@ -455,6 +455,8 @@ def run_default() -> None:
           lambda: multimodal.media_png_features(sf_dir))
     timed("price_quantiles_hdr",
           lambda: events.price_quantiles_hdr(sf_dir))
+    timed("search_did_you_mean",
+          lambda: search_docs.search_did_you_mean(sf_dir))
     from searchenginepp_ray.pipelines import hnsw as hnsw_mod
     timed("knn_hnsw", lambda: hnsw_mod.knn_hnsw(sf_dir))
     timed("vocab_distinct_hll",

@@ -301,6 +301,60 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank > {rank_lo} AND rank <= {k}"""
 
 
+def search_did_you_mean_sql(k: int = 10) -> str:
+    """Oracle for search_docs.search_did_you_mean: per-token correction
+    (levenshtein <= 1 over the vocabulary — the same unit-cost metric as
+    the pipeline's DP verifier — picked by dist, then df DESC, then term
+    ASC; uncorrectable tokens pass through) feeding the standard BM25
+    stack. One statement value-checks the whole composition."""
+    from .search_docs import DYM_QUERIES
+
+    cfg = BuildConfig()
+    expr = _bm25_score_expr(cfg.bm25_k1, cfg.bm25_b)
+    vals = ", ".join(
+        f"({qi}, '{t}')" for qi, q in enumerate(DYM_QUERIES) for t in q)
+    return f"""WITH {tok_cte()},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) * 1.0
+                   / (SELECT COUNT(*) FROM documents) AS avgdl),
+df0 AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfi
+        FROM toks GROUP BY term),
+df AS (SELECT term, CAST(dfi AS DOUBLE) AS df FROM df0),
+mq(query_id, tok) AS (VALUES {vals}),
+cand AS (
+  SELECT m.query_id, m.tok, v.term, v.dfi,
+         levenshtein(m.tok, v.term) AS dist
+  FROM mq m JOIN df0 v ON levenshtein(m.tok, v.term) <= 1),
+best AS (
+  SELECT query_id, tok, term,
+         row_number() OVER (PARTITION BY query_id, tok
+                            ORDER BY dist, dfi DESC, term) AS rn
+  FROM cand),
+q AS (SELECT DISTINCT m.query_id, COALESCE(b.term, m.tok) AS term
+      FROM mq m LEFT JOIN (SELECT query_id, tok, term FROM best
+                           WHERE rn = 1) b
+        ON b.query_id = m.query_id AND b.tok = m.tok),
+scores AS (
+    SELECT q.query_id, tf.doc_id, SUM({expr}) AS s
+    FROM q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rank
+    FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {k}"""
+
+
 def search_after_page_sql(k: int = 10) -> str:
     """Oracle for search_docs.search_bm25_page2: the standard BM25 stack
     sliced to ranks k+1..2k — the cursor path must be rank-identical to

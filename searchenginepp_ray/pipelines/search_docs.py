@@ -330,6 +330,47 @@ def _to_frame(all_results) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+#: "did you mean" inputs: pre-normalized token lists with planted typos
+#: (shared verbatim with the SQL oracle). qzx has no vocabulary term
+#: within edit distance 1 and must pass through uncorrected (matching
+#: nothing); merge/buffer are exact vocabulary hits (distance-0 beats
+#: any distance-1 candidate).
+DYM_QUERIES = [
+    ["tble", "scann", "filtr"],
+    ["sprk", "windoww", "agg"],
+    ["vale", "merge", "sortt"],
+    ["qzx", "buffer", "queyr"],
+]
+
+
+def search_did_you_mean(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Spell-corrected retrieval ("did you mean" + search): each query
+    token is replaced by its best vocabulary match within edit distance
+    1 — min distance first (so exact hits correct to themselves), then
+    max df, then term ASC — and the corrected query runs through the
+    standard BM25 stack. Composes two already-oracle-checked stacks
+    (:func:`~.text_stats.fuzzy_term_match`'s SymSpell
+    deletion-neighborhood candidates + exact DP verify, and
+    :func:`search_topk`'s serving path); ONE SQL statement value-checks
+    the whole composition. Tokens with no candidate pass through
+    uncorrected (they match nothing, like any unknown term).
+    Reference parity: none (beyond-reference serving surface)."""
+    from .text_stats import fuzzy_term_match
+
+    tokens = tuple(sorted({t for q in DYM_QUERIES for t in q}))
+    # bounded collect: candidate rows only (a handful per token)
+    cand = fuzzy_term_match(sf_dir, queries=tokens).to_pandas()
+    best: dict[str, str] = {}
+    if len(cand):
+        cand = cand.sort_values(
+            ["query", "dist", "df", "term"],
+            ascending=[True, True, False, True])
+        best = dict(cand.groupby("query", sort=False).first()["term"])
+    corrected = [[best.get(t, t) for t in q] for q in DYM_QUERIES]
+    eng = get_engine(sf_dir, simple=True, scorer="bm25")
+    return _to_frame(eng.search_batch(corrected, k=k, mode="bmm"))
+
+
 def search_topk(sf_dir: str, k: int = 10, mode: str = "daat",
                 scorer: str = "bm25", simple: bool = True) -> pd.DataFrame:
     eng = get_engine(sf_dir, simple=simple, scorer=scorer)
