@@ -5,7 +5,6 @@ def test_search_did_you_mean_corrections(ray_session, sf_dir):
     (correction layer + BM25 stack), results are deterministic across
     runs, and every returned query ranks contiguously from 1."""
     import duckdb
-    import numpy as np
     import pandas as pd
 
     from searchenginepp_ray.pipelines.oracle_sql import \
@@ -27,4 +26,5 @@ def test_search_did_you_mean_corrections(ray_session, sf_dir):
     got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert len(got) == len(want) > 0
     assert got["doc_id"].tolist() == want["doc_id"].astype(int).tolist()
-    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    # both sides round to the 6-dp grid -> exact equality, not allclose
+    assert got["score"].tolist() == want["score"].tolist()
