@@ -341,6 +341,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-hash-checked through the compressed round-trip
         "media_png_features":
             lambda sf: multimodal.media_png_features(sf),
+        # LOSSY-compressed tier: baseline JPEG (vendored spec codec:
+        # Huffman + zigzag + DCT); block-constant + unit-quant
+        # construction makes the decode bit-exact -> hash-checked
+        "media_jpeg_features":
+            lambda sf: multimodal.media_jpeg_features(sf),
         # --- sampling + sketches ---
         # content-addressed Bernoulli sample (stable across reruns)
         "deterministic_sample": lambda sf: sample.deterministic_sample(sf),
@@ -740,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": osql.image_resize_sql(),
         "media_real_features": osql.media_real_features_sql(),
         "media_png_features": osql.media_png_features_sql(),
+        "media_jpeg_features": osql.media_jpeg_features_sql(),
         "deterministic_sample": osql.deterministic_sample_sql(),
         "compression_ratio_stored": osql.compression_ratio_stored_sql(),
         "nation_revenue": osql.nation_revenue_sql(),

@@ -453,6 +453,8 @@ def run_default() -> None:
     timed("frame_sample_real", lambda: multimodal.frame_sample(sf_dir))
     timed("media_png_features",
           lambda: multimodal.media_png_features(sf_dir))
+    timed("media_jpeg_features",
+          lambda: multimodal.media_jpeg_features(sf_dir))
     timed("price_quantiles_hdr",
           lambda: events.price_quantiles_hdr(sf_dir))
     timed("search_did_you_mean",

@@ -7,10 +7,13 @@ Two codec tiers:
   (:func:`media_features`, :func:`image_resize`, :func:`frame_sample`,
   :func:`media_real_features`): REAL container decoding via the
   vendored pure-numpy parsers below (uncompressed 24-bit ``BI_RGB``
-  BMP, PCM 8/16-bit RIFF/WAVE, uncompressed 24-bit RIFF/AVI video, and
-  — the COMPRESSED tier — 8-bit PNG via stdlib zlib with full
-  scanline-filter reconstruction; no wheel needed. Formats needing
-  PIL/soundfile/av, e.g. JPEG/MP3, raise with a clear message).
+  BMP, PCM 8/16-bit RIFF/WAVE, uncompressed 24-bit RIFF/AVI video,
+  8-bit PNG via stdlib zlib with full scanline-filter reconstruction,
+  and baseline grayscale JPEG — real Huffman/zigzag/DCT, with a
+  block-constant + unit-quant construction that keeps even the LOSSY
+  codec oracle-hash-checkable; no wheel needed. Formats needing
+  PIL/soundfile/av beyond these, e.g. color JPEG or MP3, raise with a
+  clear message).
   Because the containers are built deterministically from the documents
   table (:func:`media_real_ds`), the decoded features remain
   ORACLE-hash-checkable in SQL.
@@ -295,6 +298,312 @@ def decode_avi(data: bytes) -> np.ndarray:
             rows = rows[::-1]
         out[i] = rows[:, :, ::-1]  # BGR → RGB
     return out
+
+
+# ---------- baseline JPEG (grayscale, sequential DCT) ----------
+#
+# Spec-built from the public JPEG standard (ITU-T T.81): DQT/SOF0/DHT/
+# SOS segment layout, canonical Huffman construction from BITS/HUFFVAL,
+# zigzag order, 8×8 DCT-II/III, byte stuffing. The encoder emits its
+# OWN canonical tables in DHT (T.81 allows arbitrary tables; no Annex-K
+# memorization): DC categories 0..11 at 4 bits, the 162 AC run/size
+# symbols (EOB, ZRL, runs 0..15 × sizes 1..10) at 8 bits — prefix-free,
+# all-ones codes unused. The decoder reads whatever tables the file
+# declares, so it handles foreign baseline grayscale JPEGs too.
+# EXACTNESS ESCAPE HATCH: with unit quantization, an image whose every
+# 8×8 block is CONSTANT round-trips bit-exactly (DC = 8·(c−128) is an
+# exact integer, every AC magnitude is float noise < 0.5 that rounds
+# to zero) — the degenerate-parameter gate `media_jpeg_features` runs
+# on, keeping a LOSSY codec oracle-hash-checkable.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_DCT_B = None  # 8×8 DCT-II basis, built once
+
+
+def _dct_basis() -> np.ndarray:
+    global _DCT_B
+    if _DCT_B is None:
+        u = np.arange(8).reshape(-1, 1)
+        x = np.arange(8).reshape(1, -1)
+        b = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        b[0] /= np.sqrt(2.0)
+        _DCT_B = b
+    return _DCT_B
+
+
+#: canonical table specs: (BITS[1..16], HUFFVAL) — DC: 12 categories at
+#: 4 bits; AC: EOB + ZRL + runs 0..15 × sizes 1..10 = 162 symbols at 8
+_JPEG_DC_SPEC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_JPEG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted([0x00, 0xF0] + [(r << 4) | s
+                           for r in range(16) for s in range(1, 11)]),
+)
+
+
+def _huff_codes(bits, huffval) -> dict[int, tuple[int, int]]:
+    """T.81 canonical construction: symbol -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """uint8 (H, W) grayscale → baseline sequential JPEG (one component,
+    self-declared canonical Huffman tables, no subsampling/restarts).
+    ``quant`` is the 8×8 quantization table in NATURAL order (default:
+    all ones — near-lossless, and bit-exact on block-constant images)."""
+    import struct
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = np.ones((8, 8), dtype=np.int64) if quant is None \
+        else np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    bh, bw = -(-h // 8), -(-w // 8)
+    # edge-replicate to full blocks (the conventional pad)
+    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    B = _dct_basis()
+    dc_codes = _huff_codes(*_JPEG_DC_SPEC)
+    ac_codes = _huff_codes(*_JPEG_AC_SPEC)
+    bw_ = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            X = B @ (blk.astype(np.float64) - 128.0) @ B.T
+            zz = np.floor(X / q + 0.5).astype(np.int64).reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _category(diff)
+            bw_.write(*dc_codes[cat])
+            if cat:
+                mag = diff if diff >= 0 else diff + (1 << cat) - 1
+                bw_.write(mag, cat)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw_.write(*ac_codes[0xF0])
+                    run -= 16
+                cat = _category(v)
+                bw_.write(*ac_codes[(run << 4) | cat])
+                mag = v if v >= 0 else v + (1 << cat) - 1
+                bw_.write(mag, cat)
+                run = 0
+            if run:
+                bw_.write(*ac_codes[0x00])  # EOB
+    scan = bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    qzz = q.reshape(-1)[_ZIGZAG]  # DQT carries zigzag order
+    out = (b"\xff\xd8"
+           + seg(0xFFDB, bytes([0]) + bytes(int(x) & 0xFF for x in qzz))
+           + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+                 + bytes([1, 0x11, 0]))
+           + dht(0x00, _JPEG_DC_SPEC) + dht(0x10, _JPEG_AC_SPEC)
+           + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + scan + b"\xff\xd9")
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("JPEG marker inside entropy stream "
+                                 "(restart intervals unsupported)")
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG invalid Huffman code")
+
+
+def _extend(mag: int, cat: int) -> int:
+    return mag if mag >= (1 << (cat - 1)) else mag - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential GRAYSCALE JPEG → uint8 (H, W). Reads the
+    file's own DQT/DHT tables (canonical T.81 construction), so foreign
+    single-component baseline files decode too; multi-component,
+    progressive, and restart-interval streams raise with a clear
+    message (chroma paths would need PIL, unavailable here)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI); formats "
+                         "beyond baseline JPEG/PNG/BMP need PIL")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[int, dict] = {}
+    h = w = None
+    comp_q = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        body = data[pos + 4: pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG truncated inside segment")
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("JPEG 16-bit quant tables unsupported")
+                z = np.frombuffer(body[o + 1: o + 65], np.uint8) \
+                    .astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[_ZIGZAG] = z
+                qt[tq] = nat.reshape(8, 8)
+                o += 65
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "JPEG subset: 8-bit baseline grayscale only "
+                    f"(got precision={prec} components={nc})")
+            if body[7] != 0x11:
+                raise ValueError("JPEG subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG non-baseline (progressive/extended) "
+                             "frames unsupported")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1: o + 17])
+                nval = sum(bits)
+                vals = list(body[o + 17: o + 17 + nval])
+                codes = _huff_codes(bits, vals)
+                huff[tc_th] = {(c, l): sym for sym, (c, l) in codes.items()}
+                o += 17 + nval
+        elif marker == 0xDD:
+            raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:
+            td_ta = body[2]
+            dc_tbl = huff.get(0x00 | (td_ta >> 4))
+            ac_tbl = huff.get(0x10 | (td_ta & 0xF))
+            if h is None or dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG SOS before SOF/DHT")
+            q = qt.get(comp_q)
+            if q is None:
+                raise ValueError("JPEG missing quant table")
+            rd = _BitReader(data[pos + 2 + ln:])
+            bh, bw = -(-h // 8), -(-w // 8)
+            out = np.empty((bh * 8, bw * 8), np.uint8)
+            B = _dct_basis()
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = np.zeros(64, np.int64)
+                    cat = rd.huff(dc_tbl)
+                    diff = _extend(rd.bits(cat), cat) if cat else 0
+                    prev_dc += diff
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        sym = rd.huff(ac_tbl)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        cat = sym & 0xF
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(rd.bits(cat), cat)
+                        k += 1
+                    nat = np.empty(64, np.int64)
+                    nat[_ZIGZAG] = zz
+                    X = nat.reshape(8, 8) * q
+                    blk = B.T @ X.astype(np.float64) @ B + 128.0
+                    out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                        np.clip(np.floor(blk + 0.5), 0, 255).astype(np.uint8)
+            return out[:h, :w]
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOS scan")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -833,6 +1142,94 @@ def media_png_features(sf_dir: str, concurrency: int = 4):
     SIZE is non-closed-form, so it is not emitted)."""
     return media_png_ds(sf_dir).map_batches(
         PngFeatures, concurrency=(1, concurrency), batch_size=64,
+        num_cpus=1, batch_format="pyarrow",
+    )
+
+
+def media_jpeg_ds(sf_dir: str) -> ray.data.Dataset:
+    """Documents table → LOSSY-compressed media table: every non-empty
+    doc becomes a baseline grayscale JPEG whose 8×8 blocks each hold
+    ONE text byte (the PNG tier's w×h pixel grid expanded ×8 per axis
+    via kron), encoded with unit quantization. Block-constant content
+    + unit quant round-trips BIT-EXACTLY through the DCT (DC = 8·(c−128)
+    is an exact integer, AC magnitudes are float noise < 0.5), so the
+    decoded features of a genuinely lossy codec stay
+    oracle-hash-checkable — the degenerate-parameter gate pattern."""
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        keep, payload, width, height = [], [], [], []
+        ones = np.ones((8, 8), np.uint8)
+        for i, txt in zip(ids, texts):
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+            nb = len(b)
+            if nb == 0:
+                continue
+            w = 8 if nb >= 64 else 4
+            h = max(nb // w, 1)
+            px = b[: w * h]
+            if len(px) < w * h:
+                px = np.pad(px, (0, w * h - len(px)))
+            keep.append(int(i))
+            payload.append(encode_jpeg_gray(np.kron(px.reshape(h, w), ones)))
+            width.append(8 * w)
+            height.append(8 * h)
+        n = len(keep)
+        return pa.table({
+            "media_id": pa.array(keep, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payload, pa.large_binary()),
+            "width": pa.array(np.asarray(width, dtype=np.int32)),
+            "height": pa.array(np.asarray(height, dtype=np.int32)),
+            "sample_rate": pa.array(np.full(n, 16_000, dtype=np.int32)),
+            "n_frames": pa.array(np.zeros(n, dtype=np.int32)),
+        }, schema=MEDIA_SCHEMA)
+
+    from .text_stats import _read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_read_blocks(path),
+    ).map_batches(to_jpeg, batch_format="pyarrow")
+
+
+class JpegFeatures:
+    """Actor-pool stage over baseline JPEG containers: vendored spec
+    decoder per actor (Huffman + dezigzag + dequant + IDCT per batch)
+    → (n_samples, mean_value)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        payloads = t["payload"].to_pylist()
+        mean = np.empty(n, dtype=np.float64)
+        n_samples = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            a = decode_jpeg(payloads[i])
+            mean[i] = float(a.mean(dtype=np.float64))
+            n_samples[i] = a.size
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": t["width"].cast(pa.int64()),
+            "height": t["height"].cast(pa.int64()),
+            "n_samples": pa.array(n_samples),
+            "mean_value": pa.array(np.floor(mean * 1e6 + 0.5) / 1e6),
+        })
+
+
+def media_jpeg_features(sf_dir: str, concurrency: int = 4):
+    """LOSSY-compressed-container decode through the actor pool: real
+    Huffman entropy decode, dezigzag, dequantization, and 8×8 IDCT per
+    block — oracle-hash-checked because the block-constant + unit-quant
+    construction round-trips exactly (each decoded 8×8 block equals its
+    source text byte, so the mean is Σgrid/(w·h) — the PNG oracle with
+    n_samples ×64)."""
+    return media_jpeg_ds(sf_dir).map_batches(
+        JpegFeatures, concurrency=(1, concurrency), batch_size=64,
         num_cpus=1, batch_format="pyarrow",
     )
 

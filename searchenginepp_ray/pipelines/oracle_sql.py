@@ -816,6 +816,32 @@ SELECT g.media_id, g.w AS width, g.h AS height,
 FROM g JOIN s USING (media_id)"""
 
 
+def media_jpeg_features_sql() -> str:
+    """Oracle for multimodal.media_jpeg_features: block-constant images
+    under unit quantization round-trip the lossy codec EXACTLY, so each
+    decoded 8×8 block equals its source text byte — the PNG grid oracle
+    with width/height/n_samples scaled ×8/×8/×64 and the identical
+    mean (each byte replicated 64× leaves the mean unchanged)."""
+    return """
+WITH v AS (
+  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS nb,
+         CAST(CASE WHEN length(text) >= 64 THEN 8 ELSE 4 END AS BIGINT) AS w
+  FROM documents WHERE length(text) > 0),
+g AS (SELECT media_id, text, nb, w, greatest(nb // w, 1) AS h FROM v),
+s AS (
+  SELECT media_id,
+         SUM(CASE WHEN i <= least(nb, w * h)
+             THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+             AS sum_grid
+  FROM g, LATERAL (SELECT unnest(generate_series(1, nb)) AS i)
+  GROUP BY media_id)
+SELECT g.media_id, 8 * g.w AS width, 8 * g.h AS height,
+       CAST(64 * g.w * g.h AS BIGINT) AS n_samples,
+       floor(CAST(s.sum_grid AS DOUBLE) / (g.w * g.h) * 1e6 + 0.5) / 1e6
+           AS mean_value
+FROM g JOIN s USING (media_id)"""
+
+
 def image_resize_sql(out: int = 4) -> str:
     """Oracle for multimodal.image_resize (real-BMP default tier): the
     decoded pixel grid is the first w·h text bytes zero-padded

@@ -1,7 +1,8 @@
 """Multimodal plumbing: schema, actor-pool decode stage, resize math,
-deterministic fake-codec outputs, and the REAL vendored BMP/WAV codec
-tier (checked-in binary fixtures decoded through the actor pool; video
-remains the honest stub boundary — real video decode raises)."""
+deterministic fake-codec outputs, and the REAL vendored codec tiers —
+BMP/WAV/AVI, compressed PNG, and lossy baseline JPEG — each pinned by
+hand-assembled spec fixtures (raw struct bytes, independent of the
+encoders), round-trips, and failure-path contracts."""
 
 import os
 
@@ -380,3 +381,78 @@ def test_png_truncated_payload_raises_cleanly():
     idat_at = png.index(b"IDAT") - 4  # chunk start (length field)
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_png(png[: idat_at + 10])
+
+
+def test_jpeg_hand_assembled_fixture_decodes():
+    """A baseline JPEG assembled BY HAND from the T.81 segment layout
+    (independent of the encoder): one 8x8 constant block of 200 under
+    unit quantization. DC = 8*(200-128) = 576 (category 10); with the
+    canonical 4-bit DC table the code for category 10 is 1010, the
+    magnitude bits are 1001000000, and EOB is the 8-bit all-zeros AC
+    code - 24 bits = a9 00 00."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dc_bits, dc_vals = mm._JPEG_DC_SPEC
+    ac_bits, ac_vals = mm._JPEG_AC_SPEC
+    png = (b"\xff\xd8"
+           + seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+           + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1)
+                 + bytes([1, 0x11, 0]))
+           + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+           + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+           + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + bytes([0xA9, 0x00, 0x00]) + b"\xff\xd9")
+    dec = mm.decode_jpeg(png)
+    assert dec.shape == (8, 8) and (dec == 200).all()
+
+
+def test_jpeg_roundtrips_and_errors():
+    """Block-constant images round-trip BIT-EXACTLY under unit quant
+    (the gate's construction); arbitrary images are near-lossless at
+    unit quant (|err| <= 1) and bounded-lossy at a coarse table;
+    non-multiple-of-8 shapes pad/crop correctly; malformed inputs raise
+    the decoder's ValueError contract."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    assert np.array_equal(mm.decode_jpeg(mm.encode_jpeg_gray(img)), img)
+
+    img2 = rng.integers(0, 256, (13, 19), dtype=np.uint8)
+    dec2 = mm.decode_jpeg(mm.encode_jpeg_gray(img2))
+    assert dec2.shape == img2.shape
+    assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 1
+
+    q = np.full((8, 8), 16, np.int64)
+    dec3 = mm.decode_jpeg(mm.encode_jpeg_gray(img2, quant=q))
+    assert np.abs(dec3.astype(int) - img2.astype(int)).max() <= 64
+
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"definitely not a jpeg")
+    with pytest.raises(ValueError, match="truncated|SOS"):
+        mm.decode_jpeg(mm.encode_jpeg_gray(img2)[:40])
+
+
+def test_media_jpeg_features_matches_grid_mean(ray_session):
+    """The lossy tier's decoded features equal the exact grid math:
+    each 8x8 block decodes back to its source byte, so the mean is
+    unchanged and n_samples = 64*w*h."""
+    out = mm.media_jpeg_features(SF, concurrency=2).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t[t["text"].str.len() > 0]
+    assert len(out) == len(t)
+    sample = t.head(15)
+    got = out.set_index("media_id")
+    for _, r in sample.iterrows():
+        b = np.frombuffer(r["text"].encode(), dtype=np.uint8)
+        w = 8 if len(b) >= 64 else 4
+        h = max(len(b) // w, 1)
+        px = np.zeros(w * h, dtype=np.int64)
+        px[: min(len(b), w * h)] = b[: w * h]
+        assert got.loc[r["doc_id"], "n_samples"] == 64 * w * h
+        assert got.loc[r["doc_id"], "mean_value"] == \
+            np.floor(px.sum() / (w * h) * 1e6 + 0.5) / 1e6
