@@ -405,13 +405,18 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     B = _dct_basis()
     dc_codes = _huff_codes(*_JPEG_DC_SPEC)
     ac_codes = _huff_codes(*_JPEG_AC_SPEC)
+    # all DCTs + quantization in one batched einsum (the per-block
+    # Python work below is Huffman bit emission only)
+    blocks = (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(bh * bw, 8, 8).astype(np.float64) - 128.0)
+    X_all = np.einsum("ab,nbc,dc->nad", B, blocks, B)
+    zz_all = np.floor(X_all / q + 0.5).astype(np.int64) \
+        .reshape(bh * bw, 64)[:, _ZIGZAG]
+    ac_any = zz_all[:, 1:].any(axis=1)
     bw_ = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            X = B @ (blk.astype(np.float64) - 128.0) @ B.T
-            zz = np.floor(X / q + 0.5).astype(np.int64).reshape(-1)[_ZIGZAG]
+    for bi in range(bh * bw):
+            zz = zz_all[bi]
             diff = int(zz[0]) - prev_dc
             prev_dc = int(zz[0])
             cat = _category(diff)
@@ -419,6 +424,9 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
             if cat:
                 mag = diff if diff >= 0 else diff + (1 << cat) - 1
                 bw_.write(mag, cat)
+            if not ac_any[bi]:  # DC-only block: straight to EOB
+                bw_.write(*ac_codes[0x00])
+                continue
             run = 0
             for k in range(1, 64):
                 v = int(zz[k])
@@ -482,7 +490,16 @@ class _BitReader:
         v = (self.acc >> self.n) & ((1 << k) - 1)
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def huff(self, table: dict) -> int:
+        L = table.get("_uniform")
+        if L is not None:
+            # all codes in this DHT share one length (our canonical
+            # encoder's tables do): one fixed-width read + one lookup
+            # instead of a per-bit walk
+            sym = table.get((self.bits(L), L))
+            if sym is None:
+                raise ValueError("JPEG invalid Huffman code")
+            return sym
         code, length = 0, 0
         while length < 17:
             code = (code << 1) | self.bits(1)
@@ -556,7 +573,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nval = sum(bits)
                 vals = list(body[o + 17: o + 17 + nval])
                 codes = _huff_codes(bits, vals)
-                huff[tc_th] = {(c, l): sym for sym, (c, l) in codes.items()}
+                tbl = {(c, l): sym for sym, (c, l) in codes.items()}
+                used = [l for l, n in enumerate(bits, start=1) if n]
+                if len(used) == 1:
+                    tbl["_uniform"] = used[0]
+                huff[tc_th] = tbl
                 o += 17 + nval
         elif marker == 0xDD:
             raise ValueError("JPEG restart intervals unsupported")
@@ -571,36 +592,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG missing quant table")
             rd = _BitReader(data[pos + 2 + ln:])
             bh, bw = -(-h // 8), -(-w // 8)
-            out = np.empty((bh * 8, bw * 8), np.uint8)
-            B = _dct_basis()
+            nblk = bh * bw
+            # phase 1: pure-Python entropy decode of every block's 64
+            # zigzag coefficients (plain lists — no per-block numpy)
+            zz_rows = []
             prev_dc = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    zz = np.zeros(64, np.int64)
-                    cat = rd.huff(dc_tbl)
-                    diff = _extend(rd.bits(cat), cat) if cat else 0
-                    prev_dc += diff
-                    zz[0] = prev_dc
-                    k = 1
-                    while k < 64:
-                        sym = rd.huff(ac_tbl)
-                        if sym == 0x00:
-                            break
-                        if sym == 0xF0:
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        cat = sym & 0xF
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(rd.bits(cat), cat)
-                        k += 1
-                    nat = np.empty(64, np.int64)
-                    nat[_ZIGZAG] = zz
-                    X = nat.reshape(8, 8) * q
-                    blk = B.T @ X.astype(np.float64) @ B + 128.0
-                    out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
-                        np.clip(np.floor(blk + 0.5), 0, 255).astype(np.uint8)
+            for _ in range(nblk):
+                zz = [0] * 64
+                cat = rd.huff(dc_tbl)
+                diff = _extend(rd.bits(cat), cat) if cat else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = rd.huff(ac_tbl)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    cat = sym & 0xF
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(rd.bits(cat), cat)
+                    k += 1
+                zz_rows.append(zz)
+            # phase 2: dezigzag + dequant + IDCT, batched over all blocks
+            B = _dct_basis()
+            nat = np.empty((nblk, 64), np.int64)
+            nat[:, _ZIGZAG] = np.asarray(zz_rows, np.int64)
+            X = nat.reshape(nblk, 8, 8) * q
+            blks = np.einsum("ba,nbc,cd->nad", B, X.astype(np.float64), B) \
+                + 128.0
+            out = np.clip(np.floor(blks + 0.5), 0, 255).astype(np.uint8) \
+                .reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+                .reshape(bh * 8, bw * 8)
             return out[:h, :w]
         pos += 2 + ln
     raise ValueError("JPEG missing SOS scan")
@@ -1189,9 +1216,12 @@ def media_jpeg_ds(sf_dir: str) -> ray.data.Dataset:
     from .text_stats import _read_blocks
 
     path = f"{sf_dir}/documents.parquet"
+    # per-row encode cost (~2.7 ms: batched DCT + Huffman emission) is
+    # ~30x a tokenize, so the usual ~2000-rows/block floor serializes
+    # this stage on small corpora — size blocks to ~160 rows instead
     return ray.data.read_parquet(
         path, columns=["doc_id", "text"],
-        override_num_blocks=_read_blocks(path),
+        override_num_blocks=_read_blocks(path, target_rows=160),
     ).map_batches(to_jpeg, batch_format="pyarrow")
 
 
@@ -1221,7 +1251,7 @@ class JpegFeatures:
         })
 
 
-def media_jpeg_features(sf_dir: str, concurrency: int = 4):
+def media_jpeg_features(sf_dir: str, concurrency: int = 16):
     """LOSSY-compressed-container decode through the actor pool: real
     Huffman entropy decode, dezigzag, dequantization, and 8×8 IDCT per
     block — oracle-hash-checked because the block-constant + unit-quant
