@@ -412,37 +412,38 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     X_all = np.einsum("ab,nbc,dc->nad", B, blocks, B)
     zz_all = np.floor(X_all / q + 0.5).astype(np.int64) \
         .reshape(bh * bw, 64)[:, _ZIGZAG]
-    ac_any = zz_all[:, 1:].any(axis=1)
+    ac_any = zz_all[:, 1:].any(axis=1).tolist()
+    zz_rows = zz_all.tolist()  # plain lists: no per-element numpy access
     bw_ = _BitWriter()
     prev_dc = 0
     for bi in range(bh * bw):
-            zz = zz_all[bi]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            bw_.write(*dc_codes[cat])
-            if cat:
-                mag = diff if diff >= 0 else diff + (1 << cat) - 1
-                bw_.write(mag, cat)
-            if not ac_any[bi]:  # DC-only block: straight to EOB
-                bw_.write(*ac_codes[0x00])
+        zz = zz_rows[bi]
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        cat = _category(diff)
+        bw_.write(*dc_codes[cat])
+        if cat:
+            mag = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw_.write(mag, cat)
+        if not ac_any[bi]:  # DC-only block: straight to EOB
+            bw_.write(*ac_codes[0x00])
+            continue
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
                 continue
+            while run > 15:
+                bw_.write(*ac_codes[0xF0])
+                run -= 16
+            cat = _category(v)
+            bw_.write(*ac_codes[(run << 4) | cat])
+            mag = v if v >= 0 else v + (1 << cat) - 1
+            bw_.write(mag, cat)
             run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw_.write(*ac_codes[0xF0])
-                    run -= 16
-                cat = _category(v)
-                bw_.write(*ac_codes[(run << 4) | cat])
-                mag = v if v >= 0 else v + (1 << cat) - 1
-                bw_.write(mag, cat)
-                run = 0
-            if run:
-                bw_.write(*ac_codes[0x00])  # EOB
+        if run:
+            bw_.write(*ac_codes[0x00])  # EOB
     scan = bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -593,11 +594,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             rd = _BitReader(data[pos + 2 + ln:])
             bh, bw = -(-h // 8), -(-w // 8)
             nblk = bh * bw
-            # phase 1: pure-Python entropy decode of every block's 64
-            # zigzag coefficients (plain lists — no per-block numpy)
-            zz_rows = []
+            if nblk == 0:  # SOF with zero height/width
+                return np.zeros((h, w), np.uint8)
+            # phase 1: pure-Python entropy decode straight into the
+            # (nblk, 64) coefficient array (one vectorized row-assign
+            # per block — no list-of-lists retained)
+            coeff = np.empty((nblk, 64), np.int64)
             prev_dc = 0
-            for _ in range(nblk):
+            for bi in range(nblk):
                 zz = [0] * 64
                 cat = rd.huff(dc_tbl)
                 diff = _extend(rd.bits(cat), cat) if cat else 0
@@ -613,20 +617,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         continue
                     k += sym >> 4
                     cat = sym & 0xF
+                    if cat == 0:
+                        raise ValueError(
+                            f"JPEG invalid AC symbol 0x{sym:02x} "
+                            "(zero size with nonzero run)")
                     if k > 63:
                         raise ValueError("JPEG AC index overflow")
                     zz[k] = _extend(rd.bits(cat), cat)
                     k += 1
-                zz_rows.append(zz)
-            # phase 2: dezigzag + dequant + IDCT, batched over all blocks
+                coeff[bi] = zz
+            # phase 2: dezigzag + dequant + IDCT, batched in bounded
+            # chunks so foreign multi-megapixel images don't hold the
+            # whole float volume at once
             B = _dct_basis()
-            nat = np.empty((nblk, 64), np.int64)
-            nat[:, _ZIGZAG] = np.asarray(zz_rows, np.int64)
-            X = nat.reshape(nblk, 8, 8) * q
-            blks = np.einsum("ba,nbc,cd->nad", B, X.astype(np.float64), B) \
-                + 128.0
-            out = np.clip(np.floor(blks + 0.5), 0, 255).astype(np.uint8) \
-                .reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            qf = q.astype(np.float64)
+            # block-major uint8 result (image-sized); chunking bounds
+            # only the 8-bytes-per-sample float temporaries
+            blocks_u8 = np.empty((nblk, 8, 8), np.uint8)
+            CH = 4096
+            nat = np.empty((min(CH, nblk), 64), np.int64)
+            for lo in range(0, nblk, CH):
+                hi_ = min(lo + CH, nblk)
+                n = hi_ - lo
+                nat[:n, _ZIGZAG] = coeff[lo:hi_]
+                X = nat[:n].reshape(n, 8, 8) * qf
+                blks = np.einsum("ba,nbc,cd->nad", B, X, B) + 128.0
+                blocks_u8[lo:hi_] = np.clip(np.floor(blks + 0.5), 0, 255) \
+                    .astype(np.uint8)
+            out = blocks_u8.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
                 .reshape(bh * 8, bw * 8)
             return out[:h, :w]
         pos += 2 + ln
