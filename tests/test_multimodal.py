@@ -456,3 +456,28 @@ def test_media_jpeg_features_matches_grid_mean(ray_session):
         assert got.loc[r["doc_id"], "n_samples"] == 64 * w * h
         assert got.loc[r["doc_id"], "mean_value"] == \
             np.floor(px.sum() / (w * h) * 1e6 + 0.5) / 1e6
+
+
+def test_codec_roundtrip_property_fuzz():
+    """Hypothesis: arbitrary small images round-trip PNG bit-exactly
+    and JPEG (unit quant) within +/-1 per sample; block-constant JPEG
+    inputs round-trip bit-exactly at any block-grid shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(mm.decode_png(mm.encode_png_gray(img)), img)
+        dec = mm.decode_jpeg(mm.encode_jpeg_gray(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+        blocky = np.kron(rng.integers(0, 256, (max(h // 4, 1), max(w // 4, 1)),
+                                      dtype=np.uint8),
+                         np.ones((8, 8), np.uint8))
+        assert np.array_equal(
+            mm.decode_jpeg(mm.encode_jpeg_gray(blocky)), blocky)
+
+    check()
